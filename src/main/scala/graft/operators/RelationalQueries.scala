@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Batch relational query catalog over the parquet corpus.
+  *
+  * These are the batch twins of the voting aggregations plus the
+  * general relational capability set (joins, sorts, windows, rollup,
+  * set ops, semi/anti joins, scalar functions) — each hash-matched
+  * against a DuckDB oracle by the driver (SparkEntry.oracleSql).
+  *
+  * Determinism rules used throughout (the oracle compare is exact,
+  * so cross-engine floating-point drift must be impossible):
+  *  - monetary aggregates are computed in EXACT decimal arithmetic
+  *    (inputs have ≤2 decimals), then cast decimal(17,2)→double —
+  *    the unscaled value fits in 2^53, so both engines produce the
+  *    bit-identical double (see [[Num]]);
+  *  - never round() a double: Spark (BigDecimal HALF_UP on the
+  *    shortest string repr) and DuckDB (std::round on the binary
+  *    value) disagree on boundary values;
+  *  - every top-N has a unique total sort key (tie-break on the key);
+  *  - timestamps are emitted as formatted strings, never raw
+  *    (parquet ns vs µs precision differs between engines).
+  *
+  * Scale notes are on each query — the plans are chosen so the same
+  * code is the right plan at 100 TB (broadcast the dims, partial agg
+  * before shuffle, TakeOrderedAndProject for top-N).
+  */
+object RelationalQueries {
+
+  /** Cross-engine numeric determinism helpers.
+    *
+    * Verified against DuckDB 1.0 empirically: decimal→decimal CAST
+    * truncates in DuckDB but rounds HALF_UP in Spark — never cast
+    * decimals down. round(decimal, 2) rounds half-away-from-zero in
+    * both engines (Spark HALF_UP on decimals = away from zero for
+    * both signs), and a scale-2 decimal < 2^53/100 converts to double
+    * with a single correctly-rounded step in both. So: exact decimal
+    * sum → round(·,2) → cast double is bit-stable cross-engine.
+    */
+  object Num {
+    /** Exact fixed-point view of a ≤2-decimal double measure. Narrow
+      * precisions keep products within decimal(38,·) so arithmetic
+      * stays exact in both engines.
+      */
+    def dec2(c: Column): Column = c.cast("decimal(12,2)")
+
+    /** Exact fixed-point view of a small ≤2-decimal factor (1±rate). */
+    def frac(c: Column): Column = c.cast("decimal(4,2)")
+
+    /** Exact decimal sum → bit-stable double. */
+    def moneySum(c: Column): Column = round(sum(c), 2).cast("double")
+
+    /** avg as exact-sum / count: identical doubles divided by
+      * identical longs → identical IEEE result, no rounding step.
+      */
+    def moneyAvg(c: Column): Column = moneySum(c) / count(lit(1))
+  }
+  import Num._
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Twin of reference A1 (votes per candidate, spark-streaming.py:
+    * 75-76): grouped SUM with a companion COUNT over the event-stream
+    * table. Partial/final hash aggregate; shuffle bounded by
+    * |event_type| = 5 keys, not data volume.
+    */
+  def votesPerCandidate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        moneySum(dec2(col("value"))).as("total_votes"),
+        count(lit(1)).as("n_events"),
+      )
+
+  /** Twin of reference A2 (turnout by location) + J1 (stream-dim
+    * enrichment, voting.py:86-91): events joined to the
+    * customer→nation dimension, counted per nation. Both dims
+    * broadcast — the fact side is never shuffled, which is the whole
+    * game at 100 TB.
+    */
+  def turnoutByLocation(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val dim = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    events
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("turnout"))
+  }
+
+  /** Twin of reference J2 (UNIQUE(voter_id) dedup, main.py:59):
+    * deterministic keep-first per user (min event_id = earliest
+    * insert), then aggregate. One shuffle on the dedup key; at scale
+    * this is the unavoidable exchange, everything else is map-side.
+    */
+  def dedupVotes(spark: SparkSession, dir: String): DataFrame = {
+    val firstPerUser = VotingOps.dedupFirstPerKey(
+      t(spark, dir, "events"),
+      key = Seq("user_id"),
+      order = Seq(col("event_id")),
+    )
+    firstPerUser
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_first_events"),
+        moneySum(dec2(col("value"))).as("first_event_value"),
+      )
+  }
+
+  /** Windowed variant of A1 — tumbling 1-hour event-time windows
+    * (the honest version of the reference's inert watermark, SURVEY
+    * §2.7 ST1). Window start emitted as a formatted string.
+    */
+  def votesWindowed(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(moneySum(dec2(col("value"))).as("total_value"), count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"),
+        col("total_value"),
+        col("n"),
+      )
+
+  /** TPC-H Q1-style pricing summary: scan-heavy filter + wide
+    * aggregate. Predicate and the projection both push to the parquet
+    * scan; aggregate has 6 groups — shuffle is trivial.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val disc  = frac(lit(1) - col("l_discount"))
+    val tax   = frac(lit(1) + col("l_tax"))
+    val price = dec2(col("l_extendedprice"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(dec2(col("l_quantity"))).as("sum_qty"),
+        moneySum(price).as("sum_base_price"),
+        moneySum(price * disc).as("sum_disc_price"),
+        moneySum(price * disc * tax).as("sum_charge"),
+        moneyAvg(dec2(col("l_quantity"))).as("avg_qty"),
+        moneyAvg(price).as("avg_price"),
+        moneyAvg(dec2(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join + top-10 by
+    * revenue. customer is broadcast (filtered dim); orders⋈lineitem
+    * is the one real shuffle, on the join key both sides. Top-N plans
+    * as TakeOrderedAndProject — no global sort at scale.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(moneySum(dec2(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"),
+        col("revenue"),
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: 6-table join. All dims
+    * (region, nation, customer, supplier) broadcast; the only big
+    * shuffle is orders⋈lineitem. Group key |nations| — tiny.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val supp = t(spark, dir, "supplier")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        broadcast(cust),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"),
+      )
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(moneySum(dec2(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Global top-N: ORDER BY + LIMIT with a unique tie-break.
+    * TakeOrderedAndProject: each partition keeps N rows, driver
+    * merges — no full sort, scales to any input size.
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Window-function coverage: per-nation supplier revenue ranking,
+    * top 3 per nation. Rank sort key is unique (exact-decimal
+    * revenue, then suppkey) so the result is deterministic. Revenue
+    * is pre-aggregated first, so the window input is |suppliers|
+    * rows, not |lineitem|.
+    */
+  def supplierRank(spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val rev = t(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(moneySum(dec2(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))).as("revenue"))
+    val w = Window.partitionBy("s_nationkey").orderBy(col("revenue").desc, col("l_suppkey"))
+    rev
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_suppkey").as("suppkey"), col("revenue"), col("rnk"))
+  }
+
+  /** ROLLUP coverage: hierarchical subtotals (flag → flag+status →
+    * grand total). Spark plans rollup as Expand + one aggregate —
+    * a single shuffle regardless of grouping-set count.
+    */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(moneySum(dec2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Set-operation coverage: UNION / INTERSECT / EXCEPT between two
+    * customer key sets, reduced to tagged counts (small deterministic
+    * output regardless of scale).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    def buyers = t(spark, dir, "orders").select(col("o_custkey").as("k")).distinct()
+    def rich = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+    def tagged(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tagged("union", buyers.union(rich).distinct())
+      .unionAll(tagged("intersect", buyers.intersect(rich)))
+      .unionAll(tagged("except", buyers.except(rich)))
+  }
+
+  /** Semi/anti-join coverage: customers with vs without orders —
+    * Spark's native EXISTS / NOT EXISTS plans (left_semi/left_anti).
+    */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders").select("o_custkey")
+    val semi = cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("with_orders").as("kind"), col("n"))
+    val anti = cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("without_orders").as("kind"), col("n"))
+    semi.unionAll(anti)
+  }
+
+  /** Scalar-function coverage (reference §2.6 F5-F7): string concat,
+    * upper, substring, length, modulo, conditional, date parts.
+    * Pure map-side projection — no shuffle at all.
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_priority"),
+        upper(col("o_orderpriority")).as("upper_priority"),
+        substring(col("o_orderpriority"), 1, 1).as("priority_digit"),
+        length(col("o_orderpriority")).as("priority_len"),
+        pmod(col("o_orderkey"), lit(7)).as("key_mod7"),
+        when(col("o_totalprice") > 100000, "big").otherwise("small").as("size_class"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+      )
+
+  /** Aggregate-function variety: count, distinct count, exact-avg,
+    * min, max per group. countDistinct shuffles on (group, value)
+    * then (group) — standard two-phase distinct aggregation.
+    */
+  def aggFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        moneyAvg(dec2(col("o_totalprice"))).as("avg_price"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+      )
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.VotingOps
+import graft.sources.VoteIngest
+
+/** End-to-end rebuild of the reference streaming job
+  * (spark-streaming.py:12-107): source → parse → watermark → two
+  * concurrent running aggregations → update-mode changelog sinks,
+  * each with its own checkpoint.
+  *
+  * Sinks are pluggable the same way sources are: "kafka" in
+  * production (`to_json(struct(*))` as the value payload, exactly the
+  * reference's spark-streaming.py:83-84), "memory" in tests.
+  */
+object VotePipeline {
+
+  /** The shared lineage: parsed, watermarked vote-topic records. */
+  def parsedStream(raw: DataFrame, watermarkDelay: String = "1 minute"): DataFrame =
+    VoteIngest.parse(raw).withWatermark("voting_time", watermarkDelay)
+
+  /** Serialize an aggregate row back to a Kafka-shaped value column
+    * (reference spark-streaming.py:83-84, 94-95).
+    */
+  def toChangelogValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(col("*"))).as("value"))
+
+  /** Start one update-mode changelog query on a memory sink; returns
+    * the running query. AvailableNow processes everything queued and
+    * stops — deterministic for tests.
+    */
+  def startMemoryQuery(
+      agg: DataFrame,
+      queryName: String,
+      availableNow: Boolean = false,
+  ): StreamingQuery = {
+    val checkpoint = Files.createTempDirectory(s"graft-ckpt-$queryName").toString
+    val writer = agg.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Both reference aggregations from one shared lineage. Each
+    * query gets its own checkpoint + state store, as in the
+    * reference (spark-streaming.py:89, 100).
+    */
+  def aggregates(parsed: DataFrame): (DataFrame, DataFrame) =
+    (VotingOps.votesPerCandidate(parsed), VotingOps.turnoutByLocation(parsed))
+
+  /** Collapse an update-mode changelog to final values: keep the last
+    * emitted row per key (by arrival order within the sink table).
+    * This is what a consumer of the reference's output topics must do
+    * (SURVEY §2.7 ST3).
+    */
+  def latestPerKey(changelog: DataFrame, keyCols: Seq[String], spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSeq = changelog.withColumn("__seq", monotonically_increasing_id())
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__seq").desc)
+    withSeq
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__seq", "__rn")
+  }
+}

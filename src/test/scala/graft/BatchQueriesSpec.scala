@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query runs at sf0.001 and returns sane results.
+  * Exact-value verification against DuckDB happens in the driver's
+  * oracle gate (and locally via tools/check_oracle.py); here we pin
+  * structural invariants that hold at any scale factor.
+  */
+class BatchQueriesSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("every declared query has an oracle or a documented omission") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(
+      missing.forall(_.startsWith("nosql_")),
+      s"queries without oracle must be named nosql_*: $missing",
+    )
+  }
+
+  test("all queries run and return rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("votes_per_candidate totals equal whole-table totals") {
+    import org.apache.spark.sql.functions._
+    val per = graft.operators.RelationalQueries.votesPerCandidate(spark, sf)
+    val events = graft.sources.Tables(spark, sf, "events")
+    assert(per.agg(sum("n_events")).head.getLong(0) == events.count())
+  }
+
+  test("dedup keeps exactly one row per user") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables(spark, sf, "events")
+    val first = graft.operators.VotingOps
+      .dedupFirstPerKey(events, Seq("user_id"), Seq(col("event_id")))
+    assert(first.count() == events.select("user_id").distinct().count())
+    // deterministic: keep-first means the min event_id per user
+    val viaMin = events.groupBy("user_id").agg(min("event_id").as("event_id"))
+    assert(first.select("user_id", "event_id").except(viaMin).count() == 0)
+  }
+
+  test("top_orders is the global top 20 by price") {
+    import org.apache.spark.sql.functions._
+    val top = graft.operators.RelationalQueries.topOrders(spark, sf).collect()
+    assert(top.length == 20)
+    val prices = top.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))), "not sorted desc")
+    val globalMax = graft.sources.Tables(spark, sf, "orders")
+      .agg(max("o_totalprice")).head.getDouble(0)
+    assert(prices.head == globalMax)
+  }
+}
