@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.RelationalQueries
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +35,11 @@ object SparkEntry {
     "semi_anti_join" -> (RelationalQueries.semiAntiJoin _),
     "scalar_functions" -> (RelationalQueries.scalarFunctions _),
     "agg_functions" -> (RelationalQueries.aggFunctions _),
+    // real Structured Streaming execution (file source → state store →
+    // update-mode sink → latest-per-key), oracle-checked against the
+    // same SQL as the batch twins
+    "stream_votes_per_candidate" -> (StreamingQueries.votesPerCandidateStream _),
+    "stream_votes_windowed" -> (StreamingQueries.votesWindowedStream _),
   )
 
   // DuckDB dialect notes (verified on DuckDB 1.0 locally):
@@ -156,5 +162,12 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) / count(*) AS avg_price,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "stream_votes_per_candidate" ->
+      s"""SELECT event_type, $moneyVal AS total_votes, count(*) AS n_events
+         |FROM events GROUP BY event_type""".stripMargin,
+    "stream_votes_windowed" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |       event_type, $moneyVal AS total_value, count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

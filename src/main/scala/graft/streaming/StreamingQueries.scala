@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.RelationalQueries.Num._
+
+/** Structured Streaming twins of the batch event aggregations, run
+  * through a REAL streaming query (file source → incremental
+  * state-store aggregation → update-mode memory sink) and collapsed
+  * to final values. The driver's DuckDB oracle checks them against
+  * the same SQL as the batch twins — i.e. streaming execution itself
+  * is inside the correctness gate, which is the property the
+  * reference job (spark-streaming.py) actually needs: the changelog's
+  * latest-per-key must equal the batch recompute.
+  *
+  * Scale notes: the streaming aggregation state is bounded by group
+  * cardinality (|event_type|, |hour×type|), not stream length;
+  * update-mode emits only changed keys per micro-batch. On a real
+  * cluster the memory sink becomes the Kafka sink (VotePipeline) and
+  * the file source becomes the Kafka source — same plan otherwise.
+  */
+object StreamingQueries {
+
+  /** Event-stream file source. Schema must be declared for streaming
+    * reads; ts arrives as raw parquet nanos (see Tables) and is
+    * converted to a proper timestamp here.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = new StructType()
+      .add("event_id", LongType)
+      .add("ts", LongType)
+      .add("user_id", LongType)
+      .add("event_type", StringType)
+      .add("value", DoubleType)
+      .add("props", StringType)
+    // the file streaming source requires a directory path; select just
+    // the events table out of the corpus dir via glob filter
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run one update-mode streaming aggregation to completion
+    * (AvailableNow) and return the changelog collapsed to its final
+    * per-key values.
+    */
+  def runToFinal(spark: SparkSession, agg: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = VotePipeline.startMemoryQuery(agg, name, availableNow = true)
+    q.awaitTermination()
+    VotePipeline.latestPerKey(spark.table(name), keyCols, spark)
+  }
+
+  /** Streaming twin of RelationalQueries.votesPerCandidate — same
+    * oracle SQL.
+    */
+  def votesPerCandidateStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy("event_type")
+      .agg(moneySum(dec2(col("value"))).as("total_votes"), count(lit(1)).as("n_events"))
+    runToFinal(spark, agg, Seq("event_type"))
+  }
+
+  /** Streaming twin of RelationalQueries.votesWindowed: tumbling
+    * 1-hour event-time windows with a watermark bounding state (the
+    * honest version of the reference's inert watermark). Update mode
+    * + latest-per-key, so the result equals the batch recompute
+    * regardless of micro-batch boundaries.
+    */
+  def votesWindowedStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(moneySum(dec2(col("value"))).as("total_value"), count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"),
+        col("total_value"),
+        col("n"),
+      )
+    runToFinal(spark, agg, Seq("hour_start", "event_type"))
+  }
+}
