@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.RelationalQueries
+import graft.operators.{Dedup, Multimodal, RelationalQueries, Similarity, TextAnalysis}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -35,11 +35,25 @@ object SparkEntry {
     "semi_anti_join" -> (RelationalQueries.semiAntiJoin _),
     "scalar_functions" -> (RelationalQueries.scalarFunctions _),
     "agg_functions" -> (RelationalQueries.aggFunctions _),
+    "json_extraction" -> (RelationalQueries.jsonExtraction _),
     // real Structured Streaming execution (file source → state store →
     // update-mode sink → latest-per-key), oracle-checked against the
     // same SQL as the batch twins
     "stream_votes_per_candidate" -> (StreamingQueries.votesPerCandidateStream _),
     "stream_votes_windowed" -> (StreamingQueries.votesWindowedStream _),
+    // LLM-data-pipeline extensions (SURVEY §7 north star)
+    "text_token_stats" -> (TextAnalysis.tokenStats _),
+    "text_quality" -> (TextAnalysis.qualityScores _),
+    "text_lang_id" -> (TextAnalysis.langIdConfusion _),
+    "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
+    "dedup_exact" -> (Dedup.exactDedupStats _),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_simhash" -> (Dedup.simhashFingerprints _),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "multimodal_features" -> (Multimodal.mediaFeatures _),
   )
 
   // DuckDB dialect notes (verified on DuckDB 1.0 locally):
@@ -169,5 +183,171 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |       event_type, $moneyVal AS total_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
+  ) ++ extensionOracleSql
+
+  // ---- extension oracles (text / dedup / similarity / multimodal) ----
+
+  /** 3-word shingle CTEs shared by the near-dup oracles (DuckDB lists
+    * are 1-indexed; LATERAL generate_series enumerates positions).
+    */
+  private val shingleCtes =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g)""".stripMargin
+
+  private val stopList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+  private val stopCount =
+    s"len(list_filter(string_split(text, ' '), x -> x IN ($stopList)))"
+  private val fp = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  // ordered-fold vector math identical to graft.functions.VectorFunctions
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform($a, (x,i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+  private def projSql(p: Int): String =
+    s"list_sum(list_transform(embedding, (x,i) -> CAST(x AS DOUBLE) * " +
+      s"(CASE WHEN substr(md5('$p|' || (i-1)), 1, 1) >= '8' THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))"
+  private val bucketSql =
+    (0 until 6).map(p => s"(CASE WHEN ${projSql(p)} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  // SimHash: 4 hex chars → 16-bit token value; ±1 votes per bit
+  private val hvSql = (0 until 4)
+    .map(i => s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
+    .mkString(" + ")
+  private val votesSql = (0 until 16)
+    .map(j => s"sum(CASE WHEN (v & ${1 << j}) > 0 THEN 1 ELSE -1 END) AS s_$j")
+    .mkString(", ")
+  private val fpBitsSql = (0 until 16)
+    .map(j => s"(CASE WHEN s_$j > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  private def extensionOracleSql: Map[String, String] = Map(
+    "json_extraction" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "text_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS total_alpha_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) / count(*) AS avg_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+         |  CAST($stopCount AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+         |  CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+         |       WHEN CAST($stopCount AS DOUBLE) / len(string_split(text, ' ')) > 0.2 THEN 'stopword_heavy'
+         |       ELSE 'ok' END AS quality_class
+         |FROM documents""".stripMargin,
+    "text_lang_id" -> {
+      val scores = TextAnalysis.markers
+        .map { case (lang, ws) =>
+          s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+        }
+        .mkString(", ")
+      val g = "greatest(" + TextAnalysis.markers.map("s_" + _._1).mkString(", ") + ")"
+      val cases = TextAnalysis.markers
+        .map { case (lang, _) => s"WHEN s_$lang = $g THEN '$lang'" }
+        .mkString(" ")
+      s"""WITH s AS (SELECT lang, $scores FROM documents),
+         |p AS (SELECT lang, CASE WHEN $g = 0 THEN 'unknown' $cases
+         |      ELSE 'unknown' END AS predicted FROM s)
+         |SELECT lang, predicted, count(*) AS n FROM p GROUP BY lang, predicted""".stripMargin
+    },
+    "doc_fingerprint" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT $fp) AS n_distinct_fp,
+         |  min($fp) AS min_fp
+         |FROM documents GROUP BY source""".stripMargin,
+    "dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents GROUP BY source""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+         |sig AS (
+         |  SELECT doc_id, s, min(md5(s || '|' || shingle)) AS mh
+         |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS s) hs
+         |  GROUP BY doc_id, s),
+         |bands AS (
+         |  SELECT doc_id, b, md5(string_agg(mh, ',' ORDER BY s)) AS bkey
+         |  FROM (SELECT doc_id, s, mh, s // 3 AS b FROM sig) GROUP BY doc_id, b),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |comm AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT c.doc_a, c.doc_b, n_common, na.n + nb.n - n_common AS n_union,
+         |       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+         |FROM comm c JOIN nsh na ON na.doc_id = c.doc_a JOIN nsh nb ON nb.doc_id = c.doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hv AS (SELECT doc_id, $hvSql AS v FROM tok),
+         |votes AS (SELECT doc_id, $votesSql FROM hv GROUP BY doc_id)
+         |SELECT doc_id, $fpBitsSql AS simhash FROM votes""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 50),
+         |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |comm AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+         |FROM comm JOIN nsh na ON na.doc_id = doc_a JOIN nsh nb ON nb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
+    "similarity_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+    "similarity_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS content_magic,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) // 7) % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
   )
 }

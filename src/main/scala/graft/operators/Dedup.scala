@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale corpora: exact
+  * (hash-groupBy), MinHash+LSH near-dup, SimHash fingerprints, and
+  * exact n-gram Jaccard via a shingle inverted index.
+  *
+  * Scale posture (the 100 TB story):
+  *  - Exact dedup: one shuffle on a 128-bit content hash — the
+  *    minimum possible.
+  *  - MinHash+LSH: signatures are computed map-side per document
+  *    (no shuffle); the only exchange is the band-bucket self-join,
+  *    whose size is controlled by band count, not corpus size. This
+  *    is the standard sub-quadratic near-dup join.
+  *  - SimHash: 16-bit fingerprints map-side; collision grouping is a
+  *    tiny shuffle on the fingerprint.
+  *  - N-gram Jaccard: inverted-index join on shingles with a
+  *    frequency cutoff (drop shingles appearing in > maxDf docs) so
+  *    hot shingles cannot quadratic-blow the join — the classic
+  *    "stop-shingle" trick.
+  *
+  * Determinism: every hash is md5 (identical hex in Spark and
+  * DuckDB); minhashes are lexicographic MINs of md5 strings, so the
+  * whole pipeline — signatures, bands, candidate pairs, verified
+  * pairs — is exactly reproducible in the DuckDB oracle.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Distinct word k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*),
+      )
+    )
+  }
+
+  /** MinHash signature: for seed s, h_s(doc) = min over shingles of
+    * md5(s || '|' || shingle), compared lexicographically (hex md5
+    * strings order identically in any engine). numHashes seeds →
+    * array of minhashes.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { s =>
+      array_min(transform(shinglesCol, sh => md5(concat(lit(s.toString), lit("|"), sh))))
+    }: _*)
+
+  /** Exact dedup via content hash: per source, how many docs and how
+    * many distinct texts (hash-groupBy on md5 of the raw text).
+    */
+  def exactDedupStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+      )
+
+  /** MinHash + LSH near-duplicate pairs, fully deterministic.
+    *
+    * numHashes=12 signatures → 4 bands × 3 rows; docs sharing any
+    * band bucket become candidates; candidates are verified with
+    * exact Jaccard over shingle sets and kept at ≥ threshold.
+    * Threshold 0.3 ↔ the 4×3 banding's S-curve midpoint ~0.55 —
+    * candidates below ~0.3 are mostly filtered, keeping the verify
+    * join small.
+    */
+  def minhashLshPairs(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.3,
+  ): DataFrame = {
+    val rows = numHashes / bands
+    val base = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band key = md5 of the concatenated signature slice
+    val banded = base.select(
+      col("doc_id"),
+      col("sh"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            md5(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
+              .as("bkey"),
+          )
+        }: _*)
+      ).as("bk"),
+    ).select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bkey"))
+
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val candidates = a
+      .join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    candidates
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        inter.cast("long").as("n_common"),
+        union.cast("long").as("n_union"),
+        (inter.cast("double") / union).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprint (16-bit): per whitespace token take 4 hex
+    * chars of md5, accumulate ±1 votes per bit over the token
+    * multiset, fingerprint bit j = 1 iff vote_j > 0. Near-dup docs
+    * land at small hamming distance; here we emit the fingerprint
+    * per doc (collision grouping is a trivial follow-up groupBy).
+    */
+  def simhash16(text: Column): Column = {
+    val toks = split(text, " ")
+    // per-token 16-bit value from the first 4 hex chars of md5
+    val hv = transform(
+      toks,
+      tok => {
+        val h = md5(tok)
+        (0 until 4)
+          .map(i =>
+            (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1) *
+              lit(1 << (4 * (3 - i)))
+          )
+          .reduce(_ + _)
+      },
+    )
+    // bit votes: sum over tokens of ±1 per bit position
+    val bits = (0 until 16).map { j =>
+      val vote = aggregate(
+        hv,
+        lit(0),
+        (acc, v) => acc + when(v.bitwiseAND(lit(1 << j)) > 0, 1).otherwise(-1),
+      )
+      when(vote > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Per-document SimHash fingerprints + per-fingerprint group sizes
+    * (docs colliding on all 16 bits are near-dup candidates).
+    */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), simhash16(col("text")).as("simhash"))
+
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted
+    * index: explode distinct shingles, drop shingles occurring in
+    * more than maxDf docs (stop-shingles), self-join the index to
+    * count common shingles per pair, then compute exact Jaccard.
+    */
+  def ngramJaccardPairs(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      maxDf: Int = 50,
+      threshold: Double = 0.3,
+  ): DataFrame = {
+    val base = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val index = base
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val rare = index
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val filtered = index.join(rare.select("shingle"), Seq("shingle"))
+    val common = filtered
+      .select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(filtered.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_common"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -291,6 +291,19 @@ object RelationalQueries {
         month(col("o_orderdate")).as("order_month"),
       )
 
+  /** JSON extraction (reference F2/F9 in batch form): pull a typed
+    * field out of a JSON string column and aggregate on it. Map-side
+    * expression; no shuffle beyond the tiny group-by.
+    */
+  def jsonExtraction(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"),
+        col("value"),
+      )
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), moneySum(dec2(col("value"))).as("total_value"))
+
   /** Aggregate-function variety: count, distinct count, exact-avg,
     * min, max per group. countDistinct shuffles on (group, value)
     * then (group) — standard two-phase distinct aggregation.

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (ArrayType(FloatType)).
+  *
+  * Three tiers, mirroring what a 100 TB training-data pipeline needs:
+  *  - brute-force top-k: exact baseline; the query side is broadcast,
+  *    so the big side streams map-side with no shuffle of the corpus;
+  *  - SRP-LSH bucketed ANN: candidates restricted to the query's
+  *    bucket — the bucket join is an equi-join on the bucket id, the
+  *    classic sub-linear scale path;
+  *  - label-partitioned near-dup pairs (IVF-style: the label column
+  *    plays the coarse-quantizer cell), for embedding-cosine dedup.
+  *
+  * Outputs contain only integer ids/ranks (plus integer-derived
+  * doubles where exactly reproducible) so the DuckDB oracle can
+  * hash-match them; cosine ordering is ULP-stable because random
+  * embedding gaps are astronomically larger than fold rounding
+  * differences.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
+  /** Exact brute-force top-k cosine neighbors for a small query set
+    * (vec_id < nQueries). Query side broadcast; corpus side never
+    * shuffled until the tiny per-query top-k.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = cands
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** ANN via sign-random-projection LSH: 6 deterministic md5-derived
+    * hyperplanes → 64 buckets; neighbors searched only within the
+    * query's bucket. Same output shape as the brute-force baseline,
+    * so recall is directly measurable.
+    */
+  def annLshTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 5,
+      planes: Int = 6,
+  ): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+    val scored = cands
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, IVF-style: compare only
+    * vectors sharing a label (coarse cell), keep pairs above the
+    * cosine threshold. At scale the label comes from a cheap
+    * clustering pass; the pairwise work is then |cell|² not N².
+    */
+  def embeddingNearDupPairs(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+  ): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All are pure map-side column expressions (codegen
+  * inside WholeStageCodegen, no shuffle, no UDFs) — at 100 TB these
+  * run at scan speed; the only shuffles are the final small
+  * aggregations.
+  *
+  * Every function is built so an identical computation is expressible
+  * in DuckDB SQL for the oracle gate (see SparkEntry.oracleSql):
+  * integer counts and ratios of identical integers only — no
+  * cross-engine float-drift paths.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (keeps empties on repeated spaces — same as
+    * DuckDB string_split).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex token count: runs of lowercase letters (the
+    * corpus is lowercase words; extend the class for real text).
+    */
+  def alphaTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+"), lit(0)))
+
+  /** Count of tokens found in `words`. */
+  def tokenCountIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** English-ish stopwords present in the synthetic corpus. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to")
+  /** Marker sets for the language-ID heuristic. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "une"),
+  )
+
+  /** N-gram-marker language ID: score each language by marker-token
+    * hits, argmax with a fixed tie-break order (markers order), or
+    * "unknown" when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scores = markers.map { case (lang, ws) => lang -> tokenCountIn(text, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best === 0, lit("unknown"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("unknown"))
+  }
+
+  /** Normalized-text fingerprint: md5 over lowercased,
+    * whitespace-collapsed text. Rolling/shingle fingerprints build on
+    * the same normalization (see Dedup).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  // ---- query catalog -------------------------------------------------
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Per-language token statistics. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(alphaTokenCount(col("text")).cast("long")).as("total_alpha_tokens"),
+        (sum(tokenCount(col("text")).cast("long")) / count(lit(1))).as("avg_tokens"),
+      )
+
+  /** Per-document quality scoring: token count, char count,
+    * chars-per-token, stopword ratio, and a quality class. All
+    * ratios divide identical integers → identical doubles in both
+    * engines.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = tokenCount(col("text"))
+    val nStop = tokenCountIn(col("text"), stopwordsEn)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        nTok.as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")).cast("double") / nTok).as("chars_per_token"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        when(nTok < 20, "too_short")
+          .when(nStop.cast("double") / nTok > 0.2, "stopword_heavy")
+          .otherwise("ok")
+          .as("quality_class"),
+      )
+  }
+
+  /** Language-ID confusion matrix: labeled lang × predicted lang. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+
+  /** Fingerprint stats per source: exact-duplicate detection via
+    * normalized-text fingerprints.
+    */
+  def fingerprintStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint(col("text"))).as("n_distinct_fp"),
+        min(fingerprint(col("text"))).as("min_fp"),
+      )
+}

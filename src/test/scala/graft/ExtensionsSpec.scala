@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Semantic invariants for the LLM-pipeline extension operators
+  * (exact values are pinned by the DuckDB oracle gate; these tests
+  * pin the properties that make the operators *correct algorithms*).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("minhash LSH pairs are a subset of exact ngram-jaccard pairs at the same threshold") {
+    val lsh = Dedup.minhashLshPairs(spark, sf, threshold = 0.3)
+      .select("doc_a", "doc_b")
+    // exact pairs, no df cutoff so it is a strict superset of the truth
+    val exact = Dedup.ngramJaccardPairs(spark, sf, maxDf = Int.MaxValue, threshold = 0.3)
+      .select("doc_a", "doc_b")
+    assert(lsh.except(exact).count() == 0, "LSH emitted a pair the exact join rejects")
+    // and LSH should find a decent fraction (banding recall)
+    val nExact = exact.count()
+    val nLsh = lsh.count()
+    assert(nExact == 0 || nLsh >= nExact / 2, s"LSH recall too low: $nLsh of $nExact")
+  }
+
+  test("identical texts get identical minhash signatures and simhash fingerprints") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document about spark engines"),
+    ).toDF("doc_id", "text")
+    val sigs = df
+      .select(col("doc_id"), Dedup.minhashSignature(Dedup.shingles(col("text")), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val fps = df.select(col("doc_id"), Dedup.simhash16(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fps(1L) == fps(2L))
+  }
+
+  test("brute-force topk is sane and ANN recall against it is positive") {
+    val bf = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+    assert(bf.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    val ann = Similarity.annLshTopK(spark, sf, nQueries = 8, k = 5)
+    val hits = ann.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id"))
+      .count()
+    assert(hits > 0, "ANN found none of the true top-5 neighbors")
+  }
+
+  test("langId picks the marker language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat of a house",       // en markers
+      "el gato de la casa",       // es markers
+      "xyzzy qwerty asdf",        // no markers
+    ).toDF("text").select(TextAnalysis.langId(col("text")).as("lang"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "unknown"))
+  }
+
+  test("multimodal decode plumbing: mapPartitions batch path produces the declared schema") {
+    val media = Multimodal.asMediaTable(spark, sf)
+    val feats = Multimodal.decodeFeatures(media)
+    val rows = feats.limit(10).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(f => f.n_bytes > 0 && f.magic.length == 8 && f.n_frames >= 1))
+    // expression twin agrees with the mapPartitions stub on shared fields
+    val viaExpr = Multimodal.mediaFeatures(spark, sf)
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+    val viaStub = feats.toDF().select("doc_id", "n_bytes", "width", "height", "n_frames")
+    assert(viaExpr.except(viaStub).count() == 0)
+  }
+}
