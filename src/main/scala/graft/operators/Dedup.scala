@@ -31,7 +31,7 @@ import graft.sources.Tables
 object Dedup {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.parallel(spark, dir, "documents")
 
   /** Distinct word k-shingles of the normalized text. */
   def shingles(text: Column, k: Int = 3): Column = {
@@ -83,15 +83,18 @@ object Dedup {
       threshold: Double = 0.3,
   ): DataFrame = {
     val rows = numHashes / bands
+    // persisted: referenced by the banding pass and twice more when
+    // candidates re-acquire shingle sets — without this the 12-hash
+    // signature computation would run three times
     val base = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist()
 
     // band key = md5 of the concatenated signature slice
     val banded = base.select(
       col("doc_id"),
-      col("sh"),
       explode(
         array((0 until bands).map { b =>
           struct(
@@ -101,15 +104,21 @@ object Dedup {
           )
         }: _*)
       ).as("bk"),
-    ).select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bkey"))
+    ).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
 
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val candidates = a
-      .join(b, Seq("band", "bkey"))
+    // self-join on (band, bkey) with ONLY ids — the shingle arrays
+    // stay out of the shuffle; candidates re-acquire their shingle
+    // sets afterwards (candidate count is banding-bounded, tiny
+    // relative to the corpus)
+    val slim = banded.select("doc_id", "band", "bkey")
+    val candidates = slim
+      .withColumnRenamed("doc_id", "doc_a")
+      .join(slim.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
 
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
@@ -176,21 +185,37 @@ object Dedup {
       maxDf: Int = 50,
       threshold: Double = 0.3,
   ): DataFrame = {
-    val base = docs(spark, dir)
+    val index = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= k)
-      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val index = base
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val rare = index
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+      .persist()
+    val sizes = index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Instead of a self-join on the shingle (which shuffles the whole
+    // index twice and explodes on hot shingles), aggregate the doc
+    // list per shingle, drop stop-shingles by document frequency, and
+    // expand each remaining posting list to its (a<b) pairs map-side:
+    // work per shingle is bounded by maxDf², and the pair count is
+    // exactly what the join would have produced post-filter.
+    val pairs = index
       .groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    val filtered = index.join(rare.select("shingle"), Seq("shingle"))
-    val common = filtered
-      .select(col("shingle"), col("doc_id").as("doc_a"))
-      .join(filtered.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("ids"),
+              (a, i) =>
+                transform(
+                  slice(col("ids"), i + 2, size(col("ids"))),
+                  b => struct(a.as("doc_a"), b.as("doc_b")),
+                ),
+            )
+          )
+        ).as("p")
+      )
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val common = pairs
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     common

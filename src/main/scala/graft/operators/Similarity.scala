@@ -27,7 +27,7 @@ import graft.sources.Tables
 object Similarity {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    Tables.parallel(spark, dir, "embeddings")
 
   /** Exact brute-force top-k cosine neighbors for a small query set
     * (vec_id < nQueries). Query side broadcast; corpus side never

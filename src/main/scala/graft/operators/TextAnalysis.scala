@@ -117,10 +117,13 @@ object TextAnalysis {
     */
   def fingerprintStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // project the fingerprint once; the two aggregates then share it
+      // instead of each re-running the regex+md5 per row
+      .select(col("source"), fingerprint(col("text")).as("fp"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(fingerprint(col("text"))).as("n_distinct_fp"),
-        min(fingerprint(col("text"))).as("min_fp"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        min(col("fp")).as("min_fp"),
       )
 }

@@ -29,4 +29,14 @@ object Tables {
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Like apply, but rebalanced across the cluster. The corpus tables
+    * are single small parquet files → a single input partition, which
+    * serializes expression-heavy map work (hashing, vector math) on
+    * one core. On a real deployment the input is thousands of files
+    * and this is a no-op choice; locally the round-robin repartition
+    * restores the parallelism the operator is designed for.
+    */
+  def parallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }
