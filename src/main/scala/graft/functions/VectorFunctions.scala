@@ -24,7 +24,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Ordered-fold cosine from built-ins — the reference formulation
+    * the DuckDB oracle mirrors (and the spec for [[cosine]]).
+    */
+  def cosineFold(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native codegen expression (single fused
+    * loop, no intermediate arrays). Bit-identical to [[cosineFold]]
+    * by construction (same left-to-right double accumulation), which
+    * CosineSimilaritySpec pins.
+    */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
   /** Deterministic pseudo-random ±1 hyperplane component for
     * (plane, dim), derived from md5 — reproducible in any engine
