@@ -36,6 +36,12 @@ object SparkEntry {
     "scalar_functions" -> (RelationalQueries.scalarFunctions _),
     "agg_functions" -> (RelationalQueries.aggFunctions _),
     "json_extraction" -> (RelationalQueries.jsonExtraction _),
+    "outer_join" -> (RelationalQueries.outerJoin _),
+    "asof_join" -> (RelationalQueries.asofJoinQuery _),
+    "user_sessions" -> (RelationalQueries.userSessions _),
+    "full_outer_join" -> (RelationalQueries.fullOuterJoin _),
+    "cube_sales" -> (RelationalQueries.cubeSales _),
+    "having_filter" -> (RelationalQueries.havingFilter _),
     // real Structured Streaming execution (file source → state store →
     // update-mode sink → latest-per-key), oracle-checked against the
     // same SQL as the batch twins
@@ -233,6 +239,47 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    "asof_join" ->
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order_key
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       strftime(od.o_orderdate, '%Y-%m-%d') AS order_day,
+        |       od.last_order_key
+        |FROM events e ASOF JOIN od
+        |  ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts""".stripMargin,
+    "user_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 3600000000 THEN 1 ELSE 0 END AS news FROM l),
+        |g AS (SELECT *, CAST(sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "outer_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  count(o_custkey) AS n_buyers,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_non_buyers
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "full_outer_join" ->
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |            WHEN o_custkey IS NULL THEN 'customer_only'
+        |            ELSE 'both' END AS side, count(*) AS n
+        |FROM (SELECT DISTINCT c_custkey FROM customer) c
+        |FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "cube_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "having_filter" ->
+      s"""SELECT l_suppkey, $revenue AS revenue
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING $revenue > 1000000""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

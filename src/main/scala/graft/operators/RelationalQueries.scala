@@ -291,6 +291,106 @@ object RelationalQueries {
         month(col("o_orderdate")).as("order_month"),
       )
 
+  /** Outer-join coverage: left join (buyers vs non-buyers per
+    * segment) and full outer join (key reconciliation), reduced to
+    * deterministic aggregates. The distinct-buyer side is broadcast.
+    */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val buyers = t(spark, dir, "orders").select(col("o_custkey")).distinct()
+    cust
+      .join(broadcast(buyers), cust("c_custkey") === buyers("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        count(col("o_custkey")).as("n_buyers"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("n_non_buyers"),
+      )
+  }
+
+  /** Full-outer-join key reconciliation: which side(s) each key
+    * appears on. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey")).distinct()
+    val o = t(spark, dir, "orders").select(col("o_custkey")).distinct()
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both")
+          .as("side")
+      )
+      .groupBy("side")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** CUBE coverage: all grouping sets over (flag, status). */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(moneySum(dec2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** HAVING coverage: post-aggregation predicate on the aggregate. */
+  def havingFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(moneySum(dec2(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))).as("revenue"))
+      .filter(col("revenue") > 1000000)
+
+  /** As-of enrichment: each event picks up the customer's most
+    * recent order at or before the event time (backward inclusive).
+    * Right side pre-aggregated to one row per (custkey, orderdate)
+    * for determinism. See [[AsofJoin]] for the single-shuffle plan.
+    */
+  def asofJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events").select("event_id", "user_id", "ts")
+    val od = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    AsofJoin
+      .asofJoin(
+        events,
+        od,
+        key = "user_id",
+        leftTime = col("ts"),
+        rightTime = col("o_orderdate"),
+        payloadCols = Seq("o_orderdate", "last_order_key"),
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        date_format(col("asof.o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        col("asof.last_order_key"),
+      )
+  }
+
+  /** Batch sessionization via gaps-and-islands: a new session starts
+    * after > 1 hour of inactivity. Times compared as integer
+    * microseconds so the cross-engine comparison is exact. Two
+    * window passes + one aggregate — all on the same user_id
+    * partitioning, so Spark plans a single exchange.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 3600L * 1000 * 1000
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"), us.as("__us"))
+      .withColumn("__prev", lag("__us", 1).over(w))
+      .withColumn(
+        "__new_session",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1).otherwise(0),
+      )
+      .withColumn("__sid", sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "__sid")
+      .agg(
+        min("__us").as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        moneySum(dec2(col("value"))).as("total_value"),
+      )
+      .drop("__sid")
+  }
+
   /** JSON extraction (reference F2/F9 in batch form): pull a typed
     * field out of a JSON string column and aggregate on it. Map-side
     * expression; no shuffle beyond the tiny group-by.

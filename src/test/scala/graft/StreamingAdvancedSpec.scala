@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VotingOps
+import graft.streaming.{Sessionize, VotePipeline}
+
+/** Advanced streaming semantics: checkpoint/restart exactly-once
+  * resume (SURVEY ST4/ST5), stream-static broadcast enrichment (J1),
+  * built-in session windows and custom flatMapGroupsWithState
+  * sessionization (ST9 north star), and watermark late-data drops.
+  */
+class StreamingAdvancedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("checkpoint restart resumes from offsets without double counting") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-in").toString
+    val ckpt = Files.createTempDirectory("graft-ck").toString
+
+    def writeWave(n: Range, wave: String): Unit =
+      n.map(i => s"""{"value":"v$i"}""")
+        .toDF("value")
+        .coalesce(1).write.mode("append").json(s"$inDir")
+
+    // wave 1: rows 0-49
+    (0 until 50).map(i => i.toString).toDF("value")
+      .coalesce(1).write.mode("append").json(inDir)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))
+    def startQuery() = spark.readStream.schema(schema).json(inDir)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("restart_test").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+
+    val q1 = startQuery(); q1.awaitTermination()
+    assert(spark.table("restart_test").head.getLong(0) == 50L)
+
+    // wave 2: 30 more rows, then restart from the same checkpoint
+    (0 until 30).map(i => i.toString).toDF("value")
+      .coalesce(1).write.mode("append").json(inDir)
+    val q2 = startQuery(); q2.awaitTermination()
+    assert(spark.table("restart_test").head.getLong(0) == 80L, "restart lost or double-counted rows")
+  }
+
+  test("stream-static broadcast enrichment join (J1) attaches candidate dims") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val candidates = Seq(
+      ("c1", "Alice", "Party A"),
+      ("c2", "Bob", "Party B"),
+    ).toDF("candidate_id", "candidate_name", "party_affiliation")
+
+    val stream = MemoryStream[String]
+    stream.addData("""{"voter_id":"v1","candidate_id":"c1"}""", """{"voter_id":"v2","candidate_id":"c2"}""",
+      """{"voter_id":"v3","candidate_id":"c1"}""")
+    val votes = spark.read.json(spark.createDataset(Seq.empty[String])) // placeholder for schema clarity
+    val parsed = stream.toDF()
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("voter_id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("candidate_id", org.apache.spark.sql.types.StringType),
+        ))).as("d"))
+      .select("d.*")
+    val enriched = VotingOps.enrichWithDimension(parsed, candidates, Seq("candidate_id"))
+      .groupBy("party_affiliation").count()
+    val q = VotePipeline.startMemoryQuery(enriched, "enrich_test")
+    q.processAllAvailable(); q.stop()
+    val fin = VotePipeline.latestPerKey(spark.table("enrich_test"), Seq("party_affiliation"), spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fin == Map("Party A" -> 2L, "Party B" -> 1L))
+  }
+
+  test("built-in session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    def ev(u: Long, min: Int, sec: Int, v: Double) =
+      Sessionize.SessionEvent(u, Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d"), v)
+    // user 1: two events 5s apart (one session), then one 50s later
+    // (second session); session windows only support append mode, so
+    // a far-future event must advance the watermark to flush them
+    stream.addData(ev(1, 0, 0, 1.0), ev(1, 0, 5, 2.0), ev(1, 0, 50, 3.0))
+    val agg = Sessionize.sessionWindowAgg(stream.toDF(), "10 seconds")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sess_builtin")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sb").toString)
+      .start()
+    q.processAllAvailable()
+    stream.addData(ev(9, 30, 0, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_builtin")
+      .filter(col("user_id") === 1).orderBy("session_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("flatMapGroupsWithState closes sessions at watermark + gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    val out = Sessionize.sessions(stream.toDS(), gapMs = 10000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_custom")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sess").toString)
+      .start()
+
+    def ev(u: Long, min: Int, sec: Int, v: Double) =
+      Sessionize.SessionEvent(u, Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d"), v)
+    // session: 3 events within gap
+    stream.addData(ev(1, 0, 0, 1.0), ev(1, 0, 4, 2.0), ev(1, 0, 8, 4.0))
+    q.processAllAvailable()
+    // far-future event advances the watermark past 10:00:08 + 10s → closes it
+    stream.addData(ev(2, 10, 0, 9.0))
+    q.processAllAvailable()
+    stream.addData(ev(2, 20, 0, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_custom").orderBy("session_start").collect()
+    assert(sessions.length >= 1, "no session closed")
+    val s0 = sessions.head
+    assert(s0.getAs[Long]("user_id") == 1L)
+    assert(s0.getAs[Int]("n_events") == 3)
+    assert(s0.getAs[Double]("total_value") == 7.0)
+  }
+
+  test("windowed aggregation with watermark drops too-late events in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    val agg = stream.toDF()
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_test")
+      .option("checkpointLocation", Files.createTempDirectory("graft-late").toString)
+      .start()
+    def at(sec: Int) = Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+    stream.addData(Sessionize.SessionEvent(1, at(1), 1.0), Sessionize.SessionEvent(1, at(2), 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window
+    stream.addData(Sessionize.SessionEvent(2, at(120), 1.0))
+    q.processAllAvailable()
+    // this event is now older than the watermark → dropped
+    stream.addData(Sessionize.SessionEvent(1, at(3), 1.0))
+    q.processAllAvailable()
+    stream.addData(Sessionize.SessionEvent(2, at(240), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("late_test")
+      .filter(col("user_id") === 1).agg(sum("n")).head.getLong(0)
+    assert(w0 == 2L, s"late event was not dropped (got $w0 events in user 1 windows)")
+  }
+}
