@@ -48,6 +48,43 @@ object VotePipeline {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Start an update-mode changelog query on an arbitrary sink.
+    *
+    * format = "kafka": the production path of the reference job
+    * (spark-streaming.py:83-103) — aggregate rows serialize via
+    * [[toChangelogValue]] and land on `topic`; checkpoint per query.
+    * Other formats (memory/parquet/console) take the rows as-is.
+    */
+  def startQuery(
+      agg: DataFrame,
+      format: String,
+      queryName: String,
+      checkpoint: String,
+      topic: Option[String] = None,
+      options: Map[String, String] = Map.empty,
+  ): StreamingQuery = {
+    val payload = if (format == "kafka") toChangelogValue(agg) else agg
+    val w = payload.writeStream
+      .outputMode("update")
+      .format(format)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .options(options)
+    topic.fold(w)(t => w.option("topic", t)).start()
+  }
+
+  /** Scale posture for long-running stateful queries: the RocksDB
+    * state store keeps per-key state off-heap and spills to disk, so
+    * state size is bounded by disk not executor memory. Call before
+    * starting high-cardinality stateful queries (dedup on voter_id at
+    * 100 TB).
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
   /** Both reference aggregations from one shared lineage. Each
     * query gets its own checkpoint + state store, as in the
     * reference (spark-streaming.py:89, 100).
