@@ -100,4 +100,44 @@ object Models {
   val voteEventSchema: StructType = Encoders.product[VoteEvent].schema
   val voterSchema: StructType = Encoders.product[Voter].schema
   val candidateSchema: StructType = Encoders.product[Candidate].schema
+
+  /** ReferenceParity mode: the verbatim schema the reference's Spark
+    * job declares (spark-streaming.py:28-53), including its bugs —
+    * `voter_id` declared twice (:29 and :48), `address.zip` that
+    * producers never send (:45 vs main.py:109-110, so it's always
+    * null and country/postcode are dropped), and no
+    * registration_number/email (silently dropped by from_json).
+    * Kept for parity tests (SURVEY §1.3, §7.5): runs of this mode
+    * reproduce the reference's output shapes exactly; the corrected
+    * [[voteEventSchema]] is the engine's default.
+    */
+  val referenceParityVoteSchema: StructType = {
+    import org.apache.spark.sql.types._
+    new StructType()
+      .add("voter_id", StringType)
+      .add("candidate_id", StringType)
+      .add("voting_time", TimestampType)
+      .add("voter_name", StringType)
+      .add("party_affiliation", StringType)
+      .add("biography", StringType)
+      .add("campaign_platform", StringType)
+      .add("photo_url", StringType)
+      .add("candidate_name", StringType)
+      .add("date_of_birth", StringType)
+      .add("gender", StringType)
+      .add("nationality", StringType)
+      .add(
+        "address",
+        new StructType()
+          .add("street", StringType)
+          .add("city", StringType)
+          .add("state", StringType)
+          .add("zip", StringType),
+      )
+      .add("voter_id", StringType) // the reference's duplicate field, kept verbatim
+      .add("phone_number", StringType)
+      .add("picture", StringType)
+      .add("registered_age", IntegerType)
+      .add("vote", IntegerType)
+  }
 }
