@@ -41,6 +41,8 @@ object SparkEntry {
     "user_sessions" -> (RelationalQueries.userSessions _),
     "full_outer_join" -> (RelationalQueries.fullOuterJoin _),
     "cube_sales" -> (RelationalQueries.cubeSales _),
+    "pivot_events" -> (RelationalQueries.pivotEvents _),
+    "text_winnowing" -> (TextAnalysis.winnowingStats _),
     "having_filter" -> (RelationalQueries.havingFilter _),
     // real Structured Streaming execution (file source → state store →
     // update-mode sink → latest-per-key), oracle-checked against the
@@ -280,6 +282,29 @@ object SparkEntry {
       s"""SELECT l_suppkey, $revenue AS revenue
          |FROM lineitem GROUP BY l_suppkey
          |HAVING $revenue > 1000000""".stripMargin,
+    "pivot_events" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+        .map(tp => s"CAST(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS BIGINT) AS $tp")
+        .mkString(", ")
+      s"SELECT user_id % 10 AS bucket, $cols FROM events GROUP BY 1"
+    },
+    "text_winnowing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 7),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |         substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 8) AS g
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 3)) AS i) z),
+        |wins AS (
+        |  SELECT doc_id, i,
+        |         min(g) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |         count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM grams),
+        |sel AS (SELECT DISTINCT doc_id, m FROM wins WHERE i <= ng - 3)
+        |SELECT doc_id, count(*) AS n_fingerprints, min(m) AS min_fp
+        |FROM sel GROUP BY doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

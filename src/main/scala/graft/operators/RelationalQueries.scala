@@ -404,6 +404,21 @@ object RelationalQueries {
       .groupBy("k_bucket")
       .agg(count(lit(1)).as("n"), moneySum(dec2(col("value"))).as("total_value"))
 
+  /** PIVOT coverage: event counts per user bucket, one column per
+    * event type. Spark plans pivot as a single aggregate with
+    * conditional partials — one shuffle on the group key. Absent
+    * combinations are filled to 0 to match the conditional-sum
+    * formulation.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = t(spark, dir, "events")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.na.fill(0L, types)
+  }
+
   /** Aggregate-function variety: count, distinct count, exact-avg,
     * min, max per group. countDistinct shuffles on (group, value)
     * then (group) — standard two-phase distinct aggregation.

@@ -66,6 +66,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Winnowing document fingerprints (rolling-hash family): hash
+    * every word 4-gram by position, then keep the minimum hash in
+    * each sliding window of w=4 consecutive positions (the winnowing
+    * algorithm: guarantees any sufficiently long match between two
+    * docs shares a selected fingerprint). Hashes are md5 prefixes so
+    * the whole computation replays exactly in the DuckDB oracle.
+    * Everything is per-row array math — map-side, no shuffle.
+    */
+  def winnowedFingerprints(text: Column, k: Int = 4, w: Int = 4): Column = {
+    val toks = split(text, " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => substring(md5(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)), 1, 8),
+    )
+    val windowMins = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))),
+    )
+    array_distinct(windowMins)
+  }
+
   // ---- query catalog -------------------------------------------------
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -111,6 +132,20 @@ object TextAnalysis {
       .select(col("lang"), langId(col("text")).as("predicted"))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
+
+  /** Per-document winnowing fingerprint summary: how many selected
+    * fingerprints, and the lexicographic min (a stable content id).
+    * Docs shorter than k+w-1 tokens are excluded (no full window).
+    */
+  def winnowingStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 7)
+      .select(col("doc_id"), winnowedFingerprints(col("text")).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+      )
 
   /** Fingerprint stats per source: exact-duplicate detection via
     * normalized-text fingerprints.
