@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhashFingerprints _),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashHammingPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -374,6 +375,16 @@ object SparkEntry {
          |hv AS (SELECT doc_id, $hvSql AS v FROM tok),
          |votes AS (SELECT doc_id, $votesSql FROM hv GROUP BY doc_id)
          |SELECT doc_id, $fpBitsSql AS simhash FROM votes""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hv AS (SELECT doc_id, $hvSql AS v FROM tok),
+         |votes AS (SELECT doc_id, $votesSql FROM hv GROUP BY doc_id),
+         |fp AS (SELECT d.source, d.doc_id, $fpBitsSql AS sh
+         |       FROM votes v JOIN documents d ON d.doc_id = v.doc_id)
+         |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -173,6 +173,25 @@ object Dedup {
     docs(spark, dir)
       .select(col("doc_id"), simhash16(col("text")).as("simhash"))
 
+  /** SimHash near-dup pairs: hamming distance between 16-bit
+    * fingerprints via bit_count(a XOR b). Pairing is blocked by
+    * source (at 100 TB the block key comes from a cheap partitioner —
+    * same role as the IVF label in embedding dedup), so the pairwise
+    * work is |block|² not N²; the fingerprint comparison itself is
+    * two integer ops.
+    */
+  def simhashHammingPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fp = docs(spark, dir)
+      .select(col("source"), col("doc_id"), simhash16(col("text")).as("sh"))
+    val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = fp.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("source"), col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted
     * index: explode distinct shingles, drop shingles occurring in
     * more than maxDf docs (stop-shingles), self-join the index to
