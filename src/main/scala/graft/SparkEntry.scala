@@ -42,6 +42,7 @@ object SparkEntry {
     "full_outer_join" -> (RelationalQueries.fullOuterJoin _),
     "cube_sales" -> (RelationalQueries.cubeSales _),
     "pivot_events" -> (RelationalQueries.pivotEvents _),
+    "string_agg_dates" -> (RelationalQueries.stringAggDates _),
     "text_winnowing" -> (TextAnalysis.winnowingStats _),
     "having_filter" -> (RelationalQueries.havingFilter _),
     // real Structured Streaming execution (file source → state store →
@@ -289,6 +290,13 @@ object SparkEntry {
         .mkString(", ")
       s"SELECT user_id % 10 AS bucket, $cols FROM events GROUP BY 1"
     },
+    "string_agg_dates" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |  count(*) AS n,
+        |  CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS min_day_offset,
+        |  CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS max_day_offset
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "text_winnowing" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents

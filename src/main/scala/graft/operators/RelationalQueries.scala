@@ -419,6 +419,20 @@ object RelationalQueries {
     pivoted.na.fill(0L, types)
   }
 
+  /** Collection aggregation + date arithmetic: sorted distinct string
+    * concatenation per group (collect_set is the mergeable partial)
+    * and day-granularity date math.
+    */
+  def stringAggDates(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n"),
+        min(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))).as("min_day_offset"),
+        max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))).as("max_day_offset"),
+      )
+
   /** Aggregate-function variety: count, distinct count, exact-avg,
     * min, max per group. countDistinct shuffles on (group, value)
     * then (group) — standard two-phase distinct aggregation.
