@@ -16,10 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** HLL++ distinct count, relative error rsd (default 5%). */
-  def approxDistinct(df: DataFrame, col_ : Column, rsd: Double = 0.05): DataFrame =
-    df.agg(approx_count_distinct(col_, rsd).as("approx_distinct"))
-
   /** Per-group HLL++ alongside the exact count for error inspection. */
   def distinctProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.groupBy(groupCol)
@@ -29,7 +25,8 @@ object Sketches {
       )
 
   /** Greenwald-Khanna approximate quantiles of a numeric column. */
-  def quantileProfile(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame =
+  def quantileProfile(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "quantileProfile needs at least one probability")
     df.agg(
       percentile_approx(
         col(valueCol),
@@ -37,4 +34,5 @@ object Sketches {
         lit(10000),
       ).as("quantiles")
     )
+  }
 }

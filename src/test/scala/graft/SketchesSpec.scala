@@ -44,8 +44,11 @@ class SketchesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("event_type"), plan.take(500))
     val full = spark.read.parquet(out)
     assert(pruned.count() > 0 && pruned.count() < full.count())
-    // pruned scan reads strictly fewer files than the full scan
-    val scannedFiles = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString)
-    assert(scannedFiles.nonEmpty)
+    // the pruned scan must be exactly the single partition directory:
+    // same rows as reading that directory alone, and the plan carries
+    // the partition filter with no post-scan data filter
+    val oneDir = spark.read.parquet(s"$out/event_type=click")
+    assert(pruned.count() == oneDir.count())
+    assert(!plan.contains("DataFilters: [i"), "filter was applied post-scan instead of pruned")
   }
 }
