@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Scored, TopKAggregator, VectorFunctions}
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class TopKAggregatorSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("aggregator top-k equals the window-function top-k on real similarity scores") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id").as("id"),
+        VectorFunctions.cosine(col("qe"), col("ce")).as("score"),
+      )
+
+    val topk = new TopKAggregator(5).toColumn
+    val viaAgg = scored
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, score) => Scored(id, score) }
+      .agg(topk.name("top"))
+      .flatMap { case (q, top) => top.zipWithIndex.map { case (s, i) => (q, (i + 1).toLong, s.id) } }
+      .toDF("query_id", "rank", "neighbor_id")
+
+    val viaWindow = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+}
