@@ -136,10 +136,19 @@ object Dedup {
   /** SimHash fingerprint (16-bit): per whitespace token take 4 hex
     * chars of md5, accumulate ±1 votes per bit over the token
     * multiset, fingerprint bit j = 1 iff vote_j > 0. Near-dup docs
-    * land at small hamming distance; here we emit the fingerprint
-    * per doc (collision grouping is a trivial follow-up groupBy).
+    * land at small hamming distance.
+    *
+    * Delegates to the native one-pass expression
+    * (graft.functions.SimHash16Expr); [[simhash16Composed]] is the
+    * equivalent built-in composition, kept as the executable spec
+    * (bit-identity pinned in ExtensionsSpec).
     */
-  def simhash16(text: Column): Column = {
+  def simhash16(text: Column): Column = graft.functions.SimHash16Expr(text)
+
+  /** The composed-builtins formulation of [[simhash16]] — the shape
+    * the DuckDB oracle mirrors.
+    */
+  def simhash16Composed(text: Column): Column = {
     val toks = split(text, " ")
     // per-token 16-bit value from the first 4 hex chars of md5
     val hv = transform(
@@ -181,8 +190,11 @@ object Dedup {
     * two integer ops.
     */
   def simhashHammingPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // persisted: both self-join sides derive from it — without this
+    // the per-token hashing runs twice
     val fp = docs(spark, dir)
       .select(col("source"), col("doc_id"), simhash16(col("text")).as("sh"))
+      .persist()
     val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = fp.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("source"))

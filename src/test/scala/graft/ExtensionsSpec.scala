@@ -46,6 +46,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
   }
 
+  test("native simhash expression is bit-identical to the composed formulation") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val diff = docs
+      .select(
+        Dedup.simhash16(col("text")).as("native"),
+        Dedup.simhash16Composed(col("text")).as("composed"),
+      )
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(diff == 0, s"$diff documents disagree between native and composed simhash")
+  }
+
   test("brute-force topk is sane and ANN recall against it is positive") {
     val bf = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
     assert(bf.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
