@@ -47,9 +47,15 @@ object Dedup {
   /** MinHash signature: for seed s, h_s(doc) = min over shingles of
     * md5(s || '|' || shingle), compared lexicographically (hex md5
     * strings order identically in any engine). numHashes seeds →
-    * array of minhashes.
+    * array of minhashes. Native single-pass expression;
+    * [[minhashSignatureComposed]] is the built-in composition the
+    * oracle mirrors (bit-identity pinned in ExtensionsSpec).
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    graft.functions.MinHashSigExpr(shinglesCol, numHashes)
+
+  /** Composed-builtins formulation of [[minhashSignature]]. */
+  def minhashSignatureComposed(shinglesCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
       array_min(transform(shinglesCol, sh => md5(concat(lit(s.toString), lit("|"), sh))))
     }: _*)

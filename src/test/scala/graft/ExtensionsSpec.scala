@@ -46,6 +46,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
   }
 
+  test("native minhash signature is bit-identical to the composed formulation") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(Dedup.shingles(col("text")).as("sh"))
+    val diff = docs
+      .select(
+        Dedup.minhashSignature(col("sh"), 12).as("native"),
+        Dedup.minhashSignatureComposed(col("sh"), 12).as("composed"),
+      )
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(diff == 0, s"$diff documents disagree between native and composed minhash")
+  }
+
   test("native simhash expression is bit-identical to the composed formulation") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val diff = docs
