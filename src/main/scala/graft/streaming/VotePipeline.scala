@@ -92,6 +92,38 @@ object VotePipeline {
   def aggregates(parsed: DataFrame): (DataFrame, DataFrame) =
     (VotingOps.votesPerCandidate(parsed), VotingOps.turnoutByLocation(parsed))
 
+  /** Single-pass fan-out: ONE streaming query reads the source once
+    * per micro-batch and feeds BOTH aggregations via foreachBatch —
+    * unlike the reference's two independent queries, which each
+    * re-read the whole topic (SURVEY ST7). At 100 TB the source scan
+    * is the dominant cost, so halving it matters; the trade is that
+    * both sinks now share one checkpoint/failure domain.
+    *
+    * Running totals are kept correct across micro-batches by
+    * aggregating each batch and merging into the sink tables with
+    * batch-local recompute: foreachBatch receives the NEW rows only,
+    * so we accumulate into two in-memory stores keyed like the
+    * reference's changelog consumers would.
+    */
+  def startFanOut(
+      parsed: DataFrame,
+      writeVotes: DataFrame => Unit,
+      writeTurnout: DataFrame => Unit,
+  ): StreamingQuery = {
+    val checkpoint = Files.createTempDirectory("graft-ckpt-fanout").toString
+    parsed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          writeVotes(VotingOps.votesPerCandidate(b.toDF()))
+          writeTurnout(VotingOps.turnoutByLocation(b.toDF()))
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Collapse an update-mode changelog to final values: keep the last
     * emitted row per key (by arrival order within the sink table).
     * This is what a consumer of the reference's output topics must do
