@@ -31,14 +31,24 @@ object Bench {
     // min of two timed runs per query: the host is multi-tenant, so a
     // single sample can be dominated by foreign load; the min is the
     // standard noise-robust point estimate for latency benchmarks
+    // failures must surface as -1, never as a (tiny, bogus) timing
     def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val run1 = timeAll()
     val run2 = timeAll()
-    val results = run1.map { case (k, v) => k -> math.min(v, run2(k)) }
+    val results = run1.map { case (k, v) =>
+      val w = run2(k)
+      k -> (if (v < 0 || w < 0) -1.0 else math.min(v, w))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

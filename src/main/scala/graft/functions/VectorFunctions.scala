@@ -45,10 +45,12 @@ object VectorFunctions {
       .otherwise(lit(-1.0))
 
   /** Signed projection of an embedding onto pseudo-random plane p:
-    * sum_d emb[d] * s(p,d).
+    * sum_d emb[d] * s(p,d). The sign vector follows the embedding's
+    * OWN length — a fixed length would null-pad zip_with on other
+    * dims and silently collapse every vector into one LSH bucket.
     */
   def planeProjection(emb: Column, plane: Int): Column = {
-    val signs = transform(sequence(lit(0), lit(63)), d => planeComponent(plane, d))
+    val signs = transform(sequence(lit(0), size(emb) - 1), d => planeComponent(plane, d))
     dot(emb, signs)
   }
 

@@ -33,15 +33,20 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.parallel(spark, dir, "documents")
 
-  /** Distinct word k-shingles of the normalized text. */
+  /** Distinct word k-shingles of the normalized text. Documents with
+    * fewer than k tokens yield an empty array (the short-doc branch
+    * matters: under ANSI mode an unguarded sequence(0, negative)
+    * descends into element_at(toks, 0) and aborts the job).
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
-    array_distinct(
+    val sh = array_distinct(
       transform(
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*),
       )
     )
+    when(size(toks) >= k, sh).otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature: for seed s, h_s(doc) = min over shingles of
@@ -91,7 +96,10 @@ object Dedup {
     val rows = numHashes / bands
     // persisted: referenced by the banding pass and twice more when
     // candidates re-acquire shingle sets — without this the 12-hash
-    // signature computation would run three times
+    // signature computation would run three times. NOTE the cache
+    // entry lives for the session (lazy result leaves no safe
+    // unpersist point); long-lived sessions calling this repeatedly
+    // should spark.catalog.clearCache() between corpus runs
     val base = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
@@ -196,11 +204,11 @@ object Dedup {
     * two integer ops.
     */
   def simhashHammingPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // persisted: both self-join sides derive from it — without this
-    // the per-token hashing runs twice
+    // no persist: the native simhash is cheap enough that recomputing
+    // for the self-join's two sides beats holding a session-lifetime
+    // cache entry (persist here previously leaked across bench runs)
     val fp = docs(spark, dir)
       .select(col("source"), col("doc_id"), simhash16(col("text")).as("sh"))
-      .persist()
     val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = fp.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("source"))

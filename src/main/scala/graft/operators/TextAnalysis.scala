@@ -77,14 +77,18 @@ object TextAnalysis {
   def winnowedFingerprints(text: Column, k: Int = 4, w: Int = 4): Column = {
     val toks = split(text, " ")
     val grams = transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      sequence(lit(0), size(toks) - k),
       i => substring(md5(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)), 1, 8),
     )
     val windowMins = transform(
-      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      sequence(lit(0), size(grams) - w),
       i => array_min(slice(grams, i + 1, lit(w))),
     )
-    array_distinct(windowMins)
+    // docs too short for one full window yield an empty fingerprint
+    // set; the guard also keeps the inner sequences non-descending,
+    // which under ANSI mode would otherwise index past the array
+    when(size(toks) >= k + w - 1, array_distinct(windowMins))
+      .otherwise(array().cast("array<string>"))
   }
 
   // ---- query catalog -------------------------------------------------

@@ -83,7 +83,16 @@ object Sessionize {
             val t = e.ts.getTime
             cur match {
               case Some(s) if t - s.lastMs <= gapMs =>
-                cur = Some(SessionState(s.startMs, t, s.nEvents + 1, s.totalValue + e.value))
+                // min/max guards: a cross-batch out-of-order (but not
+                // yet late) event must never regress the session
+                // bounds or the timeout deadline
+                cur = Some(
+                  SessionState(
+                    math.min(s.startMs, t),
+                    math.max(s.lastMs, t),
+                    s.nEvents + 1,
+                    s.totalValue + e.value,
+                  ))
               case Some(s) =>
                 closed ::= SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents, s.totalValue)
                 cur = Some(SessionState(t, t, 1, e.value))

@@ -55,7 +55,17 @@ object StreamingQueries {
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = VotePipeline.startMemoryQuery(agg, name, availableNow = true)
     q.awaitTermination()
-    VotePipeline.latestPerKey(spark.table(name), keyCols, spark)
+    // materialize the (small) collapsed aggregate, then drop the
+    // memory-sink table — otherwise every invocation leaks the full
+    // changelog in driver memory for the session lifetime
+    val collapsed = VotePipeline.latestPerKey(spark.table(name), keyCols, spark)
+    val rows = collapsed.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      collapsed.schema,
+    )
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming twin of RelationalQueries.votesPerCandidate — same

@@ -82,6 +82,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hits > 0, "ANN found none of the true top-5 neighbors")
   }
 
+  test("short documents yield empty shingle/fingerprint sets instead of failing (ANSI)") {
+    import spark.implicits._
+    val df = Seq("one two", "a", "", "one two three four five six seven").toDF("text")
+    val sh = df.select(Dedup.shingles(col("text")).as("s")).collect().map(_.getSeq[String](0).size)
+    assert(sh.toSeq == Seq(0, 0, 0, 5))
+    val fps = df.select(graft.operators.TextAnalysis.winnowedFingerprints(col("text")).as("f"))
+      .collect().map(_.getSeq[String](0).size)
+    assert(fps.take(3).forall(_ == 0) && fps(3) > 0)
+  }
+
   test("langId picks the marker language deterministically") {
     import spark.implicits._
     val df = Seq(

@@ -27,11 +27,6 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     val inDir = Files.createTempDirectory("graft-in").toString
     val ckpt = Files.createTempDirectory("graft-ck").toString
 
-    def writeWave(n: Range, wave: String): Unit =
-      n.map(i => s"""{"value":"v$i"}""")
-        .toDF("value")
-        .coalesce(1).write.mode("append").json(s"$inDir")
-
     // wave 1: rows 0-49
     (0 until 50).map(i => i.toString).toDF("value")
       .coalesce(1).write.mode("append").json(inDir)
@@ -64,7 +59,6 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     val stream = MemoryStream[String]
     stream.addData("""{"voter_id":"v1","candidate_id":"c1"}""", """{"voter_id":"v2","candidate_id":"c2"}""",
       """{"voter_id":"v3","candidate_id":"c1"}""")
-    val votes = spark.read.json(spark.createDataset(Seq.empty[String])) // placeholder for schema clarity
     val parsed = stream.toDF()
       .select(from_json(col("value"),
         org.apache.spark.sql.types.StructType(Seq(
