@@ -43,6 +43,7 @@ object SparkEntry {
     "cube_sales" -> (RelationalQueries.cubeSales _),
     "pivot_events" -> (RelationalQueries.pivotEvents _),
     "string_agg_dates" -> (RelationalQueries.stringAggDates _),
+    "sql_subquery" -> (RelationalQueries.sqlSubquery _),
     "text_winnowing" -> (TextAnalysis.winnowingStats _),
     "having_filter" -> (RelationalQueries.havingFilter _),
     // real Structured Streaming execution (file source → state store →
@@ -290,6 +291,8 @@ object SparkEntry {
         .mkString(", ")
       s"SELECT user_id % 10 AS bucket, $cols FROM events GROUP BY 1"
     },
+    // identical SQL text runs on both engines (RelationalQueries.subquerySql)
+    "sql_subquery" -> graft.operators.RelationalQueries.subquerySql,
     "string_agg_dates" ->
       """SELECT o_orderpriority,
         |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,

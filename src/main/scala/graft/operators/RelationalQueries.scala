@@ -433,6 +433,26 @@ object RelationalQueries {
         max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))).as("max_day_offset"),
       )
 
+  /** Subquery coverage through the engine's SQL surface: an
+    * uncorrelated scalar subquery (exact-decimal average so the
+    * threshold is bit-identical cross-engine) and an IN subquery.
+    * The SQL text is literally the oracle SQL — the same ANSI query
+    * runs on both engines (Spark plans the IN as a left-semi join
+    * and the scalar as a broadcast single-row subquery).
+    */
+  val subquerySql: String =
+    """SELECT o_orderstatus, count(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > (SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) / count(*) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 2500)
+      |GROUP BY o_orderstatus""".stripMargin
+
+  def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(subquerySql)
+  }
+
   /** Aggregate-function variety: count, distinct count, exact-avg,
     * min, max per group. countDistinct shuffles on (group, value)
     * then (group) — standard two-phase distinct aggregation.
