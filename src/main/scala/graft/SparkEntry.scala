@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhashFingerprints _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashHammingPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_char_ngram" -> ((s, d) => Dedup.charNgramJaccardPairs(s, d)),
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
@@ -409,6 +410,22 @@ object SparkEntry {
          |       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
          |FROM comm JOIN nsh na ON na.doc_id = doc_a JOIN nsh nb ON nb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
+    "dedup_char_ngram" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS i) g
+        |  WHERE length(text) >= 5),
+        |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 50),
+        |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |comm AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+        |FROM comm JOIN nsh na ON na.doc_id = doc_a JOIN nsh nb ON nb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.2""".stripMargin,
     "similarity_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

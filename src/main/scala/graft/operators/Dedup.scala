@@ -49,6 +49,17 @@ object Dedup {
     when(size(toks) >= k, sh).otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct character k-grams of the text (for languages without
+    * whitespace tokenization and for OCR-noise robustness). Same
+    * short-input guard as [[shingles]].
+    */
+  def charShingles(text: Column, k: Int = 5): Column = {
+    val sh = array_distinct(
+      transform(sequence(lit(1), length(text) - (k - 1)), i => text.substr(i, lit(k)))
+    )
+    when(length(text) >= k, sh).otherwise(array().cast("array<string>"))
+  }
+
   /** MinHash signature: for seed s, h_s(doc) = min over shingles of
     * md5(s || '|' || shingle), compared lexicographically (hex md5
     * strings order identically in any engine). numHashes seeds →
@@ -229,10 +240,41 @@ object Dedup {
       k: Int = 3,
       maxDf: Int = 50,
       threshold: Double = 0.3,
+  ): DataFrame =
+    jaccardPairsFromShingles(
+      docs(spark, dir)
+        .filter(size(split(col("text"), " ")) >= k)
+        .select(col("doc_id"), shingles(col("text"), k).as("sh")),
+      maxDf,
+      threshold,
+    )
+
+  /** Character-n-gram variant of [[ngramJaccardPairs]] — the shape
+    * used for languages without whitespace tokenization. Identical
+    * inverted-index pipeline over [[charShingles]].
+    */
+  def charNgramJaccardPairs(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      maxDf: Int = 50,
+      threshold: Double = 0.2,
+  ): DataFrame =
+    jaccardPairsFromShingles(
+      docs(spark, dir)
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"), charShingles(col("text"), k).as("sh")),
+      maxDf,
+      threshold,
+    )
+
+  private def jaccardPairsFromShingles(
+      withShingles: DataFrame,
+      maxDf: Int,
+      threshold: Double,
   ): DataFrame = {
-    val index = docs(spark, dir)
-      .filter(size(split(col("text"), " ")) >= k)
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+    val index = withShingles
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .persist()
     val sizes = index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Instead of a self-join on the shingle (which shuffles the whole
