@@ -51,6 +51,7 @@ object SparkEntry {
     // same SQL as the batch twins
     "stream_votes_per_candidate" -> (StreamingQueries.votesPerCandidateStream _),
     "stream_votes_windowed" -> (StreamingQueries.votesWindowedStream _),
+    "stream_similarity_topk" -> (StreamingQueries.similarityTopKStream _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
@@ -426,6 +427,16 @@ object SparkEntry {
         |       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
         |FROM comm JOIN nsh na ON na.doc_id = doc_a JOIN nsh nb ON nb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.2""".stripMargin,
+    "stream_similarity_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
     "similarity_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

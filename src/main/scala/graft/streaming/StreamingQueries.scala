@@ -68,6 +68,59 @@ object StreamingQueries {
     out
   }
 
+  /** Streaming similarity search: the embedding corpus arrives as a
+    * stream and is scored against a broadcast STATIC query set
+    * (stream-static join — the shape of "match incoming documents
+    * against a fixed index"). Scored rows append to the sink; the
+    * per-query top-k is ranked after completion, so the final result
+    * is identical to the batch brute-force top-k and shares its
+    * oracle SQL. At scale the append sink becomes a Kafka topic and
+    * the ranking a downstream consumer (or a per-batch TopKAggregator
+    * for early truncation).
+    */
+  def similarityTopKStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val schema = new StructType()
+      .add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType))
+      .add("label", IntegerType)
+    val corpus = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val queries = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = scored.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-sim").toString,
+      )
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val ranked = spark.table(name)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id")
+    val rows = ranked.collect().toSeq
+    val out = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ranked.schema)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Streaming twin of RelationalQueries.votesPerCandidate — same
     * oracle SQL.
     */
