@@ -52,6 +52,8 @@ object SparkEntry {
     "stream_votes_per_candidate" -> (StreamingQueries.votesPerCandidateStream _),
     "stream_votes_windowed" -> (StreamingQueries.votesWindowedStream _),
     "stream_similarity_topk" -> (StreamingQueries.similarityTopKStream _),
+    "stream_turnout_by_location" -> (StreamingQueries.turnoutByLocationStream _),
+    "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
@@ -462,6 +464,16 @@ object SparkEntry {
       s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+    "stream_turnout_by_location" ->
+      """SELECT n_name, count(*) AS turnout
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
+        |FROM documents,
+        |LATERAL (SELECT unnest(generate_series(0, octet_length(encode(text)) % 24)) AS i) g""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

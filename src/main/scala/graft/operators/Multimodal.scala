@@ -83,6 +83,21 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: explode each media payload into one row per
+    * (stub-decoded) frame — the generator/explode shape of
+    * per-frame feature extraction. Frame count is the deterministic
+    * fake from the decode stub, so the expansion is oracle-checkable;
+    * a real decoder swaps the count source only.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nBytes = octet_length(col("text")).cast("long")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0L), nBytes % 24)).as("frame_idx"),
+      )
+  }
+
   /** Oracle-checkable twin of the decode pipeline: the same feature
     * derivation expressed as column expressions (bytes length, md5
     * prefix magic, modular pseudo-dimensions), verifiable in DuckDB.

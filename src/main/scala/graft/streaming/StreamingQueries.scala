@@ -121,6 +121,25 @@ object StreamingQueries {
     out
   }
 
+  /** Streaming twin of turnoutByLocation: the event stream enriched
+    * against the broadcast customer→nation dimension (stream-static
+    * equi-join, J1's shape) with a running count per nation — same
+    * oracle SQL as the batch twin.
+    */
+  def turnoutByLocationStream(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.sources.Tables(spark, dir, "customer")
+      .join(
+        broadcast(graft.sources.Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"),
+      )
+      .select(col("c_custkey"), col("n_name"))
+    val agg = eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("turnout"))
+    runToFinal(spark, agg, Seq("n_name"))
+  }
+
   /** Streaming twin of RelationalQueries.votesPerCandidate — same
     * oracle SQL.
     */
