@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine
+
+/** IVF coarse quantization for similarity search: compute per-cell
+  * centroids and (re)assign vectors to their nearest centroid — one
+  * k-means step. At 100 TB this is the standard recipe: a few
+  * Lloyd iterations on a sample produce the coarse cells, every
+  * vector gets a cell id, and ANN queries probe only the closest
+  * cells (embeddingNearDupPairs / annLshTopK already consume such a
+  * cell column).
+  *
+  * Plan shape: centroid computation is posexplode → per-(cell, dim)
+  * avg → re-assemble (two shuffles, both on small keys); assignment
+  * is a broadcast cross-join against |cells| centroids with an
+  * argmin window — the corpus is never shuffled.
+  *
+  * Not oracle-gated: float means are summation-order-dependent, so
+  * cross-engine bit-equality is impossible by construction; the
+  * semantic invariant (assignment never increases inertia) is pinned
+  * in IvfIndexSpec.
+  */
+object IvfIndex {
+
+  /** Per-cell mean vectors from the current assignment column. */
+  def centroids(emb: DataFrame, cellCol: String = "label"): DataFrame =
+    emb
+      .select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(
+        col("cell"),
+        transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"),
+      )
+
+  /** Assign every vector to its nearest (max-cosine) centroid. */
+  def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = emb
+      .join(broadcast(cents))
+      .withColumn("sim", cosine(col("embedding"), col("centroid")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell").as("assigned_cell"), col("sim"))
+  }
+
+  /** One k-means step: centroids from the given assignment, then
+    * nearest-centroid reassignment.
+    */
+  def kmeansStep(spark: SparkSession, dir: String, cellCol: String = "label"): DataFrame = {
+    val emb = graft.sources.Tables.parallel(spark, dir, "embeddings")
+    assign(emb, centroids(emb, cellCol))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SimHash64Expr, VectorFunctions}
+import graft.operators.IvfIndex
+import graft.sources.Tables
+
+class IvfIndexSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("centroids have the embedding dimension and one row per cell") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = IvfIndex.centroids(emb)
+    val nCells = emb.select("label").distinct().count()
+    assert(cents.count() == nCells)
+    assert(cents.select(size(col("centroid"))).distinct().head.getInt(0) == 64)
+  }
+
+  test("one k-means step never decreases mean cosine to the assigned centroid") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = IvfIndex.centroids(emb)
+    // similarity of each vector to its ORIGINAL cell's centroid
+    val orig = emb
+      .join(cents, emb("label") === cents("cell"))
+      .select(VectorFunctions.cosine(col("embedding"), col("centroid")).as("sim"))
+      .agg(avg("sim")).head.getDouble(0)
+    // similarity after nearest-centroid reassignment
+    val reassigned = IvfIndex.assign(emb, cents)
+      .agg(avg("sim")).head.getDouble(0)
+    assert(reassigned >= orig - 1e-12, s"reassignment decreased similarity: $reassigned < $orig")
+  }
+
+  test("simhash64: identical texts collide, different texts differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different set of words entirely here"),
+    ).toDF("id", "text").select(col("id"), SimHash64Expr(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
