@@ -51,8 +51,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures stay visible as -1 per query but must not deflate the
+    // headline total; n_failed makes a partial run unmistakable
+    val ok = results.values.filter(_ >= 0)
+    val total = ok.sum
+    val nFailed = results.values.count(_ < 0)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -26,6 +26,9 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch (see below), independent of child nullability
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
     case _ =>
@@ -33,10 +36,15 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
         s"cosine_similarity expects two array<float> arguments, got ${left.dataType} and ${right.dataType}")
   }
 
+  // Length-mismatched inputs yield NULL — matching the composed
+  // cosineFold exactly (zip_with null-pads the shorter side and the
+  // fold propagates the null); silently truncating would diverge from
+  // the bit-identity contract the SQL surface promises.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -60,14 +68,18 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = (double) $a.getFloat($i);
-         |  double yv = (double) $b.getFloat($i);
-         |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xv = (double) $a.getFloat($i);
+         |    double yv = (double) $b.getFloat($i);
+         |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

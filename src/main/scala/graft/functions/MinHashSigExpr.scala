@@ -63,12 +63,17 @@ object MinHashSigExpr {
       val prefix = (s.toString + "|").getBytes(StandardCharsets.UTF_8)
       var i = 0
       while (i < n) {
-        val sh = shingles.getUTF8String(i)
-        md.reset()
-        md.update(prefix)
-        md.update(sh.getBytes)
-        val d = md.digest()
-        if (mins(s) == null || compareUnsigned(d, mins(s)) < 0) mins(s) = d
+        // null shingles are skipped — md5(null) is null and array_min
+        // ignores nulls in the composed formulation, so the native
+        // path must not NPE (nor let a null win the min)
+        if (!shingles.isNullAt(i)) {
+          val sh = shingles.getUTF8String(i)
+          md.reset()
+          md.update(prefix)
+          md.update(sh.getBytes)
+          val d = md.digest()
+          if (mins(s) == null || compareUnsigned(d, mins(s)) < 0) mins(s) = d
+        }
         i += 1
       }
       s += 1

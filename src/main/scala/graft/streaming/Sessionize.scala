@@ -76,7 +76,15 @@ object Sessionize {
             SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents, s.totalValue)
           )
         } else {
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // flatMapGroupsWithState does NOT auto-drop late rows: an
+          // event below the watermark could set a timeout timestamp
+          // <= the current watermark, which Spark rejects with an
+          // IllegalArgumentException that kills the whole query.
+          // Drop genuinely-late rows here (same semantics the built-in
+          // session_window applies) and belt-and-braces clamp the
+          // timeout past the watermark below.
+          val wm = state.getCurrentWatermarkMs()
+          val sorted = rows.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
           var closed = List.empty[SessionOut]
           var cur = state.getOption
           sorted.foreach { e =>
@@ -102,7 +110,7 @@ object Sessionize {
           }
           cur.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
           }
           closed.reverseIterator
         }

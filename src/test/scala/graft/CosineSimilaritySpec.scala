@@ -47,12 +47,26 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("nulls propagate, mismatched lengths use common prefix") {
+  test("nulls propagate") {
     import spark.implicits._
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]),
     ).toDF("a", "b")
     val r = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c")).head
     assert(r.isNullAt(0))
+  }
+
+  test("mismatched lengths yield NULL, same as the composed fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f), Array(1.0f, 2.0f, 3.0f)),
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineFold(col("a"), col("b")).as("fold"),
+    ).collect()
+    assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+      "length mismatch must be NULL on both the native and composed paths")
   }
 }

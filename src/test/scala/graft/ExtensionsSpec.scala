@@ -60,6 +60,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff documents disagree between native and composed minhash")
   }
 
+  test("null shingle elements are skipped, matching array_min-over-md5 semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Some("alpha beta gamma"), None, Some("beta gamma delta"))),
+      (2L, Seq(Some("alpha beta gamma"), Some("beta gamma delta"))),
+      (3L, Seq[Option[String]](None, None)),
+    ).toDF("doc_id", "sh")
+    val rows = df
+      .select(
+        col("doc_id"),
+        Dedup.minhashSignature(col("sh"), 4).as("native"),
+        Dedup.minhashSignatureComposed(col("sh"), 4).as("composed"),
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2)))
+      .toSeq
+    val byId = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    // nulls ignored: doc 1 == doc 2; both paths agree on every row
+    assert(byId(1L)._1 == byId(2L)._1)
+    rows.foreach { case (id, n, c) => assert(n == c, s"doc $id native != composed") }
+    // all-null input: every seed's min is null on both paths
+    assert(byId(3L)._1.forall(_ == null))
+  }
+
   test("native simhash expression is bit-identical to the composed formulation") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val diff = docs
