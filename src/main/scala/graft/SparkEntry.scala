@@ -242,6 +242,24 @@ object SparkEntry {
     .map(j => s"(CASE WHEN s_$j > 0 THEN ${1 << j} ELSE 0 END)")
     .mkString(" + ")
 
+  // 64-bit SimHash, as two unsigned 32-bit halves so every value fits
+  // a signed BIGINT (the full 64-bit value would overflow at bit 63):
+  // hi = md5 hex chars 1-8 (digest bytes 0-3 = hv bits 32-63),
+  // lo = chars 9-16 (bytes 4-7 = bits 0-31) — exactly
+  // SimHash16Expr.compute64's big-endian fold. hamming(a,b) =
+  // bit_count(xor(hi)) + bit_count(xor(lo)).
+  private def nib64(i: Int) =
+    s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+  private val vhi64Sql = (0 until 8).map(i => s"${nib64(i + 1)} * ${1L << (4 * (7 - i))}").mkString(" + ")
+  private val vlo64Sql = (0 until 8).map(i => s"${nib64(i + 9)} * ${1L << (4 * (7 - i))}").mkString(" + ")
+  private val votes64Sql = (0 until 32)
+    .map(j =>
+      s"sum(CASE WHEN (vhi & ${1L << j}) > 0 THEN 1 ELSE -1 END) AS h_$j, " +
+        s"sum(CASE WHEN (vlo & ${1L << j}) > 0 THEN 1 ELSE -1 END) AS l_$j")
+    .mkString(", ")
+  private val fhi64Sql = (0 until 32).map(j => s"(CASE WHEN h_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  private val flo64Sql = (0 until 32).map(j => s"(CASE WHEN l_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
   private def extensionOracleSql: Map[String, String] = Map(
     "json_extraction" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
@@ -392,14 +410,14 @@ object SparkEntry {
          |SELECT doc_id, $fpBitsSql AS simhash FROM votes""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |hv AS (SELECT doc_id, $hvSql AS v FROM tok),
-         |votes AS (SELECT doc_id, $votesSql FROM hv GROUP BY doc_id),
-         |fp AS (SELECT d.source, d.doc_id, $fpBitsSql AS sh
+         |hv AS (SELECT doc_id, $vhi64Sql AS vhi, $vlo64Sql AS vlo FROM tok),
+         |votes AS (SELECT doc_id, $votes64Sql FROM hv GROUP BY doc_id),
+         |fp AS (SELECT d.source, d.doc_id, $fhi64Sql AS fhi, $flo64Sql AS flo
          |       FROM votes v JOIN documents d ON d.doc_id = v.doc_id)
          |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |       CAST(bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)) AS INT) AS hamming
          |FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+         |WHERE bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)) <= 7""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

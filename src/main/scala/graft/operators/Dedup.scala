@@ -207,17 +207,43 @@ object Dedup {
     docs(spark, dir)
       .select(col("doc_id"), simhash16(col("text")).as("simhash"))
 
-  /** SimHash near-dup pairs: hamming distance between 16-bit
-    * fingerprints via bit_count(a XOR b). Pairing is blocked by
-    * source (at 100 TB the block key comes from a cheap partitioner —
-    * same role as the IVF label in embedding dedup), so the pairwise
-    * work is |block|² not N²; the fingerprint comparison itself is
-    * two integer ops.
+  /** 64-bit SimHash fingerprint — the production width. 16 bits
+    * saturate at any real corpus size (a 500-doc corpus already
+    * yields 728 hamming≤3 collisions), degenerating the pairs query
+    * toward all-pairs; 64 bits keep near-dup bands selective.
     */
-  def simhashHammingPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhash64(text: Column): Column = graft.functions.SimHash64Expr(text)
+
+  /** SimHash near-dup pairs at production width (64-bit): hamming
+    * distance via bit_count(a XOR b) — two integer ops per pair.
+    * Pairing is blocked by source (at 100 TB the block key comes from
+    * a cheap partitioner — same role as the IVF label in embedding
+    * dedup), so the pairwise work is |block|² not N².
+    *
+    * maxHamming=7 of 64 is the selective near-dup band for this
+    * corpus (hamming≤3 of 16 was the saturating one the 16-bit twin
+    * exhibits).
+    */
+  def simhashHammingPairs(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
     // no persist: the native simhash is cheap enough that recomputing
     // for the self-join's two sides beats holding a session-lifetime
     // cache entry (persist here previously leaked across bench runs)
+    val fp = docs(spark, dir)
+      .select(col("source"), col("doc_id"), simhash64(col("text")).as("sh"))
+    val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = fp.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("source"), col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** 16-bit variant of [[simhashHammingPairs]] — kept as the
+    * executable spec twin of the saturation failure mode (and of the
+    * 16-bit fingerprint algebra the oracle pins via dedup_simhash).
+    */
+  def simhashHammingPairs16(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val fp = docs(spark, dir)
       .select(col("source"), col("doc_id"), simhash16(col("text")).as("sh"))
     val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))

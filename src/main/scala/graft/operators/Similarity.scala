@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Scored, TopKAggregator}
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -29,6 +29,27 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.parallel(spark, dir, "embeddings")
 
+  /** Per-query top-k over (query_id, neighbor_id, cos) via the
+    * bounded-buffer TopKAggregator: each partition keeps at most k
+    * candidates per query (partial aggregation), so the shuffle
+    * carries ≤ k·partitions rows per query instead of every scored
+    * row — the scale-safe shape for N×Q scoring at 100 TB. Ties
+    * break (score desc, id asc), identical to the row_number window
+    * formulation (equality pinned in TopKAggregatorSpec).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, score) => Scored(id, score) }
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (q, top) => top.zipWithIndex.map { case (s, i) => (q, (i + 1).toLong, s.id) } }
+      .toDF("query_id", "rank", "neighbor_id")
+  }
+
   /** Exact brute-force top-k cosine neighbors for a small query set
     * (vec_id < nQueries). Query side broadcast; corpus side never
     * shuffled until the tiny per-query top-k.
@@ -41,11 +62,7 @@ object Similarity {
     val scored = cands
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    topKPerQuery(scored, k)
   }
 
   /** ANN via sign-random-projection LSH: 6 deterministic md5-derived
@@ -68,11 +85,7 @@ object Similarity {
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs, IVF-style: compare only

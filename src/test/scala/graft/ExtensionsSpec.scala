@@ -96,6 +96,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff documents disagree between native and composed simhash")
   }
 
+  test("simhash64 single-token fingerprint equals the first 8 md5 digest bytes exactly") {
+    import spark.implicits._
+    // with one token every bit's vote is decided by that token's hash
+    // alone, so fp == the 64-bit big-endian value of digest bytes 0-7 —
+    // an exact cross-implementation pin of the bit layout the DuckDB
+    // oracle reconstructs from hex chars 1-16
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("spark".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var want = 0L
+    (0 until 8).foreach(b => want = (want << 8) | (d(b) & 0xffL))
+    val got = Seq("spark").toDF("text")
+      .select(Dedup.simhash64(col("text"))).head.getLong(0)
+    assert(got == want)
+  }
+
   test("brute-force topk is sane and ANN recall against it is positive") {
     val bf = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
     assert(bf.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))

@@ -36,7 +36,19 @@ class TopKAggregatorSpec extends AnyFunSuite {
       .flatMap { case (q, top) => top.zipWithIndex.map { case (s, i) => (q, (i + 1).toLong, s.id) } }
       .toDF("query_id", "rank", "neighbor_id")
 
-    val viaWindow = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+    // the explicit row_number-window formulation — Similarity now
+    // routes through the aggregator, so the window form lives here as
+    // the executable spec of the ordering/tie-break contract
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"))
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+    // and the production entry points agree with the window contract too
+    val bf = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+    assert(bf.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(bf).isEmpty)
   }
 }
