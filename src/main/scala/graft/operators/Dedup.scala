@@ -105,42 +105,57 @@ object Dedup {
       threshold: Double = 0.3,
   ): DataFrame = {
     val rows = numHashes / bands
-    // persisted: referenced by the banding pass and twice more when
-    // candidates re-acquire shingle sets — without this the 12-hash
-    // signature computation would run three times. NOTE the cache
-    // entry lives for the session (lazy result leaves no safe
-    // unpersist point); long-lived sessions calling this repeatedly
-    // should spark.catalog.clearCache() between corpus runs
+    // no persist (a lazily-consumed result leaves no safe unpersist
+    // point, and a session-lifetime cache entry is a leak): the
+    // 12-hash signature lineage is consumed by exactly ONE
+    // aggregation below, and candidate verification re-derives only
+    // the cheap shingle arrays, never the signatures
     val base = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist()
 
     // band key = md5 of the concatenated signature slice
-    val banded = base.select(
-      col("doc_id"),
-      explode(
-        array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            md5(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
-              .as("bkey"),
-          )
-        }: _*)
-      ).as("bk"),
-    ).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val banded = base
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("doc_id"),
+        explode(
+          array((0 until bands).map { b =>
+            struct(
+              lit(b).as("band"),
+              md5(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
+                .as("bkey"),
+            )
+          }: _*)
+        ).as("bk"),
+      ).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
 
-    // self-join on (band, bkey) with ONLY ids — the shingle arrays
-    // stay out of the shuffle; candidates re-acquire their shingle
-    // sets afterwards (candidate count is banding-bounded, tiny
-    // relative to the corpus)
-    val slim = banded.select("doc_id", "band", "bkey")
-    val candidates = slim
-      .withColumnRenamed("doc_id", "doc_a")
-      .join(slim.withColumnRenamed("doc_id", "doc_b"), Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // band buckets are posting lists: one groupBy on (band, bkey)
+    // computes the signatures exactly once and expands each bucket to
+    // its (a<b) pairs map-side — no self-join, so the sig lineage is
+    // never evaluated twice and nothing needs caching. A pair
+    // colliding in several bands dedups on (doc_a, doc_b); the pair
+    // count is inherently quadratic in bucket size, which banding
+    // keeps small for non-identical docs.
+    val candidates = banded
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("ids"),
+              (a, i) =>
+                transform(
+                  slice(col("ids"), i + 2, size(col("ids"))),
+                  b => struct(a.as("doc_a"), b.as("doc_b")),
+                ),
+            )
+          )
+        ).as("p")
+      )
+      .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -299,41 +314,51 @@ object Dedup {
       maxDf: Int,
       threshold: Double,
   ): DataFrame = {
-    val index = withShingles
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .persist()
-    val sizes = index.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // Instead of a self-join on the shingle (which shuffles the whole
-    // index twice and explodes on hot shingles), aggregate the doc
-    // list per shingle, drop stop-shingles by document frequency, and
-    // expand each remaining posting list to its (a<b) pairs map-side:
-    // work per shingle is bounded by maxDf², and the pair count is
-    // exactly what the join would have produced post-filter.
+    // Inverted index with the doc's shingle-set size computed
+    // map-side (size(sh)) and carried INSIDE the posting lists: the
+    // pair expansion then emits (doc, n_sh) for both sides, so the
+    // final Jaccard needs no doc-size table, no extra groupBy, and no
+    // joins — two shuffles total (posting lists, pair counts), versus
+    // the self-join formulation's two index shuffles plus two size
+    // joins. Work per shingle stays bounded by maxDf² (stop-shingle
+    // cutoff); the emitted pair count is exactly what the shingle
+    // self-join would have produced post-filter.
+    val index = withShingles.select(
+      struct(col("doc_id"), size(col("sh")).cast("long").as("n_sh")).as("d"),
+      explode(col("sh")).as("shingle"),
+    )
+    // sort_array orders by doc_id (first struct field; unique per
+    // posting list), preserving the a<b pair convention
     val pairs = index
       .groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
       .select(
         explode(
           flatten(
             transform(
-              col("ids"),
+              col("ds"),
               (a, i) =>
                 transform(
-                  slice(col("ids"), i + 2, size(col("ids"))),
-                  b => struct(a.as("doc_a"), b.as("doc_b")),
+                  slice(col("ds"), i + 2, size(col("ds"))),
+                  b =>
+                    struct(
+                      a.getField("doc_id").as("doc_a"),
+                      a.getField("n_sh").as("n_a"),
+                      b.getField("doc_id").as("doc_b"),
+                      b.getField("n_sh").as("n_b"),
+                    ),
                 ),
             )
           )
         ).as("p")
       )
-      .select(col("p.doc_a"), col("p.doc_b"))
-    val common = pairs
-      .groupBy("doc_a", "doc_b")
+      .select(col("p.doc_a"), col("p.n_a"), col("p.doc_b"), col("p.n_b"))
+    // n_a/n_b are functionally dependent on doc_a/doc_b — grouping on
+    // all four keeps them available without an aggregate or join
+    pairs
+      .groupBy("doc_a", "n_a", "doc_b", "n_b")
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
       .select(
         col("doc_a"),
         col("doc_b"),
