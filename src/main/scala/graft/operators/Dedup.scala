@@ -33,6 +33,18 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.parallel(spark, dir, "documents")
 
+  /** Composed let-binding: evaluates `arr` exactly once per row and
+    * hands it to `f` as a BOUND lambda variable. Spark's higher-order
+    * functions run interpreted with no common-subexpression
+    * elimination, so a lambda body that references an expensive array
+    * expression (a shingle set, a minhash signature) re-evaluates it
+    * per element — and a projection collapsed above a Generate can
+    * re-evaluate it per exploded row. Binding through a 1-element
+    * array makes every downstream reference an O(1) variable access.
+    */
+  private def bindArray(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
   /** Distinct word k-shingles of the normalized text. Documents with
     * fewer than k tokens yield an empty array (the short-doc branch
     * matters: under ANSI mode an unguarded sequence(0, negative)
@@ -114,20 +126,24 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
 
-    // band key = md5 of the concatenated signature slice
+    // band key = md5 of the concatenated signature slice. The
+    // signature is let-bound so the 12-hash computation runs ONCE per
+    // document — naive element_at(sig, ...) references would
+    // re-evaluate the full signature per band element (no CSE in
+    // interpreted lambdas).
     val banded = base
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(
         col("doc_id"),
-        explode(
-          array((0 until bands).map { b =>
-            struct(
-              lit(b).as("band"),
-              md5(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
-                .as("bkey"),
-            )
-          }: _*)
-        ).as("bk"),
+        explode(bindArray(minhashSignature(col("sh"), numHashes)) { s =>
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b =>
+              struct(
+                b.cast("int").as("band"),
+                md5(concat_ws(",", slice(s, (b * rows + 1).cast("int"), lit(rows)))).as("bkey"),
+              ),
+          )
+        }).as("bk"),
       ).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
 
     // band buckets are posting lists: one groupBy on (band, bkey)
@@ -323,12 +339,25 @@ object Dedup {
     // joins. Work per shingle stays bounded by maxDf² (stop-shingle
     // cutoff); the emitted pair count is exactly what the shingle
     // self-join would have produced post-filter.
-    val index = withShingles.select(
-      struct(col("doc_id"), size(col("sh")).cast("long").as("n_sh")).as("d"),
-      explode(col("sh")).as("shingle"),
-    )
+    // the (shingle, n_sh) pairs come out of ONE generator expression
+    // with the shingle array let-bound: `size(sh)` as a separate
+    // projection would re-evaluate the whole shingle build (see
+    // bindArray), and a projection collapsed above the Generate can
+    // degrade that to once per exploded row
+    val index = withShingles
+      .select(
+        col("doc_id"),
+        explode(bindArray(col("sh")) { a =>
+          transform(a, x => struct(x.as("shingle"), size(a).cast("long").as("n_sh")))
+        }).as("z"),
+      )
+      .select(struct(col("doc_id"), col("z.n_sh").as("n_sh")).as("d"), col("z.shingle").as("shingle"))
     // sort_array orders by doc_id (first struct field; unique per
-    // posting list), preserving the a<b pair convention
+    // posting list), preserving the a<b pair convention. The pair
+    // expansion indexes with element_at over sequence() counters
+    // rather than slice(): slicing an array<struct> copies the tail
+    // per outer element (O(n²) struct copies per posting list), while
+    // element_at is O(1) access per emitted pair.
     val pairs = index
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("d"))).as("ds"))
@@ -337,16 +366,16 @@ object Dedup {
         explode(
           flatten(
             transform(
-              col("ds"),
-              (a, i) =>
+              sequence(lit(1), size(col("ds")) - 1),
+              i =>
                 transform(
-                  slice(col("ds"), i + 2, size(col("ds"))),
-                  b =>
+                  sequence(i + 1, size(col("ds"))),
+                  j =>
                     struct(
-                      a.getField("doc_id").as("doc_a"),
-                      a.getField("n_sh").as("n_a"),
-                      b.getField("doc_id").as("doc_b"),
-                      b.getField("n_sh").as("n_b"),
+                      element_at(col("ds"), i).getField("doc_id").as("doc_a"),
+                      element_at(col("ds"), i).getField("n_sh").as("n_a"),
+                      element_at(col("ds"), j).getField("doc_id").as("doc_b"),
+                      element_at(col("ds"), j).getField("n_sh").as("n_b"),
                     ),
                 ),
             )
