@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: one JSON line with per-query seconds on
   * SPARK_GRAFT_SF_DIR. Queries are warmed up once on the smallest
@@ -10,6 +10,24 @@ import org.apache.spark.sql.SparkSession
   * (JMH warmup) and representative of a long-lived cluster session.
   */
 object Bench {
+
+  /** Full materialization via the no-op v2 sink: every row is
+    * computed and handed to the writer, but nothing is persisted. A
+    * bare count() would let Catalyst prune projection expressions on
+    * map-only queries, flattering them into scan+count timings.
+    */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** A timed run must do its own work: memoized source relations and
+    * shared streaming-pass results from a previous run would otherwise
+    * make later runs nearly free.
+    */
+  private def resetCaches(): Unit = {
+    graft.sources.Tables.invalidate()
+    graft.streaming.StreamGate.invalidate()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,24 +42,27 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count()
+      try materialize(fn(spark, warmDir))
       catch { case _: Throwable => () }
     }
 
     // min of two timed runs per query: the host is multi-tenant, so a
     // single sample can be dominated by foreign load; the min is the
-    // standard noise-robust point estimate for latency benchmarks
+    // standard noise-robust point estimate for latency benchmarks.
     // failures must surface as -1, never as a (tiny, bogus) timing
-    def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def timeAll(): Map[String, Double] = {
+      resetCaches()
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
     val run1 = timeAll()
     val run2 = timeAll()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, RelationalQueries, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Multimodal, RelationalQueries, Similarity, TextAnalysis}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -46,13 +46,16 @@ object SparkEntry {
     "sql_subquery" -> (RelationalQueries.sqlSubquery _),
     "text_winnowing" -> (TextAnalysis.winnowingStats _),
     "having_filter" -> (RelationalQueries.havingFilter _),
-    // real Structured Streaming execution (file source → state store →
-    // update-mode sink → latest-per-key), oracle-checked against the
-    // same SQL as the batch twins
-    "stream_votes_per_candidate" -> (StreamingQueries.votesPerCandidateStream _),
+    // real Structured Streaming execution, oracle-checked against the
+    // same SQL as the batch twins. votes/turnout share ONE fan-out
+    // pass over the source (StreamGate — the scale shape: the scan is
+    // paid once, not once per aggregate); votes_windowed runs the
+    // stateful state-store path (watermark + update mode + explicit
+    // batch-id collapse)
+    "stream_votes_per_candidate" -> (graft.streaming.StreamGate.votesPerCandidate _),
     "stream_votes_windowed" -> (StreamingQueries.votesWindowedStream _),
     "stream_similarity_topk" -> (StreamingQueries.similarityTopKStream _),
-    "stream_turnout_by_location" -> (StreamingQueries.turnoutByLocationStream _),
+    "stream_turnout_by_location" -> (graft.streaming.StreamGate.turnoutByLocation _),
     "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
@@ -67,7 +70,10 @@ object SparkEntry {
     "dedup_char_ngram" -> ((s, d) => Dedup.charNgramJaccardPairs(s, d)),
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "similarity_ann_recall" -> ((s, d) => Similarity.annRecallAtK(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "ivf_assign" -> (IvfIndex.assignments _),
+    "session_windows" -> (RelationalQueries.sessionWindows _),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
   )
 
@@ -482,6 +488,48 @@ object SparkEntry {
       s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+    "similarity_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |sb AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |       FROM q, c WHERE query_id <> neighbor_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sb),
+         |bf AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= 5),
+         |bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |qa AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM bk WHERE vec_id < 8),
+         |ca AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM bk),
+         |sa AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |       FROM qa JOIN ca USING (bucket) WHERE query_id <> neighbor_id),
+         |ra AS (SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sa),
+         |ann AS (SELECT query_id, neighbor_id FROM ra WHERE rnk <= 5)
+         |SELECT bf.query_id, count(ann.neighbor_id) AS n_hits, count(*) AS k
+         |FROM bf LEFT JOIN ann
+         |  ON bf.query_id = ann.query_id AND bf.neighbor_id = ann.neighbor_id
+         |GROUP BY bf.query_id""".stripMargin,
+    "ivf_assign" ->
+      s"""WITH dims AS (
+         |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+         |  GROUP BY cell, i),
+         |cents AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM dims GROUP BY cell),
+         |scored AS (
+         |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |r AS (SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM scored)
+         |SELECT vec_id, cell AS assigned_cell FROM r WHERE rn = 1""".stripMargin,
+    "session_windows" ->
+      """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 3600000000 THEN 1 ELSE 0 END AS news FROM l),
+        |g AS (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(us) AS session_start_us, max(us) + 3600000000 AS session_end_us,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "stream_turnout_by_location" ->
       """SELECT n_name, count(*) AS turnout
         |FROM events e

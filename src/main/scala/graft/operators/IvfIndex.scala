@@ -58,4 +58,28 @@ object IvfIndex {
     val emb = graft.sources.Tables.parallel(spark, dir, "embeddings")
     assign(emb, centroids(emb, cellCol))
   }
+
+  /** Oracle-gated integer view of [[kmeansStep]]: (vec_id,
+    * assigned_cell) only. The float centroid means are not
+    * cross-engine exact (summation order), but quantizing them to
+    * FLOAT absorbs the ULP-level disagreement, and the argmax cell is
+    * then stable because inter-centroid cosine margins are
+    * astronomically larger than centroid rounding (same ULP-margin
+    * argument as Similarity's ordering) — so the integer assignment
+    * hash-matches DuckDB while the float internals stay test-only.
+    */
+  def assignments(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.parallel(spark, dir, "embeddings")
+    val cents = centroids(emb, "label")
+    // argmax as a partial-aggregable max_by rather than a per-vector
+    // rank window: the scored rows combine map-side and the shuffle
+    // carries one row per vector, not |cells| rows. Tie-break: max
+    // sim, then SMALLEST cell (negated in the ordering struct) —
+    // identical to assign()'s (sim desc, cell asc) window order.
+    emb
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("centroid")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("assigned_cell"))
+  }
 }

@@ -391,6 +391,28 @@ object RelationalQueries {
       .drop("__sid")
   }
 
+  /** Sessionization via the built-in `session_window` (ST2's session
+    * shape, batch-evaluated so the gap-boundary semantics are
+    * oracle-pinned): events merge into one window while each gap is
+    * STRICTLY below the gap duration — i.e. a delta of exactly the
+    * gap starts a new session, which is where this differs from
+    * [[userSessions]]'s islands formulation (new at delta > gap).
+    * The same grouping runs streaming in
+    * streaming/Sessionize.sessionWindowAgg; equality between the two
+    * is pinned in StreamingAdvancedSpec.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(dec2(col("value"))).as("total_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"),
+        col("total_value"),
+      )
+
   /** JSON extraction (reference F2/F9 in batch form): pull a typed
     * field out of a JSON string column and aggregate on it. Map-side
     * expression; no shuffle beyond the tiny group-by.

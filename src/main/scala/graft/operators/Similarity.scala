@@ -88,6 +88,21 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Recall@k of the LSH ANN path against the exact brute-force
+    * baseline, as integer hit counts per query — the accuracy/cost
+    * trade of the ANN index as a regression-checked number (a
+    * multi-probe variant must move n_hits up, a cheaper hash family
+    * must not silently tank it).
+    */
+  def annRecallAtK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val bf = bruteForceTopK(spark, dir, nQueries, k).select(col("query_id"), col("neighbor_id"))
+    val ann = annLshTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    bf.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-style: compare only
     * vectors sharing a label (coarse cell), keep pairs above the
     * cosine threshold. At scale the label comes from a cheap

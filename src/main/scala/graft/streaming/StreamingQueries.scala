@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -50,22 +50,57 @@ object StreamingQueries {
   /** Run one update-mode streaming aggregation to completion
     * (AvailableNow) and return the changelog collapsed to its final
     * per-key values.
+    *
+    * The collapse key is the EXPLICT micro-batch id delivered by
+    * foreachBatch — update mode emits each changed key at most once
+    * per batch, so "row with the max batch id per key" is the exact
+    * latest-value contract. (The previous memory-sink +
+    * monotonically_increasing_id formulation only encoded arrival
+    * order through a partition-layout implementation detail.)
+    *
+    * State-store note: a stateful query creates one state store per
+    * shuffle partition; the gate aggregations have at most a few
+    * thousand keys, so `statePartitions` keeps the per-query store
+    * setup/commit cost proportionate. On a real deployment this knob
+    * is sized to state volume, not defaulted to the session's
+    * shuffle parallelism.
     */
-  def runToFinal(spark: SparkSession, agg: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = VotePipeline.startMemoryQuery(agg, name, availableNow = true)
-    q.awaitTermination()
-    // materialize the (small) collapsed aggregate, then drop the
-    // memory-sink table — otherwise every invocation leaks the full
-    // changelog in driver memory for the session lifetime
-    val collapsed = VotePipeline.latestPerKey(spark.table(name), keyCols, spark)
-    val rows = collapsed.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      collapsed.schema,
-    )
-    spark.catalog.dropTempView(name)
-    out
+  def runToFinal(
+      spark: SparkSession,
+      agg: DataFrame,
+      keyCols: Seq[String],
+      statePartitions: Int = 8,
+  ): DataFrame = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
+    // the stream clones the session (and its confs) from its own
+    // execution thread, so the conf must stay set until the query has
+    // fully terminated — restoring right after start() would race
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val q = agg.writeStream
+        .outputMode("update")
+        .option(
+          "checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-final").toString,
+        )
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          val rows = batch.collect()
+          buf.synchronized { buf ++= rows.map(batchId -> _); () }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+
+    val keyIdx = keyCols.map(agg.schema.fieldIndex)
+    val latest = buf.synchronized {
+      buf
+        .groupBy { case (_, r) => keyIdx.map(r.get) }
+        .map { case (_, versions) => versions.maxBy(_._1)._2 }
+        .toSeq
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(latest, 1), agg.schema)
   }
 
   /** Streaming similarity search: the embedding corpus arrives as a

@@ -36,6 +36,16 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(reassigned >= orig - 1e-12, s"reassignment decreased similarity: $reassigned < $orig")
   }
 
+  test("gated integer assignments equal the rank-window assign view") {
+    val emb = Tables(spark, sf, "embeddings")
+    val viaWindow = IvfIndex
+      .assign(emb, IvfIndex.centroids(emb))
+      .select(col("vec_id"), col("assigned_cell"))
+    val viaAgg = IvfIndex.assignments(spark, sf)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "max_by argmax disagrees with the window argmax")
+  }
+
   test("simhash64: identical texts collide, different texts differ") {
     import spark.implicits._
     val df = Seq(
