@@ -8,7 +8,8 @@ object TimeOne {
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        // same materialization as Bench: full computation, no pruning
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         println(f"[timeone] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

@@ -33,17 +33,11 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.parallel(spark, dir, "documents")
 
-  /** Composed let-binding: evaluates `arr` exactly once per row and
-    * hands it to `f` as a BOUND lambda variable. Spark's higher-order
-    * functions run interpreted with no common-subexpression
-    * elimination, so a lambda body that references an expensive array
-    * expression (a shingle set, a minhash signature) re-evaluates it
-    * per element — and a projection collapsed above a Generate can
-    * re-evaluate it per exploded row. Binding through a 1-element
-    * array makes every downstream reference an O(1) variable access.
+  /** Let-binding for expensive array expressions — see
+    * graft.functions.Let (shared with TextAnalysis).
     */
   private def bindArray(arr: Column)(f: Column => Column): Column =
-    element_at(transform(array(arr), f), 1)
+    graft.functions.Let.bindArray(arr)(f)
 
   /** Distinct word k-shingles of the normalized text. Documents with
     * fewer than k tokens yield an empty array (the short-doc branch

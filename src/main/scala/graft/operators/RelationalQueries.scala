@@ -59,6 +59,51 @@ object RelationalQueries {
       * identical longs → identical IEEE result, no rounding step.
       */
     def moneyAvg(c: Column): Column = moneySum(c) / count(lit(1))
+
+    // ---- scaled-long money -------------------------------------------
+    // The decimal cast is the verified cross-engine HALF_UP quantizer
+    // (see scaladoc above); everything after it can be exact 64-bit
+    // integer arithmetic, which aggregates as a codegen primitive
+    // instead of boxing through 128-bit decimals (~25% on the
+    // scan-aggregate queries; measured in round 2). Longs hold exact
+    // money sums to ±9.2e16 dollars — far past any corpus here.
+
+    /** Per-row quantization to integer cents (exact). */
+    def cents(c: Column): Column = (dec2(c) * 100).cast("long")
+
+    /** Per-row 1±rate factor in integer hundredths (exact). */
+    def hundredths(c: Column): Column = (frac(c) * 100).cast("long")
+
+    /** Exact double from an integer-cents sum. A 2-decimal sum is
+      * already at output scale (round is a no-op on it), and the IEEE
+      * division by 100 returns the nearest double of the exact
+      * rational — identical to DuckDB's decimal→double cast. Safe for
+      * negative sums (no rounding step).
+      */
+    def moneyFromCents(c: Column): Column = c.cast("double") / 100.0
+
+    /** round(·, 2) of a sum carried at `down`×cents scale (products
+      * of cents × hundredths are at down=100; × two factors at
+      * down=10000), in pure integer math: half-away-from-zero — the
+      * round semantics of BOTH engines — then exact double. The
+      * integral divide keeps everything in longs; a double-division
+      * shortcut would lose exactness past 2^53.
+      */
+    def moneyFromScaled(s: Column, down: Long): Column = {
+      val half = lit(down / 2)
+      val centsCol =
+        when(s >= 0, intDiv(s + half, down)).otherwise(-intDiv(-s + half, down))
+      centsCol.cast("double") / 100.0
+    }
+
+    /** Truncating integral divide on longs (positive operands here). */
+    private def intDiv(a: Column, b: Long): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(b)),
+        )
+      )
   }
   import Num._
 
@@ -74,7 +119,7 @@ object RelationalQueries {
     t(spark, dir, "events")
       .groupBy("event_type")
       .agg(
-        moneySum(dec2(col("value"))).as("total_votes"),
+        moneyFromCents(sum(cents(col("value")))).as("total_votes"),
         count(lit(1)).as("n_events"),
       )
 
@@ -110,7 +155,7 @@ object RelationalQueries {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_first_events"),
-        moneySum(dec2(col("value"))).as("first_event_value"),
+        moneyFromCents(sum(cents(col("value")))).as("first_event_value"),
       )
   }
 
@@ -121,7 +166,7 @@ object RelationalQueries {
   def votesWindowed(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(moneySum(dec2(col("value"))).as("total_value"), count(lit(1)).as("n"))
+      .agg(moneyFromCents(sum(cents(col("value")))).as("total_value"), count(lit(1)).as("n"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"),
@@ -133,24 +178,32 @@ object RelationalQueries {
     * aggregate. Predicate and the projection both push to the parquet
     * scan; aggregate has 6 groups — shuffle is trivial.
     */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val disc  = frac(lit(1) - col("l_discount"))
-    val tax   = frac(lit(1) + col("l_tax"))
-    val price = dec2(col("l_extendedprice"))
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    // quantize each measure to scaled longs ONCE in a projection (an
+    // agg-side formulation would re-run the decimal cast per
+    // referencing aggregate), then aggregate as primitive longs
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus"),
+        cents(col("l_quantity")).as("__q"),
+        cents(col("l_extendedprice")).as("__p"),
+        cents(col("l_discount")).as("__d"),
+        hundredths(lit(1) - col("l_discount")).as("__df"),
+        hundredths(lit(1) + col("l_tax")).as("__tf"),
+      )
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        moneySum(dec2(col("l_quantity"))).as("sum_qty"),
-        moneySum(price).as("sum_base_price"),
-        moneySum(price * disc).as("sum_disc_price"),
-        moneySum(price * disc * tax).as("sum_charge"),
-        moneyAvg(dec2(col("l_quantity"))).as("avg_qty"),
-        moneyAvg(price).as("avg_price"),
-        moneyAvg(dec2(col("l_discount"))).as("avg_disc"),
+        moneyFromCents(sum(col("__q"))).as("sum_qty"),
+        moneyFromCents(sum(col("__p"))).as("sum_base_price"),
+        moneyFromScaled(sum(col("__p") * col("__df")), 100L).as("sum_disc_price"),
+        moneyFromScaled(sum(col("__p") * col("__df") * col("__tf")), 10000L).as("sum_charge"),
+        (moneyFromCents(sum(col("__q"))) / count(lit(1))).as("avg_qty"),
+        (moneyFromCents(sum(col("__p"))) / count(lit(1))).as("avg_price"),
+        (moneyFromCents(sum(col("__d"))) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"),
       )
-  }
 
   /** TPC-H Q3-style shipping priority: 3-way join + top-10 by
     * revenue. customer is broadcast (filtered dim); orders⋈lineitem
@@ -164,7 +217,7 @@ object RelationalQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(moneySum(dec2(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))).as("revenue"))
+      .agg(moneyFromScaled(sum(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
       .select(
         col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
@@ -196,7 +249,7 @@ object RelationalQueries {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(moneySum(dec2(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))).as("revenue"))
+      .agg(moneyFromScaled(sum(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
   }
 
   /** Global top-N: ORDER BY + LIMIT with a unique tie-break.
@@ -220,7 +273,7 @@ object RelationalQueries {
     val nation = t(spark, dir, "nation")
     val rev = t(spark, dir, "lineitem")
       .groupBy("l_suppkey")
-      .agg(moneySum(dec2(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))).as("revenue"))
+      .agg(moneyFromScaled(sum(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
     val w = Window.partitionBy("s_nationkey").orderBy(col("revenue").desc, col("l_suppkey"))
     rev
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -237,7 +290,7 @@ object RelationalQueries {
   def rollupSales(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(moneySum(dec2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(moneyFromCents(sum(cents(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
 
   /** Set-operation coverage: UNION / INTERSECT / EXCEPT between two
     * customer key sets, reduced to tagged counts (small deterministic
@@ -328,13 +381,13 @@ object RelationalQueries {
   def cubeSales(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
-      .agg(moneySum(dec2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(moneyFromCents(sum(cents(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
 
   /** HAVING coverage: post-aggregation predicate on the aggregate. */
   def havingFilter(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_suppkey")
-      .agg(moneySum(dec2(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))).as("revenue"))
+      .agg(moneyFromScaled(sum(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
       .filter(col("revenue") > 1000000)
 
   /** As-of enrichment: each event picks up the customer's most
@@ -386,7 +439,7 @@ object RelationalQueries {
       .agg(
         min("__us").as("session_start_us"),
         count(lit(1)).as("n_events"),
-        moneySum(dec2(col("value"))).as("total_value"),
+        moneyFromCents(sum(cents(col("value")))).as("total_value"),
       )
       .drop("__sid")
   }
@@ -404,7 +457,7 @@ object RelationalQueries {
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), moneySum(dec2(col("value"))).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), moneyFromCents(sum(cents(col("value")))).as("total_value"))
       .select(
         col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
@@ -424,7 +477,7 @@ object RelationalQueries {
         col("value"),
       )
       .groupBy("k_bucket")
-      .agg(count(lit(1)).as("n"), moneySum(dec2(col("value"))).as("total_value"))
+      .agg(count(lit(1)).as("n"), moneyFromCents(sum(cents(col("value")))).as("total_value"))
 
   /** PIVOT coverage: event counts per user bucket, one column per
     * event type. Spark plans pivot as a single aggregate with
@@ -485,7 +538,7 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        moneyAvg(dec2(col("o_totalprice"))).as("avg_price"),
+        (moneyFromCents(sum(cents(col("o_totalprice")))) / count(lit(1))).as("avg_price"),
         min("o_totalprice").as("min_price"),
         max("o_totalprice").as("max_price"),
       )

@@ -51,13 +51,24 @@ object TextAnalysis {
     * hits, argmax with a fixed tie-break order (markers order), or
     * "unknown" when nothing matches.
     */
-  def langId(text: Column): Column = {
-    val scores = markers.map { case (lang, ws) => lang -> tokenCountIn(text, ws) }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldLeft(when(best === 0, lit("unknown"))) { case (acc, (lang, s)) =>
-      acc.when(s === best, lit(lang))
-    }.otherwise(lit("unknown"))
-  }
+  def langId(text: Column): Column =
+    // bind the token array AND the score array: the argmax references
+    // each score twice and every score references the tokens
+    graft.functions.Let.bindArray(tokens(text)) { toks =>
+      graft.functions.Let.bindArray(
+        array(markers.map { case (_, ws) =>
+          size(filter(toks, t => t.isin(ws.map(lit(_)): _*)))
+        }: _*)
+      ) { scores =>
+        val s = (i: Int) => element_at(scores, i + 1)
+        val best = greatest((0 until markers.size).map(s): _*)
+        markers.zipWithIndex
+          .foldLeft(when(best === 0, lit("unknown"))) { case (acc, ((lang, _), i)) =>
+            acc.when(s(i) === best, lit(lang))
+          }
+          .otherwise(lit("unknown"))
+      }
+    }
 
   /** Normalized-text fingerprint: md5 over lowercased,
     * whitespace-collapsed text. Rolling/shingle fingerprints build on
@@ -75,19 +86,28 @@ object TextAnalysis {
     * Everything is per-row array math — map-side, no shuffle.
     */
   def winnowedFingerprints(text: Column, k: Int = 4, w: Int = 4): Column = {
-    val toks = split(text, " ")
-    val grams = transform(
-      sequence(lit(0), size(toks) - k),
-      i => substring(md5(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)), 1, 8),
-    )
-    val windowMins = transform(
-      sequence(lit(0), size(grams) - w),
-      i => array_min(slice(grams, i + 1, lit(w))),
-    )
+    // token array and gram array are LET-BOUND (graft.functions.Let):
+    // naive composition re-evaluates `toks` per gram element and the
+    // whole O(n) gram array per window position — O(n³) in document
+    // length, measured at 300s for the sf0.1 corpus vs sub-second
+    // bound
+    val windowMins = graft.functions.Let.bindArray(split(text, " ")) { toks =>
+      graft.functions.Let.bindArray(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => substring(md5(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)), 1, 8),
+        )
+      ) { grams =>
+        transform(
+          sequence(lit(0), size(grams) - w),
+          i => array_min(slice(grams, i + 1, lit(w))),
+        )
+      }
+    }
     // docs too short for one full window yield an empty fingerprint
     // set; the guard also keeps the inner sequences non-descending,
     // which under ANSI mode would otherwise index past the array
-    when(size(toks) >= k + w - 1, array_distinct(windowMins))
+    when(size(split(text, " ")) >= k + w - 1, array_distinct(windowMins))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -99,12 +119,19 @@ object TextAnalysis {
   /** Per-language token statistics. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // per-row counts projected once, then aggregated — the agg-side
+      // formulation re-ran split/regex once per referencing aggregate
+      .select(
+        col("lang"),
+        tokenCount(col("text")).cast("long").as("__nt"),
+        alphaTokenCount(col("text")).cast("long").as("__na"),
+      )
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
-        sum(alphaTokenCount(col("text")).cast("long")).as("total_alpha_tokens"),
-        (sum(tokenCount(col("text")).cast("long")) / count(lit(1))).as("avg_tokens"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(col("__na")).as("total_alpha_tokens"),
+        (sum(col("__nt")) / count(lit(1))).as("avg_tokens"),
       )
 
   /** Per-document quality scoring: token count, char count,
@@ -112,23 +139,29 @@ object TextAnalysis {
     * ratios divide identical integers → identical doubles in both
     * engines.
     */
-  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
-    val nTok = tokenCount(col("text"))
-    val nStop = tokenCountIn(col("text"), stopwordsEn)
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // the token array is let-bound: five naive references would run
+      // the split (and two the stopword filter) once each per row
       .select(
         col("doc_id"),
         col("lang"),
-        nTok.as("n_tokens"),
-        length(col("text")).as("n_chars"),
-        (length(col("text")).cast("double") / nTok).as("chars_per_token"),
-        (nStop.cast("double") / nTok).as("stopword_ratio"),
-        when(nTok < 20, "too_short")
-          .when(nStop.cast("double") / nTok > 0.2, "stopword_heavy")
-          .otherwise("ok")
-          .as("quality_class"),
+        graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+          val nTok = size(toks)
+          val nStop = size(filter(toks, t => t.isin(stopwordsEn.map(lit(_)): _*)))
+          struct(
+            nTok.as("n_tokens"),
+            length(col("text")).as("n_chars"),
+            (length(col("text")).cast("double") / nTok).as("chars_per_token"),
+            (nStop.cast("double") / nTok).as("stopword_ratio"),
+            when(nTok < 20, "too_short")
+              .when(nStop.cast("double") / nTok > 0.2, "stopword_heavy")
+              .otherwise("ok")
+              .as("quality_class"),
+          )
+        }.as("q"),
       )
-  }
+      .select(col("doc_id"), col("lang"), col("q.*"))
 
   /** Language-ID confusion matrix: labeled lang × predicted lang. */
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
@@ -144,11 +177,19 @@ object TextAnalysis {
   def winnowingStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 7)
-      .select(col("doc_id"), winnowedFingerprints(col("text")).as("fps"))
+      // both summary fields read the bound fingerprint set — separate
+      // projections would collapse into two evaluations of the whole
+      // winnowing expression per row
       .select(
         col("doc_id"),
-        size(col("fps")).cast("long").as("n_fingerprints"),
-        array_min(col("fps")).as("min_fp"),
+        graft.functions.Let.bindArray(winnowedFingerprints(col("text"))) { fps =>
+          struct(size(fps).cast("long").as("n"), array_min(fps).as("m"))
+        }.as("s"),
+      )
+      .select(
+        col("doc_id"),
+        col("s.n").as("n_fingerprints"),
+        col("s.m").as("min_fp"),
       )
 
   /** Fingerprint stats per source: exact-duplicate detection via

@@ -80,11 +80,11 @@ object StreamGate {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val b = batch.persist()
         try {
-          // partial, not final: exact decimal sum + count merge
+          // partial, not final: exact integer-cents sum + count merge
           // associatively across micro-batches
           val v = b
             .groupBy("event_type")
-            .agg(sum(dec2(col("value"))).as("pv"), count(lit(1)).as("pn"))
+            .agg(sum(cents(col("value"))).as("pv"), count(lit(1)).as("pn"))
           val t = b
             .join(broadcast(dim), b("user_id") === dim("c_custkey"))
             .groupBy("n_name")
@@ -110,13 +110,13 @@ object StreamGate {
     def ofRows(rows: Seq[Row], schema: StructType): DataFrame =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
-    // final merge: round-to-double only AFTER summing the exact
-    // decimal partials, so the value is bit-identical to the one-shot
-    // batch aggregation (and the DuckDB oracle)
+    // final merge: convert to double only AFTER summing the exact
+    // integer-cents partials, so the value is bit-identical to the
+    // one-shot batch aggregation (and the DuckDB oracle)
     val votes = ofRows(vRows, vSchema)
       .groupBy("event_type")
       .agg(
-        round(sum(col("pv")), 2).cast("double").as("total_votes"),
+        moneyFromCents(sum(col("pv"))).as("total_votes"),
         sum(col("pn")).as("n_events"),
       )
     val turnout = ofRows(tRows, tSchema)

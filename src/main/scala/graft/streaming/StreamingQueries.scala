@@ -181,7 +181,7 @@ object StreamingQueries {
   def votesPerCandidateStream(spark: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(spark, dir)
       .groupBy("event_type")
-      .agg(moneySum(dec2(col("value"))).as("total_votes"), count(lit(1)).as("n_events"))
+      .agg(moneyFromCents(sum(cents(col("value")))).as("total_votes"), count(lit(1)).as("n_events"))
     runToFinal(spark, agg, Seq("event_type"))
   }
 
@@ -195,7 +195,7 @@ object StreamingQueries {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(moneySum(dec2(col("value"))).as("total_value"), count(lit(1)).as("n"))
+      .agg(moneyFromCents(sum(cents(col("value")))).as("total_value"), count(lit(1)).as("n"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"),
