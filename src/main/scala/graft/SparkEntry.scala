@@ -47,14 +47,15 @@ object SparkEntry {
     "text_winnowing" -> (TextAnalysis.winnowingStats _),
     "having_filter" -> (RelationalQueries.havingFilter _),
     // real Structured Streaming execution, oracle-checked against the
-    // same SQL as the batch twins. votes/turnout share ONE fan-out
-    // pass over the source (StreamGate — the scale shape: the scan is
-    // paid once, not once per aggregate); votes_windowed runs the
-    // stateful state-store path (watermark + update mode + explicit
-    // batch-id collapse)
+    // same SQL as the batch twins — all four run as ONE concurrent
+    // bundle (StreamGate): votes/turnout fan out of a shared source
+    // pass (the scan is paid once, not once per aggregate) while the
+    // stateful windowed query (watermark + update mode + explicit
+    // batch-id collapse) and the stream-static similarity scoring run
+    // alongside, ST7-style
     "stream_votes_per_candidate" -> (graft.streaming.StreamGate.votesPerCandidate _),
-    "stream_votes_windowed" -> (StreamingQueries.votesWindowedStream _),
-    "stream_similarity_topk" -> (StreamingQueries.similarityTopKStream _),
+    "stream_votes_windowed" -> (graft.streaming.StreamGate.votesWindowed _),
+    "stream_similarity_topk" -> (graft.streaming.StreamGate.similarityTopK _),
     "stream_turnout_by_location" -> (graft.streaming.StreamGate.turnoutByLocation _),
     "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)

@@ -26,18 +26,25 @@ import graft.functions.VectorFunctions.cosine
   */
 object IvfIndex {
 
-  /** Per-cell mean vectors from the current assignment column. */
-  def centroids(emb: DataFrame, cellCol: String = "label"): DataFrame =
+  /** Per-cell mean vectors from the current assignment column.
+    * Typed-aggregator formulation (VectorMeanAggregator): partial
+    * element-wise (sum, count) buffers per partition, one small
+    * shuffle of |cells| rows — versus posexplode, which multiplies
+    * the corpus by the dimension count and shuffles it twice. Same
+    * double-accumulate / float-quantize numerics as avg-per-dim.
+    */
+  def centroids(emb: DataFrame, cellCol: String = "label"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     emb
-      .select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cell", "dim")
-      .agg(avg(col("v").cast("double")).as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(
-        col("cell"),
-        transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"),
-      )
+      .select(col(cellCol).cast("int").as("cell"), col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.VectorMeanAggregator().toColumn.name("centroid"))
+      .toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+  }
 
   /** Assign every vector to its nearest (max-cosine) centroid. */
   def assign(emb: DataFrame, cents: DataFrame): DataFrame = {

@@ -13,26 +13,28 @@ import org.apache.spark.sql.types.StructType
 import graft.operators.RelationalQueries.Num._
 import graft.sources.Tables
 
-/** Shared single-pass execution of the streaming gate aggregations
-  * over the events stream.
+/** Concurrent single-bundle execution of the streaming gate queries.
   *
-  * The reference job runs one independent streaming query per
-  * aggregate, so every aggregate re-reads the whole topic
-  * (spark-streaming.py:86-103). At 100 TB the source scan dominates;
-  * the scale-correct shape is ONE pass that fans out to all
-  * aggregates per micro-batch (the mechanism VotePipeline.startFanOut
-  * ships for the vote pipeline). This object applies that shape to
-  * the gate: one foreachBatch query computes per-batch PARTIAL
-  * aggregates for every registered result; partials are monoids
-  * (decimal sums, counts), so re-aggregating the accumulated partials
-  * after the run yields exactly the one-shot batch answer regardless
-  * of micro-batch boundaries — the changelog-consumer contract of the
-  * reference, made associative.
+  * The reference app runs its streaming aggregations as SEPARATE
+  * queries in one job (spark-streaming.py:86-103 — ST7 multi-query
+  * concurrency), but each query re-reads the whole topic. This bundle
+  * keeps the reference's concurrency shape while fixing the scan
+  * economics at both levels:
   *
-  * Results are memoized per (session, dir): the first gate query to
-  * ask pays the streaming pass, the rest read their slice.
-  * [[invalidate]] drops everything (benchmark hygiene — a timed run
-  * must pay the pass once, not ride a previous run's).
+  *  - the two stateless running aggregates (votes per candidate,
+  *    turnout) FAN OUT of one shared pass per micro-batch as
+  *    mergeable partials (exact integer-cents sums + counts), so that
+  *    pass reads the source once for both — at 100 TB the source scan
+  *    dominates and this halves it;
+  *  - the stateful windowed aggregation and the stream-static
+  *    similarity scoring each need their own query (different state
+  *    semantics), but all queries START TOGETHER and are awaited
+  *    together, so the gate pays max(query runtimes), not their sum —
+  *    exactly how the reference deploys its queries.
+  *
+  * Results are memoized per (session, dir); [[invalidate]] drops them
+  * (benchmark hygiene — a timed run must pay the bundle once, not
+  * ride a previous run's).
   */
 object StreamGate {
 
@@ -48,82 +50,170 @@ object StreamGate {
   def turnoutByLocation(spark: SparkSession, dir: String): DataFrame =
     result(spark, dir, "turnout")
 
+  /** Streaming twin of RelationalQueries.votesWindowed (stateful
+    * state-store path: watermark + update mode + batch-id collapse).
+    */
+  def votesWindowed(spark: SparkSession, dir: String): DataFrame =
+    result(spark, dir, "windowed")
+
+  /** Streaming similarity scoring against a static query set
+    * (stream-static broadcast join), ranked after completion.
+    */
+  def similarityTopK(spark: SparkSession, dir: String): DataFrame =
+    result(spark, dir, "similarity")
+
   private def result(spark: SparkSession, dir: String, which: String): DataFrame =
     synchronized {
-      if (!cache.contains((spark, dir, which))) runFanOut(spark, dir)
+      if (!cache.contains((spark, dir, which))) runBundle(spark, dir)
       cache((spark, dir, which))
     }
 
-  /** One streaming pass over the events source; both aggregates are
-    * computed per micro-batch as mergeable partials (executor-side;
-    * only the tiny partial rows reach the driver).
+  /** One concurrent bundle: three streaming queries started together
+    * (fan-out pass, stateful windowed, similarity scoring), all on
+    * AvailableNow triggers, awaited together.
     */
-  private def runFanOut(spark: SparkSession, dir: String): Unit = {
-    val dim = Tables(spark, dir, "customer")
-      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name"))
-
-    // dedicated lock: the callback runs on the stream-execution
-    // thread while the caller blocks in awaitTermination holding the
-    // StreamGate monitor — synchronizing the callback on StreamGate
-    // itself would deadlock
+  private def runBundle(spark: SparkSession, dir: String): Unit = {
+    // dedicated lock: callbacks run on stream-execution threads while
+    // this thread blocks in awaitTermination holding the StreamGate
+    // monitor — synchronizing callbacks on StreamGate would deadlock
     val lock = new Object
     val votesPartials = new ArrayBuffer[Row]()
     val turnoutPartials = new ArrayBuffer[Row]()
     var votesSchema: StructType = null
     var turnoutSchema: StructType = null
+    val windowedRows = new ArrayBuffer[(Long, Row)]()
+    val scoredRows = new ArrayBuffer[Row]()
 
-    val q = StreamingQueries
-      .eventsStream(spark, dir)
-      .writeStream
-      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-gate").toString)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val b = batch.persist()
-        try {
-          // partial, not final: exact integer-cents sum + count merge
-          // associatively across micro-batches
-          val v = b
-            .groupBy("event_type")
-            .agg(sum(cents(col("value"))).as("pv"), count(lit(1)).as("pn"))
-          val t = b
-            .join(broadcast(dim), b("user_id") === dim("c_custkey"))
-            .groupBy("n_name")
-            .agg(count(lit(1)).as("pt"))
-          val vRows = v.collect()
-          val tRows = t.collect()
-          lock.synchronized {
-            votesSchema = v.schema
-            turnoutSchema = t.schema
-            votesPartials ++= vRows
-            turnoutPartials ++= tRows
-          }
-          ()
-        } finally { b.unpersist(); () }
+    val dim = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+
+    // the gate aggregations have at most a few thousand keys: size
+    // the per-query state stores (and the per-batch shuffles inside
+    // foreachBatch) accordingly for the bundle's lifetime. Streams
+    // clone the session from their execution threads, so the conf
+    // stays set until every query has terminated.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+      // 1) shared fan-out pass: both stateless aggregates as partials
+      val qFanOut = StreamingQueries
+        .eventsStream(spark, dir)
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-gate").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          val b = batch.persist()
+          try {
+            // partial, not final: exact integer-cents sums + counts
+            // merge associatively across micro-batches
+            val v = b
+              .groupBy("event_type")
+              .agg(sum(cents(col("value"))).as("pv"), count(lit(1)).as("pn"))
+            val t = b
+              .join(broadcast(dim), b("user_id") === dim("c_custkey"))
+              .groupBy("n_name")
+              .agg(count(lit(1)).as("pt"))
+            val vRows = v.collect()
+            val tRows = t.collect()
+            lock.synchronized {
+              votesSchema = v.schema
+              turnoutSchema = t.schema
+              votesPartials ++= vRows
+              turnoutPartials ++= tRows
+            }
+            ()
+          } finally { b.unpersist(); () }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+      // 2) stateful windowed aggregation: update-mode changelog
+      // captured with its EXPLICIT batch id (update mode emits each
+      // changed key at most once per batch, so max-batch-id per key
+      // is the exact latest-value collapse)
+      val windowedAgg = StreamingQueries
+        .eventsStream(spark, dir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(moneyFromCents(sum(cents(col("value")))).as("total_value"), count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"),
+          col("total_value"),
+          col("n"),
+        )
+      val windowedSchema = windowedAgg.schema
+      val qWindowed = windowedAgg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-win").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          val rows = batch.collect()
+          lock.synchronized { windowedRows ++= rows.map(batchId -> _); () }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+      // 3) stream-static similarity scoring (append semantics)
+      val scored = StreamingQueries.similarityScoredStream(spark, dir)
+      val scoredSchema = scored.schema
+      val qScored = scored.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-sim").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          val rows = batch.collect()
+          lock.synchronized { scoredRows ++= rows; () }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+      qFanOut.awaitTermination()
+      qWindowed.awaitTermination()
+      qScored.awaitTermination()
+
+      def ofRows(rows: Seq[Row], schema: StructType): DataFrame =
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+      val (vRows, vSchema, tRows, tSchema, wRows, sRows) = lock.synchronized {
+        (
+          votesPartials.toSeq, votesSchema,
+          turnoutPartials.toSeq, turnoutSchema,
+          windowedRows.toSeq, scoredRows.toSeq,
+        )
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
 
-    val (vRows, vSchema, tRows, tSchema) = lock.synchronized {
-      (votesPartials.toSeq, votesSchema, turnoutPartials.toSeq, turnoutSchema)
-    }
-    def ofRows(rows: Seq[Row], schema: StructType): DataFrame =
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      // final merges: convert to double only AFTER summing the exact
+      // integer-cents partials — bit-identical to the one-shot batch
+      // aggregation (and the DuckDB oracle)
+      val votes = ofRows(vRows, vSchema)
+        .groupBy("event_type")
+        .agg(
+          moneyFromCents(sum(col("pv"))).as("total_votes"),
+          sum(col("pn")).as("n_events"),
+        )
+      val turnout = ofRows(tRows, tSchema)
+        .groupBy("n_name")
+        .agg(sum(col("pt")).as("turnout"))
 
-    // final merge: convert to double only AFTER summing the exact
-    // integer-cents partials, so the value is bit-identical to the
-    // one-shot batch aggregation (and the DuckDB oracle)
-    val votes = ofRows(vRows, vSchema)
-      .groupBy("event_type")
-      .agg(
-        moneyFromCents(sum(col("pv"))).as("total_votes"),
-        sum(col("pn")).as("n_events"),
-      )
-    val turnout = ofRows(tRows, tSchema)
-      .groupBy("n_name")
-      .agg(sum(col("pt")).as("turnout"))
+      // windowed changelog → latest row per key by max batch id
+      val keyIdx = Seq("hour_start", "event_type").map(windowedSchema.fieldIndex)
+      val windowedFinal = wRows
+        .groupBy { case (_, r) => keyIdx.map(r.get) }
+        .map { case (_, versions) => versions.maxBy(_._1)._2 }
+        .toSeq
 
-    cache((spark, dir, "votes")) = votes
-    cache((spark, dir, "turnout")) = turnout
+      // scored appends → per-query top-5 rank (gate-harness-sized)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      val similarity = ofRows(sRows, scoredSchema)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+
+      cache((spark, dir, "votes")) = votes
+      cache((spark, dir, "turnout")) = turnout
+      cache((spark, dir, "windowed")) = ofRows(windowedFinal, windowedSchema)
+      cache((spark, dir, "similarity")) = similarity
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -113,7 +113,13 @@ object StreamingQueries {
     * the ranking a downstream consumer (or a per-batch TopKAggregator
     * for early truncation).
     */
-  def similarityTopKStream(spark: SparkSession, dir: String): DataFrame = {
+  /** The stream side of the similarity gate: embedding corpus as a
+    * stream, scored against the broadcast STATIC query set
+    * (stream-static join — "match incoming documents against a fixed
+    * index"). Shared by [[similarityTopKStream]] and the StreamGate
+    * bundle.
+    */
+  def similarityScoredStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosine
     val schema = new StructType()
       .add("vec_id", LongType)
@@ -127,10 +133,13 @@ object StreamingQueries {
     val queries = graft.sources.Tables(spark, dir, "embeddings")
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = corpus
+    corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
+  }
 
+  def similarityTopKStream(spark: SparkSession, dir: String): DataFrame = {
+    val scored = similarityScoredStream(spark, dir)
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = scored.writeStream
       .outputMode("append")
