@@ -72,6 +72,7 @@ object SparkEntry {
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
     "similarity_ann_recall" -> ((s, d) => Similarity.annRecallAtK(s, d)),
+    "similarity_ann_multiprobe" -> ((s, d) => Similarity.annLshTopKMultiProbe(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
     "session_windows" -> (RelationalQueries.sessionWindows _),
@@ -509,6 +510,20 @@ object SparkEntry {
          |FROM bf LEFT JOIN ann
          |  ON bf.query_id = ann.query_id AND bf.neighbor_id = ann.neighbor_id
          |GROUP BY bf.query_id""".stripMargin,
+    "similarity_ann_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT query_id, qe,
+         |         CASE WHEN p = 0 THEN bucket ELSE xor(bucket, 1 << (p - 1)) END AS bucket
+         |  FROM q, LATERAL (SELECT unnest(generate_series(0, 6)) AS p) g),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |  FROM probes JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM r WHERE rnk <= 5""".stripMargin,
     "ivf_assign" ->
       s"""WITH dims AS (
          |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m

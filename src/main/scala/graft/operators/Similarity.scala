@@ -88,6 +88,44 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe variant of [[annLshTopK]]: each query also probes
+    * every bucket at Hamming distance 1 from its own (flip each of
+    * the `planes` sign bits) — the standard SRP-LSH recall knob.
+    * Probing is query-side only: the probe set explodes the tiny
+    * broadcast side to (radius+1)·|queries| rows while the corpus
+    * still partitions by its single bucket, so the cost model is
+    * unchanged at 100 TB (candidates ∝ probed buckets). Each
+    * (query, candidate) pair appears at most once because a query's
+    * probe buckets are distinct and a candidate lives in exactly one
+    * bucket.
+    */
+  def annLshTopKMultiProbe(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 5,
+      planes: Int = 6,
+  ): DataFrame = {
+    val e = emb(spark, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
+    val probes = e
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        explode(
+          array(
+            col("bucket") +: (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1 << p))): _*
+          )
+        ).as("bucket"),
+      )
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+    val scored = cands
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    topKPerQuery(scored, k)
+  }
+
   /** Recall@k of the LSH ANN path against the exact brute-force
     * baseline, as integer hit counts per query — the accuracy/cost
     * trade of the ANN index as a regression-checked number (a

@@ -121,6 +121,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hits > 0, "ANN found none of the true top-5 neighbors")
   }
 
+  test("multi-probe ANN recall is at least single-probe recall") {
+    val bf = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+      .select("query_id", "neighbor_id")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("query_id", "neighbor_id").intersect(bf).count()
+    val single = hits(Similarity.annLshTopK(spark, sf, nQueries = 8, k = 5))
+    val multi = hits(Similarity.annLshTopKMultiProbe(spark, sf, nQueries = 8, k = 5))
+    // probing a superset of buckets can only widen the candidate set
+    assert(multi >= single, s"multi-probe recall regressed: $multi < $single")
+  }
+
   test("short documents yield empty shingle/fingerprint sets instead of failing (ANSI)") {
     import spark.implicits._
     val df = Seq("one two", "a", "", "one two three four five six seven").toDF("text")
