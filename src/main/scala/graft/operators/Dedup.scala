@@ -39,12 +39,21 @@ object Dedup {
   private def bindArray(arr: Column)(f: Column => Column): Column =
     graft.functions.Let.bindArray(arr)(f)
 
-  /** Distinct word k-shingles of the normalized text. Documents with
-    * fewer than k tokens yield an empty array (the short-doc branch
-    * matters: under ANSI mode an unguarded sequence(0, negative)
-    * descends into element_at(toks, 0) and aborts the job).
+  /** Distinct word k-shingles of the normalized text, first-occurrence
+    * order; documents with fewer than k tokens yield an empty array.
+    * Native one-pass expression; [[shinglesComposed]] is the built-in
+    * composition the oracle mirrors (bit-identity pinned in
+    * ExtensionsSpec).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.WordShinglesExpr(text, k)
+
+  /** Composed-builtins formulation of [[shingles]] — the oracle's
+    * executable spec. (The short-doc guard matters: under ANSI mode
+    * an unguarded sequence(0, negative) descends into
+    * element_at(toks, 0) and aborts the job.)
+    */
+  def shinglesComposed(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
     val sh = array_distinct(
       transform(
@@ -56,10 +65,14 @@ object Dedup {
   }
 
   /** Distinct character k-grams of the text (for languages without
-    * whitespace tokenization and for OCR-noise robustness). Same
-    * short-input guard as [[shingles]].
+    * whitespace tokenization and for OCR-noise robustness), native
+    * one-pass; [[charShinglesComposed]] is the spec twin.
     */
-  def charShingles(text: Column, k: Int = 5): Column = {
+  def charShingles(text: Column, k: Int = 5): Column =
+    graft.functions.CharShinglesExpr(text, k)
+
+  /** Composed-builtins formulation of [[charShingles]]. */
+  def charShinglesComposed(text: Column, k: Int = 5): Column = {
     val sh = array_distinct(
       transform(sequence(lit(1), length(text) - (k - 1)), i => text.substr(i, lit(k)))
     )

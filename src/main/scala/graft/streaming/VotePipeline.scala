@@ -128,6 +128,14 @@ object VotePipeline {
     * emitted row per key (by arrival order within the sink table).
     * This is what a consumer of the reference's output topics must do
     * (SURVEY §2.7 ST3).
+    *
+    * CAVEAT: arrival order is inferred from
+    * monotonically_increasing_id over the sink scan, which encodes
+    * batch order only while the memory sink yields batches as ordered
+    * partitions — fine for the single-process test harness it serves,
+    * but an implementation detail. Anything correctness-gated must
+    * collapse on the EXPLICIT foreachBatch batch id instead
+    * (StreamingQueries.runToFinal / StreamGate do).
     */
   def latestPerKey(changelog: DataFrame, keyCols: Seq[String], spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window

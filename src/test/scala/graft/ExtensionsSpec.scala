@@ -46,6 +46,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
   }
 
+  test("native shingle expressions are bit-identical to the composed formulations") {
+    import spark.implicits._
+    val real = graft.sources.Tables(spark, sf, "documents").select(col("text"))
+    val edges = Seq("", "a", "a b", "a  b c  ", "one two three four", "a b a b a b").toDF("text")
+    Seq(real, edges).foreach { df =>
+      val badW = df
+        .select(
+          Dedup.shingles(col("text")).as("native"),
+          Dedup.shinglesComposed(col("text")).as("composed"),
+        )
+        .filter(col("native") =!= col("composed"))
+        .count()
+      assert(badW == 0, s"$badW rows disagree on word shingles")
+      val badC = df
+        .select(
+          Dedup.charShingles(col("text")).as("native"),
+          Dedup.charShinglesComposed(col("text")).as("composed"),
+        )
+        .filter(col("native") =!= col("composed"))
+        .count()
+      assert(badC == 0, s"$badC rows disagree on char shingles")
+    }
+  }
+
   test("native minhash signature is bit-identical to the composed formulation") {
     val docs = graft.sources.Tables(spark, sf, "documents")
       .filter(size(split(col("text"), " ")) >= 3)

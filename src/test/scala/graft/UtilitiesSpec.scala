@@ -14,15 +14,24 @@ class UtilitiesSpec extends AnyFunSuite {
     .builder(master = "local[4]", shufflePartitions = 4)
     .getOrCreate()
 
-  test("graft_cosine is callable from SQL via extensions descriptor") {
+  test("native functions are callable from SQL via extensions descriptors") {
     // inject on an existing session the same way withExtensions would
-    val (ident, info, builder) = GraftExtensions.cosineDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    GraftExtensions.descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     Tables(spark, sf, "embeddings").createOrReplaceTempView("emb_sql")
     val r = spark
       .sql("SELECT vec_id, graft_cosine(embedding, embedding) AS c FROM emb_sql LIMIT 5")
       .collect()
     assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-9))
+    Tables(spark, sf, "documents").createOrReplaceTempView("docs_sql")
+    val s = spark
+      .sql("""SELECT graft_simhash16(text) AS h16, graft_simhash64(text) AS h64,
+             |       graft_word_shingles(text, 3) AS ws, graft_char_shingles(text, 5) AS cs,
+             |       graft_minhash_sig(graft_word_shingles(text, 3), 4) AS sig
+             |FROM docs_sql LIMIT 5""".stripMargin)
+      .collect()
+    assert(s.nonEmpty && s.forall(row => !row.isNullAt(0) && !row.isNullAt(1)))
   }
 
   test("salted aggregation equals direct aggregation") {
