@@ -84,4 +84,35 @@ class PropertySpec extends AnyFunSuite {
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     }
   }
+
+  test("native shingle expressions match composed forms on arbitrary texts") {
+    import spark.implicits._
+    // texts with runs of spaces, empty tokens, repeats, and
+    // non-ASCII codepoints — the edge cases of split/substr semantics
+    val tokenGen = Gen.oneOf("a", "bb", "ccc", "", "déjà", "日本", "x y")
+    val textGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    val texts = (1 to 60)
+      .map(i => textGen.pureApply(Gen.Parameters.default.withSize(12), Seed(1000L + i)))
+      .toDF("text")
+    Seq(2, 3).foreach { k =>
+      val badW = texts
+        .select(
+          graft.operators.Dedup.shingles(col("text"), k).as("n"),
+          graft.operators.Dedup.shinglesComposed(col("text"), k).as("c"),
+        )
+        .filter(col("n") =!= col("c"))
+        .count()
+      assert(badW == 0, s"word shingles k=$k diverge on generated texts")
+    }
+    Seq(3, 5).foreach { k =>
+      val badC = texts
+        .select(
+          graft.operators.Dedup.charShingles(col("text"), k).as("n"),
+          graft.operators.Dedup.charShinglesComposed(col("text"), k).as("c"),
+        )
+        .filter(col("n") =!= col("c"))
+        .count()
+      assert(badC == 0, s"char shingles k=$k diverge on generated texts")
+    }
+  }
 }
