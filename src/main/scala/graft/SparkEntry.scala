@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
     "session_windows" -> (RelationalQueries.sessionWindows _),
+    "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
   )
 
@@ -536,6 +537,17 @@ object SparkEntry {
          |r AS (SELECT vec_id, cell,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM scored)
          |SELECT vec_id, cell AS assigned_cell FROM r WHERE rn = 1""".stripMargin,
+    "sample_hash_splits" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         CASE WHEN substr(md5(text || '|split'), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substr(md5(text || '|split'), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         substr(md5(text || '|sample'), 1, 2) AS sh
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN sh < '20' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM b GROUP BY lang, split""".stripMargin,
     "session_windows" ->
       """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines.
+  *
+  * Random sampling is the wrong tool at 100 TB: re-runs must select
+  * the SAME rows (reproducible experiments, resumable jobs, join-able
+  * side tables), membership must be decidable per-row with no
+  * coordination, and a near-duplicate of a held-out document must not
+  * leak into train just because a different executor rolled the dice.
+  * Content-hash assignment gives all three: md5 of the (salted) text
+  * is uniform, stable, and engine-portable, so a row's split is a
+  * pure function of its content.
+  *
+  * Everything here compares hex PREFIXES as strings (md5 hex orders
+  * identically in any engine) — no numeric conversion, no float
+  * thresholds, exactly reproducible in the DuckDB oracle.
+  */
+object Sampling {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Two-hex-digit uniform bucket of the salted content hash: 256
+    * buckets; a threshold prefix selects floor(256·rate) of them.
+    * The salt decorrelates independent sampling decisions on the
+    * same content.
+    */
+  def hashBucket(text: Column, salt: String): Column =
+    substring(md5(concat(text, lit("|" + salt))), 1, 2)
+
+  /** Deterministic train/val/test assignment by content hash:
+    * "cc" = 204/256 ≈ 80% train, "e6" = 230/256 ≈ 90% cumulative
+    * val cut — an 80/10/10 split that any engine reproduces from the
+    * text alone.
+    */
+  def split(text: Column, salt: String = "split"): Column = {
+    val h = hashBucket(text, salt)
+    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  /** Per-language split sizes plus a decimated (1/8 ≈ 32/256)
+    * deterministic subsample count per split — the shape of "build a
+    * small dev corpus that is a stable subset of train".
+    */
+  def hashSplitStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("lang"),
+        split(col("text")).as("split"),
+        hashBucket(col("text"), "sample").as("sh"),
+      )
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sh") < "20", 1L).otherwise(0L)).as("n_sampled"),
+      )
+}
