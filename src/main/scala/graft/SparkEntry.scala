@@ -77,6 +77,7 @@ object SparkEntry {
     "ivf_assign" -> (IvfIndex.assignments _),
     "session_windows" -> (RelationalQueries.sessionWindows _),
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
+    "decontamination_overlap" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlap(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
   )
 
@@ -548,6 +549,22 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN sh < '20' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY lang, split""".stripMargin,
+    "decontamination_overlap" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |   CASE WHEN substr(md5(text || '|split'), 1, 2) < 'cc' THEN 'train'
+        |        WHEN substr(md5(text || '|split'), 1, 2) < 'e6' THEN 'val'
+        |        ELSE 'test' END AS split
+        |  FROM documents),
+        |tok AS (SELECT doc_id, split, string_split(text, ' ') AS ts FROM sp
+        |        WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, split, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+        |tests AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
+        |SELECT s.doc_id, count(*) AS n_shared_shingles
+        |FROM sh s JOIN tests t USING (shingle)
+        |WHERE s.split = 'train'
+        |GROUP BY s.doc_id
+        |HAVING count(*) >= 2""".stripMargin,
     "session_windows" ->
       """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),

@@ -60,4 +60,36 @@ object Sampling {
         count(lit(1)).as("n_docs"),
         sum(when(col("sh") < "20", 1L).otherwise(0L)).as("n_sampled"),
       )
+
+  /** Benchmark decontamination: training documents that share word
+    * shingles with any held-out (test-split) document, with the count
+    * of distinct shared shingles — the standard n-gram-overlap
+    * contamination check run before training.
+    *
+    * Plan shape at 100 TB: the held-out side is a small fraction of
+    * the corpus (hash split), so its distinct-shingle set broadcasts
+    * and the train side is a map-side semi-join at scan speed — the
+    * corpus is never shuffled; only the (contaminated doc, shingle)
+    * hits aggregate.
+    */
+  def trainTestShingleOverlap(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      minShared: Int = 2,
+  ): DataFrame = {
+    val withSplit = docs(spark, dir)
+      .select(col("doc_id"), split(col("text")).as("split"), Dedup.shingles(col("text"), k).as("sh"))
+    val testShingles = withSplit
+      .filter(col("split") === "test")
+      .select(explode(col("sh")).as("shingle"))
+      .distinct()
+    withSplit
+      .filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(testShingles), Seq("shingle"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
 }

@@ -34,6 +34,17 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s.forall(row => !row.isNullAt(0) && !row.isNullAt(1)))
   }
 
+  test("hash splits are deterministic and near the 80/10/10 design fractions") {
+    val docs = Tables(spark, sf, "documents")
+    val a = graft.operators.Sampling.hashSplitStats(spark, sf)
+    val b = graft.operators.Sampling.hashSplitStats(spark, sf)
+    assert(a.exceptAll(b).count() == 0, "split assignment is not deterministic")
+    val total = docs.count().toDouble
+    val train = a.filter(col("split") === "train")
+      .agg(sum("n_docs")).head.getLong(0).toDouble
+    assert(train / total > 0.7 && train / total < 0.9, s"train fraction ${train / total}")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val events = Tables(spark, sf, "events")
     val salted = Skew
