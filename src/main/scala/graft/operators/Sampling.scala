@@ -39,7 +39,7 @@ object Sampling {
     * val cut — an 80/10/10 split that any engine reproduces from the
     * text alone.
     */
-  def split(text: Column, salt: String = "split"): Column = {
+  def assignSplit(text: Column, salt: String = "split"): Column = {
     val h = hashBucket(text, salt)
     when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
   }
@@ -52,7 +52,7 @@ object Sampling {
     docs(spark, dir)
       .select(
         col("lang"),
-        split(col("text")).as("split"),
+        assignSplit(col("text")).as("split"),
         hashBucket(col("text"), "sample").as("sh"),
       )
       .groupBy("lang", "split")
@@ -79,7 +79,11 @@ object Sampling {
       minShared: Int = 2,
   ): DataFrame = {
     val withSplit = docs(spark, dir)
-      .select(col("doc_id"), split(col("text")).as("split"), Dedup.shingles(col("text"), k).as("sh"))
+      .select(
+        col("doc_id"),
+        assignSplit(col("text")).as("split"),
+        Dedup.shingles(col("text"), k).as("sh"),
+      )
     val testShingles = withSplit
       .filter(col("split") === "test")
       .select(explode(col("sh")).as("shingle"))

@@ -38,6 +38,20 @@ import graft.sources.Tables
   */
 object StreamGate {
 
+  /** Checkpoint scratch for the AvailableNow gate queries: prefer
+    * RAM-backed /dev/shm when present — these checkpoints are
+    * throwaway (each gate run creates fresh ones), and the
+    * offset/commit/state files are fsync-heavy on a disk-backed tmp.
+    * Durable production checkpoints belong on real storage; this
+    * helper is only for run-to-completion harness queries.
+    */
+  private[streaming] def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix).toString
+    else Files.createTempDirectory(prefix).toString
+  }
+
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def invalidate(): Unit = cache.clear()
@@ -101,7 +115,7 @@ object StreamGate {
       val qFanOut = StreamingQueries
         .eventsStream(spark, dir)
         .writeStream
-        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-gate").toString)
+        .option("checkpointLocation", scratchDir("graft-ckpt-gate"))
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
           val b = batch.persist()
           try {
@@ -146,7 +160,7 @@ object StreamGate {
       val windowedSchema = windowedAgg.schema
       val qWindowed = windowedAgg.writeStream
         .outputMode("update")
-        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-win").toString)
+        .option("checkpointLocation", scratchDir("graft-ckpt-win"))
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
           val rows = batch.collect()
           lock.synchronized { windowedRows ++= rows.map(batchId -> _); () }
@@ -159,7 +173,7 @@ object StreamGate {
       val scoredSchema = scored.schema
       val qScored = scored.writeStream
         .outputMode("append")
-        .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-sim").toString)
+        .option("checkpointLocation", scratchDir("graft-ckpt-sim"))
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
           val rows = batch.collect()
           lock.synchronized { scoredRows ++= rows; () }

@@ -82,7 +82,7 @@ object StreamingQueries {
         .outputMode("update")
         .option(
           "checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-final").toString,
+          StreamGate.scratchDir("graft-ckpt-final"),
         )
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
           val rows = batch.collect()
@@ -103,21 +103,15 @@ object StreamingQueries {
     spark.createDataFrame(spark.sparkContext.parallelize(latest, 1), agg.schema)
   }
 
-  /** Streaming similarity search: the embedding corpus arrives as a
-    * stream and is scored against a broadcast STATIC query set
-    * (stream-static join — the shape of "match incoming documents
-    * against a fixed index"). Scored rows append to the sink; the
-    * per-query top-k is ranked after completion, so the final result
-    * is identical to the batch brute-force top-k and shares its
-    * oracle SQL. At scale the append sink becomes a Kafka topic and
-    * the ranking a downstream consumer (or a per-batch TopKAggregator
-    * for early truncation).
-    */
   /** The stream side of the similarity gate: embedding corpus as a
     * stream, scored against the broadcast STATIC query set
     * (stream-static join — "match incoming documents against a fixed
     * index"). Shared by [[similarityTopKStream]] and the StreamGate
-    * bundle.
+    * bundle. Scored rows append; the per-query top-k is ranked after
+    * completion, so the final result equals the batch brute-force
+    * top-k and shares its oracle SQL. At scale the append sink
+    * becomes a Kafka topic and the ranking a downstream consumer (or
+    * a per-batch TopKAggregator for early truncation).
     */
   def similarityScoredStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosine
