@@ -13,9 +13,9 @@ import graft.sources.Tables
   *  - Exact dedup: one shuffle on a 128-bit content hash — the
   *    minimum possible.
   *  - MinHash+LSH: signatures are computed map-side per document
-  *    (no shuffle); the only exchange is the band-bucket self-join,
-  *    whose size is controlled by band count, not corpus size. This
-  *    is the standard sub-quadratic near-dup join.
+  *    (no shuffle); the only corpus-sized exchange groups band
+  *    buckets into posting lists, whose sizes banding keeps small.
+  *    This is the standard sub-quadratic near-dup pipeline.
   *  - SimHash: 16-bit fingerprints map-side; collision grouping is a
   *    tiny shuffle on the fingerprint.
   *  - N-gram Jaccard: inverted-index join on shingles with a

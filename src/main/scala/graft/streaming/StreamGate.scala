@@ -188,11 +188,22 @@ object StreamGate {
       def ofRows(rows: Seq[Row], schema: StructType): DataFrame =
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
+      // an empty source runs zero micro-batches, so the partial
+      // schemas may never have been captured — fall back to their
+      // statically-known shapes rather than NPE on an empty corpus
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val emptyVotesSchema = new StructType()
+        .add("event_type", StringType).add("pv", LongType).add("pn", LongType)
+      val emptyTurnoutSchema = new StructType()
+        .add("n_name", StringType).add("pt", LongType)
       val (vRows, vSchema, tRows, tSchema, wRows, sRows) = lock.synchronized {
         (
-          votesPartials.toSeq, votesSchema,
-          turnoutPartials.toSeq, turnoutSchema,
-          windowedRows.toSeq, scoredRows.toSeq,
+          votesPartials.toSeq,
+          Option(votesSchema).getOrElse(emptyVotesSchema),
+          turnoutPartials.toSeq,
+          Option(turnoutSchema).getOrElse(emptyTurnoutSchema),
+          windowedRows.toSeq,
+          scoredRows.toSeq,
         )
       }
 

@@ -111,6 +111,28 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(turnoutAcc("Illinois") == 3L && turnoutAcc("Ohio") == 1L)
   }
 
+  test("stream gate bundle yields empty typed results when the source has no files to stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-empty-corpus").toString
+    // corpus layout with batch-readable tables; the streaming glob
+    // (events.parquet / embeddings.parquet as FILES) matches nothing,
+    // so every bundle query runs ZERO micro-batches — the
+    // schema-never-captured edge
+    Seq((1L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "A")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val votes = graft.streaming.StreamGate.votesPerCandidate(spark, dir)
+    assert(votes.count() == 0)
+    assert(votes.schema.fieldNames.toSeq == Seq("event_type", "total_votes", "n_events"))
+    val turnout = graft.streaming.StreamGate.turnoutByLocation(spark, dir)
+    assert(turnout.count() == 0)
+    assert(graft.streaming.StreamGate.votesWindowed(spark, dir).count() == 0)
+    assert(graft.streaming.StreamGate.similarityTopK(spark, dir).count() == 0)
+  }
+
   test("batch session_window agrees with gaps-and-islands sessionization on real events") {
     import spark.implicits._
     val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
