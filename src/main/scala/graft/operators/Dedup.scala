@@ -265,11 +265,13 @@ object Dedup {
   def simhashHammingPairs(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
     // no persist: the native simhash is cheap enough that recomputing
     // for the self-join's two sides beats holding a session-lifetime
-    // cache entry (persist here previously leaked across bench runs)
-    val fp = docs(spark, dir)
-      .select(col("source"), col("doc_id"), simhash64(col("text")).as("sh"))
-    val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = fp.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // cache entry (persist here previously leaked across bench runs).
+    // The b side reads the PLAIN relation: it broadcasts, so the
+    // local parallelism rebalance would be a wasted exchange
+    val a = docs(spark, dir)
+      .select(col("source"), col("doc_id").as("doc_a"), simhash64(col("text")).as("sh_a"))
+    val b = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id").as("doc_b"), simhash64(col("text")).as("sh_b"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
@@ -282,10 +284,10 @@ object Dedup {
     * 16-bit fingerprint algebra the oracle pins via dedup_simhash).
     */
   def simhashHammingPairs16(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val fp = docs(spark, dir)
-      .select(col("source"), col("doc_id"), simhash16(col("text")).as("sh"))
-    val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = fp.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = docs(spark, dir)
+      .select(col("source"), col("doc_id").as("doc_a"), simhash16(col("text")).as("sh_a"))
+    val b = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id").as("doc_b"), simhash16(col("text")).as("sh_b"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))

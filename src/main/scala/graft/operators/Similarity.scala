@@ -29,6 +29,14 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.parallel(spark, dir, "embeddings")
 
+  /** Broadcast-destined lineages read the PLAIN relation: the local
+    * rebalance exists to parallelize map-heavy scoring over the big
+    * side, and paying it on a side that is about to be broadcast is
+    * a wasted exchange (caught by PlanShapeSpec).
+    */
+  private def embPlain(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+
   /** Per-query top-k over (query_id, neighbor_id, cos) via the
     * bounded-buffer TopKAggregator: each partition keeps at most k
     * candidates per query (partial aggregation), so the shuffle
@@ -55,10 +63,10 @@ object Similarity {
     * shuffled until the tiny per-query top-k.
     */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val e = emb(spark, dir)
-    val queries = e.filter(col("vec_id") < nQueries)
+    val queries = embPlain(spark, dir)
+      .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val cands = emb(spark, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = cands
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
@@ -77,10 +85,13 @@ object Similarity {
       k: Int = 5,
       planes: Int = 6,
   ): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
-    val queries = e.filter(col("vec_id") < nQueries)
+    val queries = embPlain(spark, dir)
+      .filter(col("vec_id") < nQueries)
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+    val cands = emb(spark, dir)
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
     val scored = cands
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -106,9 +117,9 @@ object Similarity {
       k: Int = 5,
       planes: Int = 6,
   ): DataFrame = {
-    val e = emb(spark, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
-    val probes = e
+    val probes = embPlain(spark, dir)
       .filter(col("vec_id") < nQueries)
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("qe"),
@@ -118,7 +129,9 @@ object Similarity {
           )
         ).as("bucket"),
       )
-    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+    val cands = emb(spark, dir)
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
     val scored = cands
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -151,9 +164,10 @@ object Similarity {
       dir: String,
       threshold: Double = 0.4,
   ): DataFrame = {
-    val e = emb(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val a = emb(spark, dir)
+      .select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embPlain(spark, dir)
+      .select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine(col("ea"), col("eb")))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the 100 TB claims made in operator
+  * scaladoc, asserted against the actual physical plans so a future
+  * edit cannot silently reintroduce a corpus-sized shuffle.
+  *
+  * Counted on the pre-execution plan (AQE not yet re-planned):
+  * shuffle exchanges = data exchanges whose volume scales with the
+  * corpus unless stated otherwise; broadcast exchanges are dim-sized
+  * by construction.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def collectPlan(df: DataFrame): Seq[SparkPlan] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def shuffles(df: DataFrame): Int =
+    collectPlan(df).count(_.isInstanceOf[ShuffleExchangeLike])
+
+  private def broadcasts(df: DataFrame): Int =
+    collectPlan(df).count(_.isInstanceOf[BroadcastExchangeLike])
+
+  private def sortMergeJoins(df: DataFrame): Int =
+    collectPlan(df).count(_.getClass.getSimpleName.startsWith("SortMergeJoin"))
+
+  test("map-side text analytics plan with zero exchanges") {
+    // quality scoring, simhash fingerprints, winnowing summaries: pure
+    // per-row expressions — any Exchange here would be a regression
+    val quality = graft.operators.TextAnalysis.qualityScores(spark, sf)
+    assert(shuffles(quality) == 0, quality.queryExecution.executedPlan.toString.take(500))
+    val winnow = graft.operators.TextAnalysis.winnowingStats(spark, sf)
+    assert(shuffles(winnow) == 0)
+  }
+
+  test("dim-enriched aggregation broadcasts the dims and shuffles only the tiny group-by") {
+    val df = graft.operators.RelationalQueries.turnoutByLocation(spark, sf)
+    assert(sortMergeJoins(df) == 0, "fact-side join must be broadcast, not sort-merge")
+    assert(broadcasts(df) >= 1)
+    assert(shuffles(df) <= 1, s"expected only the |nations|-key aggregate exchange, got ${shuffles(df)}")
+  }
+
+  test("similarity top-k shuffles only bounded top-k buffers") {
+    val df = graft.operators.Similarity.bruteForceTopK(spark, sf)
+    // corpus side: local rebalance (small-file parallelism) at most;
+    // the aggregation exchange carries <= k rows per (query,partition)
+    assert(broadcasts(df) >= 1, "query side must broadcast")
+    assert(sortMergeJoins(df) == 0)
+    assert(shuffles(df) <= 2, s"got ${shuffles(df)} shuffles")
+  }
+
+  test("n-gram jaccard pipeline is exactly the two posting-list exchanges (plus local rebalance)") {
+    val df = graft.operators.Dedup.ngramJaccardPairs(spark, sf)
+    // posting lists + pair counts; the third allowed exchange is
+    // Tables.parallel's LOCAL small-file rebalance, which disappears
+    // on a many-file deployment (conditional repartition)
+    assert(shuffles(df) <= 3, s"got ${shuffles(df)} shuffles")
+    assert(sortMergeJoins(df) == 0, "size lookups must ride the posting lists, not joins")
+  }
+
+  test("simhash pairs never shuffle the corpus") {
+    val df = graft.operators.Dedup.simhashHammingPairs(spark, sf)
+    // source-blocked pairing: fingerprint side broadcasts per block;
+    // only Tables.parallel's local rebalance may appear
+    assert(shuffles(df) <= 1, s"got ${shuffles(df)} shuffles")
+  }
+}
