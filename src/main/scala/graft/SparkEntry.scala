@@ -61,10 +61,14 @@ object SparkEntry {
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
+    "text_normalize" -> (TextAnalysis.normalizeStats _),
+    "text_repetition" -> (TextAnalysis.repetitionStats _),
+    "text_quality_filter" -> (TextAnalysis.gopherQualityFilter _),
     "text_lang_id" -> (TextAnalysis.langIdConfusion _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_clusters" -> (Dedup.nearDupClusters _),
     "dedup_simhash" -> (Dedup.simhashFingerprints _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashHammingPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -77,6 +81,7 @@ object SparkEntry {
     "ivf_assign" -> (IvfIndex.assignments _),
     "session_windows" -> (RelationalQueries.sessionWindows _),
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
+    "sample_weighted_mix" -> (graft.operators.Sampling.weightedMixStats _),
     "decontamination_overlap" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlap(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
   )
@@ -223,6 +228,35 @@ object SparkEntry {
       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g)""".stripMargin
 
+  /** Full CTE chain producing the verified MinHash-LSH near-dup pairs
+    * as `lshpairs` — shared by the dedup_minhash_lsh oracle and the
+    * dedup_clusters transitive-closure oracle.
+    */
+  private def minhashPairCtes =
+    s"""$shingleCtes,
+       |sig AS (
+       |  SELECT doc_id, s, min(md5(s || '|' || shingle)) AS mh
+       |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS s) hs
+       |  GROUP BY doc_id, s),
+       |bands AS (
+       |  SELECT doc_id, b, md5(string_agg(mh, ',' ORDER BY s)) AS bkey
+       |  FROM (SELECT doc_id, s, mh, s // 3 AS b FROM sig) GROUP BY doc_id, b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |comm AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |lshpairs AS (
+       |  SELECT c.doc_a, c.doc_b, n_common, na.n + nb.n - n_common AS n_union,
+       |         CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+       |  FROM comm c JOIN nsh na ON na.doc_id = c.doc_a JOIN nsh nb ON nb.doc_id = c.doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3)""".stripMargin
+
   private val stopList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
   private val stopCount =
     s"len(list_filter(string_split(text, ' '), x -> x IN ($stopList)))"
@@ -365,6 +399,39 @@ object SparkEntry {
          |       WHEN CAST($stopCount AS DOUBLE) / len(string_split(text, ' ')) > 0.2 THEN 'stopword_heavy'
          |       ELSE 'ok' END AS quality_class
          |FROM documents""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS norm_hash, CAST(length(nt) AS BIGINT) AS n_chars_norm
+        |FROM n""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x)
+        |SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT gram) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT gram) AS DOUBLE) / count(*) AS dup_ratio
+        |FROM g GROUP BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    len(string_split(text, ' ')) AS nt,
+         |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS meanlen,
+         |    len(list_filter([$stopList], w -> list_contains(string_split(text, ' '), w))) AS nstop
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_short,
+         |  CAST(sum(CASE WHEN nt > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_long,
+         |  CAST(sum(CASE WHEN meanlen < 3.0 OR meanlen > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanword,
+         |  CAST(sum(CASE WHEN nstop < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+         |  CAST(sum(CASE WHEN nt >= 20 AND nt <= 1000 AND meanlen >= 3.0 AND meanlen <= 10.0
+         |                     AND nstop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM f GROUP BY source""".stripMargin,
     "text_lang_id" -> {
       val scores = TextAnalysis.markers
         .map { case (lang, ws) =>
@@ -391,28 +458,25 @@ object SparkEntry {
         |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
         |FROM documents GROUP BY source""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH $shingleCtes,
-         |sig AS (
-         |  SELECT doc_id, s, min(md5(s || '|' || shingle)) AS mh
-         |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS s) hs
-         |  GROUP BY doc_id, s),
-         |bands AS (
-         |  SELECT doc_id, b, md5(string_agg(mh, ',' ORDER BY s)) AS bkey
-         |  FROM (SELECT doc_id, s, mh, s // 3 AS b FROM sig) GROUP BY doc_id, b),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |comm AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT c.doc_a, c.doc_b, n_common, na.n + nb.n - n_common AS n_union,
-         |       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
-         |FROM comm c JOIN nsh na ON na.doc_id = c.doc_a JOIN nsh nb ON nb.doc_id = c.doc_b
-         |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
+      s"""WITH $minhashPairCtes
+         |SELECT doc_a, doc_b, n_common, n_union, jaccard FROM lshpairs""".stripMargin,
+    // transitive closure of the LSH pair graph: WITH RECURSIVE with a
+    // UNION (set semantics) fixpoint — each step extends every
+    // reached (node, label) across one edge, so min(label) per node
+    // is the component minimum, exactly the Spark min-label fixpoint
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
+         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, sz.n_members,
+         |       CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+         |FROM cc JOIN sz USING (cluster_id)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |hv AS (SELECT doc_id, $hvSql AS v FROM tok),
@@ -549,6 +613,16 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN sh < '20' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY lang, split""".stripMargin,
+    "sample_weighted_mix" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CASE CAST(regexp_extract(source, '\d+') AS INT) % 4
+        |      WHEN 0 THEN 'ff' WHEN 1 THEN '7f' WHEN 2 THEN '3f' ELSE '1f' END AS thr,
+        |    substr(md5(text || '|mix'), 1, 2) AS b
+        |  FROM documents)
+        |SELECT source, thr AS threshold, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN b <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+        |FROM f GROUP BY source, thr""".stripMargin,
     "decontamination_overlap" ->
       """WITH sp AS (SELECT doc_id, text,
         |   CASE WHEN substr(md5(text || '|split'), 1, 2) < 'cc' THEN 'train'

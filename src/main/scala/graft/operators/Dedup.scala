@@ -196,6 +196,98 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair graph —
+    * the canonical-document step every production dedup pipeline
+    * needs: LSH emits PAIRS, but "keep one doc per duplicate GROUP"
+    * requires the transitive closure (a~b, b~c ⇒ {a,b,c} are one
+    * group even if a~c never collided in a band).
+    *
+    * Algorithm: Pregel-style iterative min-label propagation. Every
+    * vertex starts labeled with itself; each round every vertex takes
+    * the min of its own and its neighbors' labels; at fixpoint the
+    * label is the component's minimum doc id — a deterministic
+    * cluster id.
+    *
+    * Scale shape (100 TB):
+    *  - the pair graph is orders of magnitude smaller than the corpus
+    *    (only banding collisions), and every round touches ONLY the
+    *    graph: one equi-join (labels ⋈ edges) + one min-aggregation,
+    *    both shuffling on vertex id;
+    *  - rounds = component diameter. Near-dup components are
+    *    star-like (diameter ≲ 4), so this converges in a handful of
+    *    rounds; an adversarially chain-shaped graph would call for
+    *    the alternating large-star/small-star variant (O(log n)
+    *    rounds) — same per-round plan, different message rule;
+    *  - lineage is truncated every round (localCheckpoint — on a
+    *    cluster, a checkpoint dir / table write): without it the plan
+    *    doubles per round and re-derives the LSH pipeline each time;
+    *  - convergence is a scalar check per round (any label still
+    *    shrinking?), not a driver-side data loop.
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for
+    * every doc appearing in a pair (singletons are their own implicit
+    * cluster and are not materialized).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // materialize the pair set once: edges are re-read every round,
+    // and an unmaterialized lineage would re-run the whole candidate
+    // pipeline per round
+    val once = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .localCheckpoint()
+    val edges = once.union(once.select(col("dst").as("src"), col("src").as("dst")))
+
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 64 // diameter bound; propagation is monotone, so
+    //                    hitting it means a pathological graph, not an
+    //                    infinite loop — fail loudly rather than emit
+    //                    a partially-propagated (wrong) clustering
+    while (!converged && rounds < maxRounds) {
+      val prop = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("lbl"))
+      val next = prop
+        .union(labels)
+        .groupBy("id")
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // labels only ever decrease: any strict drop means another round
+      val shrunk = next
+        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
+        .filter(col("lbl") < col("prev"))
+        .limit(1)
+        .count()
+      labels = next
+      converged = shrunk == 0
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Near-duplicate clusters from the MinHash-LSH pair graph:
+    * transitive closure + per-cluster size + canonical-doc flag (the
+    * min-id member). Downstream dedup keeps `is_canonical = 1` rows —
+    * the "drop all but one per group" step at corpus scale.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cc = connectedComponents(minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cc.join(broadcast(sizes), Seq("cluster_id"))
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("n_members"),
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0).cast("int").as("is_canonical"),
+      )
+  }
+
   /** SimHash fingerprint (16-bit): per whitespace token take 4 hex
     * chars of md5, accumulate ±1 votes per bit over the token
     * multiset, fingerprint bit j = 1 iff vote_j > 0. Near-dup docs

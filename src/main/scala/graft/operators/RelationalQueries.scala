@@ -62,11 +62,26 @@ object RelationalQueries {
 
     // ---- scaled-long money -------------------------------------------
     // The decimal cast is the verified cross-engine HALF_UP quantizer
-    // (see scaladoc above); everything after it can be exact 64-bit
-    // integer arithmetic, which aggregates as a codegen primitive
+    // (see scaladoc above); per-ROW arithmetic after it is exact
+    // 64-bit integer math, which evaluates as a codegen primitive
     // instead of boxing through 128-bit decimals (~25% on the
-    // scan-aggregate queries; measured in round 2). Longs hold exact
-    // money sums to ±9.2e16 dollars — far past any corpus here.
+    // scan-aggregate queries; measured in round 2).
+    //
+    // Overflow headroom is PER SCALE, and long sums only hold at the
+    // base scale:
+    //  - cents (×10²):  Long sums are exact to ±9.2e16 cents =
+    //    ±9.2e14 dollars per group — TPC-H q1-style group sums are
+    //    ~5.4e10 dollars at sf1, so the long path is safe past
+    //    sf10⁶ (≫ the 100 TB ≈ sf10⁵ design point).
+    //  - product scales (×10⁴ from cents×hundredths, ×10⁶ from two
+    //    factors): a Long sum overflows at ±9.2e14 / ±9.2e12 dollars
+    //    per group — q1 crosses the ×10⁶ bound near sf150-200, far
+    //    BELOW the design point. Product sums therefore go through
+    //    [[sumScaled]]: the per-row product stays a cheap exact long,
+    //    but the aggregation buffer is decimal(38,0) (exact to 1e38 —
+    //    ≈1e32 dollars at ×10⁶ scale), and only the final rounded
+    //    cents value returns to long. Under ANSI a hypothetical
+    //    overflow raises rather than wrapping, in both paths.
 
     /** Per-row quantization to integer cents (exact). */
     def cents(c: Column): Column = (dec2(c) * 100).cast("long")
@@ -82,12 +97,22 @@ object RelationalQueries {
       */
     def moneyFromCents(c: Column): Column = c.cast("double") / 100.0
 
+    /** Exact sum of a scaled-long product: the rows are longs (codegen
+      * multiply), the buffer is decimal(38,0) (no Long overflow at any
+      * corpus size — see the headroom note above). Partial aggregation
+      * still applies; only the narrow post-shuffle buffer pays the
+      * 128-bit representation.
+      */
+    def sumScaled(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
     /** round(·, 2) of a sum carried at `down`×cents scale (products
       * of cents × hundredths are at down=100; × two factors at
-      * down=10000), in pure integer math: half-away-from-zero — the
-      * round semantics of BOTH engines — then exact double. The
-      * integral divide keeps everything in longs; a double-division
-      * shortcut would lose exactness past 2^53.
+      * down=10000), in pure integral math: half-away-from-zero — the
+      * round semantics of BOTH engines — then exact double. Accepts
+      * the decimal(38,0) [[sumScaled]] result (IntegralDivide is
+      * exact on decimals and returns a long, which always fits: the
+      * rounded value is plain cents); a double-division shortcut
+      * would lose exactness past 2^53.
       */
     def moneyFromScaled(s: Column, down: Long): Column = {
       val half = lit(down / 2)
@@ -197,8 +222,8 @@ object RelationalQueries {
       .agg(
         moneyFromCents(sum(col("__q"))).as("sum_qty"),
         moneyFromCents(sum(col("__p"))).as("sum_base_price"),
-        moneyFromScaled(sum(col("__p") * col("__df")), 100L).as("sum_disc_price"),
-        moneyFromScaled(sum(col("__p") * col("__df") * col("__tf")), 10000L).as("sum_charge"),
+        moneyFromScaled(sumScaled(col("__p") * col("__df")), 100L).as("sum_disc_price"),
+        moneyFromScaled(sumScaled(col("__p") * col("__df") * col("__tf")), 10000L).as("sum_charge"),
         (moneyFromCents(sum(col("__q"))) / count(lit(1))).as("avg_qty"),
         (moneyFromCents(sum(col("__p"))) / count(lit(1))).as("avg_price"),
         (moneyFromCents(sum(col("__d"))) / count(lit(1))).as("avg_disc"),
@@ -217,7 +242,7 @@ object RelationalQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(moneyFromScaled(sum(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
+      .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
       .select(
         col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
@@ -249,7 +274,7 @@ object RelationalQueries {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(moneyFromScaled(sum(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
+      .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
   }
 
   /** Global top-N: ORDER BY + LIMIT with a unique tie-break.
@@ -273,7 +298,7 @@ object RelationalQueries {
     val nation = t(spark, dir, "nation")
     val rev = t(spark, dir, "lineitem")
       .groupBy("l_suppkey")
-      .agg(moneyFromScaled(sum(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
+      .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
     val w = Window.partitionBy("s_nationkey").orderBy(col("revenue").desc, col("l_suppkey"))
     rev
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -387,7 +412,7 @@ object RelationalQueries {
   def havingFilter(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_suppkey")
-      .agg(moneyFromScaled(sum(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
+      .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
       .filter(col("revenue") > 1000000)
 
   /** As-of enrichment: each event picks up the customer's most

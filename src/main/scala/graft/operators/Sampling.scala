@@ -61,6 +61,35 @@ object Sampling {
         sum(when(col("sh") < "20", 1L).otherwise(0L)).as("n_sampled"),
       )
 
+  /** Deterministic domain reweighting — the "training mix" op: each
+    * source (domain) gets a target sampling rate, applied as a
+    * content-hash threshold so the selected subset is stable across
+    * re-runs and engines. Rates here cycle {1, 1/2, 1/4, 1/8} by the
+    * source's numeric id (a stand-in for a real mix config); the
+    * comparison is `bucket <= hex-threshold` ("ff" keeps all 256
+    * buckets, "7f" the lower 128, …). Map-side per-row decision, one
+    * |sources|-key aggregation — scan-speed at 100 TB.
+    */
+  def weightedMixStats(spark: SparkSession, dir: String): DataFrame = {
+    val srcId = regexp_extract(col("source"), "\\d+", 0).cast("int")
+    val threshold = when(pmod(srcId, lit(4)) === 0, "ff")
+      .when(pmod(srcId, lit(4)) === 1, "7f")
+      .when(pmod(srcId, lit(4)) === 2, "3f")
+      .otherwise("1f")
+    docs(spark, dir)
+      .select(
+        col("source"),
+        threshold.as("thr"),
+        (hashBucket(col("text"), "mix") <= threshold).as("sel"),
+      )
+      .groupBy("source", "thr")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+      )
+      .select(col("source"), col("thr").as("threshold"), col("n_docs"), col("n_selected"))
+  }
+
   /** Benchmark decontamination: training documents that share word
     * shingles with any held-out (test-split) document, with the count
     * of distinct shared shingles — the standard n-gram-overlap

@@ -44,11 +44,20 @@ object Similarity {
     * row — the scale-safe shape for N×Q scoring at 100 TB. Ties
     * break (score desc, id asc), identical to the row_number window
     * formulation (equality pinned in TopKAggregatorSpec).
+    *
+    * Degenerate scores are dropped BEFORE ranking: a zero-norm
+    * embedding yields cos = NaN (and a malformed one yields null),
+    * and the two formulations disagree on NaN placement (Scala's
+    * total order sorts NaN last after negation; Spark's DESC window
+    * ranks NaN first) — an unrankable score is meaningless as a
+    * neighbor either way, so filtering is both the correct semantics
+    * and what keeps the forms equivalent on degenerate inputs.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .select(col("query_id"), col("neighbor_id"), col("cos"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)

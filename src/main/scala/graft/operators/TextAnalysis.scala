@@ -192,6 +192,110 @@ object TextAnalysis {
         col("s.m").as("min_fp"),
       )
 
+  /** Aggressive text normalization for matching/dedup: lowercase,
+    * strip everything outside [a-z0-9 ], collapse runs of spaces,
+    * trim. The canonical pre-pass before fingerprinting or n-gram
+    * overlap when punctuation/casing noise must not break matches.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Per-document normalization outcome: content hash and length of
+    * the normalized form (map-side, scan-speed — the shape of a
+    * normalize-then-exact-dedup pass at 100 TB).
+    */
+  def normalizeStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      // one projection shares the normalized string between hash and
+      // length (separate projections would run the regexes twice)
+      .select(col("doc_id"), normalized(col("text")).as("__n"))
+      .select(
+        col("doc_id"),
+        md5(col("__n")).as("norm_hash"),
+        length(col("__n")).cast("long").as("n_chars_norm"),
+      )
+
+  /** Per-document repeated word-bigram ratio — the Gopher-style
+    * intra-document repetition signal (high ratio = boilerplate /
+    * degenerate text). Positional bigrams, duplicates counted:
+    * dup_ratio = (n_bigrams − n_distinct) / n_bigrams. Pure per-row
+    * array math; the ratio divides identical integers, so the double
+    * is bit-identical cross-engine.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(
+        col("doc_id"),
+        // tokens AND the bigram array are let-bound: the distinct-size
+        // reference would otherwise rebuild the whole bigram array
+        // (and each bigram the token array) per reference
+        graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+          graft.functions.Let.bindArray(
+            transform(
+              sequence(lit(0), size(toks) - 2),
+              i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)),
+            )
+          ) { grams =>
+            struct(
+              size(grams).cast("long").as("n_bigrams"),
+              size(array_distinct(grams)).cast("long").as("n_distinct"),
+            )
+          }
+        }.as("r"),
+      )
+      .select(
+        col("doc_id"),
+        col("r.n_bigrams"),
+        col("r.n_distinct"),
+        ((col("r.n_bigrams") - col("r.n_distinct")).cast("double") / col("r.n_bigrams"))
+          .as("dup_ratio"),
+      )
+
+  /** Gopher-style quality-rule filter, aggregated per source: how
+    * many docs each rule rejects and how many survive all of them.
+    * Rules (thresholds compare doubles built from identical integers
+    * — deterministic cross-engine):
+    *  - too short: < 20 tokens;  too long: > 1000 tokens;
+    *  - mean token length outside [3, 10];
+    *  - fewer than 2 DISTINCT stopwords present.
+    * The per-row rule flags are map-side; the only shuffle is the
+    * |sources|-key final aggregation — scan-speed at 100 TB.
+    */
+  def gopherQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("source"),
+        graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+          val nTok = size(toks)
+          // mean token length over the token split: total chars minus
+          // the separators, divided by token count
+          val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+          val nStopDistinct =
+            size(array_intersect(array_distinct(toks), array(stopwordsEn.map(lit(_)): _*)))
+          struct(
+            (nTok < 20).as("f_short"),
+            (nTok > 1000).as("f_long"),
+            (meanLen < 3.0 || meanLen > 10.0).as("f_meanword"),
+            (nStopDistinct < 2).as("f_stopword"),
+          )
+        }.as("f"),
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("f.f_short"), 1L).otherwise(0L)).as("n_fail_short"),
+        sum(when(col("f.f_long"), 1L).otherwise(0L)).as("n_fail_long"),
+        sum(when(col("f.f_meanword"), 1L).otherwise(0L)).as("n_fail_meanword"),
+        sum(when(col("f.f_stopword"), 1L).otherwise(0L)).as("n_fail_stopword"),
+        sum(
+          when(
+            !col("f.f_short") && !col("f.f_long") && !col("f.f_meanword") && !col("f.f_stopword"),
+            1L,
+          ).otherwise(0L)
+        ).as("n_keep"),
+      )
+
   /** Fingerprint stats per source: exact-duplicate detection via
     * normalized-text fingerprints.
     */

@@ -1,10 +1,10 @@
 package graft.sources
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+
+import graft.util.SessionCache
 
 /** Loader for the driver-generated parquet corpus (TESTDATA.md).
   *
@@ -25,12 +25,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings",
   )
 
-  private val cache = TrieMap.empty[(SparkSession, String, String, Boolean), DataFrame]
+  // weak session keys + weak values: memoization must not pin a
+  // session (or its plans) for the JVM lifetime — see SessionCache
+  private val cache = new SessionCache[(String, String, Boolean), DataFrame]
 
   /** Drop every memoized relation (e.g. between benchmark runs, so a
     * timed run cannot ride on a previous run's listing work).
     */
-  def invalidate(): Unit = cache.clear()
+  def invalidate(): Unit = cache.invalidate()
 
   /** Parquet TIMESTAMP(NANOS) (the `events.ts` column) is not a legal
     * Spark type; read it as a raw nanos long, then convert to a
@@ -38,13 +40,13 @@ object Tables {
     * dynamic SQLConf, so this works on any caller-provided session.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir, name, false), {
+    cache.getOrElseUpdate(spark, (dir, name, false)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else df
-    })
+    }
 
   /** Like apply, but with full-cluster parallelism GUARANTEED for the
     * expression-heavy map work downstream (hashing, vector math).
@@ -58,11 +60,11 @@ object Tables {
     * operator invocation.
     */
   def parallel(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir, name, true), {
+    cache.getOrElseUpdate(spark, (dir, name, true)) {
       val df = apply(spark, dir, name)
       val cores = spark.sparkContext.defaultParallelism
       // physical planning only — no job runs; memoized with the relation
       val scanParts = df.rdd.getNumPartitions
       if (scanParts < cores) df.repartition(cores) else df
-    })
+    }
 }

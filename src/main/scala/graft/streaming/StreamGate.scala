@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -52,9 +51,13 @@ object StreamGate {
     else Files.createTempDirectory(prefix).toString
   }
 
-  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // weak session keys + weak values (see SessionCache): the gate
+  // results are collected-row frames that strongly reference the
+  // session, so a plain object-level map would pin it forever. An
+  // evicted entry just re-runs the bundle — same cost as invalidate()
+  private val cache = new graft.util.SessionCache[(String, String), DataFrame]
 
-  def invalidate(): Unit = cache.clear()
+  def invalidate(): Unit = cache.invalidate()
 
   /** Streaming twin of RelationalQueries.votesPerCandidate. */
   def votesPerCandidate(spark: SparkSession, dir: String): DataFrame =
@@ -78,25 +81,32 @@ object StreamGate {
 
   private def result(spark: SparkSession, dir: String, which: String): DataFrame =
     synchronized {
-      if (!cache.contains((spark, dir, which))) runBundle(spark, dir)
-      cache((spark, dir, which))
+      cache.get(spark, (dir, which)).getOrElse {
+        val results = runBundle(spark, dir)
+        results.foreach { case (k, v) => cache.put(spark, (dir, k), v) }
+        results(which)
+      }
     }
 
   /** One concurrent bundle: three streaming queries started together
     * (fan-out pass, stateful windowed, similarity scoring), all on
     * AvailableNow triggers, awaited together.
     */
-  private def runBundle(spark: SparkSession, dir: String): Unit = {
+  private def runBundle(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     // dedicated lock: callbacks run on stream-execution threads while
     // this thread blocks in awaitTermination holding the StreamGate
     // monitor — synchronizing callbacks on StreamGate would deadlock
     val lock = new Object
-    val votesPartials = new ArrayBuffer[Row]()
-    val turnoutPartials = new ArrayBuffer[Row]()
+    // keyed by batch id and REPLACED per invocation: foreachBatch is
+    // at-least-once, so a retried micro-batch must overwrite its own
+    // partials, not append a second copy (which would double-count
+    // the exact integer-cents sums)
+    val votesPartials = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
+    val turnoutPartials = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
     var votesSchema: StructType = null
     var turnoutSchema: StructType = null
     val windowedRows = new ArrayBuffer[(Long, Row)]()
-    val scoredRows = new ArrayBuffer[Row]()
+    val scoredRows = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
 
     val dim = Tables(spark, dir, "customer")
       .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -116,7 +126,7 @@ object StreamGate {
         .eventsStream(spark, dir)
         .writeStream
         .option("checkpointLocation", scratchDir("graft-ckpt-gate"))
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
           val b = batch.persist()
           try {
             // partial, not final: exact integer-cents sums + counts
@@ -133,8 +143,8 @@ object StreamGate {
             lock.synchronized {
               votesSchema = v.schema
               turnoutSchema = t.schema
-              votesPartials ++= vRows
-              turnoutPartials ++= tRows
+              votesPartials(batchId) = vRows
+              turnoutPartials(batchId) = tRows
             }
             ()
           } finally { b.unpersist(); () }
@@ -174,16 +184,29 @@ object StreamGate {
       val qScored = scored.writeStream
         .outputMode("append")
         .option("checkpointLocation", scratchDir("graft-ckpt-sim"))
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
           val rows = batch.collect()
-          lock.synchronized { scoredRows ++= rows; () }
+          lock.synchronized { scoredRows(batchId) = rows; () }
         }
         .trigger(Trigger.AvailableNow())
         .start()
 
-      qFanOut.awaitTermination()
-      qWindowed.awaitTermination()
-      qScored.awaitTermination()
+      // if any bundle query fails, stop the others before rethrowing:
+      // otherwise the cache is never populated and a retrying caller
+      // re-runs the bundle alongside still-running zombie queries
+      // (duplicate source scans, orphan scratch checkpoints)
+      try {
+        qFanOut.awaitTermination()
+        qWindowed.awaitTermination()
+        qScored.awaitTermination()
+      } catch {
+        case e: Throwable =>
+          Seq(qFanOut, qWindowed, qScored).foreach { q =>
+            try q.stop()
+            catch { case stopErr: Throwable => e.addSuppressed(stopErr) }
+          }
+          throw e
+      }
 
       def ofRows(rows: Seq[Row], schema: StructType): DataFrame =
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
@@ -198,12 +221,12 @@ object StreamGate {
         .add("n_name", StringType).add("pt", LongType)
       val (vRows, vSchema, tRows, tSchema, wRows, sRows) = lock.synchronized {
         (
-          votesPartials.toSeq,
+          votesPartials.values.flatten.toSeq,
           Option(votesSchema).getOrElse(emptyVotesSchema),
-          turnoutPartials.toSeq,
+          turnoutPartials.values.flatten.toSeq,
           Option(turnoutSchema).getOrElse(emptyTurnoutSchema),
           windowedRows.toSeq,
-          scoredRows.toSeq,
+          scoredRows.values.flatten.toSeq,
         )
       }
 
@@ -235,10 +258,12 @@ object StreamGate {
         .filter(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id")
 
-      cache((spark, dir, "votes")) = votes
-      cache((spark, dir, "turnout")) = turnout
-      cache((spark, dir, "windowed")) = ofRows(windowedFinal, windowedSchema)
-      cache((spark, dir, "similarity")) = similarity
+      Map(
+        "votes" -> votes,
+        "turnout" -> turnout,
+        "windowed" -> ofRows(windowedFinal, windowedSchema),
+        "similarity" -> similarity,
+      )
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupClustersSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("connected components: transitive closure across a chain needs >1 round") {
+    import spark.implicits._
+    // 1-2-3-4-5 is a diameter-4 chain: label 1 must hop four times,
+    // so convergence (not single-round propagation) is what's tested.
+    // {10,11} is a separate component; doc 99 never appears (no pair
+    // → no row, singletons are implicit).
+    val pairs = Seq(
+      (2L, 3L), (1L, 2L), (4L, 5L), (3L, 4L),
+      (10L, 11L),
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("near-dup clusters carry sizes and exactly one canonical doc each") {
+    val rows = Dedup.nearDupClusters(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 corpus has LSH near-dup pairs")
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.length >= 2, s"cluster $cid has a single member — singleton materialized")
+      assert(members.map(_.getLong(0)).min == cid, s"cluster id $cid is not the min member id")
+      assert(members.count(_.getInt(3) == 1) == 1, s"cluster $cid canonical count != 1")
+      assert(members.forall(_.getLong(2) == members.length.toLong), s"cluster $cid size mismatch")
+    }
+    // clusters must cover the pair graph: every doc in a verified pair
+    // lands in exactly one cluster
+    val paired = Dedup
+      .minhashLshPairs(spark, sf)
+      .select("doc_a")
+      .union(Dedup.minhashLshPairs(spark, sf).select("doc_b"))
+      .distinct()
+      .count()
+    assert(rows.length.toLong == paired)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Invariants for the text-pipeline operators (exact values are
+  * pinned by the DuckDB oracle gate; these specs pin the properties
+  * the gate can't express).
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("normalization is idempotent and produces only [a-z0-9 ] singles-spaced") {
+    import spark.implicits._
+    val raw = Seq("  Hello,   WORLD!! 42  ", "a--b", "", "ALREADY normal text").toDF("text")
+    val once = TextAnalysis.normalized(col("text"))
+    val rows = raw
+      .select(
+        once.as("n1"),
+        TextAnalysis.normalized(once).as("n2"),
+      )
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "normalize must be idempotent")
+      assert(!r.getString(0).matches(".*[^a-z0-9 ].*"), s"illegal char in '${r.getString(0)}'")
+      assert(!r.getString(0).contains("  "), "spaces must be collapsed")
+    }
+    assert(rows.map(_.getString(0)).toSeq == Seq("hello world 42", "ab", "", "already normal text"))
+  }
+
+  test("repetition ratio is (n_bigrams - n_distinct)/n_bigrams within [0,1)") {
+    val rows = TextAnalysis.repetitionStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nd, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nd >= 1 && nd <= nb)
+      assert(math.abs(ratio - (nb - nd).toDouble / nb) == 0.0)
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
+
+  test("gopher filter counts are consistent per source") {
+    val rows = TextAnalysis.gopherQualityFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val fails = (2 to 5).map(r.getLong)
+      val keep = r.getLong(6)
+      assert(fails.forall(f => f >= 0 && f <= n))
+      // a doc failing any rule is not kept; overlapping failures mean
+      // the sum of fail counts can exceed n - keep but never undershoot
+      assert(keep <= n && fails.sum >= n - keep)
+    }
+  }
+
+  test("weighted mix selects at most n_docs and honors the threshold ladder") {
+    val rows = Sampling.weightedMixStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val thresholds = Set("ff", "7f", "3f", "1f")
+    rows.foreach { r =>
+      assert(thresholds.contains(r.getString(1)))
+      assert(r.getLong(3) <= r.getLong(2))
+      // "ff" keeps every bucket — selection must equal the doc count
+      if (r.getString(1) == "ff") assert(r.getLong(3) == r.getLong(2))
+    }
+  }
+}

@@ -51,4 +51,30 @@ class TopKAggregatorSpec extends AnyFunSuite {
     val bf = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
     assert(bf.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(bf).isEmpty)
   }
+
+  test("degenerate (zero-norm → NaN) scores are excluded from rankings") {
+    import spark.implicits._
+    // query 0 scored against three neighbors, one of them zero-norm:
+    // cosine = 0/0 = NaN. Scala's total order (sortBy(-score)) would
+    // rank NaN LAST while Spark's DESC window ranks NaN FIRST — the
+    // production path must instead drop the unrankable score, so both
+    // formulations agree and no NaN neighbor ever surfaces.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), // query
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // zero-norm: cos = NaN
+      (3L, Array(0.1f, 0.9f)),
+    ).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("qe"), col("ce")))
+
+    val nanScores = scored.filter(isnan(col("cos"))).count()
+    assert(nanScores == 1, "fixture must actually produce a NaN score")
+
+    val ranked = Similarity.topKPerQuery(scored, 2).collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranked.toSeq == Seq((1L, 1L), (2L, 3L)), s"got ${ranked.toSeq}")
+  }
 }
