@@ -57,6 +57,7 @@ object SparkEntry {
     "stream_votes_windowed" -> (graft.streaming.StreamGate.votesWindowed _),
     "stream_similarity_topk" -> (graft.streaming.StreamGate.similarityTopK _),
     "stream_turnout_by_location" -> (graft.streaming.StreamGate.turnoutByLocation _),
+    "stream_interval_join" -> (graft.streaming.StreamGate.intervalJoin _),
     "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
@@ -655,6 +656,14 @@ object SparkEntry {
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // epoch_us mirrors the Spark side's nanos→micros truncation (the
+    // determinism rule: never compare raw cross-precision timestamps)
+    "stream_interval_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |       a.event_type AS type_a, b.event_type AS type_b
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
         |FROM documents,

@@ -79,6 +79,14 @@ object StreamGate {
   def similarityTopK(spark: SparkSession, dir: String): DataFrame =
     result(spark, dir, "similarity")
 
+  /** Stream-stream interval self-join: for each event, the same
+    * user's events in the following 5 minutes. Watermarks bound the
+    * join state on both sides (ST6/ST9 surface); inner interval
+    * joins emit on match, so append capture is exact.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame =
+    result(spark, dir, "interval_join")
+
   private def result(spark: SparkSession, dir: String, which: String): DataFrame =
     synchronized {
       cache.get(spark, (dir, which)).getOrElse {
@@ -107,6 +115,7 @@ object StreamGate {
     var turnoutSchema: StructType = null
     val windowedRows = new ArrayBuffer[(Long, Row)]()
     val scoredRows = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
+    val joinedRows = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
 
     val dim = Tables(spark, dir, "customer")
       .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -191,6 +200,47 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
 
+      // 4) stream-stream interval self-join (append semantics): both
+      // sides are streaming readers of the same source with
+      // watermarks; the time-range predicate bounds the state store —
+      // the standard "events within T of each other" join at scale
+      val sa = StreamingQueries
+        .eventsStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+          col("event_id").as("event_a"),
+          col("user_id").as("ua"),
+          col("ts").as("ts_a"),
+          col("event_type").as("type_a"),
+        )
+      val sb = StreamingQueries
+        .eventsStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+          col("event_id").as("event_b"),
+          col("user_id").as("ub"),
+          col("ts").as("ts_b"),
+          col("event_type").as("type_b"),
+        )
+      val joined = sa
+        .join(
+          sb,
+          col("ua") === col("ub") &&
+            col("ts_b") > col("ts_a") &&
+            col("ts_b") <= col("ts_a") + expr("interval 5 minutes"),
+        )
+        .select(col("event_a"), col("event_b"), col("type_a"), col("type_b"))
+      val joinedSchema = joined.schema
+      val qJoined = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", scratchDir("graft-ckpt-ij"))
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          val rows = batch.collect()
+          lock.synchronized { joinedRows(batchId) = rows; () }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+
       // if any bundle query fails, stop the others before rethrowing:
       // otherwise the cache is never populated and a retrying caller
       // re-runs the bundle alongside still-running zombie queries
@@ -199,9 +249,10 @@ object StreamGate {
         qFanOut.awaitTermination()
         qWindowed.awaitTermination()
         qScored.awaitTermination()
+        qJoined.awaitTermination()
       } catch {
         case e: Throwable =>
-          Seq(qFanOut, qWindowed, qScored).foreach { q =>
+          Seq(qFanOut, qWindowed, qScored, qJoined).foreach { q =>
             try q.stop()
             catch { case stopErr: Throwable => e.addSuppressed(stopErr) }
           }
@@ -219,7 +270,7 @@ object StreamGate {
         .add("event_type", StringType).add("pv", LongType).add("pn", LongType)
       val emptyTurnoutSchema = new StructType()
         .add("n_name", StringType).add("pt", LongType)
-      val (vRows, vSchema, tRows, tSchema, wRows, sRows) = lock.synchronized {
+      val (vRows, vSchema, tRows, tSchema, wRows, sRows, jRows) = lock.synchronized {
         (
           votesPartials.values.flatten.toSeq,
           Option(votesSchema).getOrElse(emptyVotesSchema),
@@ -227,6 +278,7 @@ object StreamGate {
           Option(turnoutSchema).getOrElse(emptyTurnoutSchema),
           windowedRows.toSeq,
           scoredRows.values.flatten.toSeq,
+          joinedRows.values.flatten.toSeq,
         )
       }
 
@@ -263,6 +315,7 @@ object StreamGate {
         "turnout" -> turnout,
         "windowed" -> ofRows(windowedFinal, windowedSchema),
         "similarity" -> similarity,
+        "interval_join" -> ofRows(jRows, joinedSchema),
       )
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
