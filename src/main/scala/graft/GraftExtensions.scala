@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{CharShinglesExpr, CosineSimilarity, MinHashSigExpr, SimHash16Expr, SimHash64Expr, WordShinglesExpr}
+import graft.functions.{CharShinglesExpr, CosineSimilarity, IdPairsExpr, MinHashSigExpr, PostingPairsExpr, SimHash16Expr, SimHash64Expr, SumScaled128, WordShinglesExpr}
 
 /** Catalyst extension entry point: registers the engine's native
   * functions for the SQL surface. Install at session build
@@ -79,6 +79,18 @@ object GraftExtensions {
     desc("graft_char_shingles", classOf[CharShinglesExpr], {
       case Seq(t, k) => CharShinglesExpr(t, litInt("graft_char_shingles", k))
       case cs        => wrongArgs("graft_char_shingles", "2", cs.length)
+    }),
+    desc("graft_posting_pairs", classOf[PostingPairsExpr], {
+      case Seq(ds) => PostingPairsExpr(ds)
+      case cs      => wrongArgs("graft_posting_pairs", "1", cs.length)
+    }),
+    desc("graft_id_pairs", classOf[IdPairsExpr], {
+      case Seq(ids) => IdPairsExpr(ids)
+      case cs       => wrongArgs("graft_id_pairs", "1", cs.length)
+    }),
+    desc("graft_sum_scaled128", classOf[SumScaled128], {
+      case Seq(v) => SumScaled128(v).toAggregateExpression()
+      case cs     => wrongArgs("graft_sum_scaled128", "1", cs.length)
     }),
   )
 }

@@ -310,6 +310,83 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * O(log n)-round variant for graphs whose diameter is unknown or
+    * adversarial (min-label propagation needs diameter rounds; a
+    * pathological chain of near-dups would make that linear).
+    *
+    *  - large-star: every node connects its strictly-LARGER neighbors
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller-or-equal
+    *    neighbors (and itself) to that minimum.
+    *
+    * Each round is two joins + two min-aggregations over the edge
+    * set — the same per-round plan as propagation, different message
+    * rule. At fixpoint the edge set is a star forest: every node
+    * points at its component's minimum id. Output matches
+    * [[connectedComponents]] exactly (equality pinned in
+    * DedupClustersSpec on chains, stars, and random graphs).
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    val once = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint()
+
+    def canonical(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    def bothDirs(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // min over the closed neighborhood of each center node (the
+    // grouping column is referenceable inside the aggregate)
+    def mins(nb: DataFrame): DataFrame =
+      nb.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+
+    var edges = canonical(once).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
+      // large-star: (v, m) for neighbors v > center u
+      val nbL = bothDirs(edges)
+      val ls = canonical(
+        nbL
+          .join(mins(nbL), Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+      ).localCheckpoint()
+      // small-star: (v, m) for neighbors v <= center u, plus (u, m)
+      val nbS = bothDirs(ls)
+      val msS = mins(nbS)
+      val ss = canonical(
+        nbS
+          .join(msS, Seq("u"))
+          .filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(msS.select(col("u"), col("m").as("v")))
+      ).localCheckpoint()
+      // fixpoint: the canonical edge set stopped changing
+      val changed =
+        ss.exceptAll(edges).limit(1).count() + edges.exceptAll(ss).limit(1).count()
+      edges = ss
+      converged = changed == 0
+      rounds += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // star forest in canonical (smaller, larger) form: the smaller
+    // endpoint IS the component minimum; it appears only as a center,
+    // so add its own self-row
+    edges
+      .select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .union(edges.select(col("u"), col("u")).distinct())
+      .distinct()
+  }
+
   /** Near-duplicate clusters from the MinHash-LSH pair graph:
     * transitive closure + per-cluster size + canonical-doc flag (the
     * min-id member). Downstream dedup keeps `is_canonical = 1` rows —

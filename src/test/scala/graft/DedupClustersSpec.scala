@@ -29,6 +29,29 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("large-star/small-star components equal min-label propagation on hard graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    // a diameter-9 chain (the propagation worst case), a star, an
+    // isolated pair, and a seeded random graph over 40 nodes
+    val chain = (100L until 109L).map(i => (i, i + 1))
+    val star = Seq((200L, 201L), (200L, 202L), (200L, 203L), (200L, 204L))
+    val pair = Seq((300L, 301L))
+    val random = Seq.fill(60)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = (chain ++ star ++ pair ++ random).toDF("doc_a", "doc_b")
+
+    val viaProp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp, s"star CC disagrees with propagation CC")
+    // sanity on the known components
+    assert((100L to 109L).forall(viaStar(_) == 100L))
+    assert((200L to 204L).forall(viaStar(_) == 200L))
+    assert(viaStar(301L) == 300L)
+  }
+
   test("near-dup clusters carry sizes and exactly one canonical doc each") {
     val rows = Dedup.nearDupClusters(spark, sf).collect()
     assert(rows.nonEmpty, "sf0.001 corpus has LSH near-dup pairs")

@@ -32,6 +32,16 @@ class UtilitiesSpec extends AnyFunSuite {
              |FROM docs_sql LIMIT 5""".stripMargin)
       .collect()
     assert(s.nonEmpty && s.forall(row => !row.isNullAt(0) && !row.isNullAt(1)))
+    val agg = spark
+      .sql("SELECT graft_sum_scaled128(CAST(n_chars AS BIGINT)) AS s FROM docs_sql")
+      .collect()
+    assert(agg.length == 1 && !agg(0).isNullAt(0))
+    val pairs = spark
+      .sql("""SELECT graft_id_pairs(array(1L, 5L, 9L)) AS ip,
+             |       graft_posting_pairs(array(named_struct('doc_id', 1L, 'n_sh', 2L),
+             |                                 named_struct('doc_id', 4L, 'n_sh', 3L))) AS pp""".stripMargin)
+      .collect()
+    assert(pairs(0).getSeq[Any](0).length == 3 && pairs(0).getSeq[Any](1).length == 1)
   }
 
   test("sum_scaled128 equals the decimal sum, including ±2^63 crossings") {
