@@ -84,6 +84,7 @@ object SparkEntry {
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
     "sample_weighted_mix" -> (graft.operators.Sampling.weightedMixStats _),
     "decontamination_overlap" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlap(s, d)),
+    "decontamination_bloom" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlapBloom(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
   )
 
@@ -257,6 +258,23 @@ object SparkEntry {
        |         CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
        |  FROM comm c JOIN nsh na ON na.doc_id = c.doc_a JOIN nsh nb ON nb.doc_id = c.doc_b
        |  WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3)""".stripMargin
+
+  private def decontaminationSql: String =
+    """WITH sp AS (SELECT doc_id, text,
+      |   CASE WHEN substr(md5(text || '|split'), 1, 2) < 'cc' THEN 'train'
+      |        WHEN substr(md5(text || '|split'), 1, 2) < 'e6' THEN 'val'
+      |        ELSE 'test' END AS split
+      |  FROM documents),
+      |tok AS (SELECT doc_id, split, string_split(text, ' ') AS ts FROM sp
+      |        WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, split, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+      |tests AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
+      |SELECT s.doc_id, count(*) AS n_shared_shingles
+      |FROM sh s JOIN tests t USING (shingle)
+      |WHERE s.split = 'train'
+      |GROUP BY s.doc_id
+      |HAVING count(*) >= 2""".stripMargin
 
   private val stopList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
   private val stopCount =
@@ -624,22 +642,11 @@ object SparkEntry {
         |SELECT source, thr AS threshold, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN b <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
         |FROM f GROUP BY source, thr""".stripMargin,
-    "decontamination_overlap" ->
-      """WITH sp AS (SELECT doc_id, text,
-        |   CASE WHEN substr(md5(text || '|split'), 1, 2) < 'cc' THEN 'train'
-        |        WHEN substr(md5(text || '|split'), 1, 2) < 'e6' THEN 'val'
-        |        ELSE 'test' END AS split
-        |  FROM documents),
-        |tok AS (SELECT doc_id, split, string_split(text, ' ') AS ts FROM sp
-        |        WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, split, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-        |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
-        |tests AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
-        |SELECT s.doc_id, count(*) AS n_shared_shingles
-        |FROM sh s JOIN tests t USING (shingle)
-        |WHERE s.split = 'train'
-        |GROUP BY s.doc_id
-        |HAVING count(*) >= 2""".stripMargin,
+    "decontamination_overlap" -> decontaminationSql,
+    // the Bloom-prefiltered path must produce the IDENTICAL result
+    // (no false negatives; false positives die in the exact confirm
+    // join) — so it gates against the same SQL
+    "decontamination_bloom" -> decontaminationSql,
     "session_windows" ->
       """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),

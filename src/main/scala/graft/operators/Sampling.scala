@@ -125,4 +125,73 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared_shingles"))
       .filter(col("n_shared_shingles") >= minShared)
   }
+
+  /** [[trainTestShingleOverlap]] with a Bloom-filter prefilter — the
+    * shape for when the held-out shingle set is too large to
+    * broadcast (at 100 TB a distinct-shingle set can be tens of GB;
+    * its Bloom filter is tens of MB at the same discrimination):
+    *
+    *  1. build a Bloom filter over xxhash64(shingle) of the held-out
+    *     side — the SAME artifact Spark's runtime row-level filters
+    *     inject for shuffle joins, built here explicitly with the
+    *     native `BloomFilterAggregate`;
+    *  2. prefilter the train index map-side with `might_contain` —
+    *     scan-speed, no shuffle, no false negatives, so nothing true
+    *     is lost;
+    *  3. confirm the survivors with an exact NON-broadcast semi-join
+    *     (shuffle join on the already-decimated volume) — Bloom
+    *     false positives die here, making the result bit-identical
+    *     to the broadcast-exact formulation (same oracle gates both).
+    */
+  def trainTestShingleOverlapBloom(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      minShared: Int = 2,
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val withSplit = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        assignSplit(col("text")).as("split"),
+        Dedup.shingles(col("text"), k).as("sh"),
+      )
+    val testShingles = withSplit
+      .filter(col("split") === "test")
+      .select(explode(col("sh")).as("shingle"))
+      .distinct()
+
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("shingle"))),
+        Literal(200000L),         // estimated distinct items
+        Literal(8L * 1024 * 1024) // bits → ~1 MB filter
+      ).toAggregateExpression()
+    )
+    val bloomBytes = testShingles.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+
+    val trainIndex = withSplit
+      .filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val prefiltered =
+      if (bloomBytes == null) trainIndex.filter(lit(false)) // empty held-out side
+      else
+        trainIndex.filter(
+          ColumnBridge.column(
+            BloomFilterMightContain(
+              Literal(bloomBytes, BinaryType),
+              ColumnBridge.expression(xxhash64(col("shingle"))),
+            )
+          )
+        )
+    prefiltered
+      .join(testShingles.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
 }
