@@ -79,6 +79,8 @@ object SparkEntry {
     "similarity_ann_recall" -> ((s, d) => Similarity.annRecallAtK(s, d)),
     "similarity_ann_multiprobe" -> ((s, d) => Similarity.annLshTopKMultiProbe(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "embedding_quantize" -> (Similarity.quantizeInt8 _),
+    "sample_per_source_cap" -> ((s, d) => graft.operators.Sampling.perSourceCap(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
     "session_windows" -> (RelationalQueries.sessionWindows _),
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
@@ -632,6 +634,32 @@ object SparkEntry {
         |SELECT lang, split, count(*) AS n_docs,
         |       CAST(sum(CASE WHEN sh < '20' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY lang, split""".stripMargin,
+    "embedding_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN b.mx > 0.0 THEN
+        |      list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / b.mx) AS INT))
+        |    ELSE NULL END AS q
+        |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+        |SELECT vec_id, q,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS INT) AS q_min,
+        |  CAST(list_max(q) AS INT) AS q_max,
+        |  CAST(len(q) AS INT) AS n_dims
+        |FROM q""".stripMargin,
+    "sample_per_source_cap" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, substr(md5(text || '|cap'), 1, 2) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |  FROM h)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""".stripMargin,
     "sample_weighted_mix" ->
       """WITH f AS (
         |  SELECT source,

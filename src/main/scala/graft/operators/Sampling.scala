@@ -90,6 +90,24 @@ object Sampling {
       .select(col("source"), col("thr").as("threshold"), col("n_docs"), col("n_selected"))
   }
 
+  /** Per-source contribution cap: keep at most `cap` documents per
+    * source, chosen deterministically by salted content-hash order
+    * (ties broken by doc_id) — "no domain dominates the mix" without
+    * randomness. One window over the source partition; at scale this
+    * is the standard rank-within-group shuffle, bounded by |source|
+    * partitions.
+    */
+  def perSourceCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), hashBucket(col("text"), "cap").as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+  }
+
   /** Benchmark decontamination: training documents that share word
     * shingles with any held-out (test-split) document, with the count
     * of distinct shared shingles — the standard n-gram-overlap

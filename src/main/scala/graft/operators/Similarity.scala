@@ -163,6 +163,46 @@ object Similarity {
       .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * storage/serving compression step of an embedding pipeline
+    * (scale each vector by its max-abs to [-127, 127], floor to
+    * ints). floor (never round) keeps the doubles engine-portable:
+    * both engines compute the identical IEEE product/quotient from
+    * identical inputs, and floor is exact on doubles where round is
+    * not. Map-side per-row array math — scan-speed at 100 TB.
+    *
+    * Emits the quantized vector plus integer summaries; a zero
+    * vector (max-abs = 0) yields a null quantization rather than a
+    * division blow-up.
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Let.bindArray
+    emb(spark, dir).select(
+      col("vec_id"),
+      bindArray(col("embedding")) { e =>
+        // the max-abs scalar is bound through a 1-element array: a
+        // bare reference would re-run the abs/max scan per element
+        bindArray(array(array_max(transform(e, x => abs(x.cast("double")))))) { m =>
+          val mx = element_at(m, 1)
+          bindArray(
+            when(
+              mx > 0.0,
+              transform(e, x => floor(x.cast("double") * 127.0 / mx).cast("int")),
+            ).otherwise(lit(null).cast("array<int>"))
+          ) { q =>
+            struct(
+              q.as("q"),
+              aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"),
+              array_min(q).as("q_min"),
+              array_max(q).as("q_max"),
+              size(q).as("n_dims"),
+            )
+          }
+        }
+      }.as("z"),
+    ).select(col("vec_id"), col("z.q"), col("z.q_sum"), col("z.q_min"), col("z.q_max"), col("z.n_dims"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-style: compare only
     * vectors sharing a label (coarse cell), keep pairs above the
     * cosine threshold. At scale the label comes from a cheap
