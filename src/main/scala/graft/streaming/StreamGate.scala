@@ -127,8 +127,15 @@ object StreamGate {
     // clone the session from their execution threads, so the conf
     // stays set until every query has terminated.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // none of the bundle queries emit on watermark advancement
+      // (update-mode aggregation emits on data; the interval join is
+      // INNER, emitting on match) — the trailing no-data micro-batch
+      // each query would otherwise run is a pure state-store commit
+      // round with no output
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
       // 1) shared fan-out pass: both stateless aggregates as partials
       val qFanOut = StreamingQueries
@@ -317,6 +324,12 @@ object StreamGate {
         "similarity" -> similarity,
         "interval_join" -> ofRows(jRows, joinedSchema),
       )
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
   }
 }

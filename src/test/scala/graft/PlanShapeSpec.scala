@@ -78,4 +78,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // only Tables.parallel's local rebalance may appear
     assert(shuffles(df) <= 1, s"got ${shuffles(df)} shuffles")
   }
+
+  test("embedding quantization is map-side (rebalance only, no broadcasts)") {
+    val df = graft.operators.Similarity.quantizeInt8(spark, sf)
+    assert(shuffles(df) <= 1, s"got ${shuffles(df)} shuffles")
+    assert(broadcasts(df) == 0)
+  }
+
+  test("bloom decontamination confirms with a shuffle join, not a broadcast") {
+    // the whole point of the bloom path is the held-out set NOT
+    // broadcasting: the confirm must stay a shuffle semi-join even
+    // though the local test corpus would easily fit a broadcast
+    val df = graft.operators.Sampling.trainTestShingleOverlapBloom(spark, sf)
+    assert(broadcasts(df) == 0, "bloom confirm join regressed to a broadcast")
+    assert(
+      collectPlan(df).exists(p => p.getClass.getSimpleName.startsWith("ShuffledHashJoin")
+        || p.getClass.getSimpleName.startsWith("SortMergeJoin")),
+      "expected a shuffle-side semi join",
+    )
+  }
+
+  test("money aggregation keeps the primitive fixed-width buffer (no object aggregation)") {
+    // SumScaled128's raison d'être: a two-long UnsafeRow buffer that
+    // hash-aggregates as primitives. ObjectHashAggregate appearing
+    // here means the buffer regressed to boxed objects
+    val df = graft.operators.RelationalQueries.havingFilter(spark, sf)
+    val kinds = collectPlan(df).map(_.getClass.getSimpleName)
+    assert(kinds.exists(_.startsWith("HashAggregate")), kinds.mkString(","))
+    assert(!kinds.exists(_.startsWith("ObjectHashAggregate")), kinds.mkString(","))
+  }
 }
