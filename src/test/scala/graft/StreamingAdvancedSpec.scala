@@ -133,6 +133,53 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(graft.streaming.StreamGate.similarityTopK(spark, dir).count() == 0)
   }
 
+  test("stream-stream interval join matches across out-of-order micro-batches") {
+    import spark.implicits._
+    // user 1: three events at t0, t0+2m, t0+20m — pairs within the
+    // 5-minute window: (10,11) only. user 2: one pair (20,21) at 3m
+    // apart, delivered OUT OF ORDER and split across micro-batches.
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, offsetMin: Double) =
+      (id, user, new Timestamp(t0 + (offsetMin * 60000).toLong))
+
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp)]
+    val right = MemoryStream[(Long, Long, Timestamp)]
+    val a = left.toDF.toDF("event_a", "ua", "ts_a").withWatermark("ts_a", "10 minutes")
+    val b = right.toDF.toDF("event_b", "ub", "ts_b").withWatermark("ts_b", "10 minutes")
+    val joined = a
+      .join(
+        b,
+        col("ua") === col("ub") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("interval 5 minutes"),
+      )
+      .select("event_a", "event_b")
+
+    val got = scala.collection.mutable.LinkedHashMap.empty[Long, Array[(Long, Long)]]
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+        got.synchronized { got(id) = rows; () }
+      }
+      .start()
+
+    // batch 1: user 2's LATER event arrives on the right first; user
+    // 1's base events on the left
+    left.addData(ev(10L, 1L, 0), ev(11L, 1L, 2), ev(12L, 1L, 20))
+    right.addData(ev(21L, 2L, 3))
+    q.processAllAvailable()
+    // batch 2: the out-of-order earlier sides arrive
+    left.addData(ev(20L, 2L, 0))
+    right.addData(ev(11L, 1L, 2), ev(10L, 1L, 0), ev(12L, 1L, 20), ev(20L, 2L, 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = got.values.flatten.toSet
+    assert(pairs == Set((10L, 11L), (20L, 21L)), s"got $pairs")
+  }
+
   test("batch session_window agrees with gaps-and-islands sessionization on real events") {
     import spark.implicits._
     val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
