@@ -82,6 +82,7 @@ object SparkEntry {
     "embedding_quantize" -> (Similarity.quantizeInt8 _),
     "sample_per_source_cap" -> ((s, d) => graft.operators.Sampling.perSourceCap(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
+    "ivf_kmeans_iterated" -> ((s, d) => IvfIndex.kmeansIterated(s, d)),
     "session_windows" -> (RelationalQueries.sessionWindows _),
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
     "sample_weighted_mix" -> (graft.operators.Sampling.weightedMixStats _),
@@ -623,6 +624,30 @@ object SparkEntry {
          |r AS (SELECT vec_id, cell,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM scored)
          |SELECT vec_id, cell AS assigned_cell FROM r WHERE rn = 1""".stripMargin,
+    // the Lloyd loop unrolled: each round re-derives float-quantized
+    // centroids from the previous round's integer assignment — the
+    // same per-round determinism argument as ivf_assign, applied
+    // inductively
+    "ivf_kmeans_iterated" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""dims$k AS (
+           |  SELECT cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+           |  FROM a${k - 1}, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+           |  GROUP BY cell, i),
+           |cents$k AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM dims$k GROUP BY cell),
+           |scored$k AS (
+           |  SELECT e.vec_id, e.embedding, c.cell, ${cosSql("e.embedding", "c.centroid")} AS sim
+           |  FROM embeddings e CROSS JOIN cents$k c),
+           |a$k AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT vec_id, embedding, cell,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+           |    FROM scored$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH a0 AS (SELECT vec_id, embedding, CAST(label AS INT) AS cell FROM embeddings),
+         |$rounds
+         |SELECT vec_id, cell AS assigned_cell FROM a3""".stripMargin
+    },
     "sample_hash_splits" ->
       """WITH b AS (
         |  SELECT lang,

@@ -66,6 +66,43 @@ object IvfIndex {
     assign(emb, centroids(emb, cellCol))
   }
 
+  /** Iterated Lloyd training loop: `iters` rounds of (centroids from
+    * current assignment → nearest-centroid reassignment), seeded by
+    * the label column — how the IVF coarse quantizer is actually
+    * trained. Per round: one combine-shuffle carrying ONE row per
+    * vector (max_by partial aggregation; the corpus never expands by
+    * |cells|) plus the tiny |cells| centroid aggregation; lineage is
+    * truncated every round. Same ULP-margin argument as
+    * [[assignments]], applied inductively: each round's centroids are
+    * float-quantized from integer-identical assignments, so the
+    * integer assignment sequence is engine-portable and the final
+    * one oracle-gates.
+    */
+  def kmeansIterated(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val emb = graft.sources.Tables.parallel(spark, dir, "embeddings")
+    var assigned = emb
+      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cell"))
+    (1 to iters).foreach { _ =>
+      val cents = centroids(assigned, "cell")
+      assigned = emb
+        .join(broadcast(cents))
+        .select(
+          col("vec_id"),
+          col("embedding"),
+          col("cell"),
+          cosine(col("embedding"), col("centroid")).as("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("cell"),
+          first(col("embedding")).as("embedding"),
+        )
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .localCheckpoint()
+    }
+    assigned.select(col("vec_id"), col("cell").as("assigned_cell"))
+  }
+
   /** Oracle-gated integer view of [[kmeansStep]]: (vec_id,
     * assigned_cell) only. The float centroid means are not
     * cross-engine exact (summation order), but quantizing them to

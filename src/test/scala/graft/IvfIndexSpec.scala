@@ -46,6 +46,24 @@ class IvfIndexSpec extends AnyFunSuite {
       "max_by argmax disagrees with the window argmax")
   }
 
+  test("iterated Lloyd rounds monotonically improve mean assigned similarity") {
+    val emb = Tables(spark, sf, "embeddings")
+    // mean cosine of each vector to its assigned centroid, per round
+    def quality(assign: org.apache.spark.sql.DataFrame): Double = {
+      val withCell = emb.join(assign, "vec_id")
+      val cents = IvfIndex.centroids(
+        withCell.select(col("vec_id"), col("embedding"), col("assigned_cell").as("label"))
+      )
+      withCell
+        .join(cents, col("assigned_cell") === col("cell"))
+        .select(VectorFunctions.cosine(col("embedding"), col("centroid")).as("sim"))
+        .agg(avg("sim")).head.getDouble(0)
+    }
+    val q1 = quality(IvfIndex.kmeansIterated(spark, sf, iters = 1))
+    val q3 = quality(IvfIndex.kmeansIterated(spark, sf, iters = 3))
+    assert(q3 >= q1 - 1e-9, s"more Lloyd rounds degraded the quantizer: $q3 < $q1")
+  }
+
   test("simhash64: identical texts collide, different texts differ") {
     import spark.implicits._
     val df = Seq(
