@@ -77,6 +77,11 @@ object IvfIndex {
     * float-quantized from integer-identical assignments, so the
     * integer assignment sequence is engine-portable and the final
     * one oracle-gates.
+    *
+    * The round count is small and FIXED, so the loop builds one
+    * 3-round DAG executed by a single action — no per-round
+    * materialization (an open-ended convergence loop would truncate
+    * lineage per round instead, as connectedComponents does).
     */
   def kmeansIterated(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val emb = graft.sources.Tables.parallel(spark, dir, "embeddings")
@@ -95,10 +100,12 @@ object IvfIndex {
         .groupBy("vec_id")
         .agg(
           max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("cell"),
+          // the embedding rides the one combine-shuffle (all rows of a
+          // vec_id group carry the identical array) so the next round
+          // needs no second join against the corpus
           first(col("embedding")).as("embedding"),
         )
         .select(col("vec_id"), col("embedding"), col("cell"))
-        .localCheckpoint()
     }
     assigned.select(col("vec_id"), col("cell").as("assigned_cell"))
   }
