@@ -19,6 +19,42 @@ class FormatsSpec extends AnyFunSuite {
     .builder(master = "local[4]", shufflePartitions = 4)
     .getOrCreate()
 
+  test("compaction rewrites a many-small-files table into size-targeted files, content-identical") {
+    import java.nio.file.Files
+    val fragmented = Files.createTempDirectory("graft-frag").toString
+    val compacted = Files.createTempDirectory("graft-comp").toString
+    // simulate micro-batch accretion: 40 tiny files
+    val src = graft.sources.Tables(spark, sf, "orders")
+    src.repartition(40).write.mode("overwrite").parquet(fragmented)
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented) == 40)
+
+    val rows = src.count()
+    val out = graft.sources.Maintenance.compact(spark, fragmented, compacted, targetRowsPerFile = rows / 3)
+    val n = parquetFiles(compacted)
+    assert(n >= 3 && n <= 5, s"expected ~4 size-targeted files, got $n")
+    // content survives byte-for-byte (same rows, any order)
+    assert(out.count() == rows)
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (doc_id, text) — generation 2 adds a lang column
+    Seq((1L, "old row")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "new row", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    val byId = merged.collect().map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    // old-generation rows surface the evolved column as null
+    assert(byId(1L).isEmpty && byId(2L).contains("en"))
+  }
+
   test("same aggregation over parquet, json, and csv copies agrees") {
     val orders = Tables(spark, sf, "orders")
     val dir = Files.createTempDirectory("graft-fmt").toString
