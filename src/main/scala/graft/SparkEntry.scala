@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
+    "dedup_keep_best" -> (Dedup.keepBestDedup _),
     "dedup_simhash" -> (Dedup.simhashFingerprints _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashHammingPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -499,6 +500,30 @@ object SparkEntry {
          |SELECT cc.doc_id, cc.cluster_id, sz.n_members,
          |       CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
          |FROM cc JOIN sz USING (cluster_id)""".stripMargin,
+    // keep/drop decision per document: quality-ranked survivor per
+    // near-dup cluster (longest doc, tie → smaller id), singletons
+    // kept with their own id as cluster_id
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
+         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |ranked AS (
+         |  SELECT cc.doc_id, cc.cluster_id,
+         |         row_number() OVER (PARTITION BY cc.cluster_id
+         |                            ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+         |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM ranked
+         |UNION ALL
+         |SELECT d.doc_id, d.doc_id AS cluster_id, CAST(1 AS INT) AS keep
+         |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+         |WHERE cc.doc_id IS NULL""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |hv AS (SELECT doc_id, $hvSql AS v FROM tok),

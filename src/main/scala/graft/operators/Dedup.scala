@@ -404,6 +404,51 @@ object Dedup {
       )
   }
 
+  /** The full keep/drop decision after near-dup clustering — the
+    * actual OUTPUT of a dedup pipeline: every document, labeled with
+    * its duplicate-cluster id and whether it survives. Unlike the
+    * min-id canonical flag in [[nearDupClusters]], the survivor here
+    * is chosen by QUALITY (longest document wins, ties broken by the
+    * smaller doc id) — the policy real corpus curation uses, since
+    * the longest member of a near-dup group usually dominates the
+    * others' content.
+    *
+    * Scale shape (100 TB): the cluster graph is tiny relative to the
+    * corpus (only LSH-colliding docs appear in it), so
+    *  - the quality ranking windows ONLY over clustered docs — the
+    *    corpus is never shuffled by cluster id (most clusters would
+    *    be singletons, making that shuffle a full-corpus exchange
+    *    for nothing);
+    *  - unclustered docs join the small cc set with a broadcast
+    *    anti-join and are kept as-is — one map-side pass over the
+    *    corpus, no exchange.
+    *
+    * Output: (doc_id, cluster_id, keep) for every document;
+    * singletons carry their own id as cluster_id and keep=1.
+    */
+  def keepBestDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+    val meta = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+    val ranked = meta
+      .join(broadcast(cc), Seq("doc_id"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id"))
+        ),
+      )
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        when(col("rn") === 1, 1).otherwise(0).cast("int").as("keep"),
+      )
+    val singletons = meta
+      .join(broadcast(cc.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(1).cast("int").as("keep"))
+    ranked.union(singletons)
+  }
+
   /** SimHash fingerprint (16-bit): per whitespace token take 4 hex
     * chars of md5, accumulate ±1 votes per bit over the token
     * multiset, fingerprint bit j = 1 iff vote_j > 0. Near-dup docs

@@ -72,4 +72,29 @@ class DedupClustersSpec extends AnyFunSuite {
       .count()
     assert(rows.length.toLong == paired)
   }
+
+  test("keep-best dedup covers every doc once, keeps exactly one per cluster, best quality wins") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = docs.count()
+    val rows = Dedup.keepBestDedup(spark, sf).collect()
+    assert(rows.length.toLong == nDocs, "every document gets a keep/drop decision")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "no doc decided twice")
+
+    val nChars = docs.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.filter(_.getInt(2) == 1)
+      assert(kept.length == 1, s"cluster $cid keeps ${kept.length} docs, want exactly 1")
+      // the survivor is the quality argmax: longest text, then min id
+      val want = members.map(_.getLong(0)).minBy(id => (-nChars(id), id))
+      assert(kept.head.getLong(0) == want, s"cluster $cid kept ${kept.head.getLong(0)}, want $want")
+    }
+    // singletons (cluster of one) are their own cluster id and kept
+    byCluster.filter(_._2.length == 1).foreach { case (cid, Array(m)) =>
+      assert(m.getLong(0) == cid && m.getInt(2) == 1)
+    }
+    // the kept set is strictly smaller than the corpus iff any cluster
+    // has >= 2 members (sf0.001 does have near-dup pairs)
+    assert(rows.count(_.getInt(2) == 1) < nDocs.toInt)
+  }
 }
