@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "embedding_quantize" -> (Similarity.quantizeInt8 _),
     "sample_per_source_cap" -> ((s, d) => graft.operators.Sampling.perSourceCap(s, d)),
+    "pack_sequences" -> ((s, d) => graft.operators.Packing.packSequences(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
     "ivf_kmeans_iterated" -> ((s, d) => IvfIndex.kmeansIterated(s, d)),
     "session_windows" -> (RelationalQueries.sessionWindows _),
@@ -710,6 +711,22 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
         |  FROM h)
         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""".stripMargin,
+    // concat-and-chunk packing: doc → the 256-token window containing
+    // its first token, per source in doc_id order
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        |  FROM t)
+        |SELECT source, CAST(start_off // 256 AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc
+        |FROM o GROUP BY 1, 2""".stripMargin,
     "sample_weighted_mix" ->
       """WITH f AS (
         |  SELECT source,
