@@ -26,6 +26,7 @@ object Bench {
   private def resetCaches(): Unit = {
     graft.sources.Tables.invalidate()
     graft.streaming.StreamGate.invalidate()
+    graft.operators.Dedup.invalidate()
   }
 
   def main(args: Array[String]): Unit = {

@@ -696,7 +696,9 @@ object SparkEntry {
         |      list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / b.mx) AS INT))
         |    ELSE NULL END AS q
         |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
-        |SELECT vec_id, q,
+        |SELECT vec_id,
+        |  CASE WHEN q IS NULL THEN NULL
+        |       ELSE md5(array_to_string(q, ',')) END AS q_md5,
         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(list_min(q) AS INT) AS q_min,
         |  CAST(list_max(q) AS INT) AS q_max,

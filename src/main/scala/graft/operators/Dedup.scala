@@ -392,10 +392,29 @@ object Dedup {
     * min-id member). Downstream dedup keeps `is_canonical = 1` rows —
     * the "drop all but one per group" step at corpus scale.
     */
+  // The banding + fixpoint is the dominant cost of the clustering
+  // gates and both [[nearDupClusters]] and [[keepBestDedup]] need the
+  // same frame — memoize it per (session, dir) so one run serves both
+  // (session-scoped soft cache; an eviction costs a recompute, never
+  // correctness). Bench invalidates between timed runs.
+  private val ccCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized connected components over the MinHash-LSH pair graph. */
+  def lshClusters(spark: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate(spark, dir) {
+      connectedComponents(minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+    }
+
+  /** Drop memoized cluster frames (benchmark hygiene). */
+  def invalidate(): Unit = ccCache.invalidate()
+
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val cc = connectedComponents(minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+    val cc = lshClusters(spark, dir)
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
-    cc.join(broadcast(sizes), Seq("cluster_id"))
+    // no static broadcast hint: |clusters| is usually tiny but at
+    // web-corpus dup rates it is billions of rows — AQE picks the
+    // join strategy from the measured size and degrades gracefully
+    cc.join(sizes, Seq("cluster_id"))
       .select(
         col("doc_id"),
         col("cluster_id"),
@@ -413,25 +432,30 @@ object Dedup {
     * the longest member of a near-dup group usually dominates the
     * others' content.
     *
-    * Scale shape (100 TB): the cluster graph is tiny relative to the
-    * corpus (only LSH-colliding docs appear in it), so
+    * Scale shape (100 TB): only LSH-colliding docs appear in the
+    * cluster graph, so
     *  - the quality ranking windows ONLY over clustered docs — the
     *    corpus is never shuffled by cluster id (most clusters would
     *    be singletons, making that shuffle a full-corpus exchange
     *    for nothing);
-    *  - unclustered docs join the small cc set with a broadcast
-    *    anti-join and are kept as-is — one map-side pass over the
-    *    corpus, no exchange.
+    *  - the joins against the cc set carry NO static broadcast hint:
+    *    at web-corpus dup rates (20-40%) the cc set is billions of
+    *    rows, far past any broadcast threshold. AQE broadcasts it
+    *    when the measured size allows and falls back to a shuffle
+    *    join of (doc_id, n_chars) pairs — one cheap narrow exchange —
+    *    when it does not, instead of OOMing the driver;
+    *  - the cc fixpoint itself runs ONCE per (session, dir) via
+    *    [[lshClusters]], shared with [[nearDupClusters]].
     *
     * Output: (doc_id, cluster_id, keep) for every document;
     * singletons carry their own id as cluster_id and keep=1.
     */
   def keepBestDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = connectedComponents(minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+    val cc = lshClusters(spark, dir)
     val meta = docs(spark, dir).select(col("doc_id"), col("n_chars"))
     val ranked = meta
-      .join(broadcast(cc), Seq("doc_id"))
+      .join(cc, Seq("doc_id"))
       .withColumn(
         "rn",
         row_number().over(
@@ -444,7 +468,7 @@ object Dedup {
         when(col("rn") === 1, 1).otherwise(0).cast("int").as("keep"),
       )
     val singletons = meta
-      .join(broadcast(cc.select("doc_id")), Seq("doc_id"), "left_anti")
+      .join(cc.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(1).cast("int").as("keep"))
     ranked.union(singletons)
   }

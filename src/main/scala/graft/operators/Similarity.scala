@@ -200,7 +200,20 @@ object Similarity {
           }
         }
       }.as("z"),
-    ).select(col("vec_id"), col("z.q"), col("z.q_sum"), col("z.q_min"), col("z.q_max"), col("z.n_dims"))
+    ).select(
+      col("vec_id"),
+      // the raw array<int> is not hashable/sortable by the oracle
+      // harness — emit a scalar digest of the comma-joined vector
+      // (null-safe: concat_ws would turn a null array into "")
+      when(
+        col("z.q").isNotNull,
+        md5(concat_ws(",", transform(col("z.q"), x => x.cast("string")))),
+      ).otherwise(lit(null).cast("string")).as("q_md5"),
+      col("z.q_sum"),
+      col("z.q_min"),
+      col("z.q_max"),
+      col("z.n_dims"),
+    )
   }
 
   /** Embedding-cosine near-duplicate pairs, IVF-style: compare only

@@ -104,21 +104,30 @@ object VotePipeline {
     * batch-local recompute: foreachBatch receives the NEW rows only,
     * so we accumulate into two in-memory stores keyed like the
     * reference's changelog consumers would.
+    *
+    * Retry contract: foreachBatch is AT-LEAST-ONCE — after a failure
+    * the same micro-batch is re-delivered with the SAME batch id. The
+    * callbacks therefore receive `(partials, batchId)` and MUST
+    * upsert keyed by batch id (replace that batch's partials, never
+    * append), or a retried batch double-counts. StreamGate's fan-out
+    * sink (StreamGate.scala keyed-replacement buffers) is the model
+    * implementation; the retry spec in StreamingAdvancedSpec pins the
+    * semantics.
     */
   def startFanOut(
       parsed: DataFrame,
-      writeVotes: DataFrame => Unit,
-      writeTurnout: DataFrame => Unit,
+      writeVotes: (DataFrame, Long) => Unit,
+      writeTurnout: (DataFrame, Long) => Unit,
   ): StreamingQuery = {
     val checkpoint = Files.createTempDirectory("graft-ckpt-fanout").toString
     parsed.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist()
         try {
-          writeVotes(VotingOps.votesPerCandidate(b.toDF()))
-          writeTurnout(VotingOps.turnoutByLocation(b.toDF()))
+          writeVotes(VotingOps.votesPerCandidate(b.toDF()), batchId)
+          writeTurnout(VotingOps.turnoutByLocation(b.toDF()), batchId)
         } finally { b.unpersist(); () }
       }
       .start()

@@ -98,6 +98,32 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("keep-best dedup never pins the cluster graph to a broadcast") {
+    // at web-corpus dup rates the cc set is billions of rows; a static
+    // broadcast hint would OOM instead of degrading — the strategy
+    // must be AQE's size-based call, so the logical plan may contain
+    // NO ResolvedHint anywhere (same for the sizes join in
+    // nearDupClusters)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (
+      df <- Seq(
+        graft.operators.Dedup.keepBestDedup(spark, sf),
+        graft.operators.Dedup.nearDupClusters(spark, sf),
+      )
+    ) {
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"static join hints in cluster gate plan: $hints")
+    }
+  }
+
+  test("cluster gates share one memoized cc fixpoint per (session, dir)") {
+    graft.operators.Dedup.invalidate()
+    val a = graft.operators.Dedup.lshClusters(spark, sf)
+    val b = graft.operators.Dedup.lshClusters(spark, sf)
+    assert(a eq b, "second cluster-gate call must reuse the memoized cc frame")
+    graft.operators.Dedup.invalidate()
+  }
+
   test("money aggregation keeps the primitive fixed-width buffer (no object aggregation)") {
     // SumScaled128's raison d'être: a two-long UnsafeRow buffer that
     // hash-aggregates as primitives. ObjectHashAggregate appearing

