@@ -156,9 +156,18 @@ object RelationalQueries {
 
   /** Twin of reference A2 (turnout by location) + J1 (stream-dim
     * enrichment, voting.py:86-91): events joined to the
-    * customer→nation dimension, counted per nation. Both dims
-    * broadcast — the fact side is never shuffled, which is the whole
-    * game at 100 TB.
+    * customer→nation dimension, counted per nation.
+    *
+    * Broadcast discipline: `nation` is a BOUNDED dimension (fixed
+    * 25-row domain at every scale factor) and keeps its static hint.
+    * `customer` is the USER dimension — it scales with the corpus
+    * (billions of rows at the 100 TB design point), so the
+    * events⋈customer side carries NO static hint: AQE picks broadcast
+    * from the measured size while it fits and degrades to a shuffle
+    * join instead of OOMing when it doesn't (same reasoning that
+    * removed the broadcast(cc) pin from keepBestDedup). Pinned in
+    * PlanShapeSpec: no ResolvedHint may wrap a corpus-scaling
+    * relation in this plan.
     */
   def turnoutByLocation(spark: SparkSession, dir: String): DataFrame = {
     val events = t(spark, dir, "events")
@@ -166,7 +175,7 @@ object RelationalQueries {
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
     events
-      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .join(dim, events("user_id") === dim("c_custkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("turnout"))
   }

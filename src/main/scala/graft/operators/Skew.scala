@@ -20,6 +20,13 @@ object Skew {
     * hot key's work spreads over `salts` reducers; result is
     * identical to a direct groupBy because SUM/COUNT are commutative
     * monoids.
+    *
+    * The salt is the input partition id modulo `salts`: phase 1's
+    * map-side combine already collapses each partition's rows to one
+    * partial per (key, salt) before the shuffle, so a finer
+    * within-partition salt would buy nothing — per-partition salting
+    * spreads a hot key over min(input partitions, salts) reducers,
+    * deterministically and with no per-row id generation.
     */
   def saltedSum(
       df: DataFrame,
@@ -28,7 +35,7 @@ object Skew {
       salts: Int = 16,
   ): DataFrame =
     df.select(key.as("k"), value.as("v"))
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy(col("k"), col("__salt"))
       .agg(sum("v").as("partial_sum"), count(lit(1)).as("partial_n"))
       .groupBy(col("k"))

@@ -89,12 +89,22 @@ object VotingOps {
     * broadcast equi-join: the candidate dimension is tiny relative to
     * the stream, so the join ships the dim to every task and never
     * shuffles the fact side.
+    *
+    * CONTRACT: `hintBroadcast = true` (the default, matching the
+    * reference's J1 candidate dim) is only for BOUNDED dimensions —
+    * ones whose size is fixed by the domain (candidates, nations),
+    * not by the corpus. A dimension that grows with the data (users,
+    * documents) must pass `hintBroadcast = false`: the planner then
+    * broadcasts from its measured size while the dim fits and
+    * degrades to a shuffle join when it doesn't, instead of a forced
+    * broadcast OOMing the executors at scale.
     */
   def enrichWithDimension(
       facts: DataFrame,
       dim: DataFrame,
       joinKeys: Seq[String],
       joinType: String = "left",
+      hintBroadcast: Boolean = true,
   ): DataFrame =
-    facts.join(broadcast(dim), joinKeys, joinType)
+    facts.join(if (hintBroadcast) broadcast(dim) else dim, joinKeys, joinType)
 }

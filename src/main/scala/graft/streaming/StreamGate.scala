@@ -117,6 +117,11 @@ object StreamGate {
     val scoredRows = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
     val joinedRows = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
 
+    // nation is the bounded 25-row domain and keeps its hint; customer
+    // is the corpus-scaling user dimension, so the per-batch
+    // events⋈dim join below is AQE's size-based call (a static
+    // broadcast would OOM at the 100 TB design point instead of
+    // degrading to a shuffle join)
     val dim = Tables(spark, dir, "customer")
       .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
@@ -151,7 +156,7 @@ object StreamGate {
               .groupBy("event_type")
               .agg(sum(cents(col("value"))).as("pv"), count(lit(1)).as("pn"))
             val t = b
-              .join(broadcast(dim), b("user_id") === dim("c_custkey"))
+              .join(dim, b("user_id") === dim("c_custkey"))
               .groupBy("n_name")
               .agg(count(lit(1)).as("pt"))
             val vRows = v.collect()

@@ -160,9 +160,15 @@ object StreamingQueries {
   }
 
   /** Streaming twin of turnoutByLocation: the event stream enriched
-    * against the broadcast customer→nation dimension (stream-static
-    * equi-join, J1's shape) with a running count per nation — same
-    * oracle SQL as the batch twin.
+    * against the customer→nation dimension (stream-static equi-join,
+    * J1's shape) with a running count per nation — same oracle SQL as
+    * the batch twin.
+    *
+    * Only the bounded `nation` dim carries a static broadcast hint;
+    * `customer` scales with the corpus, so the stream⋈dim join is
+    * left to the planner's size estimate (broadcast while the dim
+    * fits, shuffled stream-static join when it doesn't — never a
+    * forced OOM). See RelationalQueries.turnoutByLocation.
     */
   def turnoutByLocationStream(spark: SparkSession, dir: String): DataFrame = {
     val dim = graft.sources.Tables(spark, dir, "customer")
@@ -172,7 +178,7 @@ object StreamingQueries {
       )
       .select(col("c_custkey"), col("n_name"))
     val agg = eventsStream(spark, dir)
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .join(dim, col("user_id") === col("c_custkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("turnout"))
     runToFinal(spark, agg, Seq("n_name"))

@@ -133,26 +133,71 @@ object VotePipeline {
       .start()
   }
 
-  /** Collapse an update-mode changelog to final values: keep the last
-    * emitted row per key (by arrival order within the sink table).
-    * This is what a consumer of the reference's output topics must do
-    * (SURVEY §2.7 ST3).
+  /** Update-mode changelog capture keyed by the EXPLICIT foreachBatch
+    * batch id — what a consumer of the reference's output topics must
+    * do to materialize final values (SURVEY §2.7 ST3). Update mode
+    * emits each changed key at most once per micro-batch, so "row
+    * with the max batch id per key" is the exact latest-value
+    * collapse; batches are stored REPLACED per invocation, so an
+    * at-least-once foreachBatch retry overwrites its own delivery
+    * instead of double-counting. (This retired the earlier
+    * monotonically_increasing_id-over-the-sink-scan collapse, which
+    * only encoded arrival order through a memory-sink partition
+    * layout detail.)
     *
-    * CAVEAT: arrival order is inferred from
-    * monotonically_increasing_id over the sink scan, which encodes
-    * batch order only while the memory sink yields batches as ordered
-    * partitions — fine for the single-process test harness it serves,
-    * but an implementation detail. Anything correctness-gated must
-    * collapse on the EXPLICIT foreachBatch batch id instead
-    * (StreamingQueries.runToFinal / StreamGate do).
+    * Captured volume is the changelog itself — bounded by changed
+    * keys per batch for update-mode aggregates, which is the only
+    * shape this harness class serves. Append-mode streams at scale go
+    * to a real sink instead (see StreamingQueries sink variants).
     */
-  def latestPerKey(changelog: DataFrame, keyCols: Seq[String], spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val withSeq = changelog.withColumn("__seq", monotonically_increasing_id())
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__seq").desc)
-    withSeq
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__seq", "__rn")
+  final class ChangelogCapture private[streaming] (schema: org.apache.spark.sql.types.StructType) {
+    private val batches =
+      scala.collection.mutable.LinkedHashMap.empty[Long, Array[org.apache.spark.sql.Row]]
+
+    private[streaming] def write(batch: DataFrame, batchId: Long): Unit = {
+      val rows = batch.collect()
+      synchronized { batches(batchId) = rows; () }
+    }
+
+    /** Every captured changelog row, in batch-id order. */
+    def changelog(spark: SparkSession): DataFrame = synchronized {
+      val rows = batches.toSeq.sortBy(_._1).flatMap(_._2)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+
+    /** Final value per key: the row with the max batch id per key. */
+    def latest(spark: SparkSession, keyCols: Seq[String]): DataFrame = synchronized {
+      val keyIdx = keyCols.map(schema.fieldIndex)
+      val rows = batches.toSeq
+        .flatMap { case (bid, rs) => rs.map(bid -> _) }
+        .groupBy { case (_, r) => keyIdx.map(r.get) }
+        .map { case (_, versions) => versions.maxBy(_._1)._2 }
+        .toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+  }
+
+  /** Start one update-mode changelog query whose sink is a
+    * [[ChangelogCapture]]; returns the running query and the capture.
+    * The capture is the foreachBatch twin of [[startMemoryQuery]]'s
+    * memory sink, with the batch id made explicit so the collapse is
+    * a contract rather than a partition-layout accident.
+    */
+  def startCaptureQuery(
+      agg: DataFrame,
+      queryName: String,
+      availableNow: Boolean = false,
+  ): (StreamingQuery, ChangelogCapture) = {
+    val capture = new ChangelogCapture(agg.schema)
+    val checkpoint = Files.createTempDirectory(s"graft-ckpt-$queryName").toString
+    val writer = agg.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        capture.write(batch.toDF(), batchId)
+      }
+    val q = (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    (q, capture)
   }
 }

@@ -54,6 +54,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(df) <= 1, s"expected only the |nations|-key aggregate exchange, got ${shuffles(df)}")
   }
 
+  test("turnout family never pins a corpus-scaling relation to a broadcast") {
+    // nation is a bounded 25-row domain and MAY keep its static hint;
+    // customer is the user dimension and scales with the corpus — a
+    // ResolvedHint around any subtree containing it would force an
+    // OOM at scale instead of degrading to a shuffle join (same
+    // species as the removed broadcast(cc) pin in keepBestDedup)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.operators.RelationalQueries.turnoutByLocation(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "the bounded nation dim should keep its hint")
+    for (h <- hints) {
+      val cols = h.child.output.map(_.name)
+      assert(
+        cols.forall(_.startsWith("n_")),
+        s"static broadcast hint wraps a corpus-scaling relation (output: $cols)",
+      )
+    }
+  }
+
   test("similarity top-k shuffles only bounded top-k buffers") {
     val df = graft.operators.Similarity.bruteForceTopK(spark, sf)
     // corpus side: local rebalance (small-file parallelism) at most;

@@ -66,7 +66,7 @@ class PropertySpec extends AnyFunSuite {
       val jsons = evs.map { case (v, c, t) => voteJson(v, c, t) }
       val stream = MemoryStream[String]
       val name = "prop_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = VotePipeline.startMemoryQuery(
+      val (q, cap) = VotePipeline.startCaptureQuery(
         VotingOps.votesPerCandidate(VoteIngest.parse(stream.toDF().select($"value"))),
         name,
       )
@@ -75,8 +75,8 @@ class PropertySpec extends AnyFunSuite {
         q.processAllAvailable()
       }
       q.stop()
-      val streamed = VotePipeline
-        .latestPerKey(spark.table(name), Seq("candidate_id"), spark)
+      val streamed = cap
+        .latest(spark, Seq("candidate_id"))
         .select("candidate_id", "total_votes")
       val batch = VotingOps
         .votesPerCandidate(VoteIngest.parse(jsons.toDF("value")))

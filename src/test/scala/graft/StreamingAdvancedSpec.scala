@@ -68,9 +68,9 @@ class StreamingAdvancedSpec extends AnyFunSuite {
       .select("d.*")
     val enriched = VotingOps.enrichWithDimension(parsed, candidates, Seq("candidate_id"))
       .groupBy("party_affiliation").count()
-    val q = VotePipeline.startMemoryQuery(enriched, "enrich_test")
+    val (q, cap) = VotePipeline.startCaptureQuery(enriched, "enrich_test")
     q.processAllAvailable(); q.stop()
-    val fin = VotePipeline.latestPerKey(spark.table("enrich_test"), Seq("party_affiliation"), spark)
+    val fin = cap.latest(spark, Seq("party_affiliation"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fin == Map("Party A" -> 2L, "Party B" -> 1L))
   }

@@ -56,13 +56,13 @@ class StreamingVotingSpec extends AnyFunSuite {
     val parsed = VotePipeline.parsedStream(stream.toDF().select($"value"))
     val (votes, turnout) = VotePipeline.aggregates(parsed)
 
-    val q1 = VotePipeline.startMemoryQuery(votes, "votes_test")
-    val q2 = VotePipeline.startMemoryQuery(turnout, "turnout_test")
+    val (q1, votesCap) = VotePipeline.startCaptureQuery(votes, "votes_test")
+    val (q2, turnoutCap) = VotePipeline.startCaptureQuery(turnout, "turnout_test")
     q1.processAllAvailable(); q2.processAllAvailable()
     q1.stop(); q2.stop()
 
-    val votesFinal = VotePipeline
-      .latestPerKey(spark.table("votes_test"), Seq("candidate_id"), spark)
+    val votesFinal = votesCap
+      .latest(spark, Seq("candidate_id"))
       .collect().map(r => Option(r.getAs[String]("candidate_id")) ->
         Option(r.getAs[java.lang.Long]("total_votes")).map(_.toLong)).toMap
     // real candidates count their votes; the registration-only rows
@@ -71,8 +71,8 @@ class StreamingVotingSpec extends AnyFunSuite {
     assert(votesFinal(Some("c2")) == Some(2L))
     assert(votesFinal(None).isEmpty)
 
-    val turnoutFinal = VotePipeline
-      .latestPerKey(spark.table("turnout_test"), Seq("state"), spark)
+    val turnoutFinal = turnoutCap
+      .latest(spark, Seq("state"))
       .collect().map(r => r.getAs[String]("state") -> r.getAs[Long]("count")).toMap
     // turnout counts registrations AND votes: Illinois 2 reg + 2 votes
     assert(turnoutFinal("Illinois") == 4L)
@@ -85,7 +85,7 @@ class StreamingVotingSpec extends AnyFunSuite {
     val stream = MemoryStream[String]
     val parsed = VotePipeline.parsedStream(stream.toDF().select($"value"))
     val votes = VotePipeline.aggregates(parsed)._1
-    val q = VotePipeline.startMemoryQuery(votes, "changelog_test")
+    val (q, cap) = VotePipeline.startCaptureQuery(votes, "changelog_test")
 
     stream.addData(voteJson(1, "Illinois", 1))
     q.processAllAvailable()
@@ -93,12 +93,12 @@ class StreamingVotingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    val log = spark.table("changelog_test")
+    val log = cap.changelog(spark)
       .filter($"candidate_id" === "c1").select("total_votes")
       .collect().map(_.getLong(0)).toSeq
     // two emissions for c1: running total 1 then 2 — an upsert changelog
     assert(log == Seq(1L, 2L))
-    val fin = VotePipeline.latestPerKey(spark.table("changelog_test"), Seq("candidate_id"), spark)
+    val fin = cap.latest(spark, Seq("candidate_id"))
     assert(fin.filter($"candidate_id" === "c1").head.getAs[Long]("total_votes") == 2L)
   }
 
@@ -116,10 +116,10 @@ class StreamingVotingSpec extends AnyFunSuite {
     val parsed = VotePipeline.parsedStream(stream.toDF().select($"value"))
     val deduped = VotingOps.dedupVotesStreaming(parsed.filter($"vote".isNotNull))
     val votes = VotingOps.votesPerCandidate(deduped)
-    val q = VotePipeline.startMemoryQuery(votes, "dedup_test")
+    val (q, cap) = VotePipeline.startCaptureQuery(votes, "dedup_test")
     q.processAllAvailable()
     q.stop()
-    val fin = VotePipeline.latestPerKey(spark.table("dedup_test"), Seq("candidate_id"), spark)
+    val fin = cap.latest(spark, Seq("candidate_id"))
     val total = fin.agg(sum("total_votes")).head.getLong(0)
     assert(total == 2L, s"expected 2 votes after dedup, got $total")
   }
@@ -139,10 +139,10 @@ class StreamingVotingSpec extends AnyFunSuite {
     val stream = MemoryStream[String]
     stream.addData(records)
     val parsed = VotePipeline.parsedStream(stream.toDF().select($"value"))
-    val q = VotePipeline.startMemoryQuery(VotePipeline.aggregates(parsed)._1, "agree_test")
+    val (q, cap) = VotePipeline.startCaptureQuery(VotePipeline.aggregates(parsed)._1, "agree_test")
     q.processAllAvailable(); q.stop()
-    val streamed = VotePipeline
-      .latestPerKey(spark.table("agree_test"), Seq("candidate_id"), spark)
+    val streamed = cap
+      .latest(spark, Seq("candidate_id"))
       .select("candidate_id", "total_votes")
     val batch = VotingOps
       .votesPerCandidate(VoteIngest.parse(records.toDF("value")))

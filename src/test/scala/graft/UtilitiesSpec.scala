@@ -99,9 +99,9 @@ class UtilitiesSpec extends AnyFunSuite {
     val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int)]
     stream.addData(("a", 1), ("a", 2), ("b", 3))
     val agg = stream.toDF().toDF("k", "v").groupBy("k").agg(sum("v").as("s"))
-    val q = VotePipeline.startMemoryQuery(agg, "rocks_test")
+    val (q, cap) = VotePipeline.startCaptureQuery(agg, "rocks_test")
     q.processAllAvailable(); q.stop()
-    val m = VotePipeline.latestPerKey(spark.table("rocks_test"), Seq("k"), spark)
+    val m = cap.latest(spark, Seq("k"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m == Map("a" -> 3L, "b" -> 3L))
     // restore default for other suites sharing the session
