@@ -58,6 +58,17 @@ object SparkEntry {
     "stream_similarity_topk" -> (graft.streaming.StreamGate.similarityTopK _),
     "stream_turnout_by_location" -> (graft.streaming.StreamGate.turnoutByLocation _),
     "stream_interval_join" -> (graft.streaming.StreamGate.intervalJoin _),
+    // the same two append-mode streams through the PRODUCTION sink
+    // path: micro-batches land on a distributed parquet sink (no row
+    // ever visits the driver) and the result is read back / ranked
+    // distributedly — the 100 TB shape, checked against the same
+    // oracle SQL as the driver-capture gate twins
+    "stream_interval_join_sink" -> ((s, d) =>
+      StreamingQueries.intervalJoinViaSink(
+        s, d, java.nio.file.Files.createTempDirectory("graft-sink-ij").toString + "/out")),
+    "stream_similarity_topk_sink" -> ((s, d) =>
+      StreamingQueries.similarityTopKViaSink(
+        s, d, java.nio.file.Files.createTempDirectory("graft-sink-sim").toString + "/out")),
     "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
@@ -103,7 +114,17 @@ object SparkEntry {
   private val revenue =
     "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)"
 
-  def oracleSql: Map[String, String] = Map(
+  // the sink-path gates compute the same result through the
+  // production parquet-sink plan, so they share their twins' oracles
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql ++ extensionOracleSql
+    base ++ Map(
+      "stream_interval_join_sink" -> base("stream_interval_join"),
+      "stream_similarity_topk_sink" -> base("stream_similarity_topk"),
+    )
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "votes_per_candidate" ->
       s"""SELECT event_type, $moneyVal AS total_votes, count(*) AS n_events
          |FROM events GROUP BY event_type""".stripMargin,
@@ -220,7 +241,7 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |       event_type, $moneyVal AS total_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
-  ) ++ extensionOracleSql
+  )
 
   // ---- extension oracles (text / dedup / similarity / multimodal) ----
 
@@ -717,18 +738,18 @@ object SparkEntry {
     // its first token, per source in doc_id order
     "pack_sequences" ->
       """WITH t AS (
-        |  SELECT source, doc_id,
+        |  SELECT source, doc_id, doc_id // 200 AS split_id,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents),
         |o AS (
-        |  SELECT source, doc_id, n_tok,
-        |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |  SELECT source, doc_id, split_id, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source, split_id ORDER BY doc_id
         |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
         |  FROM t)
-        |SELECT source, CAST(start_off // 256 AS BIGINT) AS seq_id,
+        |SELECT source, split_id, CAST(start_off // 256 AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |       min(doc_id) AS first_doc
-        |FROM o GROUP BY 1, 2""".stripMargin,
+        |FROM o GROUP BY 1, 2, 3""".stripMargin,
     "sample_weighted_mix" ->
       """WITH f AS (
         |  SELECT source,

@@ -539,17 +539,27 @@ object Dedup {
     * corpus (hamming≤3 of 16 was the saturating one the 16-bit twin
     * exhibits).
     */
-  def simhashHammingPairs(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+  def simhashHammingPairs(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = 7,
+      targetRows: Long = 1L << 16,
+  ): DataFrame = {
     // no persist: the native simhash is cheap enough that recomputing
     // for the self-join's two sides beats holding a session-lifetime
     // cache entry (persist here previously leaked across bench runs).
-    // The b side reads the PLAIN relation: it broadcasts, so the
-    // local parallelism rebalance would be a wasted exchange
+    // The b side reads the PLAIN relation: its per-(block, salt)
+    // slices are join-build-side-sized, so the local parallelism
+    // rebalance would be a wasted exchange
     val a = docs(spark, dir)
       .select(col("source"), col("doc_id").as("doc_a"), simhash64(col("text")).as("sh_a"))
     val b = Tables(spark, dir, "documents")
       .select(col("source"), col("doc_id").as("doc_b"), simhash64(col("text")).as("sh_b"))
-    a.join(b, Seq("source"))
+    // hot-block guard: one dominant source must not serialize its
+    // |block|² pairing into a single task (Skew.saltedBlockJoin —
+    // blocks ≤ targetRows degenerate to the plain join)
+    Skew
+      .saltedBlockJoin(a, b, "source", "doc_a", targetRows)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)

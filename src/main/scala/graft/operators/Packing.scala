@@ -18,36 +18,53 @@ import graft.sources.Tables
   * sequence mapping.
   *
   * Scale shape (100 TB): one window aggregation partitioned by
-  * source (the packing unit), i.e. a single shuffle of (source,
-  * doc_id, n_tok) TRIPLES — the text itself never moves; the
+  * (source, split) — the packing unit — i.e. a single shuffle of
+  * (source, doc_id, n_tok) TRIPLES; the text itself never moves; the
   * sequence assignment then joins back map-side if the caller needs
-  * the payload co-located. Sources are the natural parallel unit; a
-  * skew-heavy source can be sub-split by a hash of doc_id ranges
-  * without changing the math (offsets are per split).
+  * the payload co-located.
+  *
+  * The SPLIT is the skew guard: a window partitioned by source alone
+  * serializes a giant source's running-offset scan into one task, so
+  * each source is sub-split into contiguous doc_id ranges of
+  * `splitEvery` ids and offsets restart per split. Packing semantics
+  * are unchanged in kind — docs still pack with their doc_id
+  * neighbors; the only difference is that context windows never span
+  * a split boundary (one ≤ctx-token remainder per split, the same
+  * waste every sharded packer accepts). Range (`div`), not hash: the
+  * sub-split must preserve doc_id adjacency or "concatenate in doc_id
+  * order" stops meaning anything.
   */
 object Packing {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** Per (source, seq_id) packing summary under `ctx`-token windows:
-    * how many docs start in each window and their total token count.
-    * seq_id = floor(start_offset / ctx) where start_offset is the
-    * running token count of all earlier docs in the same source.
+  /** Per (source, split_id, seq_id) packing summary under `ctx`-token
+    * windows: how many docs start in each window and their total
+    * token count. split_id = doc_id div splitEvery; seq_id =
+    * floor(start_offset / ctx) where start_offset is the running
+    * token count of all earlier docs in the same (source, split).
     */
-  def packSequences(spark: SparkSession, dir: String, ctx: Int = 256): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
+  def packSequences(
+      spark: SparkSession,
+      dir: String,
+      ctx: Int = 256,
+      splitEvery: Long = 200L,
+  ): DataFrame = {
+    require(splitEvery > 0, s"splitEvery must be positive, got $splitEvery")
+    val w = Window.partitionBy("source", "split_id").orderBy("doc_id")
     docs(spark, dir)
       .select(
         col("source"),
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
       )
-      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
       // integer `div`, not floor(double /): exact at any corpus size
       // (a double quotient loses integer exactness past 2^53)
+      .withColumn("split_id", expr(s"doc_id div $splitEvery"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("seq_id", expr(s"start_off div $ctx"))
-      .groupBy("source", "seq_id")
+      .groupBy("source", "split_id", "seq_id")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),

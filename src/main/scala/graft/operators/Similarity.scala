@@ -225,12 +225,17 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       threshold: Double = 0.4,
+      targetRows: Long = 1L << 16,
   ): DataFrame = {
     val a = emb(spark, dir)
       .select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = embPlain(spark, dir)
       .select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, Seq("label"))
+    // hot-cell guard: one dominant IVF cell must not serialize its
+    // |cell|² pairing into a single task (Skew.saltedBlockJoin —
+    // cells ≤ targetRows degenerate to the plain cell join)
+    graft.operators.Skew
+      .saltedBlockJoin(a, b, "label", "vec_a", targetRows)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)

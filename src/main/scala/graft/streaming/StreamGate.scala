@@ -131,6 +131,14 @@ object StreamGate {
     // foreachBatch) accordingly for the bundle's lifetime. Streams
     // clone the session from their execution threads, so the conf
     // stays set until every query has terminated.
+    // the bundle's stateful queries (windowed aggregation, interval
+    // join) honor the session's configured state-store provider: a
+    // production deployment sets RocksDB (VotePipeline
+    // .useRocksDbStateStore) so join/window state is bounded by disk,
+    // not executor memory, at 100 TB cardinalities — the RocksDB
+    // bundle run is pinned green in StreamingAdvancedSpec. The gate
+    // harness default stays the in-memory provider: its state is a
+    // few thousand keys, where per-batch native store setup dominates.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     try {
@@ -212,36 +220,11 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
 
-      // 4) stream-stream interval self-join (append semantics): both
-      // sides are streaming readers of the same source with
-      // watermarks; the time-range predicate bounds the state store —
-      // the standard "events within T of each other" join at scale
-      val sa = StreamingQueries
-        .eventsStream(spark, dir)
-        .withWatermark("ts", "10 minutes")
-        .select(
-          col("event_id").as("event_a"),
-          col("user_id").as("ua"),
-          col("ts").as("ts_a"),
-          col("event_type").as("type_a"),
-        )
-      val sb = StreamingQueries
-        .eventsStream(spark, dir)
-        .withWatermark("ts", "10 minutes")
-        .select(
-          col("event_id").as("event_b"),
-          col("user_id").as("ub"),
-          col("ts").as("ts_b"),
-          col("event_type").as("type_b"),
-        )
-      val joined = sa
-        .join(
-          sb,
-          col("ua") === col("ub") &&
-            col("ts_b") > col("ts_a") &&
-            col("ts_b") <= col("ts_a") + expr("interval 5 minutes"),
-        )
-        .select(col("event_a"), col("event_b"), col("type_a"), col("type_b"))
+      // 4) stream-stream interval self-join (append semantics): the
+      // shared lineage — watermarks on both sides + the time-range
+      // predicate bound the join state (the standard "events within T
+      // of each other" join at scale)
+      val joined = StreamingQueries.intervalJoinStream(spark, dir)
       val joinedSchema = joined.schema
       val qJoined = joined.writeStream
         .outputMode("append")

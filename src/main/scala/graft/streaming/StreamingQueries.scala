@@ -159,6 +159,95 @@ object StreamingQueries {
     out
   }
 
+  /** Stream-stream interval self-join lineage: for each event, the
+    * same user's events in the following 5 minutes. Watermarks on
+    * BOTH sides plus the time-range predicate bound the join state
+    * (rows older than watermark + interval are evicted), which is
+    * what makes a stream-stream join runnable indefinitely at 100 TB.
+    * Inner interval joins emit on match, so append output is exact.
+    * Shared by the StreamGate bundle and [[intervalJoinViaSink]].
+    */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val sa = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("event_id").as("event_a"),
+        col("user_id").as("ua"),
+        col("ts").as("ts_a"),
+        col("event_type").as("type_a"),
+      )
+    val sb = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(
+        col("event_id").as("event_b"),
+        col("user_id").as("ub"),
+        col("ts").as("ts_b"),
+        col("event_type").as("type_b"),
+      )
+    sa.join(
+      sb,
+      col("ua") === col("ub") &&
+        col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("interval 5 minutes"),
+    ).select(col("event_a"), col("event_b"), col("type_a"), col("type_b"))
+  }
+
+  /** PRODUCTION append path: run an append-mode stream to completion
+    * writing micro-batches straight to a parquet sink — no row ever
+    * visits the driver, the sink is a distributed table — and hand
+    * back a reader over it. This is the shape the reference's own job
+    * uses for appends (Kafka sink; parquet here because no broker
+    * exists offline), and the scale path for any append stream whose
+    * output is O(data): the harness-side foreachBatch capture the
+    * gate bundle uses is bounded-changelog-only by contract.
+    *
+    * The read-back declares the stream's schema so an empty stream
+    * yields an empty relation rather than a schema-inference error.
+    */
+  def runAppendToParquet(
+      spark: SparkSession,
+      stream: DataFrame,
+      outPath: String,
+      statePartitions: Int = 8,
+  ): DataFrame = {
+    // stateful streams create one state store per shuffle partition:
+    // size it like the other gate queries (see runToFinal) instead of
+    // inheriting the session's batch parallelism — the conf must stay
+    // set until the query terminates (the stream clones the session
+    // from its execution thread)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-sink"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.schema(stream.schema).parquet(outPath)
+  }
+
+  /** Sink-path twin of the StreamGate similarity gate: scored appends
+    * land on a parquet sink, then the per-query top-k is ranked
+    * DISTRIBUTEDLY over the sink table via the bounded-buffer
+    * TopKAggregator (shuffle ≤ k·partitions rows per query) — the
+    * end-to-end plan a real deployment runs. Equality with the
+    * driver-capture gate variant is pinned in spec.
+    */
+  def similarityTopKViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+    val sunk = runAppendToParquet(spark, similarityScoredStream(spark, dir), outPath)
+    graft.operators.Similarity.topKPerQuery(sunk, 5)
+  }
+
+  /** Sink-path twin of the StreamGate interval-join gate: joined
+    * appends land on a parquet sink and are read back as a table.
+    */
+  def intervalJoinViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame =
+    runAppendToParquet(spark, intervalJoinStream(spark, dir), outPath)
+
   /** Streaming twin of turnoutByLocation: the event stream enriched
     * against the customer→nation dimension (stream-static equi-join,
     * J1's shape) with a running count per nation — same oracle SQL as

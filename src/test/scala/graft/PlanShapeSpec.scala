@@ -91,11 +91,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sortMergeJoins(df) == 0, "size lookups must ride the posting lists, not joins")
   }
 
-  test("simhash pairs never shuffle the corpus") {
+  test("simhash pairs hash-shuffle only the block-size count partials") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     val df = graft.operators.Dedup.simhashHammingPairs(spark, sf)
-    // source-blocked pairing: fingerprint side broadcasts per block;
-    // only Tables.parallel's local rebalance may appear
-    assert(shuffles(df) <= 1, s"got ${shuffles(df)} shuffles")
+    // source-blocked pairing with the hot-block guard: the only
+    // hash-partitioned exchanges are the block-size COUNT partials
+    // (|blocks| rows after map-side combine; the static plan carries
+    // one per join side until runtime exchange reuse). Everything
+    // else must be Tables.parallel's local round-robin rebalance —
+    // absent on a real many-split deployment — i.e. the pair
+    // expansion itself stays a broadcast join at this scale, never a
+    // corpus shuffle.
+    val hashed = collectPlan(df)
+      .collect { case s: ShuffleExchangeLike => s.outputPartitioning }
+      .collect { case h: HashPartitioning => h }
+    assert(hashed.size <= 2, s"unexpected hash shuffles: $hashed")
+    assert(
+      hashed.forall(h => h.expressions.length == 1),
+      s"a hash shuffle carries more than the block key: $hashed",
+    )
   }
 
   test("embedding quantization is map-side (rebalance only, no broadcasts)") {

@@ -146,6 +146,51 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(graft.streaming.StreamGate.similarityTopK(spark, dir).count() == 0)
   }
 
+  test("stream gate bundle runs green on the RocksDB state store with identical results") {
+    val dir = "/root/testdata/sf0.001"
+    val gate = graft.streaming.StreamGate
+    // default-provider results (memoized or fresh)
+    val votesDefault = gate.votesPerCandidate(spark, dir).collect().toSet
+    val windowedDefault = gate.votesWindowed(spark, dir).collect().toSet
+    val joinDefault = gate.intervalJoin(spark, dir).collect().toSet
+    // re-run the WHOLE bundle — including the stateful windowed
+    // aggregation and the stream-stream interval join — on the
+    // production state-store provider (disk-bounded state at 100 TB)
+    gate.invalidate()
+    VotePipeline.useRocksDbStateStore(spark)
+    try {
+      assert(gate.votesPerCandidate(spark, dir).collect().toSet == votesDefault)
+      assert(gate.votesWindowed(spark, dir).collect().toSet == windowedDefault)
+      assert(gate.intervalJoin(spark, dir).collect().toSet == joinDefault)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      gate.invalidate()
+    }
+  }
+
+  test("production parquet-sink append path equals the driver-capture gate path") {
+    val dir = "/root/testdata/sf0.001"
+    // interval join: appends written to a distributed parquet sink and
+    // read back — must equal the bundle's foreachBatch-capture variant
+    val ijOut = Files.createTempDirectory("graft-sink-ij").toString + "/out"
+    val ijSink = graft.streaming.StreamingQueries.intervalJoinViaSink(spark, dir, ijOut)
+    val ijGate = graft.streaming.StreamGate.intervalJoin(spark, dir)
+    assert(ijSink.count() == ijGate.count(), "sink path lost or duplicated appended rows")
+    assert(
+      ijSink.except(ijGate).isEmpty && ijGate.except(ijSink).isEmpty,
+      "sink-path interval join diverged from the capture-path gate",
+    )
+    // similarity: sink-table rank via the bounded TopKAggregator must
+    // equal the gate's post-completion window rank
+    val simOut = Files.createTempDirectory("graft-sink-sim").toString + "/out"
+    val simSink = graft.streaming.StreamingQueries.similarityTopKViaSink(spark, dir, simOut)
+    val simGate = graft.streaming.StreamGate.similarityTopK(spark, dir)
+    assert(
+      simSink.except(simGate).isEmpty && simGate.except(simSink).isEmpty,
+      "sink-path similarity top-k diverged from the capture-path gate",
+    )
+  }
+
   test("stream-stream interval join matches across out-of-order micro-batches") {
     import spark.implicits._
     // user 1: three events at t0, t0+2m, t0+20m — pairs within the

@@ -92,6 +92,50 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(salted.except(direct).count() == 0 && direct.except(salted).count() == 0)
   }
 
+  test("salted block join preserves the exact pair set and bounds a hot block's sub-tasks") {
+    import spark.implicits._
+    // one hot block of 90 rows, one cold block of 2: the guard must
+    // split only the hot one (ceil(90/10) = 9 sub-tasks) and leave the
+    // cold one unsplit (m = 1)
+    val rows = (0L until 90L).map(i => ("hot", i)) ++ Seq(("cold", 100L), ("cold", 101L))
+    val a = rows.toDF("blk", "id").select(col("blk"), col("id").as("id_a"))
+    val b = rows.toDF("blk", "id").select(col("blk"), col("id").as("id_b"))
+    val plain = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+    val salted = Skew
+      .saltedBlockJoinKeepSalt(a, b, "blk", "id_a", targetRows = 10)
+      .filter(col("id_a") < col("id_b"))
+    // exact same pair multiset (pairs are unique, so except both ways
+    // + count pins it)
+    assert(salted.count() == plain.count())
+    assert(
+      salted.drop("__salt").except(plain).isEmpty && plain.except(salted.drop("__salt")).isEmpty,
+      "salting changed the pair set",
+    )
+    // hot block spread over multiple bounded sub-tasks; a sub-task's
+    // pair count is its ~targetRows a-slice × |block| (hash slack ≤3×)
+    val perTask = salted
+      .groupBy("blk", "__salt").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hotTasks = perTask.filter(_._1 == "hot")
+    assert(hotTasks.length >= 5, s"hot block did not spread: ${hotTasks.length} sub-tasks")
+    assert(
+      hotTasks.forall(_._3 <= 3L * 10 * 90),
+      s"a hot sub-task exceeds the bounded expansion: ${hotTasks.map(_._3).max}",
+    )
+    assert(perTask.count(_._1 == "cold") == 1, "cold block must stay unsplit")
+  }
+
+  test("pair gates are identical under forced sub-blocking") {
+    // the gate defaults leave every test-scale block unsplit; forcing
+    // tiny sub-blocks must not change a single emitted pair
+    val sim = graft.operators.Dedup.simhashHammingPairs(spark, sf)
+    val simForced = graft.operators.Dedup.simhashHammingPairs(spark, sf, targetRows = 8)
+    assert(sim.except(simForced).isEmpty && simForced.except(sim).isEmpty)
+    val embBase = graft.operators.Similarity.embeddingNearDupPairs(spark, sf)
+    val embForced = graft.operators.Similarity.embeddingNearDupPairs(spark, sf, targetRows = 8)
+    assert(embBase.except(embForced).isEmpty && embForced.except(embBase).isEmpty)
+  }
+
   test("rocksdb state store config applies to stateful streaming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
