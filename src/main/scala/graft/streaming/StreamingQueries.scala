@@ -216,8 +216,14 @@ object StreamingQueries {
     // set until the query terminates (the stream clones the session
     // from its execution thread)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      // append gates emit on data (inner joins on match, projections
+      // per row) — the trailing no-data micro-batch would be a pure
+      // state-commit round with no output (same reasoning as the
+      // StreamGate bundle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q = stream.writeStream
         .outputMode("append")
         .format("parquet")
@@ -226,7 +232,13 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.read.schema(stream.schema).parquet(outPath)
   }
 
