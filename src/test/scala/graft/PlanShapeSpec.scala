@@ -112,6 +112,21 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("embedding near-dup pairs hash-shuffle only the cell-size count partials") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = graft.operators.Similarity.embeddingNearDupPairs(spark, sf)
+    // same contract as the simhash pin: the hot-cell guard's only
+    // hash exchanges are the |cells|-row count partials
+    val hashed = collectPlan(df)
+      .collect { case s: ShuffleExchangeLike => s.outputPartitioning }
+      .collect { case h: HashPartitioning => h }
+    assert(hashed.size <= 2, s"unexpected hash shuffles: $hashed")
+    assert(
+      hashed.forall(h => h.expressions.length == 1),
+      s"a hash shuffle carries more than the cell key: $hashed",
+    )
+  }
+
   test("embedding quantization is map-side (rebalance only, no broadcasts)") {
     val df = graft.operators.Similarity.quantizeInt8(spark, sf)
     assert(shuffles(df) <= 1, s"got ${shuffles(df)} shuffles")
