@@ -99,6 +99,8 @@ object SparkEntry {
     "session_windows" -> (RelationalQueries.sessionWindows _),
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
     "sample_weighted_mix" -> (graft.operators.Sampling.weightedMixStats _),
+    "sample_top_quality" -> ((s, d) => graft.operators.Sampling.topQualityPerSource(s, d)),
+    "sample_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
     "decontamination_overlap" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlap(s, d)),
     "decontamination_bloom" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlapBloom(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
@@ -734,6 +736,29 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
         |  FROM h)
         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""".stripMargin,
+    // quality-ranked per-source keep: token count desc, doc_id tie
+    "sample_top_quality" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tok,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) AS rank
+        |  FROM t)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_tok
+        |FROM r WHERE rank <= 10""".stripMargin,
+    // seeded md5 permutation key; first hex byte shards, rank within
+    // shard orders — same key algebra as the Spark side
+    "sample_epoch_shuffle" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5('epoch0' || ':' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents)
+        |SELECT substr(k, 1, 2) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY substr(k, 1, 2)
+        |                               ORDER BY k, doc_id) AS BIGINT) AS position,
+        |       doc_id
+        |FROM t""".stripMargin,
     // concat-and-chunk packing: doc → the 256-token window containing
     // its first token, per source in doc_id order
     "pack_sequences" ->

@@ -108,6 +108,63 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
   }
 
+  /** Quality-ranked per-source selection: keep the `k` best documents
+    * per source by (token count desc, doc_id) — the "keep the best"
+    * counterpart of [[perSourceCap]]'s uniform cap, the selection step
+    * of a quality-curated training mix.
+    *
+    * Plan shape at 100 TB: the bounded [[graft.functions.TopKAggregator]]
+    * — partial top-k buffers merge map-side, so the shuffle carries at
+    * most k rows per (source, partition) instead of every row of the
+    * source, and a giant source cannot serialize a window sort into
+    * one task. The window formulation is the executable spec twin
+    * (equality pinned in UtilitiesSpec).
+    */
+  def topQualityPerSource(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+      )
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, nTok) => graft.functions.Scored(id, nTok.toDouble) }
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        // token counts are ints, so the double round-trip is exact
+        top.zipWithIndex.map { case (s, i) => (src, (i + 1).toLong, s.id, s.score.toLong) }
+      }
+      .toDF("source", "rank", "doc_id", "n_tok")
+  }
+
+  /** Deterministic sharded epoch shuffle — the training-order step: a
+    * seeded md5 over the doc id is the permutation key, its first hex
+    * byte the shard (256 uniform shards), and the rank of the full
+    * key within the shard the position. Readers stream shards in any
+    * order or interleaved; a new seed yields an independent
+    * permutation of the same corpus, reproducibly on any engine.
+    *
+    * Plan shape at 100 TB: one hash shuffle of (doc_id, key) PAIRS
+    * into shards, each shard ranked independently — never a global
+    * single-partition sort, and the document payload never moves (the
+    * order joins back map-side by doc_id).
+    */
+  def epochShuffle(spark: SparkSession, dir: String, seed: String = "epoch0"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+      .orderBy(col("k"), col("doc_id"))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))).as("k"),
+      )
+      .withColumn("shard", substring(col("k"), 1, 2))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("shard"), col("position"), col("doc_id"))
+  }
+
   /** Benchmark decontamination: training documents that share word
     * shingles with any held-out (test-split) document, with the count
     * of distinct shared shingles — the standard n-gram-overlap

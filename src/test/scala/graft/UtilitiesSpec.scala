@@ -92,6 +92,45 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(salted.except(direct).count() == 0 && direct.except(salted).count() == 0)
   }
 
+  test("top-quality-per-source aggregator equals the window-rank formulation") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val viaAgg = Sampling.topQualityPerSource(spark, sf, k = 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    val viaWindow = Tables(spark, sf, "documents")
+      .select(
+        col("source"),
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("source", "rank", "doc_id", "n_tok")
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+    assert(viaAgg.count() == viaWindow.count())
+  }
+
+  test("epoch shuffle is a seeded permutation: shards cover the corpus, seeds are independent") {
+    import graft.operators.Sampling
+    val docs = Tables(spark, sf, "documents")
+    val e0 = Sampling.epochShuffle(spark, sf, "epoch0")
+    // every doc appears exactly once across shards
+    assert(e0.count() == docs.count())
+    assert(e0.select("doc_id").distinct().count() == docs.count())
+    // positions within a shard are a contiguous 1..n run
+    val bad = e0.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("position").as("lo"), max("position").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.isEmpty, "shard positions are not a contiguous 1..n run")
+    // a different seed yields a different permutation of the same docs
+    val e1 = Sampling.epochShuffle(spark, sf, "epoch1")
+    assert(e1.count() == docs.count())
+    assert(e0.except(e1).count() > 0, "independent seeds produced the identical order")
+    // and the same seed is exactly reproducible
+    assert(Sampling.epochShuffle(spark, sf, "epoch0").except(e0).isEmpty)
+  }
+
   test("salted block join preserves the exact pair set and bounds a hot block's sub-tasks") {
     import spark.implicits._
     // one hot block of 90 rows, one cold block of 2: the guard must
