@@ -69,6 +69,12 @@ object SparkEntry {
     "stream_similarity_topk_sink" -> ((s, d) =>
       StreamingQueries.similarityTopKViaSink(
         s, d, java.nio.file.Files.createTempDirectory("graft-sink-sim").toString + "/out")),
+    // streaming exact dedup (ST6) through the same production sink
+    // path — emits each (user_id, event_type) key once on first
+    // arrival; the result is the deterministic distinct key set
+    "stream_dedup_sink" -> ((s, d) =>
+      StreamingQueries.streamDedupViaSink(
+        s, d, java.nio.file.Files.createTempDirectory("graft-sink-dedup").toString + "/out")),
     "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
@@ -77,6 +83,9 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetitionStats _),
     "text_quality_filter" -> (TextAnalysis.gopherQualityFilter _),
     "text_lang_id" -> (TextAnalysis.langIdConfusion _),
+    "vocab_top_tokens" -> ((s, d) => TextAnalysis.vocabTopTokens(s, d)),
+    "lm_bigram" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
+    "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -463,6 +472,28 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT gram) AS n_distinct,
         |       CAST(count(*) - count(DISTINCT gram) AS DOUBLE) / count(*) AS dup_ratio
         |FROM g GROUP BY doc_id""".stripMargin,
+    // ties at the top-k boundary break lexicographically in both
+    // engines, so the selected token set is identical
+    "vocab_top_tokens" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM t WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // p divides the same two BIGINT counts in both engines → the
+    // IEEE quotient is bit-identical
+    "lm_bigram" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT ts[i] AS left_token, ts[i+1] AS right_token
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x),
+        |c AS (
+        |  SELECT left_token, right_token, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT left_token, right_token, n,
+        |       CAST(sum(n) OVER (PARTITION BY left_token) AS BIGINT) AS n_left,
+        |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY left_token) AS BIGINT) AS p
+        |FROM c""".stripMargin,
     "text_quality_filter" ->
       s"""WITH f AS (
          |  SELECT source,
@@ -775,6 +806,19 @@ object SparkEntry {
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |       min(doc_id) AS first_doc
         |FROM o GROUP BY 1, 2, 3""".stripMargin,
+    // length-bucketed batching: bucket = n_tok div 32; padding waste
+    // pads each doc to its bucket's max length — all integer math
+    "pack_length_buckets" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+        |SELECT n_tok // 32 AS bucket, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(max(n_tok) AS BIGINT) AS max_tok,
+        |       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding_waste
+        |FROM t GROUP BY 1""".stripMargin,
+    // streaming dedup projects exactly the dedup key, so the sink
+    // content is the distinct key set whatever row survived
+    "stream_dedup_sink" ->
+      "SELECT user_id, event_type FROM events GROUP BY user_id, event_type",
     "sample_weighted_mix" ->
       """WITH f AS (
         |  SELECT source,

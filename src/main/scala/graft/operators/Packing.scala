@@ -71,4 +71,30 @@ object Packing {
         min(col("doc_id")).as("first_doc"),
       )
   }
+
+  /** Length-bucketed batching stats — the alternative to
+    * concat-and-chunk when documents must stay intact: docs are
+    * grouped into fixed-`width` token-length buckets and each batch
+    * pads to its bucket's longest doc. `padding_waste` =
+    * n_docs·max(n_tok) − sum(n_tok) is the padding-token overhead of
+    * batching that bucket — the number a pipeline tunes bucket width
+    * against. Pure integer arithmetic end to end.
+    *
+    * Scale shape (100 TB): the length is map-side per-row math, the
+    * aggregation has ≤ max_len/width keys — scan speed, one tiny
+    * shuffle.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String, width: Int = 32): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    docs(spark, dir)
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $width"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(col("n_tok")).as("max_tok"),
+        (count(lit(1)) * max(col("n_tok")) - sum(col("n_tok"))).as("padding_waste"),
+      )
+  }
 }

@@ -296,6 +296,69 @@ object TextAnalysis {
         ).as("n_keep"),
       )
 
+  /** Vocabulary building — the top-`k` tokens of the corpus by
+    * frequency: the first step of tokenizer training (seed vocab,
+    * merge candidates) and of frequency-based quality heuristics.
+    * Ties break lexicographically so the selected set is identical in
+    * any engine.
+    *
+    * Scale shape (100 TB): the explode is map-side; the count is a
+    * hash aggregation with map-side partial combine (the shuffle
+    * carries ≤ |vocab| keys per partition, not per-token rows); the
+    * global top-k compiles to `TakeOrderedAndProject` — each partition
+    * keeps only its own top k and the driver merges k·partitions
+    * rows, never a global sort (pinned in PlanShapeSpec).
+    */
+  def vocabTopTokens(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Bigram language-model counts with conditional probabilities:
+    * P(right | left) = n(left,right) / n(left,·) over positional word
+    * bigrams — the count table a KenLM-style n-gram scorer (or a
+    * contamination n-gram index) is built from. The probability
+    * divides two counts derived from identical integers, so the
+    * double is bit-identical cross-engine.
+    *
+    * Scale shape (100 TB): bigram expansion is per-row array math
+    * (map-side, let-bound so the token array builds once); the count
+    * is one hash aggregation on (left, right) with partial combine;
+    * the denominator is a window over the |vocab|-key count table —
+    * the corpus itself is never re-shuffled.
+    */
+  def bigramLm(spark: SparkSession, dir: String, minCount: Long = 1L): DataFrame = {
+    val grams = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(
+        // tokens are let-bound: each bigram element references the
+        // array twice and the sequence bound once more
+        graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+          transform(
+            sequence(lit(0), size(toks) - 2),
+            i =>
+              struct(
+                element_at(toks, i + 1).as("l"),
+                element_at(toks, i + 2).as("r"),
+              ),
+          )
+        }.as("gs"),
+      )
+      .select(explode(col("gs")).as("g"))
+      .select(col("g.l").as("left_token"), col("g.r").as("right_token"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("left_token")
+    grams
+      .groupBy("left_token", "right_token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_left", sum(col("n")).over(w))
+      .withColumn("p", col("n").cast("double") / col("n_left"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Fingerprint stats per source: exact-duplicate detection via
     * normalized-text fingerprints.
     */

@@ -260,6 +260,33 @@ object StreamingQueries {
   def intervalJoinViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame =
     runAppendToParquet(spark, intervalJoinStream(spark, dir), outPath)
 
+  /** Streaming exact dedup through the production sink path: the
+    * event stream deduplicated on (user_id, event_type) with
+    * `dropDuplicatesWithinWatermark`, first occurrences appended
+    * straight to a distributed parquet sink — the ST6 semantics
+    * (late/duplicate data) running end-to-end through the 100 TB
+    * append shape rather than a driver capture.
+    *
+    * The output projects exactly the dedup key, so the surviving
+    * row's identity is immaterial and the result is the deterministic
+    * distinct key set (same rows as batch `SELECT DISTINCT`)
+    * regardless of micro-batch boundaries or partition arrival order.
+    *
+    * The watermark delay (90 days) exceeds the corpus's event-time
+    * span, so no dedup state is evicted mid-run and every duplicate
+    * is caught — the bounded-input analogue of "delay ≥ maximum
+    * duplicate lag". On an unbounded deployment the delay is sized to
+    * the real dedup horizon and state stays bounded by eviction,
+    * which is exactly what this operator exists to guarantee.
+    */
+  def streamDedupViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runAppendToParquet(spark, deduped, outPath)
+  }
+
   /** Streaming twin of turnoutByLocation: the event stream enriched
     * against the customer→nation dimension (stream-static equi-join,
     * J1's shape) with a running count per nation — same oracle SQL as

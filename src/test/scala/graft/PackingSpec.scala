@@ -76,4 +76,27 @@ class PackingSpec extends AnyFunSuite {
     assert(packed((1L, 3L)) == ((1L, 10L, 9L)))
     assert(packed.size == 6)
   }
+
+  test("length buckets conserve docs/tokens and bound every doc by its bucket range") {
+    import org.apache.spark.sql.functions._
+    val width = 32
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val buckets = Packing.lengthBuckets(spark, sf, width).collect()
+    assert(buckets.nonEmpty)
+    // row layout: (bucket, n_docs, n_tokens, max_tok, padding_waste)
+    assert(buckets.map(_.getLong(1)).sum == docs.count())
+    val totalTokens = docs
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    assert(buckets.map(_.getLong(2)).sum == totalTokens)
+    buckets.foreach { r =>
+      val (b, n, tok, mx, waste) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // bucket membership: max doc length sits inside [b*w, b*w+w-1],
+      // and the mean cannot undershoot the bucket floor
+      assert(mx >= b * width && mx < (b + 1) * width, s"bucket $b max_tok $mx out of range")
+      assert(tok >= b * width * n && tok <= mx * n)
+      // padding waste is exactly the pad-to-max overhead
+      assert(waste == n * mx - tok && waste >= 0)
+    }
+  }
 }

@@ -73,6 +73,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab top-k is one count shuffle plus per-partition TakeOrderedAndProject, never a global sort") {
+    val df = graft.operators.TextAnalysis.vocabTopTokens(spark, sf)
+    val plan = collectPlan(df)
+    assert(
+      plan.exists(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject")),
+      "global top-k must compile to TakeOrderedAndProject (bounded per-partition heaps)",
+    )
+    assert(
+      !plan.exists(_.getClass.getSimpleName == "SortExec"),
+      "a standalone SortExec means the |vocab| table is globally sorted instead of heap-selected",
+    )
+    assert(shuffles(df) == 1, s"expected only the token-count exchange, got ${shuffles(df)}")
+  }
+
   test("similarity top-k shuffles only bounded top-k buffers") {
     val df = graft.operators.Similarity.bruteForceTopK(spark, sf)
     // corpus side: local rebalance (small-file parallelism) at most;

@@ -191,6 +191,20 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     )
   }
 
+  test("streaming dedup through the parquet sink yields exactly the batch distinct key set") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-sink-dd").toString + "/out"
+    val sunk = graft.streaming.StreamingQueries.streamDedupViaSink(spark, dir, out)
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type")
+      .distinct()
+    assert(sunk.count() == batch.count(), "streaming dedup emitted a key more or less than once")
+    assert(
+      sunk.except(batch).isEmpty && batch.except(sunk).isEmpty,
+      "streaming dedup key set diverged from batch DISTINCT",
+    )
+  }
+
   test("stream-stream interval join matches across out-of-order micro-batches") {
     import spark.implicits._
     // user 1: three events at t0, t0+2m, t0+20m — pairs within the

@@ -45,6 +45,45 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab top-k returns the k most frequent tokens with lexicographic tie-break") {
+    val k = 5
+    val top = TextAnalysis.vocabTopTokens(spark, sf, k).collect()
+    assert(top.length == k)
+    // recompute the full count table and select the same top-k naively
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+      .take(k)
+    assert(top.map(r => (r.getString(0), r.getLong(1))).sortBy { case (t, n) => (-n, t) }.toSeq == all.toSeq)
+  }
+
+  test("bigram LM: denominators partition the bigram mass and p is the exact count quotient") {
+    val rows = TextAnalysis.bigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // n_left must equal the sum of n over the same left token, and
+    // p must be bit-exactly n/n_left
+    val byLeft = rows.groupBy(_.getString(0))
+    byLeft.foreach { case (_, grp) =>
+      val total = grp.map(_.getLong(2)).sum
+      grp.foreach { r =>
+        assert(r.getLong(3) == total, s"n_left mismatch for ${r.getString(0)}")
+        assert(r.getDouble(4) == r.getLong(2).toDouble / total)
+      }
+    }
+    // total bigram count = sum over docs of (n_tok - 1), docs >= 2 tokens
+    val expectedTotal = spark.read.parquet(s"$sf/documents.parquet")
+      .select((size(split(col("text"), " ")) - 1).cast("long").as("nb"))
+      .filter(col("nb") >= 1)
+      .agg(sum("nb"))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == expectedTotal)
+  }
+
   test("gopher filter counts are consistent per source") {
     val rows = TextAnalysis.gopherQualityFilter(spark, sf).collect()
     assert(rows.nonEmpty)
