@@ -86,6 +86,9 @@ object SparkEntry {
     "vocab_top_tokens" -> ((s, d) => TextAnalysis.vocabTopTokens(s, d)),
     "lm_bigram" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
+    "text_length_percentiles" -> (TextAnalysis.lengthPercentiles _),
+    "text_tf_idf" -> (TextAnalysis.tfIdfTopTerms _),
+    "cdc_latest_per_key" -> (RelationalQueries.latestEventPerUser _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -494,6 +497,41 @@ object SparkEntry {
         |       CAST(sum(n) OVER (PARTITION BY left_token) AS BIGINT) AS n_left,
         |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY left_token) AS BIGINT) AS p
         |FROM c""".stripMargin,
+    // percentile_disc positions computed with the same integer
+    // arithmetic on both sides — no interpolation
+    "text_length_percentiles" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_tok,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS BIGINT) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM t)
+        |SELECT lang, n,
+        |       max(CASE WHEN rk = ((n - 1) * 50) // 100 + 1 THEN n_tok END) AS p50_tok,
+        |       max(CASE WHEN rk = ((n - 1) * 90) // 100 + 1 THEN n_tok END) AS p90_tok,
+        |       max(CASE WHEN rk = ((n - 1) * 99) // 100 + 1 THEN n_tok END) AS p99_tok
+        |FROM r GROUP BY lang, n""".stripMargin,
+    // log-free idf: score = tf·N/df — an integer product divided by
+    // an integer, bit-identical cross-engine; ties break on token
+    "text_tf_idf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT f.doc_id, f.token, f.tf, d.df,
+        |         CAST(f.tf * n.n AS DOUBLE) / d.df AS score
+        |  FROM tf f JOIN df d USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+        |  FROM s)
+        |SELECT doc_id, token AS top_token, tf, df, score FROM r WHERE rk = 1""".stripMargin,
     "text_quality_filter" ->
       s"""WITH f AS (
          |  SELECT source,
@@ -819,6 +857,17 @@ object SparkEntry {
     // content is the distinct key set whatever row survived
     "stream_dedup_sink" ->
       "SELECT user_id, event_type FROM events GROUP BY user_id, event_type",
+    // the window-rank formulation of latest-per-key; the Spark side
+    // computes the same survivor via max_by aggregation (see
+    // RelationalQueries.latestEventPerUser scaladoc)
+    "cdc_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |FROM r WHERE rk = 1""".stripMargin,
     "sample_weighted_mix" ->
       """WITH f AS (
         |  SELECT source,

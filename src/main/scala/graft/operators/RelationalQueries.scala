@@ -457,6 +457,34 @@ object RelationalQueries {
       )
   }
 
+  /** Changelog compaction (SCD-1 / CDC "latest record per key"): the
+    * most recent event per user, ties broken by event_id so the
+    * survivor is total-order deterministic. This is the upsert-view
+    * materialization every CDC sink needs.
+    *
+    * Scale shape (100 TB): implemented as `max_by` over a struct
+    * ordering key — a plain hash AGGREGATION with map-side partial
+    * combine, so each partition reduces to one candidate per key
+    * before the shuffle and the exchange carries |users| rows, not
+    * the event log. The window-rank formulation (the oracle SQL)
+    * would instead sort whole user partitions; the aggregation is
+    * strictly less data movement. Spec pins the two equal.
+    */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max_by(
+          struct(col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id")),
+        ).as("last"),
+      )
+      .select(
+        col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+      )
+
   /** Batch sessionization via gaps-and-islands: a new session starts
     * after > 1 hour of inactivity. Times compared as integer
     * microseconds so the cross-engine comparison is exact. Two

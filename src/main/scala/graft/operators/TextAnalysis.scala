@@ -359,6 +359,64 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Exact token-length percentiles per language (p50/p90/p99,
+    * `percentile_disc` semantics: the value at rank
+    * floor((n−1)·q)+1 of the sorted lengths) — the corpus length
+    * profile that sizes context windows and length buckets. Integer
+    * positions into integer data: no interpolation, no float drift.
+    *
+    * Scale shape: the per-group sort is a rank window partitioned by
+    * lang — range-partitionable, but still a sort of the group. At
+    * 100 TB the production path is a mergeable quantile sketch (see
+    * [[Sketches]] for the GK profile); this operator is the exact,
+    * oracle-checkable twin the sketch is validated against.
+    */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("lang").orderBy(col("n_tok"), col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    def atQ(pct: Int): Column =
+      max(when(col("rk") === expr(s"((n - 1) * $pct) div 100") + 1, col("n_tok")))
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("lang", "n")
+      .agg(atQ(50).as("p50_tok"), atQ(90).as("p90_tok"), atQ(99).as("p99_tok"))
+  }
+
+  /** TF-IDF top term per document, with a log-free idf: score =
+    * tf · N / df (rarity-weighted term frequency — order-equivalent
+    * to tf·idf within a document for ranking the top term, and exact
+    * cross-engine: an integer product divided by an integer). Ties
+    * break lexicographically.
+    *
+    * Scale shape (100 TB): tf is one hash aggregation over the
+    * exploded index with map-side combine; df aggregates the
+    * (already vocab-bounded) tf table; the df join-back is a
+    * vocab-sized side AQE will broadcast; the per-doc top-1 ranks
+    * within doc_id partitions. The corpus text itself never shuffles
+    * — only (doc, token, count) index rows.
+    */
+  def tfIdfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    // tf already holds one row per (doc, token), so df is a plain count
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("token").as("top_token"), col("tf"), col("df"), col("score"))
+  }
+
   /** Fingerprint stats per source: exact-duplicate detection via
     * normalized-text fingerprints.
     */

@@ -33,6 +33,27 @@ class BatchQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("latest-per-key max_by aggregation equals the window-rank compaction") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val agg = graft.operators.RelationalQueries.latestEventPerUser(spark, sf)
+    val events = graft.sources.Tables(spark, sf, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val windowed = events
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+      )
+    assert(agg.count() == events.select("user_id").distinct().count())
+    assert(
+      agg.except(windowed).isEmpty && windowed.except(agg).isEmpty,
+      "max_by compaction diverged from the window-rank formulation",
+    )
+  }
+
   test("votes_per_candidate totals equal whole-table totals") {
     import org.apache.spark.sql.functions._
     val per = graft.operators.RelationalQueries.votesPerCandidate(spark, sf)

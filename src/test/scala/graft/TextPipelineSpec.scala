@@ -84,6 +84,48 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == expectedTotal)
   }
 
+  test("length percentiles are the percentile_disc values of the sorted lengths") {
+    val got = TextAnalysis.lengthPercentiles(spark, sf).collect()
+    assert(got.nonEmpty)
+    // recompute naively: sort each language's lengths and index
+    val byLang = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"), col("doc_id"))
+      .collect()
+      .groupBy(_.getString(0))
+    got.foreach { r =>
+      val (lang, n) = (r.getString(0), r.getLong(1))
+      val sorted = byLang(lang).map(x => (x.getLong(1), x.getLong(2))).sortBy(identity).map(_._1)
+      assert(n == sorted.length.toLong)
+      def disc(pct: Long): Long = sorted((((n - 1) * pct) / 100).toInt)
+      assert(r.getLong(2) == disc(50) && r.getLong(3) == disc(90) && r.getLong(4) == disc(99))
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("tf-idf top term: one row per doc, score is the exact count quotient, term maximizes it") {
+    val rows = TextAnalysis.tfIdfTopTerms(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+    assert(rows.length == docs.length, "exactly one top term per document")
+    val nDocs = docs.length.toLong
+    // rebuild tf/df naively on the driver
+    val tokensByDoc = docs.map(d => d.getAs[Long]("doc_id") ->
+      d.getAs[String]("text").split(" ", -1).filter(_.nonEmpty)).toMap
+    val df = tokensByDoc.values.flatMap(_.distinct).groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    rows.foreach { r =>
+      val (docId, top, tf, dfGot, score) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val counts = tokensByDoc(docId).groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      assert(counts(top) == tf && df(top) == dfGot)
+      assert(score == (tf * nDocs).toDouble / dfGot)
+      // no other token of the doc scores strictly higher, and equal
+      // scores lose to the lexicographically smaller token
+      counts.foreach { case (t, c) =>
+        val s = (c * nDocs).toDouble / df(t)
+        assert(s < score || (s == score && t >= top), s"doc $docId: $t beats $top")
+      }
+    }
+  }
+
   test("gopher filter counts are consistent per source") {
     val rows = TextAnalysis.gopherQualityFilter(spark, sf).collect()
     assert(rows.nonEmpty)
