@@ -463,11 +463,14 @@ object RelationalQueries {
     * materialization every CDC sink needs.
     *
     * Scale shape (100 TB): implemented as `max_by` over a struct
-    * ordering key — a plain hash AGGREGATION with map-side partial
-    * combine, so each partition reduces to one candidate per key
-    * before the shuffle and the exchange carries |users| rows, not
-    * the event log. The window-rank formulation (the oracle SQL)
-    * would instead sort whole user partitions; the aggregation is
+    * ordering key — an AGGREGATION with map-side partial combine, so
+    * each partition reduces to one candidate per key before the
+    * shuffle and the exchange carries |users| rows, not the event
+    * log. (The struct buffer makes Spark pick SortAggregate over
+    * HashAggregate — a per-partition sort by user_id, but the
+    * shuffle-volume bound is what matters.) The window-rank
+    * formulation (the oracle SQL) would instead shuffle the WHOLE
+    * log into user partitions and sort those; the aggregation is
     * strictly less data movement. Spec pins the two equal.
     */
   def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =

@@ -391,12 +391,15 @@ object TextAnalysis {
     * cross-engine: an integer product divided by an integer). Ties
     * break lexicographically.
     *
-    * Scale shape (100 TB): tf is one hash aggregation over the
-    * exploded index with map-side combine; df aggregates the
-    * (already vocab-bounded) tf table; the df join-back is a
-    * vocab-sized side AQE will broadcast; the per-doc top-1 ranks
-    * within doc_id partitions. The corpus text itself never shuffles
-    * — only (doc, token, count) index rows.
+    * Scale shape (100 TB): ONE corpus scan — tf is a hash aggregation
+    * over the exploded index with map-side combine, and df is a count
+    * window over the tf table partitioned by token (re-deriving df
+    * with a second aggregate would re-expand the tf lineage: two
+    * corpus scans and a duplicated (doc, token) shuffle — pinned out
+    * in PlanShapeSpec). The per-doc top-1 is rank-1, which Spark
+    * executes as WindowGroupLimit: each partition keeps one candidate
+    * per doc BEFORE the rank exchange. Only (doc, token, count)
+    * index rows ever shuffle; the text itself never does.
     */
   def tfIdfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -405,11 +408,11 @@ object TextAnalysis {
       .filter(col("token") =!= "")
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    // tf already holds one row per (doc, token), so df is a plain count
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // tf holds one row per (doc, token), so per-token row count IS df
     val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val wDf = Window.partitionBy("token")
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    tf.join(df, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w))

@@ -87,6 +87,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(df) == 1, s"expected only the token-count exchange, got ${shuffles(df)}")
   }
 
+  test("tf-idf scans the corpus text once and shuffles only index rows") {
+    // df must derive from the tf table (count window), not a second
+    // aggregate over the raw corpus — the latter re-expands the tf
+    // lineage into a duplicate text scan + duplicate (doc, token)
+    // exchange
+    val df = graft.operators.TextAnalysis.tfIdfTopTerms(spark, sf)
+    val plan = collectPlan(df)
+    val textScans = plan.count(p =>
+      p.getClass.getSimpleName.startsWith("FileSourceScan") && p.output.exists(_.name == "text"))
+    assert(textScans == 1, s"corpus text scanned $textScans times, expected once")
+    // tf agg + df window repartition + top-1 rank repartition
+    assert(shuffles(df) <= 4, s"unexpected extra exchanges: ${shuffles(df)}")
+  }
+
   test("similarity top-k shuffles only bounded top-k buffers") {
     val df = graft.operators.Similarity.bruteForceTopK(spark, sf)
     // corpus side: local rebalance (small-file parallelism) at most;
