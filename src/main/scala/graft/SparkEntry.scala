@@ -75,6 +75,12 @@ object SparkEntry {
     "stream_dedup_sink" -> ((s, d) =>
       StreamingQueries.streamDedupViaSink(
         s, d, java.nio.file.Files.createTempDirectory("graft-sink-dedup").toString + "/out")),
+    // one-pass multi-sink quality routing (keep/reject split per
+    // micro-batch, per-batch overwrite for exactly-once); gate checks
+    // the keep side against the batch filter
+    "stream_quality_route_sink" -> ((s, d) =>
+      StreamingQueries.qualityRouteViaSink(
+        s, d, java.nio.file.Files.createTempDirectory("graft-sink-route").toString)),
     "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
@@ -92,6 +98,8 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_degree_stats" -> (Dedup.degreeHistogram _),
+    "source_overlap" -> ((s, d) => Dedup.sourceShingleOverlap(s, d)),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
     "dedup_keep_best" -> (Dedup.keepBestDedup _),
     "dedup_simhash" -> (Dedup.simhashFingerprints _),
@@ -576,6 +584,36 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
          |SELECT doc_a, doc_b, n_common, n_union, jaccard FROM lshpairs""".stripMargin,
+    // degree histogram over the same verified pair set
+    "dedup_degree_stats" ->
+      s"""WITH $minhashPairCtes,
+         |deg AS (
+         |  SELECT doc_id, count(*) AS degree FROM (
+         |    SELECT doc_a AS doc_id FROM lshpairs
+         |    UNION ALL SELECT doc_b FROM lshpairs)
+         |  GROUP BY doc_id)
+         |SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree""".stripMargin,
+    // distinct (source, shingle) sets → exact pairwise Jaccard; the
+    // self-join formulation counts each shared shingle once per
+    // ordered source pair, same as the posting-list expansion
+    "source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+        |ns AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |comm AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT c.src_a, c.src_b, c.n_common,
+        |       na.n + nb.n - c.n_common AS n_union,
+        |       CAST(c.n_common AS DOUBLE) / (na.n + nb.n - c.n_common) AS jaccard
+        |FROM comm c
+        |JOIN ns na ON na.source = c.src_a
+        |JOIN ns nb ON nb.source = c.src_b""".stripMargin,
     // transitive closure of the LSH pair graph: WITH RECURSIVE with a
     // UNION (set semantics) fixpoint — each step extends every
     // reached (node, label) across one edge, so min(label) per node
@@ -857,6 +895,19 @@ object SparkEntry {
     // content is the distinct key set whatever row survived
     "stream_dedup_sink" ->
       "SELECT user_id, event_type FROM events GROUP BY user_id, event_type",
+    // keep side of the streaming quality router == the batch filter
+    // with the same four Gopher rules
+    "stream_quality_route_sink" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(text, ' ')) AS nt,
+         |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS meanlen,
+         |    len(list_filter([$stopList], w -> list_contains(string_split(text, ' '), w))) AS nstop
+         |  FROM documents)
+         |SELECT doc_id, source FROM f
+         |WHERE nt >= 20 AND nt <= 1000 AND meanlen >= 3.0 AND meanlen <= 10.0
+         |  AND nstop >= 2""".stripMargin,
     // the window-rank formulation of latest-per-key; the Spark side
     // computes the same survivor via max_by aggregation (see
     // RelationalQueries.latestEventPerUser scaladoc)

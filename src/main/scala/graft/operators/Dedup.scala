@@ -673,4 +673,77 @@ object Dedup {
       )
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Degree histogram of the MinHash-LSH near-dup graph: how many
+    * documents have exactly d verified near-duplicates — the
+    * one-glance duplication profile of a corpus (a heavy tail means
+    * boilerplate families; mass at d=1 means simple pairs), and the
+    * input to choosing between pair-removal and cluster-collapse
+    * dedup policies.
+    *
+    * Scale shape (100 TB): degrees aggregate the PAIR set (already
+    * sub-quadratic via LSH banding), not the corpus; the histogram
+    * aggregates the |degree-values| table. Both shuffles carry
+    * count partials only.
+    */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val p = minhashLshPairs(spark, dir)
+    p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Cross-source shingle-overlap matrix: exact Jaccard similarity
+    * between the distinct-shingle SETS of every source pair — the
+    * corpus-diversity diagnostic that catches two "different" crawls
+    * feeding the mix the same content (and the source-level
+    * counterpart of the per-document Jaccard pairs).
+    *
+    * Scale shape (100 TB): one distinct pass over (source, shingle),
+    * then posting lists of SOURCES per shingle — bounded by
+    * |sources|, so the pair expansion is map-side array math with no
+    * stop-shingle skew risk (unlike document posting lists, which
+    * need the maxDf cutoff). Holds while |sources| is a curated
+    * mix-table cardinality (tens to thousands); for web-scale
+    * domain counts, sample shingles or sketch the sets instead.
+    */
+  def sourceShingleOverlap(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val sh = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("source"), explode(shingles(col("text"), k)).as("shingle"))
+      .distinct()
+    val ns = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    // sorted source list per shingle → ordered pairs via slice/transform
+    // (composed builtins: the list is |sources|-bounded, so the one-pass
+    // native expression the doc pipeline needs is unnecessary here)
+    val pairs = sh
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(
+        explode(bindArray(col("srcs")) { a =>
+          flatten(
+            transform(
+              a,
+              (x, i) => transform(slice(a, i + 2, size(a)), y => struct(x.as("a"), y.as("b"))),
+            )
+          )
+        }).as("p"),
+      )
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(ns.select(col("source").as("src_a"), col("n").as("na")), Seq("src_a"))
+      .join(ns.select(col("source").as("src_b"), col("n").as("nb")), Seq("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"),
+      )
+  }
 }

@@ -296,6 +296,21 @@ object TextAnalysis {
         ).as("n_keep"),
       )
 
+  /** The boolean keep/reject decision of [[gopherQualityFilter]] as a
+    * single map-side predicate (a doc survives iff it fails none of
+    * the four rules) — the form a streaming router or a batch filter
+    * pushes down to the scan. Consistency with the per-rule counts is
+    * pinned in spec.
+    */
+  def gopherKeep(text: Column): Column =
+    graft.functions.Let.bindArray(tokens(text)) { toks =>
+      val nTok = size(toks)
+      val meanLen = (length(text) - (nTok - 1)).cast("double") / nTok
+      val nStopDistinct =
+        size(array_intersect(array_distinct(toks), array(stopwordsEn.map(lit(_)): _*)))
+      nTok >= 20 && nTok <= 1000 && meanLen >= 3.0 && meanLen <= 10.0 && nStopDistinct >= 2
+    }
+
   /** Vocabulary building — the top-`k` tokens of the corpus by
     * frequency: the first step of tokenizer training (seed vocab,
     * merge candidates) and of frequency-based quality heuristics.

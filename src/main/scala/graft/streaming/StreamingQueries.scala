@@ -287,6 +287,77 @@ object StreamingQueries {
     runAppendToParquet(spark, deduped, outPath)
   }
 
+  /** Documents table as a file stream (declared schema, as all
+    * streaming file sources require).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = new StructType()
+      .add("doc_id", LongType)
+      .add("text", StringType)
+      .add("lang", StringType)
+      .add("source", StringType)
+      .add("n_chars", LongType)
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming quality ROUTER — one stream, two sinks, one pass: each
+    * micro-batch of documents is scored with the map-side Gopher keep
+    * rule and split into a keep sink and a reject sink inside a single
+    * foreachBatch (the batch is persisted so the two writes share one
+    * source scan). This is the standard multi-sink routing shape a
+    * curation pipeline runs at ingest: accepted docs flow to training
+    * storage, rejects to a quarantine table for audit, neither path
+    * re-reads the source.
+    *
+    * Exactly-once: each batch writes to its OWN subdirectory
+    * (`b<batchId>`) in overwrite mode, so an at-least-once foreachBatch
+    * retry replaces that batch's output instead of appending a
+    * duplicate — the same explicit-batch-id contract as
+    * [[VotePipeline.ChangelogCapture]], applied to files.
+    *
+    * Returns the keep-side table (doc_id, source), read back from the
+    * sink.
+    */
+  def qualityRouteViaSink(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val keepPath = s"$outDir/keep"
+    val rejectPath = s"$outDir/reject"
+    val routed = documentsStream(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.operators.TextAnalysis.gopherKeep(col("text")).as("keep"),
+      )
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // stateless routing: no state stores, but keep sink parallelism
+      // consistent with the other gate streams
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = routed.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          batch.persist()
+          try {
+            batch.filter(col("keep")).select("doc_id", "source")
+              .write.mode("overwrite").parquet(s"$keepPath/b$batchId")
+            batch.filter(!col("keep")).select("doc_id", "source")
+              .write.mode("overwrite").parquet(s"$rejectPath/b$batchId")
+          } finally { batch.unpersist(); () }
+        }
+        .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-route"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+
+    val outSchema = new StructType().add("doc_id", LongType).add("source", StringType)
+    val batchDirs = Option(new java.io.File(keepPath).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath)
+    if (batchDirs.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    else spark.read.schema(outSchema).parquet(batchDirs.toIndexedSeq: _*)
+  }
+
   /** Streaming twin of turnoutByLocation: the event stream enriched
     * against the customer→nation dimension (stream-static equi-join,
     * J1's shape) with a running count per nation — same oracle SQL as

@@ -73,6 +73,32 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(rows.length.toLong == paired)
   }
 
+  test("degree histogram mass equals twice the pair count and matches per-doc recount") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, sf)
+    val hist = graft.operators.Dedup.degreeHistogram(spark, sf).collect()
+    // every pair contributes one degree to each endpoint
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum == 2 * pairs.count())
+    // doc count in the histogram = number of docs appearing in any pair
+    val inPairs = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    assert(hist.map(_.getLong(1)).sum == inPairs)
+  }
+
+  test("source overlap matrix: unordered pairs, exact jaccard, bounds hold") {
+    val rows = graft.operators.Dedup.sourceShingleOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    rows.foreach { r =>
+      val (a, b, common, union, j) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(a < b, "pairs must be ordered a<b, no mirror duplicates")
+      assert(seen.add((a, b)), s"duplicate pair ($a,$b)")
+      assert(common >= 1 && union >= common)
+      assert(j == common.toDouble / union && j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("keep-best dedup covers every doc once, keeps exactly one per cluster, best quality wins") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val nDocs = docs.count()

@@ -205,6 +205,28 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     )
   }
 
+  test("streaming quality router partitions the corpus: keep sink == batch rule, keep ∪ reject = all") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-sink-route").toString
+    val keep = graft.streaming.StreamingQueries.qualityRouteViaSink(spark, dir, out)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expectedKeep = docs
+      .filter(graft.operators.TextAnalysis.gopherKeep(col("text")))
+      .select("doc_id", "source")
+    assert(
+      keep.except(expectedKeep).isEmpty && expectedKeep.except(keep).isEmpty,
+      "keep sink diverged from the batch filter",
+    )
+    // reject sink holds exactly the complement — one pass covered
+    // every doc exactly once
+    val reject = spark.read
+      .schema(keep.schema)
+      .parquet(new java.io.File(s"$out/reject").listFiles().filter(_.isDirectory).map(_.getPath).toIndexedSeq: _*)
+    assert(keep.count() + reject.count() == docs.count())
+    assert(keep.join(reject, Seq("doc_id"), "inner").isEmpty, "a doc reached both sinks")
+  }
+
   test("stream-stream interval join matches across out-of-order micro-batches") {
     import spark.implicits._
     // user 1: three events at t0, t0+2m, t0+20m — pairs within the

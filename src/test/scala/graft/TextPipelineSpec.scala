@@ -126,6 +126,24 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherKeep predicate agrees with the per-rule filter's n_keep counts") {
+    val perSource = TextAnalysis.gopherQualityFilter(spark, sf)
+      .select("source", "n_keep")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val kept = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(TextAnalysis.gopherKeep(col("text")))
+      .groupBy("source")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    perSource.foreach { case (src, nKeep) =>
+      assert(kept.getOrElse(src, 0L) == nKeep, s"keep-count mismatch for $src")
+    }
+  }
+
   test("gopher filter counts are consistent per source") {
     val rows = TextAnalysis.gopherQualityFilter(spark, sf).collect()
     assert(rows.nonEmpty)
