@@ -95,6 +95,10 @@ object SparkEntry {
     "text_length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "text_tf_idf" -> (TextAnalysis.tfIdfTopTerms _),
     "cdc_latest_per_key" -> (RelationalQueries.latestEventPerUser _),
+    "events_hourly_uniques" -> (RelationalQueries.hourlyUniques _),
+    // incrementally-maintained CDC view: stateful update-mode max_by,
+    // same oracle as the batch compaction
+    "stream_cdc_latest" -> (StreamingQueries.latestEventPerUserStream _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -143,6 +147,8 @@ object SparkEntry {
     base ++ Map(
       "stream_interval_join_sink" -> base("stream_interval_join"),
       "stream_similarity_topk_sink" -> base("stream_similarity_topk"),
+      // the incrementally-maintained view must equal the batch compaction
+      "stream_cdc_latest" -> base("cdc_latest_per_key"),
     )
   }
 
@@ -167,6 +173,10 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |       event_type, $moneyVal AS total_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_hourly_uniques" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       count(*) AS n_events, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

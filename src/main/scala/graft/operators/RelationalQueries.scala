@@ -488,6 +488,25 @@ object RelationalQueries {
         col("last.event_type").as("last_event_type"),
       )
 
+  /** Hourly unique-user analytics: events per hour with exact
+    * distinct-user counts — the engagement roll-up every event
+    * pipeline reports.
+    *
+    * Scale shape: Spark plans exact countDistinct as a two-level
+    * aggregate (partial dedup of (hour, user) map-side, then the
+    * count) — the shuffle carries the deduped pairs, bounded by
+    * hour×users, not the event log. When even that is too wide, the
+    * HLL profile in [[graft.operators.Sketches]] is the approximate
+    * path; this gate is its exact, oracle-checked twin.
+    */
+  def hourlyUniques(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_unique_users"),
+      )
+
   /** Batch sessionization via gaps-and-islands: a new session starts
     * after > 1 hour of inactivity. Times compared as integer
     * microseconds so the cross-engine comparison is exact. Two

@@ -383,6 +383,32 @@ object StreamingQueries {
     runToFinal(spark, agg, Seq("n_name"))
   }
 
+  /** Streaming twin of RelationalQueries.latestEventPerUser: the CDC
+    * latest-per-key view maintained INCREMENTALLY — a stateful
+    * update-mode aggregation whose state is one (ts, event_id)-max
+    * struct per user, updated as events stream in. Same oracle SQL as
+    * the batch compaction; the changelog collapses by explicit batch
+    * id like every other update-mode gate. This is the live
+    * "materialized upsert view" a CDC consumer actually runs, vs the
+    * batch recompute.
+    */
+  def latestEventPerUserStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max_by(
+          struct(col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id")),
+        ).as("last"),
+      )
+      .select(
+        col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+      )
+    runToFinal(spark, agg, Seq("user_id"))
+  }
+
   /** Streaming twin of RelationalQueries.votesPerCandidate — same
     * oracle SQL.
     */
