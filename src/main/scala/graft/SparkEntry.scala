@@ -101,7 +101,7 @@ object SparkEntry {
     "stream_cdc_latest" -> (StreamingQueries.latestEventPerUserStream _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
     "dedup_degree_stats" -> (Dedup.degreeHistogram _),
     "source_overlap" -> ((s, d) => Dedup.sourceShingleOverlap(s, d)),
     "dedup_clusters" -> (Dedup.nearDupClusters _),

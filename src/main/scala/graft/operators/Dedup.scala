@@ -398,15 +398,30 @@ object Dedup {
   // (session-scoped soft cache; an eviction costs a recompute, never
   // correctness). Bench invalidates between timed runs.
   private val ccCache = new graft.util.SessionCache[String, DataFrame]
+  private val pairsCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized, MATERIALIZED MinHash-LSH pair set, shared by every
+    * consumer of the pair graph (the pair gate itself, the degree
+    * histogram, and the cluster fixpoint): a dedup pipeline's pair
+    * table is an artifact built once and read many times, so sharing
+    * one `localCheckpoint` is the honest cost model — without it each
+    * consumer re-runs the full shingle→signature→band→verify lineage.
+    * At scale the checkpoint is a table write; executor-local storage
+    * stands in for it here exactly as in [[connectedComponents]].
+    */
+  def minhashLshPairsShared(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(spark, dir) {
+      minhashLshPairs(spark, dir).localCheckpoint()
+    }
 
   /** Memoized connected components over the MinHash-LSH pair graph. */
   def lshClusters(spark: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate(spark, dir) {
-      connectedComponents(minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+      connectedComponents(minhashLshPairsShared(spark, dir).select("doc_a", "doc_b"))
     }
 
-  /** Drop memoized cluster frames (benchmark hygiene). */
-  def invalidate(): Unit = ccCache.invalidate()
+  /** Drop memoized cluster/pair frames (benchmark hygiene). */
+  def invalidate(): Unit = { ccCache.invalidate(); pairsCache.invalidate() }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val cc = lshClusters(spark, dir)
@@ -687,7 +702,7 @@ object Dedup {
     * count partials only.
     */
   def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val p = minhashLshPairs(spark, dir)
+    val p = minhashLshPairsShared(spark, dir)
     p.select(col("doc_a").as("doc_id"))
       .union(p.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id")
