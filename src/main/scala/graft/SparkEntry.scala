@@ -128,6 +128,9 @@ object SparkEntry {
     "decontamination_overlap" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlap(s, d)),
     "decontamination_bloom" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlapBloom(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
+    // capstone composition: quality filter + keep-best dedup + split
+    // assignment → the per (source, split) provisioning table
+    "curation_pipeline" -> (graft.operators.Curation.curationSummary _),
   )
 
   // DuckDB dialect notes (verified on DuckDB 1.0 locally):
@@ -665,6 +668,44 @@ object SparkEntry {
          |SELECT d.doc_id, d.doc_id AS cluster_id, CAST(1 AS INT) AS keep
          |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
          |WHERE cc.doc_id IS NULL""".stripMargin,
+    // the composed pipeline: keep-best survivors (full-corpus dedup) ∩
+    // quality-filtered docs, split-assigned, summarized per source
+    "curation_pipeline" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
+         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |ranked AS (
+         |  SELECT cc.doc_id,
+         |         row_number() OVER (PARTITION BY cc.cluster_id
+         |                            ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+         |  FROM cc JOIN documents d ON d.doc_id = cc.doc_id),
+         |keepers AS (
+         |  SELECT doc_id FROM ranked WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+         |  WHERE cc.doc_id IS NULL),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN substr(md5(text || '|split'), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substr(md5(text || '|split'), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    len(string_split(text, ' ')) AS n_tok
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 20
+         |    AND len(string_split(text, ' ')) <= 1000
+         |    AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |          / len(string_split(text, ' ')) >= 3.0
+         |    AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |          / len(string_split(text, ' ')) <= 10.0
+         |    AND len(list_filter([$stopList], w -> list_contains(string_split(text, ' '), w))) >= 2)
+         |SELECT q.source, q.split, count(*) AS n_docs, CAST(sum(q.n_tok) AS BIGINT) AS n_tokens
+         |FROM q JOIN keepers k ON k.doc_id = q.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |hv AS (SELECT doc_id, $hvSql AS v FROM tok),

@@ -99,6 +99,24 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("curation pipeline totals equal the quality ∩ keep-best recount") {
+    import org.apache.spark.sql.functions._
+    val summary = graft.operators.Curation.curationSummary(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nQualityKeepers = docs
+      .filter(graft.operators.TextAnalysis.gopherKeep(col("text")))
+      .join(
+        graft.operators.Dedup.keepBestDedup(spark, sf).filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"),
+      )
+      .count()
+    assert(summary.map(_.getLong(2)).sum == nQualityKeepers)
+    // splits partition sources: no (source, split) cell repeats
+    val cells = summary.map(r => (r.getString(0), r.getString(1)))
+    assert(cells.distinct.length == cells.length)
+    summary.foreach(r => assert(Set("train", "val", "test")(r.getString(1))))
+  }
+
   test("keep-best dedup covers every doc once, keeps exactly one per cluster, best quality wins") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val nDocs = docs.count()
