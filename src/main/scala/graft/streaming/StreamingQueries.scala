@@ -168,16 +168,19 @@ object StreamingQueries {
     * Shared by the StreamGate bundle and [[intervalJoinViaSink]].
     */
   def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    val sa = eventsStream(spark, dir)
-      .withWatermark("ts", "10 minutes")
+    // both sides derive from ONE watermarked source (a streaming
+    // self-join): the micro-batch planner resolves one offset range
+    // and one file listing per trigger instead of maintaining two
+    // independent source instances over the same path
+    val base = eventsStream(spark, dir).withWatermark("ts", "10 minutes")
+    val sa = base
       .select(
         col("event_id").as("event_a"),
         col("user_id").as("ua"),
         col("ts").as("ts_a"),
         col("event_type").as("type_a"),
       )
-    val sb = eventsStream(spark, dir)
-      .withWatermark("ts", "10 minutes")
+    val sb = base
       .select(
         col("event_id").as("event_b"),
         col("user_id").as("ub"),
