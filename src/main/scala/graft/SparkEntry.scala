@@ -94,6 +94,8 @@ object SparkEntry {
     "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
     "text_length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "text_tf_idf" -> (TextAnalysis.tfIdfTopTerms _),
+    "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
     "cdc_latest_per_key" -> (RelationalQueries.latestEventPerUser _),
     "events_hourly_uniques" -> (RelationalQueries.hourlyUniques _),
     // incrementally-maintained CDC view: stateful update-mode max_by,
@@ -518,6 +520,42 @@ object SparkEntry {
         |       CAST(sum(n) OVER (PARTITION BY left_token) AS BIGINT) AS n_left,
         |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY left_token) AS BIGINT) AS p
         |FROM c""".stripMargin,
+    // coverage against the same deterministic top-20 vocabulary
+    "vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |    WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20)),
+        |t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |j AS (
+        |  SELECT doc_id, CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS iv
+        |  FROM t LEFT JOIN v ON t.token = v.token WHERE t.token <> ''),
+        |a AS (
+        |  SELECT doc_id, count(*) AS n_tok, CAST(sum(iv) AS BIGINT) AS n_in_vocab
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_in_vocab, n_tok - n_in_vocab AS n_oov,
+        |       CAST(n_in_vocab AS DOUBLE) / n_tok AS coverage
+        |FROM a""".stripMargin,
+    // corpus-unique positional bigrams per document; same count
+    // window as the Spark side
+    "lm_doc_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x),
+        |c AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY bigram) AS cnt FROM g),
+        |a AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_unique,
+        |       CAST(n_unique AS DOUBLE) / n_bigrams AS novelty
+        |FROM a""".stripMargin,
     // percentile_disc positions computed with the same integer
     // arithmetic on both sides — no interpolation
     "text_length_percentiles" ->

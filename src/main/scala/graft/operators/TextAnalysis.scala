@@ -435,6 +435,74 @@ object TextAnalysis {
       .select(col("doc_id"), col("token").as("top_token"), col("tf"), col("df"), col("score"))
   }
 
+  /** Per-document vocabulary coverage against the top-`k` corpus
+    * vocabulary: in-vocab vs OOV token counts and the coverage ratio
+    * — the tokenizer-fit diagnostic (high OOV rate = the vocabulary
+    * or the document is wrong for the mix).
+    *
+    * Scale shape (100 TB): the vocabulary is k rows — an explicit
+    * broadcast — so the coverage pass is a map-side hash probe at
+    * scan speed; the only shuffle is the per-doc count aggregation
+    * with partial combine. Ratio divides identical integers.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val vocab = vocabTopTokens(spark, dir, k).select(col("token"), lit(1).as("iv"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("iv").isNotNull, 1L).otherwise(0L)).as("n_in_vocab"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        col("n_in_vocab"),
+        (col("n_tok") - col("n_in_vocab")).as("n_oov"),
+        (col("n_in_vocab").cast("double") / col("n_tok")).as("coverage"),
+      )
+  }
+
+  /** Per-document novelty via corpus-unique bigrams: how many of a
+    * document's positional bigrams occur exactly once in the WHOLE
+    * corpus (necessarily in this document) — a high ratio marks
+    * genuinely novel text, a near-zero ratio marks boilerplate
+    * assembled from common phrases. The integer-exact counterpart of
+    * perplexity-style LM scoring (whose float log-sums are
+    * order-dependent and not oracle-able bit-exactly).
+    *
+    * Scale shape (100 TB): ONE corpus scan — the per-bigram corpus
+    * count comes from a count window over the exploded bigram rows
+    * (partitioned by the bigram, the same single-scan trick as
+    * [[tfIdfTopTerms]]), then a per-doc aggregation. Two index-row
+    * shuffles, no joins, text never moves.
+    */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+          transform(
+            sequence(lit(0), size(toks) - 2),
+            i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)),
+          )
+        }).as("bigram"),
+      )
+    val w = Window.partitionBy("bigram")
+    grams
+      .withColumn("cnt", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_unique"),
+      )
+      .withColumn("novelty", col("n_unique").cast("double") / col("n_bigrams"))
+  }
+
   /** Fingerprint stats per source: exact-duplicate detection via
     * normalized-text fingerprints.
     */

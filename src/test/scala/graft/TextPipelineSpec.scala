@@ -126,6 +126,43 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab coverage partitions tokens and totals the vocab occurrences") {
+    val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, iv, oov, cov) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(iv + oov == nt && iv >= 0 && oov >= 0)
+      assert(cov == iv.toDouble / nt)
+    }
+    // corpus-wide: in-vocab total = total occurrences of the top-k tokens
+    val vocab = TextAnalysis.vocabTopTokens(spark, sf).collect().map(_.getString(0)).toSet
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .collect()
+      .count(r => vocab(r.getString(0)))
+    assert(rows.map(_.getLong(2)).sum == expected.toLong)
+  }
+
+  test("doc novelty counts exactly the corpus-unique bigrams") {
+    val rows = TextAnalysis.docNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nu, nov) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nu >= 0 && nu <= nb)
+      assert(nov == nu.toDouble / nb)
+    }
+    // every corpus-unique bigram lives in exactly one doc, so the
+    // per-doc unique counts sum to the number of count-1 bigram types
+    val allGrams = spark.read.parquet(s"$sf/documents.parquet")
+      .collect()
+      .flatMap { d =>
+        val ts = d.getAs[String]("text").split(" ", -1)
+        if (ts.length < 2) Nil else ts.sliding(2).map(_.mkString(" ")).toSeq
+      }
+    val uniqueTypes = allGrams.groupBy(identity).count(_._2.length == 1)
+    assert(rows.map(_.getLong(2)).sum == uniqueTypes.toLong)
+  }
+
   test("gopherKeep predicate agrees with the per-rule filter's n_keep counts") {
     val perSource = TextAnalysis.gopherQualityFilter(spark, sf)
       .select("source", "n_keep")
