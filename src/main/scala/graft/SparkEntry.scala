@@ -98,6 +98,9 @@ object SparkEntry {
     "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
     "cdc_latest_per_key" -> (RelationalQueries.latestEventPerUser _),
     "events_hourly_uniques" -> (RelationalQueries.hourlyUniques _),
+    // two-phase salted aggregation twin — same oracle as the direct
+    // groupBy, keeping the skew remedy inside the correctness surface
+    "skew_salted_votes" -> (RelationalQueries.votesPerCandidateSalted _),
     // incrementally-maintained CDC view: stateful update-mode max_by,
     // same oracle as the batch compaction
     "stream_cdc_latest" -> (StreamingQueries.latestEventPerUserStream _),
@@ -154,6 +157,8 @@ object SparkEntry {
       "stream_similarity_topk_sink" -> base("stream_similarity_topk"),
       // the incrementally-maintained view must equal the batch compaction
       "stream_cdc_latest" -> base("cdc_latest_per_key"),
+      // salted two-phase agg must equal the direct groupBy
+      "skew_salted_votes" -> base("votes_per_candidate"),
     )
   }
 

@@ -457,6 +457,23 @@ object RelationalQueries {
       )
   }
 
+  /** [[votesPerCandidate]] through the explicit two-phase salted
+    * aggregation ([[Skew.saltedSum]]) — the formulation for when one
+    * hot key (a viral candidate) would pin a single reducer and AQE
+    * cannot help (severe agg skew, stateful paths). Identical result
+    * by monoid commutativity; identical oracle SQL. Exposing it as a
+    * gate keeps the skew remedy itself inside the correctness
+    * surface, not just the spec suite.
+    */
+  def votesPerCandidateSalted(spark: SparkSession, dir: String): DataFrame =
+    Skew
+      .saltedSum(t(spark, dir, "events"), col("event_type"), cents(col("value")))
+      .select(
+        col("k").as("event_type"),
+        moneyFromCents(col("total")).as("total_votes"),
+        col("n").as("n_events"),
+      )
+
   /** Changelog compaction (SCD-1 / CDC "latest record per key"): the
     * most recent event per user, ties broken by event_id so the
     * survivor is total-order deterministic. This is the upsert-view
