@@ -491,7 +491,15 @@ object RelationalQueries {
     * strictly less data movement. Spec pins the two equal.
     */
   def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    latestEventPerKey(t(spark, dir, "events"))
+
+  /** The CDC survivor contract itself, applied to ANY events frame —
+    * batch scan or stream — so the batch gate and its incremental
+    * streaming twin cannot diverge (they share this one builder and
+    * one oracle).
+    */
+  def latestEventPerKey(events: DataFrame): DataFrame =
+    events
       .groupBy("user_id")
       .agg(
         max_by(

@@ -266,20 +266,7 @@ object TextAnalysis {
     docs(spark, dir)
       .select(
         col("source"),
-        graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
-          val nTok = size(toks)
-          // mean token length over the token split: total chars minus
-          // the separators, divided by token count
-          val meanLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
-          val nStopDistinct =
-            size(array_intersect(array_distinct(toks), array(stopwordsEn.map(lit(_)): _*)))
-          struct(
-            (nTok < 20).as("f_short"),
-            (nTok > 1000).as("f_long"),
-            (meanLen < 3.0 || meanLen > 10.0).as("f_meanword"),
-            (nStopDistinct < 2).as("f_stopword"),
-          )
-        }.as("f"),
+        gopherFlags(col("text")).as("f"),
       )
       .groupBy("source")
       .agg(
@@ -296,19 +283,41 @@ object TextAnalysis {
         ).as("n_keep"),
       )
 
-  /** The boolean keep/reject decision of [[gopherQualityFilter]] as a
-    * single map-side predicate (a doc survives iff it fails none of
-    * the four rules) — the form a streaming router or a batch filter
-    * pushes down to the scan. Consistency with the per-rule counts is
-    * pinned in spec.
+  /** The four Gopher rule flags as one struct — the SINGLE definition
+    * of the thresholds, shared by the per-rule counter
+    * ([[gopherQualityFilter]]) and the boolean keep decision
+    * ([[gopherKeep]]) so a tuned threshold cannot diverge between the
+    * batch counts, the streaming router, and the curation pipeline.
+    * Rules: token count in [20, 1000]; mean token length in [3, 10];
+    * at least 2 distinct stopwords present.
     */
-  def gopherKeep(text: Column): Column =
+  def gopherFlags(text: Column): Column =
     graft.functions.Let.bindArray(tokens(text)) { toks =>
       val nTok = size(toks)
+      // mean token length over the token split: total chars minus
+      // the separators, divided by token count
       val meanLen = (length(text) - (nTok - 1)).cast("double") / nTok
       val nStopDistinct =
         size(array_intersect(array_distinct(toks), array(stopwordsEn.map(lit(_)): _*)))
-      nTok >= 20 && nTok <= 1000 && meanLen >= 3.0 && meanLen <= 10.0 && nStopDistinct >= 2
+      struct(
+        (nTok < 20).as("f_short"),
+        (nTok > 1000).as("f_long"),
+        (meanLen < 3.0 || meanLen > 10.0).as("f_meanword"),
+        (nStopDistinct < 2).as("f_stopword"),
+      )
+    }
+
+  /** The boolean keep/reject decision of [[gopherQualityFilter]] as a
+    * single map-side predicate (a doc survives iff it fails none of
+    * the four rules) — the form a streaming router or a batch filter
+    * pushes down to the scan. Derived from [[gopherFlags]] (the flags
+    * struct is let-bound: four naive references would re-run the
+    * whole rule evaluation each).
+    */
+  def gopherKeep(text: Column): Column =
+    graft.functions.Let.bindArray(gopherFlags(text)) { f =>
+      !f.getField("f_short") && !f.getField("f_long") &&
+      !f.getField("f_meanword") && !f.getField("f_stopword")
     }
 
   /** Vocabulary building — the top-`k` tokens of the corpus by
@@ -333,6 +342,25 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Positional word bigrams as an array of (l, r) structs — the one
+    * definition of the index arithmetic (0-based sequence over
+    * 1-based element_at, n−1 grams) shared by [[bigramLm]] and
+    * [[docNovelty]]; callers guard `size(tokens) >= 2` themselves.
+    * Tokens are let-bound: each gram references the array twice and
+    * the sequence bound once more.
+    */
+  private def positionalBigrams(text: Column): Column =
+    graft.functions.Let.bindArray(tokens(text)) { toks =>
+      transform(
+        sequence(lit(0), size(toks) - 2),
+        i =>
+          struct(
+            element_at(toks, i + 1).as("l"),
+            element_at(toks, i + 2).as("r"),
+          ),
+      )
+    }
+
   /** Bigram language-model counts with conditional probabilities:
     * P(right | left) = n(left,right) / n(left,·) over positional word
     * bigrams — the count table a KenLM-style n-gram scorer (or a
@@ -349,21 +377,7 @@ object TextAnalysis {
   def bigramLm(spark: SparkSession, dir: String, minCount: Long = 1L): DataFrame = {
     val grams = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 2)
-      .select(
-        // tokens are let-bound: each bigram element references the
-        // array twice and the sequence bound once more
-        graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
-          transform(
-            sequence(lit(0), size(toks) - 2),
-            i =>
-              struct(
-                element_at(toks, i + 1).as("l"),
-                element_at(toks, i + 2).as("r"),
-              ),
-          )
-        }.as("gs"),
-      )
-      .select(explode(col("gs")).as("g"))
+      .select(explode(positionalBigrams(col("text"))).as("g"))
       .select(col("g.l").as("left_token"), col("g.r").as("right_token"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("left_token")
     grams
@@ -483,15 +497,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val grams = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 2)
-      .select(
-        col("doc_id"),
-        explode(graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
-          transform(
-            sequence(lit(0), size(toks) - 2),
-            i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)),
-          )
-        }).as("bigram"),
-      )
+      .select(col("doc_id"), explode(positionalBigrams(col("text"))).as("g"))
+      .select(col("doc_id"), concat_ws(" ", col("g.l"), col("g.r")).as("bigram"))
     val w = Window.partitionBy("bigram")
     grams
       .withColumn("cnt", count(lit(1)).over(w))

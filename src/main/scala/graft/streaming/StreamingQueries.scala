@@ -25,6 +25,21 @@ import graft.operators.RelationalQueries.Num._
   */
 object StreamingQueries {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n`,
+    * restoring the previous value afterwards. The conf must stay set
+    * until any started streaming query has fully TERMINATED (the
+    * stream clones the session — and its confs — from its own
+    * execution thread, so restoring right after start() would race);
+    * callers therefore await termination inside `body`.
+    */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      body
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Event-stream file source. Schema must be declared for streaming
     * reads; ts arrives as raw parquet nanos (see Tables) and is
     * converted to a proper timestamp here.
@@ -72,12 +87,7 @@ object StreamingQueries {
       statePartitions: Int = 8,
   ): DataFrame = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
-    // the stream clones the session (and its confs) from its own
-    // execution thread, so the conf must stay set until the query has
-    // fully terminated — restoring right after start() would race
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    withShufflePartitions(spark, statePartitions) {
       val q = agg.writeStream
         .outputMode("update")
         .option(
@@ -91,7 +101,7 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
 
     val keyIdx = keyCols.map(agg.schema.fieldIndex)
     val latest = buf.synchronized {
@@ -215,28 +225,25 @@ object StreamingQueries {
   ): DataFrame = {
     // stateful streams create one state store per shuffle partition:
     // size it like the other gate queries (see runToFinal) instead of
-    // inheriting the session's batch parallelism — the conf must stay
-    // set until the query terminates (the stream clones the session
-    // from its execution thread)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // inheriting the session's batch parallelism
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       // append gates emit on data (inner joins on match, projections
       // per row) — the trailing no-data micro-batch would be a pure
       // state-commit round with no output (same reasoning as the
       // StreamGate bundle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val q = stream.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", outPath)
-        .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-sink"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(spark, statePartitions) {
+        val q = stream.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outPath)
+          .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-sink"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       prevNoData match {
         case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
         case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
@@ -327,17 +334,18 @@ object StreamingQueries {
   def qualityRouteViaSink(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     val keepPath = s"$outDir/keep"
     val rejectPath = s"$outDir/reject"
+    // a NULL keep (NULL text) must still route somewhere or the
+    // keep ∪ reject = corpus partition contract silently drops the
+    // doc — quarantine it on the reject side
     val routed = documentsStream(spark, dir)
       .select(
         col("doc_id"),
         col("source"),
-        graft.operators.TextAnalysis.gopherKeep(col("text")).as("keep"),
+        coalesce(graft.operators.TextAnalysis.gopherKeep(col("text")), lit(false)).as("keep"),
       )
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // stateless routing: no state stores, but keep sink parallelism
-      // consistent with the other gate streams
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // stateless routing: no state stores, but keep sink parallelism
+    // consistent with the other gate streams
+    withShufflePartitions(spark, 8) {
       val q = routed.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
           batch.persist()
@@ -352,7 +360,7 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
 
     val outSchema = new StructType().add("doc_id", LongType).add("source", StringType)
     val batchDirs = Option(new java.io.File(keepPath).listFiles())
@@ -396,19 +404,9 @@ object StreamingQueries {
     * batch recompute.
     */
   def latestEventPerUserStream(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .groupBy("user_id")
-      .agg(
-        max_by(
-          struct(col("event_id"), col("event_type")),
-          struct(col("ts"), col("event_id")),
-        ).as("last"),
-      )
-      .select(
-        col("user_id"),
-        col("last.event_id").as("last_event_id"),
-        col("last.event_type").as("last_event_type"),
-      )
+    // the survivor contract is the SHARED batch builder applied to
+    // the stream — one definition, one oracle, no drift
+    val agg = graft.operators.RelationalQueries.latestEventPerKey(eventsStream(spark, dir))
     runToFinal(spark, agg, Seq("user_id"))
   }
 

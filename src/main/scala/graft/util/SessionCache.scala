@@ -53,5 +53,17 @@ final class SessionCache[K, V <: AnyRef] {
     }
 
   /** Drop everything (benchmark hygiene between timed runs). */
-  def invalidate(): Unit = bySession.synchronized(bySession.clear())
+  def invalidate(): Unit = invalidate(_ => ())
+
+  /** Drop everything, running `onDrop` on each still-live value first
+    * — the hook for values that hold external resources (e.g. a
+    * localCheckpointed DataFrame's storage blocks, which would
+    * otherwise linger until nondeterministic GC + ContextCleaner).
+    */
+  def invalidate(onDrop: V => Unit): Unit = bySession.synchronized {
+    bySession.values.forEach { scoped =>
+      scoped.values.foreach(r => Option(r.get).foreach(onDrop))
+    }
+    bySession.clear()
+  }
 }
