@@ -227,6 +227,33 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(keep.join(reject, Seq("doc_id"), "inner").isEmpty, "a doc reached both sinks")
   }
 
+  test("quality router quarantines NULL-text docs on the reject side (nothing dropped)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-null-docs").toString
+    // the corpus must be a single FILE named documents.parquet (like
+    // the driver testdata): the streaming source's pathGlobFilter
+    // matches leaf file names, not directory names
+    val stage = Files.createTempDirectory("graft-null-stage").toString
+    Seq[(Long, Option[String], String, String, Long)](
+      // 30 tokens, mean length 4.1, stopwords {the, a}: passes all rules
+      (0L, Some(("the quick brown fox jumps over a lazy sleeping dog " * 3).trim), "web", "en", 152L),
+      (1L, None, "web", "en", 0L),                                  // NULL text → NULL predicate
+      (2L, Some("tiny"), "web", "en", 4L),                          // fails too-short
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+      .coalesce(1)
+      .write.parquet(s"$stage/w")
+    val part = new java.io.File(s"$stage/w").listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val out = Files.createTempDirectory("graft-null-route").toString
+    val keep = graft.streaming.StreamingQueries.qualityRouteViaSink(spark, dir, out)
+    val reject = spark.read
+      .schema(keep.schema)
+      .parquet(new java.io.File(s"$out/reject").listFiles().filter(_.isDirectory).map(_.getPath).toIndexedSeq: _*)
+    assert(keep.collect().map(_.getLong(0)).toSet == Set(0L))
+    assert(reject.collect().map(_.getLong(0)).toSet == Set(1L, 2L), "NULL text must land in quarantine")
+  }
+
   test("stream-stream interval join matches across out-of-order micro-batches") {
     import spark.implicits._
     // user 1: three events at t0, t0+2m, t0+20m — pairs within the
