@@ -101,6 +101,7 @@ object SparkEntry {
     // two-phase salted aggregation twin — same oracle as the direct
     // groupBy, keeping the skew remedy inside the correctness surface
     "skew_salted_votes" -> (RelationalQueries.votesPerCandidateSalted _),
+    "range_join_bands" -> ((s, d) => RelationalQueries.rangeJoinBands(s, d)),
     // incrementally-maintained CDC view: stateful update-mode max_by,
     // same oracle as the batch compaction
     "stream_cdc_latest" -> (StreamingQueries.latestEventPerUserStream _),
@@ -187,6 +188,15 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |       count(*) AS n_events, count(DISTINCT user_id) AS n_unique_users
         |FROM events GROUP BY 1""".stripMargin,
+    // banded non-equi range join against a generated interval table
+    "range_join_bands" ->
+      s"""WITH bands AS (
+         |  SELECT b AS band_id, CAST(b * 100 AS DOUBLE) AS lo,
+         |         CAST((b + 1) * 100 AS DOUBLE) AS hi
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS b))
+         |SELECT band_id, count(*) AS n_events, $moneyVal AS total_value
+         |FROM events JOIN bands ON value >= lo AND value < hi
+         |GROUP BY band_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,

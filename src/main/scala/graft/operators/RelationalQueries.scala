@@ -513,6 +513,35 @@ object RelationalQueries {
         col("last.event_type").as("last_event_type"),
       )
 
+  /** Banded range join — the non-equi join family: events land in
+    * value bands defined by a [lo, hi) interval table (the shape of
+    * tiered pricing, SLA buckets, score bands). The band dimension is
+    * tiny and explicitly broadcast, so the non-equi predicate is a
+    * map-side interval probe per event — a BroadcastNestedLoopJoin
+    * whose inner side is |bands| rows, i.e. scan-speed, never a
+    * cartesian blowup. When the interval table is too large to
+    * broadcast, the standard rewrite buckets both sides by
+    * floor(value / bucket_width) first, turning the range join into
+    * an equi-join on the bucket plus a residual predicate.
+    * Bands cover [0, 100·|bands|) — events outside every band are
+    * dropped by the inner join, same as the SQL formulation.
+    */
+  def rangeJoinBands(spark: SparkSession, dir: String, bands: Int = 8): DataFrame = {
+    val dim = spark.range(bands.toLong)
+      .select(
+        col("id").as("band_id"),
+        (col("id") * 100).cast("double").as("lo"),
+        ((col("id") + 1) * 100).cast("double").as("hi"),
+      )
+    t(spark, dir, "events")
+      .join(broadcast(dim), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneyFromCents(sum(cents(col("value")))).as("total_value"),
+      )
+  }
+
   /** Hourly unique-user analytics: events per hour with exact
     * distinct-user counts — the engagement roll-up every event
     * pipeline reports.

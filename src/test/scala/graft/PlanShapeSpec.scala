@@ -73,6 +73,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("range join probes a broadcast interval table, never a cartesian shuffle") {
+    val df = graft.operators.RelationalQueries.rangeJoinBands(spark, sf)
+    val plan = collectPlan(df)
+    assert(
+      plan.exists(_.getClass.getSimpleName.startsWith("BroadcastNestedLoopJoin")),
+      "non-equi band join must be a broadcast nested-loop probe of the tiny interval table",
+    )
+    assert(broadcasts(df) >= 1)
+    assert(shuffles(df) <= 1, s"expected only the |bands|-key aggregate exchange, got ${shuffles(df)}")
+  }
+
   test("vocab top-k is one count shuffle plus per-partition TakeOrderedAndProject, never a global sort") {
     val df = graft.operators.TextAnalysis.vocabTopTokens(spark, sf)
     val plan = collectPlan(df)
