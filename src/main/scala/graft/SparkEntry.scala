@@ -65,22 +65,22 @@ object SparkEntry {
     // oracle SQL as the driver-capture gate twins
     "stream_interval_join_sink" -> ((s, d) =>
       StreamingQueries.intervalJoinViaSink(
-        s, d, java.nio.file.Files.createTempDirectory("graft-sink-ij").toString + "/out")),
+        s, d, StreamingQueries.scratchSinkDir("ij") + "/out")),
     "stream_similarity_topk_sink" -> ((s, d) =>
       StreamingQueries.similarityTopKViaSink(
-        s, d, java.nio.file.Files.createTempDirectory("graft-sink-sim").toString + "/out")),
+        s, d, StreamingQueries.scratchSinkDir("sim") + "/out")),
     // streaming exact dedup (ST6) through the same production sink
     // path — emits each (user_id, event_type) key once on first
     // arrival; the result is the deterministic distinct key set
     "stream_dedup_sink" -> ((s, d) =>
       StreamingQueries.streamDedupViaSink(
-        s, d, java.nio.file.Files.createTempDirectory("graft-sink-dedup").toString + "/out")),
+        s, d, StreamingQueries.scratchSinkDir("dedup") + "/out")),
     // one-pass multi-sink quality routing (keep/reject split per
     // micro-batch, per-batch overwrite for exactly-once); gate checks
     // the keep side against the batch filter
     "stream_quality_route_sink" -> ((s, d) =>
       StreamingQueries.qualityRouteViaSink(
-        s, d, java.nio.file.Files.createTempDirectory("graft-sink-route").toString)),
+        s, d, StreamingQueries.scratchSinkDir("route"))),
     "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),

@@ -30,24 +30,6 @@ object VotePipeline {
   def toChangelogValue(df: DataFrame): DataFrame =
     df.select(to_json(struct(col("*"))).as("value"))
 
-  /** Start one update-mode changelog query on a memory sink; returns
-    * the running query. AvailableNow processes everything queued and
-    * stops — deterministic for tests.
-    */
-  def startMemoryQuery(
-      agg: DataFrame,
-      queryName: String,
-      availableNow: Boolean = false,
-  ): StreamingQuery = {
-    val checkpoint = Files.createTempDirectory(s"graft-ckpt-$queryName").toString
-    val writer = agg.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpoint)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-  }
-
   /** Start an update-mode changelog query on an arbitrary sink.
     *
     * format = "kafka": the production path of the reference job
@@ -179,9 +161,11 @@ object VotePipeline {
 
   /** Start one update-mode changelog query whose sink is a
     * [[ChangelogCapture]]; returns the running query and the capture.
-    * The capture is the foreachBatch twin of [[startMemoryQuery]]'s
-    * memory sink, with the batch id made explicit so the collapse is
-    * a contract rather than a partition-layout accident.
+    * The capture replaces the old memory-sink harness path (retired):
+    * the batch id is explicit, so the collapse is a contract rather
+    * than a partition-layout accident. The checkpoint is a throwaway
+    * scratch dir (RAM-backed where available — streaming checkpoints
+    * are fsync-heavy on disk-backed tmp).
     */
   def startCaptureQuery(
       agg: DataFrame,
@@ -189,7 +173,7 @@ object VotePipeline {
       availableNow: Boolean = false,
   ): (StreamingQuery, ChangelogCapture) = {
     val capture = new ChangelogCapture(agg.schema)
-    val checkpoint = Files.createTempDirectory(s"graft-ckpt-$queryName").toString
+    val checkpoint = StreamGate.scratchDir(s"graft-ckpt-$queryName")
     val writer = agg.writeStream
       .outputMode("update")
       .queryName(queryName)

@@ -144,6 +144,16 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(turnout.count() == 0)
     assert(graft.streaming.StreamGate.votesWindowed(spark, dir).count() == 0)
     assert(graft.streaming.StreamGate.similarityTopK(spark, dir).count() == 0)
+    // the PRODUCTION sink path must survive the same edge: a
+    // zero-batch AvailableNow run leaves only the sink's metadata dir
+    // and the schema'd read-back must yield an empty typed relation,
+    // not a path/inference error
+    val ijOut = Files.createTempDirectory("graft-empty-ij").toString + "/out"
+    val ijSink = graft.streaming.StreamingQueries.intervalJoinViaSink(spark, dir, ijOut)
+    assert(ijSink.count() == 0)
+    assert(ijSink.schema.fieldNames.toSeq == Seq("event_a", "event_b", "type_a", "type_b"))
+    val simOut = Files.createTempDirectory("graft-empty-sim").toString + "/out"
+    assert(graft.streaming.StreamingQueries.similarityTopKViaSink(spark, dir, simOut).count() == 0)
   }
 
   test("stream gate bundle runs green on the RocksDB state store with identical results") {
