@@ -131,6 +131,7 @@ object SparkEntry {
     "sample_weighted_mix" -> (graft.operators.Sampling.weightedMixStats _),
     "sample_top_quality" -> ((s, d) => graft.operators.Sampling.topQualityPerSource(s, d)),
     "sample_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
+    "sample_stratified" -> (graft.operators.Sampling.stratifiedQualityMix _),
     "decontamination_overlap" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlap(s, d)),
     "decontamination_bloom" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlapBloom(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
@@ -1023,6 +1024,26 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
         |FROM r WHERE rk = 1""".stripMargin,
+    // per (source × quality class) strata with class-dependent
+    // deterministic selection rates; class rule identical to
+    // text_quality's CASE
+    "sample_stratified" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+         |         WHEN CAST($stopCount AS DOUBLE) / len(string_split(text, ' ')) > 0.2
+         |           THEN 'stopword_heavy'
+         |         ELSE 'ok' END AS quality_class,
+         |    substr(md5(text || '|strat'), 1, 2) AS h
+         |  FROM documents),
+         |s AS (
+         |  SELECT source, quality_class,
+         |    CASE quality_class WHEN 'ok' THEN 'ff'
+         |         WHEN 'stopword_heavy' THEN '7f' ELSE '1f' END AS thr, h
+         |  FROM f)
+         |SELECT source, quality_class, thr AS threshold, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN h <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+         |FROM s GROUP BY 1, 2, 3""".stripMargin,
     "sample_weighted_mix" ->
       """WITH f AS (
         |  SELECT source,

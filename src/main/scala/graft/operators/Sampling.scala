@@ -139,6 +139,51 @@ object Sampling {
       .toDF("source", "rank", "doc_id", "n_tok")
   }
 
+  /** Stratified quality-aware sampling: strata are (source × quality
+    * class) and each stratum gets its own deterministic content-hash
+    * selection rate — keep all 'ok' docs ("ff" = all 256 buckets),
+    * half the 'stopword_heavy' ("7f"), an eighth of the 'too_short'
+    * ("1f"). This is the curation move weightedMix can't express:
+    * down-weighting by OBSERVED quality within every source rather
+    * than by source identity alone. The class thresholds are
+    * [[TextAnalysis.qualityClassOf]] — the same single rule the
+    * quality scorer uses.
+    *
+    * Plan shape at 100 TB: class and hash are map-side expressions;
+    * the only shuffle is the |sources × classes|-key aggregation with
+    * partial combine — scan speed, like every sampler here.
+    */
+  def stratifiedQualityMix(spark: SparkSession, dir: String): DataFrame = {
+    val cls = graft.functions.Let.bindArray(TextAnalysis.tokens(col("text"))) { toks =>
+      val nTok = size(toks)
+      val nStop =
+        size(filter(toks, t => t.isin(TextAnalysis.stopwordsEn.map(lit(_)): _*)))
+      TextAnalysis.qualityClassOf(nTok, nStop.cast("double") / nTok)
+    }
+    val thr = when(col("quality_class") === "ok", "ff")
+      .when(col("quality_class") === "stopword_heavy", "7f")
+      .otherwise("1f")
+    docs(spark, dir)
+      .select(
+        col("source"),
+        cls.as("quality_class"),
+        hashBucket(col("text"), "strat").as("h"),
+      )
+      .withColumn("thr", thr)
+      .groupBy("source", "quality_class", "thr")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("h") <= col("thr"), 1L).otherwise(0L)).as("n_selected"),
+      )
+      .select(
+        col("source"),
+        col("quality_class"),
+        col("thr").as("threshold"),
+        col("n_docs"),
+        col("n_selected"),
+      )
+  }
+
   /** Deterministic sharded epoch shuffle — the training-order step: a
     * seeded md5 over the doc id is the permutation key, its first hex
     * byte the shard (256 uniform shards), and the rank of the full

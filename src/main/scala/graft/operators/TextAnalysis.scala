@@ -134,6 +134,16 @@ object TextAnalysis {
         (sum(col("__nt")) / count(lit(1))).as("avg_tokens"),
       )
 
+  /** The quality-class rule as a function of the bound token stats —
+    * the SINGLE definition of the class thresholds, shared by
+    * [[qualityScores]] and the stratified sampler
+    * ([[Sampling.stratifiedQualityMix]]).
+    */
+  def qualityClassOf(nTok: Column, stopRatio: Column): Column =
+    when(nTok < 20, "too_short")
+      .when(stopRatio > 0.2, "stopword_heavy")
+      .otherwise("ok")
+
   /** Per-document quality scoring: token count, char count,
     * chars-per-token, stopword ratio, and a quality class. All
     * ratios divide identical integers → identical doubles in both
@@ -154,10 +164,7 @@ object TextAnalysis {
             length(col("text")).as("n_chars"),
             (length(col("text")).cast("double") / nTok).as("chars_per_token"),
             (nStop.cast("double") / nTok).as("stopword_ratio"),
-            when(nTok < 20, "too_short")
-              .when(nStop.cast("double") / nTok > 0.2, "stopword_heavy")
-              .otherwise("ok")
-              .as("quality_class"),
+            qualityClassOf(nTok, nStop.cast("double") / nTok).as("quality_class"),
           )
         }.as("q"),
       )

@@ -111,6 +111,28 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(viaAgg.count() == viaWindow.count())
   }
 
+  test("stratified sampler partitions the corpus and keeps every ok-class doc") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val rows = Sampling.stratifiedQualityMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sf, "documents")
+    // strata cells partition the corpus
+    assert(rows.map(_.getLong(3)).sum == docs.count())
+    rows.foreach { r =>
+      val (cls, thr, n, sel) = (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+      assert(sel >= 0 && sel <= n)
+      // the 'ok' rate is "ff" = all 256 hash buckets → everything kept
+      if (cls == "ok") { assert(thr == "ff" && sel == n) }
+      else assert(Set("7f", "1f")(thr))
+    }
+    // class labels agree with the quality scorer's (same rule object)
+    val classCounts = TextAnalysis.qualityScores(spark, sf)
+      .groupBy("quality_class").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stratCounts = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(stratCounts == classCounts)
+  }
+
   test("epoch shuffle is a seeded permutation: shards cover the corpus, seeds are independent") {
     import graft.operators.Sampling
     val docs = Tables(spark, sf, "documents")
