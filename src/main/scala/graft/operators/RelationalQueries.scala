@@ -246,16 +246,24 @@ object RelationalQueries {
       )
 
   /** TPC-H Q3-style shipping priority: 3-way join + top-10 by
-    * revenue. customer is broadcast (filtered dim); orders⋈lineitem
-    * is the one real shuffle, on the join key both sides. Top-N plans
-    * as TakeOrderedAndProject — no global sort at scale.
+    * revenue. orders⋈lineitem is the one real shuffle, on the join
+    * key both sides. Top-N plans as TakeOrderedAndProject — no global
+    * sort at scale.
+    *
+    * Broadcast discipline: `customer` scales with the corpus, and the
+    * BUILDING-segment filter only keeps ~1/5 of it — at the 100 TB
+    * design point that is still hundreds of millions of rows, so a
+    * static broadcast hint would be a forced OOM, not a fast path. No
+    * hint: AQE broadcasts from the measured post-filter size while it
+    * fits and falls back to a shuffle join when it doesn't (same rule
+    * as turnoutByLocation). Pinned by the PlanShapeSpec global sweep.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
     val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
       .select(
@@ -268,9 +276,15 @@ object RelationalQueries {
       .limit(10)
   }
 
-  /** TPC-H Q5-style local-supplier volume: 6-table join. All dims
-    * (region, nation, customer, supplier) broadcast; the only big
-    * shuffle is orders⋈lineitem. Group key |nations| — tiny.
+  /** TPC-H Q5-style local-supplier volume: 6-table join. Only the
+    * FIXED-domain dims (region = 5 rows, nation = 25 rows at every
+    * scale factor) keep static broadcast hints. `supplier` (sf×10k)
+    * and `customer` (sf×150k) both scale with the corpus — at the
+    * 100 TB design point a forced broadcast of either is an OOM, so
+    * they carry no hint and AQE picks broadcast-vs-shuffle from
+    * measured sizes (turnoutByLocation rule; pinned by the
+    * PlanShapeSpec global sweep). The only unavoidable big shuffle is
+    * orders⋈lineitem. Group key |nations| — tiny.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
@@ -281,9 +295,9 @@ object RelationalQueries {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
     val li = t(spark, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(
-        broadcast(cust),
+        cust,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"),
       )
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -307,6 +321,13 @@ object RelationalQueries {
     * revenue, then suppkey) so the result is deterministic. Revenue
     * is pre-aggregated first, so the window input is |suppliers|
     * rows, not |lineitem|.
+    *
+    * Broadcast discipline: `supplier` scales with the corpus (sf×10k)
+    * so it carries no static hint — AQE sees both sides of
+    * rev⋈supplier are |suppliers|-bounded and chooses; a forced hint
+    * would OOM at the 100 TB design point. `nation` is a fixed 25-row
+    * domain and keeps its hint. Pinned by the PlanShapeSpec global
+    * sweep.
     */
   def supplierRank(spark: SparkSession, dir: String): DataFrame = {
     val supp = t(spark, dir, "supplier")
@@ -316,7 +337,7 @@ object RelationalQueries {
       .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
     val w = Window.partitionBy("s_nationkey").orderBy(col("revenue").desc, col("l_suppkey"))
     rev
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .withColumn("rnk", rank().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -386,13 +407,20 @@ object RelationalQueries {
 
   /** Outer-join coverage: left join (buyers vs non-buyers per
     * segment) and full outer join (key reconciliation), reduced to
-    * deterministic aggregates. The distinct-buyer side is broadcast.
+    * deterministic aggregates.
+    *
+    * Broadcast discipline: the distinct-buyer set scales with the
+    * corpus (|active customers|), so it carries no static hint — a
+    * forced broadcast of it is an OOM at the 100 TB design point.
+    * AQE picks broadcast while the measured size fits and falls back
+    * to a shuffle join when it doesn't. Pinned by the PlanShapeSpec
+    * global sweep.
     */
   def outerJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
     val buyers = t(spark, dir, "orders").select(col("o_custkey")).distinct()
     cust
-      .join(broadcast(buyers), cust("c_custkey") === buyers("o_custkey"), "left")
+      .join(buyers, cust("c_custkey") === buyers("o_custkey"), "left")
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("n_customers"),
