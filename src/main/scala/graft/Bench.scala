@@ -27,6 +27,7 @@ object Bench {
     graft.sources.Tables.invalidate()
     graft.streaming.StreamGate.invalidate()
     graft.operators.Dedup.invalidate()
+    graft.operators.IvfIndex.invalidate()
   }
 
   def main(args: Array[String]): Unit = {

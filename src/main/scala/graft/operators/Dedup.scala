@@ -414,8 +414,11 @@ object Dedup {
     */
   def minhashLshPairsShared(spark: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(spark, dir) {
-      minhashLshPairs(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_minhash_pairs", dir),
+        minhashLshPairs(spark, dir),
+      )
     }
 
   /** Memoized connected components over the MinHash-LSH pair graph. */
@@ -425,14 +428,19 @@ object Dedup {
     }
 
   /** Drop memoized cluster/pair frames (benchmark hygiene). The
-    * checkpointed pair table's storage blocks are unpersisted
-    * eagerly: dropping only the reference would leave each timed
-    * run's blocks pinned in executor storage until GC, skewing the
-    * timings invalidate() exists to keep honest.
+    * persisted pair table's storage blocks are unpersisted eagerly:
+    * dropping only the reference would leave each timed run's blocks
+    * pinned in executor storage until GC, skewing the timings
+    * invalidate() exists to keep honest. Key-based (not value-based)
+    * cleanup through the artifact's catalog NAME, which reaches the
+    * cached blocks even when the soft value reference was GC-cleared
+    * before invalidation.
     */
   def invalidate(): Unit = {
     ccCache.invalidate()
-    pairsCache.invalidate(df => { df.unpersist(blocking = false); () })
+    pairsCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_minhash_pairs", dir))
+    }
   }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {

@@ -26,6 +26,71 @@ import graft.functions.VectorFunctions.cosine
   */
 object IvfIndex {
 
+  // Both IVF gates derive the same round-1 artifact (seed centroids
+  // from the label column → nearest-centroid reassignment): memoize
+  // it per (session, dir) so the first consumer pays and the rest
+  // ride the persisted copy — the same cost model as the memoized
+  // MinHash pair set (an index build is an artifact written once and
+  // read many times; executor storage stands in for the table write
+  // here). Soft cache: an eviction costs a recompute, never
+  // correctness. Bench invalidates between timed runs.
+  private val round1Cache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized, persisted round-1 assignment (vec_id, embedding,
+    * cell): seed centroids from the label column, one
+    * nearest-centroid reassignment. [[assignments]] projects it;
+    * [[kmeansIterated]] continues Lloyd rounds from it. Cached as a
+    * NAMED catalog artifact so invalidation can reach the storage
+    * blocks by name even after the soft reference is GC-cleared (the
+    * typed centroid aggregator's closures defeat rebuild-and-match
+    * invalidation).
+    */
+  def round1Assignment(spark: SparkSession, dir: String): DataFrame =
+    round1Cache.getOrElseUpdate(spark, dir) {
+      val emb = graft.sources.Tables.parallel(spark, dir, "embeddings")
+      val seeded =
+        emb.select(col("vec_id"), col("embedding"), col("label").cast("int").as("cell"))
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_ivf_round1", dir),
+        reassign(emb, centroids(seeded, "cell")),
+      )
+    }
+
+  /** Drop the memoized round-1 artifact and its storage blocks
+    * (benchmark hygiene; by-name, value-liveness-independent).
+    */
+  def invalidate(): Unit =
+    round1Cache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_ivf_round1", dir))
+    }
+
+  /** One nearest-centroid (max-cosine) Lloyd reassignment that
+    * carries the embedding through the combine-shuffle: the scored
+    * rows partial-aggregate map-side and the exchange carries one row
+    * per vector, never |cells| rows. Tie-break: max sim, then
+    * SMALLEST cell (negated in the ordering struct) — identical to
+    * [[assign]]'s (sim desc, cell asc) window order.
+    */
+  private def reassign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb
+      .join(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("cell"),
+        cosine(col("embedding"), col("centroid")).as("sim"),
+      )
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("cell"),
+        // all rows of a vec_id group carry the identical array, so
+        // the embedding rides the one combine-shuffle and the next
+        // round needs no second join against the corpus
+        first(col("embedding")).as("embedding"),
+      )
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
   /** Per-cell mean vectors from the current assignment column.
     * Typed-aggregator formulation (VectorMeanAggregator): partial
     * element-wise (sum, count) buffers per partition, one small
@@ -78,34 +143,22 @@ object IvfIndex {
     * integer assignment sequence is engine-portable and the final
     * one oracle-gates.
     *
-    * The round count is small and FIXED, so the loop builds one
-    * 3-round DAG executed by a single action — no per-round
-    * materialization (an open-ended convergence loop would truncate
-    * lineage per round instead, as connectedComponents does).
+    * The round count is small and FIXED, so rounds past the memoized
+    * first one build a single DAG executed by one action — no
+    * per-round materialization (an open-ended convergence loop would
+    * truncate lineage per round instead, as connectedComponents
+    * does). Round 1 is the shared [[round1Assignment]] artifact, so
+    * the corpus parquet is scanned once per (session, dir) across
+    * the whole IVF gate family; later rounds read the persisted
+    * (vec_id, embedding, cell) frame, never the files.
     */
   def kmeansIterated(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val emb = graft.sources.Tables.parallel(spark, dir, "embeddings")
-    var assigned = emb
-      .select(col("vec_id"), col("embedding"), col("label").cast("int").as("cell"))
-    (1 to iters).foreach { _ =>
-      val cents = centroids(assigned, "cell")
-      assigned = emb
-        .join(broadcast(cents))
-        .select(
-          col("vec_id"),
-          col("embedding"),
-          col("cell"),
-          cosine(col("embedding"), col("centroid")).as("sim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-          max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("cell"),
-          // the embedding rides the one combine-shuffle (all rows of a
-          // vec_id group carry the identical array) so the next round
-          // needs no second join against the corpus
-          first(col("embedding")).as("embedding"),
-        )
-        .select(col("vec_id"), col("embedding"), col("cell"))
+    var assigned = round1Assignment(spark, dir)
+    (2 to iters).foreach { _ =>
+      assigned = reassign(
+        assigned.select(col("vec_id"), col("embedding")),
+        centroids(assigned, "cell"),
+      )
     }
     assigned.select(col("vec_id"), col("cell").as("assigned_cell"))
   }
@@ -118,19 +171,8 @@ object IvfIndex {
     * astronomically larger than centroid rounding (same ULP-margin
     * argument as Similarity's ordering) — so the integer assignment
     * hash-matches DuckDB while the float internals stay test-only.
+    * A projection of the shared [[round1Assignment]] artifact.
     */
-  def assignments(spark: SparkSession, dir: String): DataFrame = {
-    val emb = graft.sources.Tables.parallel(spark, dir, "embeddings")
-    val cents = centroids(emb, "label")
-    // argmax as a partial-aggregable max_by rather than a per-vector
-    // rank window: the scored rows combine map-side and the shuffle
-    // carries one row per vector, not |cells| rows. Tie-break: max
-    // sim, then SMALLEST cell (negated in the ordering struct) —
-    // identical to assign()'s (sim desc, cell asc) window order.
-    emb
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("centroid")).as("sim"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("assigned_cell"))
-  }
+  def assignments(spark: SparkSession, dir: String): DataFrame =
+    round1Assignment(spark, dir).select(col("vec_id"), col("cell").as("assigned_cell"))
 }

@@ -1,0 +1,52 @@
+package graft.util
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped persisted artifacts addressed by NAME.
+  *
+  * A memoized `df.persist` has an invalidation hole: if the only
+  * reference to the DataFrame is soft (see [[SessionCache]]) and it
+  * gets GC-cleared, the storage blocks stay registered but nothing
+  * can reach them — rebuilding the plan does not help when the plan
+  * contains typed-aggregator lambdas, because closures never compare
+  * equal and plan canonicalization cannot match them. Registering the
+  * artifact as a temp view and caching THROUGH THE CATALOG
+  * (`spark.catalog.cacheTable`) makes the name the handle: dropping
+  * by name reaches the cached entry no matter what happened to our
+  * references. Temp views are session-scoped, so lifetime matches
+  * [[SessionCache]] scoping exactly.
+  */
+object NamedArtifact {
+
+  /** Register `df` as temp view `name`, cache it MEMORY_AND_DISK, and
+    * return the view-backed frame (whose plan the cache registry
+    * matches by the stored view definition, closure-safe).
+    */
+  def cache(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    df.createOrReplaceTempView(name)
+    if (!spark.catalog.isCached(name)) {
+      spark.catalog.cacheTable(name, StorageLevel.MEMORY_AND_DISK)
+    }
+    spark.table(name)
+  }
+
+  /** Uncache and drop the view; safe when it never existed (the
+    * GC-cleared-entry case invalidation exists to cover).
+    */
+  def drop(spark: SparkSession, name: String): Unit = {
+    Try(spark.catalog.uncacheTable(name))
+    spark.catalog.dropTempView(name)
+    ()
+  }
+
+  /** A collision-free session-unique view name for a directory-keyed
+    * artifact (temp view names cannot contain '/').
+    */
+  def viewName(prefix: String, dir: String): String =
+    prefix + "_" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(dir).hashCode().toLong & 0xffffffffL
+    )
+}

@@ -53,17 +53,23 @@ final class SessionCache[K, V <: AnyRef] {
     }
 
   /** Drop everything (benchmark hygiene between timed runs). */
-  def invalidate(): Unit = invalidate(_ => ())
+  def invalidate(): Unit = bySession.synchronized(bySession.clear())
 
-  /** Drop everything, running `onDrop` on each still-live value first
-    * — the hook for values that hold external resources (e.g. a
-    * localCheckpointed DataFrame's storage blocks, which would
-    * otherwise linger until nondeterministic GC + ContextCleaner).
+  /** Drop everything, first running `onKey` for EVERY (session, key)
+    * pair still reachable through a live session — INCLUDING entries
+    * whose soft value has already been GC-cleared.
+    *
+    * This is the cleanup hook for values with external state (a
+    * persisted DataFrame's storage blocks). A value-based hook cannot
+    * reach a cleared entry's blocks — they would survive the
+    * invalidation and the next run would silently ride them — but a
+    * key-based hook can rebuild the value's canonical plan from the
+    * key and unpersist that: Spark's cache registry matches plans by
+    * canonical form, so a rebuilt identical plan reaches the same
+    * cached entry whether or not our soft reference is still live.
     */
-  def invalidate(onDrop: V => Unit): Unit = bySession.synchronized {
-    bySession.values.forEach { scoped =>
-      scoped.values.foreach(r => Option(r.get).foreach(onDrop))
-    }
+  def invalidateKeys(onKey: (SparkSession, K) => Unit): Unit = bySession.synchronized {
+    bySession.forEach { (session, scoped) => scoped.keys.foreach(k => onKey(session, k)) }
     bySession.clear()
   }
 }

@@ -64,6 +64,31 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(q3 >= q1 - 1e-9, s"more Lloyd rounds degraded the quantizer: $q3 < $q1")
   }
 
+  test("IVF gates share one memoized round-1 artifact per (session, dir)") {
+    IvfIndex.invalidate()
+    val a = IvfIndex.round1Assignment(spark, sf)
+    val b = IvfIndex.round1Assignment(spark, sf)
+    assert(a eq b, "second IVF-gate call must reuse the memoized round-1 frame")
+    IvfIndex.invalidate()
+  }
+
+  test("invalidate unpersists the round-1 blocks by artifact name, not value liveness") {
+    import org.apache.spark.storage.StorageLevel
+    IvfIndex.invalidate()
+    val persisted = IvfIndex.round1Assignment(spark, sf)
+    persisted.count() // materialize the storage blocks
+    assert(persisted.storageLevel != StorageLevel.NONE, "artifact should be persisted")
+    // key-based cleanup drops the named catalog artifact — the path
+    // that still works when the soft value reference was GC-cleared
+    // before invalidation (closures in the plan defeat
+    // rebuild-and-match unpersist, so the NAME is the handle)
+    IvfIndex.invalidate()
+    assert(
+      persisted.storageLevel == StorageLevel.NONE,
+      "invalidate() left the round-1 storage blocks registered",
+    )
+  }
+
   test("simhash64: identical texts collide, different texts differ") {
     import spark.implicits._
     val df = Seq(
