@@ -58,29 +58,20 @@ object SparkEntry {
     "stream_similarity_topk" -> (graft.streaming.StreamGate.similarityTopK _),
     "stream_turnout_by_location" -> (graft.streaming.StreamGate.turnoutByLocation _),
     "stream_interval_join" -> (graft.streaming.StreamGate.intervalJoin _),
-    // the same two append-mode streams through the PRODUCTION sink
-    // path: micro-batches land on a distributed parquet sink (no row
-    // ever visits the driver) and the result is read back / ranked
-    // distributedly — the 100 TB shape, checked against the same
-    // oracle SQL as the driver-capture gate twins
-    "stream_interval_join_sink" -> ((s, d) =>
-      StreamingQueries.intervalJoinViaSink(
-        s, d, StreamingQueries.scratchSinkDir("ij") + "/out")),
-    "stream_similarity_topk_sink" -> ((s, d) =>
-      StreamingQueries.similarityTopKViaSink(
-        s, d, StreamingQueries.scratchSinkDir("sim") + "/out")),
-    // streaming exact dedup (ST6) through the same production sink
-    // path — emits each (user_id, event_type) key once on first
-    // arrival; the result is the deterministic distinct key set
-    "stream_dedup_sink" -> ((s, d) =>
-      StreamingQueries.streamDedupViaSink(
-        s, d, StreamingQueries.scratchSinkDir("dedup") + "/out")),
-    // one-pass multi-sink quality routing (keep/reject split per
-    // micro-batch, per-batch overwrite for exactly-once); gate checks
-    // the keep side against the batch filter
-    "stream_quality_route_sink" -> ((s, d) =>
-      StreamingQueries.qualityRouteViaSink(
-        s, d, StreamingQueries.scratchSinkDir("route"))),
+    // the production-sink gate family, run as a SECOND concurrent
+    // bundle on the RocksDB state-store provider (the operational
+    // backend for long-running stateful queries — state bounded by
+    // disk, not executor memory): interval join + similarity appends
+    // (same lineages as the main bundle's in-memory-provider runs),
+    // streaming exact dedup (ST6 — each (user_id, event_type) key
+    // emitted once on first arrival), and the one-pass two-sink
+    // quality router (per-batch overwrite for exactly-once). Each
+    // micro-batch lands on a distributed parquet sink; no row ever
+    // visits the driver
+    "stream_interval_join_sink" -> (graft.streaming.StreamGate.intervalJoinSink _),
+    "stream_similarity_topk_sink" -> (graft.streaming.StreamGate.similarityTopKSink _),
+    "stream_dedup_sink" -> (graft.streaming.StreamGate.streamDedupSink _),
+    "stream_quality_route_sink" -> (graft.streaming.StreamGate.qualityRouteSink _),
     "multimodal_frames" -> (Multimodal.frameSample _),
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),

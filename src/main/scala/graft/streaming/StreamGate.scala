@@ -51,10 +51,13 @@ object StreamGate {
     else Files.createTempDirectory(prefix).toString
   }
 
-  // weak session keys + weak values (see SessionCache): the gate
-  // results are collected-row frames that strongly reference the
-  // session, so a plain object-level map would pin it forever. An
-  // evicted entry just re-runs the bundle — same cost as invalidate()
+  // weak session keys + soft values (see SessionCache): the gate
+  // results strongly reference the session (collected-row frames for
+  // the bounded changelogs, lazy sink readers for the append gates),
+  // so a plain object-level map would pin it forever. An evicted
+  // entry just re-runs the bundle — same cost as invalidate(); the
+  // sink directories outlive eviction (JVM-exit cleanup), so a
+  // re-run never yanks files out from under a prior result
   private val cache = new graft.util.SessionCache[(String, String), DataFrame]
 
   def invalidate(): Unit = cache.invalidate()
@@ -82,7 +85,9 @@ object StreamGate {
   /** Stream-stream interval self-join: for each event, the same
     * user's events in the following 5 minutes. Watermarks bound the
     * join state on both sides (ST6/ST9 surface); inner interval
-    * joins emit on match, so append capture is exact.
+    * joins emit on match, so append output is exact. Runs through
+    * the bundle's distributed parquet sink — join output is
+    * O(matches) and never visits the driver.
     */
   def intervalJoin(spark: SparkSession, dir: String): DataFrame =
     result(spark, dir, "interval_join")
@@ -96,9 +101,117 @@ object StreamGate {
       }
     }
 
-  /** One concurrent bundle: three streaming queries started together
-    * (fan-out pass, stateful windowed, similarity scoring), all on
-    * AvailableNow triggers, awaited together.
+  /** Production-sink gate family: the four standalone sink gates run
+    * as ONE concurrent bundle (ST7 again) on the RocksDB state-store
+    * provider — the operational configuration a long-running
+    * deployment uses (join/dedup state bounded by disk, not executor
+    * memory), which also distinguishes these gates from the main
+    * bundle's in-memory-provider runs of the same append lineages.
+    * One invocation pays max(query runtimes) instead of four
+    * sequential streaming passes.
+    *
+    * Failure isolation is PER QUERY: each query is started and
+    * awaited independently, so one gate's failure neither stops nor
+    * invalidates the other three — only the failed gate throws (and a
+    * retry of it re-runs the bundle, as with the main bundle).
+    */
+  def intervalJoinSink(spark: SparkSession, dir: String): DataFrame =
+    sinkResult(spark, dir, "interval_join")
+
+  def similarityTopKSink(spark: SparkSession, dir: String): DataFrame =
+    sinkResult(spark, dir, "similarity")
+
+  def streamDedupSink(spark: SparkSession, dir: String): DataFrame =
+    sinkResult(spark, dir, "dedup")
+
+  def qualityRouteSink(spark: SparkSession, dir: String): DataFrame =
+    sinkResult(spark, dir, "route")
+
+  private def sinkResult(spark: SparkSession, dir: String, which: String): DataFrame =
+    synchronized {
+      cache.get(spark, (dir, "sink_" + which)).getOrElse {
+        val results = runSinkBundle(spark, dir)
+        results.foreach {
+          case (k, Right(df)) => cache.put(spark, (dir, "sink_" + k), df)
+          case _ => ()
+        }
+        results(which).fold(e => throw e, identity)
+      }
+    }
+
+  private def runSinkBundle(
+      spark: SparkSession,
+      dir: String,
+  ): Map[String, Either[Throwable, DataFrame]] = {
+    import scala.util.Try
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      // same sizing rationale as the main bundle; conf stays set
+      // until every query has terminated (streams clone the session
+      // from their execution threads)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      VotePipeline.useRocksDbStateStore(spark)
+
+      val ijOut = StreamingQueries.scratchSinkDir("ij") + "/out"
+      val simOut = StreamingQueries.scratchSinkDir("sim") + "/out"
+      val dedupOut = StreamingQueries.scratchSinkDir("dedup") + "/out"
+      val routeOut = StreamingQueries.scratchSinkDir("route")
+
+      val ijStream = StreamingQueries.intervalJoinStream(spark, dir)
+      val simStream = StreamingQueries.similarityScoredStream(spark, dir)
+      val dedupStream = StreamingQueries.streamDedupLineage(spark, dir)
+
+      val started: Seq[(String, Try[org.apache.spark.sql.streaming.StreamingQuery], () => DataFrame)] =
+        Seq(
+          (
+            "interval_join",
+            Try(StreamingQueries.startAppendToParquet(ijStream, ijOut)),
+            () => spark.read.schema(ijStream.schema).parquet(ijOut),
+          ),
+          (
+            "similarity",
+            Try(StreamingQueries.startAppendToParquet(simStream, simOut)),
+            () =>
+              graft.operators.Similarity
+                .topKPerQuery(spark.read.schema(simStream.schema).parquet(simOut), 5),
+          ),
+          (
+            "dedup",
+            Try(StreamingQueries.startAppendToParquet(dedupStream, dedupOut)),
+            () => spark.read.schema(dedupStream.schema).parquet(dedupOut),
+          ),
+          (
+            "route",
+            Try(StreamingQueries.startQualityRoute(spark, dir, routeOut)),
+            () => StreamingQueries.readQualityRouteKeep(spark, routeOut),
+          ),
+        )
+      started.map { case (name, q, read) =>
+        name -> q.flatMap(query => Try { query.awaitTermination(); read() }).toEither
+      }.toMap
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** One concurrent bundle: four streaming queries started together
+    * (fan-out pass, stateful windowed, similarity scoring → parquet
+    * sink, interval join → parquet sink), all on AvailableNow
+    * triggers, awaited together. The bounded changelogs (votes /
+    * turnout partials, windowed update rows) are driver-captured —
+    * bounded by key cardinality by contract; both O(output) append
+    * streams land on distributed sinks.
     */
   private def runBundle(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     // dedicated lock: callbacks run on stream-execution threads while
@@ -114,8 +227,6 @@ object StreamGate {
     var votesSchema: StructType = null
     var turnoutSchema: StructType = null
     val windowedRows = new ArrayBuffer[(Long, Row)]()
-    val scoredRows = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
-    val joinedRows = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Row]]
 
     // nation is the bounded 25-row domain and keeps its hint; customer
     // is the corpus-scaling user dimension, so the per-batch
@@ -207,32 +318,33 @@ object StreamGate {
         .trigger(Trigger.AvailableNow())
         .start()
 
-      // 3) stream-static similarity scoring (append semantics)
+      // 3) stream-static similarity scoring (append semantics) —
+      // PRODUCTION sink inside the bundle: scored micro-batches land
+      // on a distributed parquet sink; no scored row ever visits the
+      // driver (the append volume is O(corpus × queries), which a
+      // driver capture cannot hold at scale)
       val scored = StreamingQueries.similarityScoredStream(spark, dir)
-      val scoredSchema = scored.schema
+      val simOut = StreamingQueries.scratchSinkDir("gate-sim") + "/out"
       val qScored = scored.writeStream
         .outputMode("append")
+        .format("parquet")
+        .option("path", simOut)
         .option("checkpointLocation", scratchDir("graft-ckpt-sim"))
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-          val rows = batch.collect()
-          lock.synchronized { scoredRows(batchId) = rows; () }
-        }
         .trigger(Trigger.AvailableNow())
         .start()
 
       // 4) stream-stream interval self-join (append semantics): the
       // shared lineage — watermarks on both sides + the time-range
       // predicate bound the join state (the standard "events within T
-      // of each other" join at scale)
+      // of each other" join at scale). Same production parquet sink:
+      // join output is O(matches) and never belongs on the driver.
       val joined = StreamingQueries.intervalJoinStream(spark, dir)
-      val joinedSchema = joined.schema
+      val ijOut = StreamingQueries.scratchSinkDir("gate-ij") + "/out"
       val qJoined = joined.writeStream
         .outputMode("append")
+        .format("parquet")
+        .option("path", ijOut)
         .option("checkpointLocation", scratchDir("graft-ckpt-ij"))
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-          val rows = batch.collect()
-          lock.synchronized { joinedRows(batchId) = rows; () }
-        }
         .trigger(Trigger.AvailableNow())
         .start()
 
@@ -265,15 +377,13 @@ object StreamGate {
         .add("event_type", StringType).add("pv", LongType).add("pn", LongType)
       val emptyTurnoutSchema = new StructType()
         .add("n_name", StringType).add("pt", LongType)
-      val (vRows, vSchema, tRows, tSchema, wRows, sRows, jRows) = lock.synchronized {
+      val (vRows, vSchema, tRows, tSchema, wRows) = lock.synchronized {
         (
           votesPartials.values.flatten.toSeq,
           Option(votesSchema).getOrElse(emptyVotesSchema),
           turnoutPartials.values.flatten.toSeq,
           Option(turnoutSchema).getOrElse(emptyTurnoutSchema),
           windowedRows.toSeq,
-          scoredRows.values.flatten.toSeq,
-          joinedRows.values.flatten.toSeq,
         )
       }
 
@@ -297,20 +407,21 @@ object StreamGate {
         .map { case (_, versions) => versions.maxBy(_._1)._2 }
         .toSeq
 
-      // scored appends → per-query top-5 rank (gate-harness-sized)
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      val similarity = ofRows(sRows, scoredSchema)
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id")
+      // scored appends → per-query top-5, ranked DISTRIBUTEDLY over
+      // the sink table via the bounded-buffer TopKAggregator (shuffle
+      // ≤ k·partitions rows per query) — the same end-to-end plan the
+      // standalone sink gate runs
+      val similarity = graft.operators.Similarity.topKPerQuery(
+        spark.read.schema(scored.schema).parquet(simOut),
+        5,
+      )
 
       Map(
         "votes" -> votes,
         "turnout" -> turnout,
         "windowed" -> ofRows(windowedFinal, windowedSchema),
         "similarity" -> similarity,
-        "interval_join" -> ofRows(jRows, joinedSchema),
+        "interval_join" -> spark.read.schema(joined.schema).parquet(ijOut),
       )
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

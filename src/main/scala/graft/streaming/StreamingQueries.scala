@@ -32,24 +32,33 @@ object StreamingQueries {
     * execution thread, so restoring right after start() would race);
     * callers therefore await termination inside `body`.
     */
-  /** Scratch output dir for a sink gate. Each new invocation deletes
-    * the PREVIOUS invocation's output for the same gate first, so a
-    * repeated harness run (bench warm-up + two timed passes) keeps at
-    * most one output copy per gate on disk instead of accumulating
-    * one per invocation. Safe because gate results are materialized
-    * before the next invocation of the same gate begins.
+  /** Scratch output dir for a sink gate. Cleanup happens at JVM
+    * exit, NOT at the next invocation: a previously returned gate
+    * result is a LAZY reader over its sink directory, so deleting
+    * that directory when the same gate is invoked again would break
+    * any holder that re-evaluates the earlier frame (the
+    * "materialized before next invocation" contract was only a
+    * comment, and harness changes shouldn't be able to violate it
+    * into FileNotFoundException). The outputs are micro-batch-sized
+    * gate results; a bench run accumulates a handful of small dirs,
+    * all reclaimed by the exit hook.
     */
   def scratchSinkDir(gate: String): String = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    lastSinkOut.get(gate).foreach(p => rm(new java.io.File(p)))
     val d = java.nio.file.Files.createTempDirectory(s"graft-sink-$gate").toString
-    lastSinkOut.update(gate, d)
+    sinkDirsToCleanup.add(d)
     d
   }
-  private val lastSinkOut = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sinkDirsToCleanup = {
+    val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      dirs.forEach(p => rm(new java.io.File(p)))
+    }))
+    dirs
+  }
 
   private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -119,8 +128,9 @@ object StreamingQueries {
   /** The stream side of the similarity gate: embedding corpus as a
     * stream, scored against the broadcast STATIC query set
     * (stream-static join — "match incoming documents against a fixed
-    * index"). Shared by [[similarityTopKStream]] and the StreamGate
-    * bundle. Scored rows append; the per-query top-k is ranked after
+    * index"). Shared by [[similarityTopKViaSink]] and the StreamGate
+    * bundle — both run it through a distributed parquet append sink.
+    * Scored rows append; the per-query top-k is ranked after
     * completion, so the final result equals the batch brute-force
     * top-k and shares its oracle SQL. At scale the append sink
     * becomes a Kafka topic and the ranking a downstream consumer (or
@@ -143,33 +153,6 @@ object StreamingQueries {
     corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ce")).as("cos"))
-  }
-
-  def similarityTopKStream(spark: SparkSession, dir: String): DataFrame = {
-    val scored = similarityScoredStream(spark, dir)
-    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = scored.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .option(
-        "checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt-sim").toString,
-      )
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    val ranked = spark.table(name)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id")
-    val rows = ranked.collect().toSeq
-    val out = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ranked.schema)
-    spark.catalog.dropTempView(name)
-    out
   }
 
   /** Stream-stream interval self-join lineage: for each event, the
@@ -220,6 +203,24 @@ object StreamingQueries {
     * The read-back declares the stream's schema so an empty stream
     * yields an empty relation rather than a schema-inference error.
     */
+  /** Start (without awaiting) an append-mode stream onto a parquet
+    * sink — the building block [[runAppendToParquet]] and the
+    * StreamGate sink bundle share. The caller owns the conf bracket
+    * (shuffle/state sizing, no-data micro-batches) and must keep it
+    * until the query terminates.
+    */
+  private[streaming] def startAppendToParquet(
+      stream: DataFrame,
+      outPath: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-sink"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def runAppendToParquet(
       spark: SparkSession,
       stream: DataFrame,
@@ -237,14 +238,7 @@ object StreamingQueries {
       // StreamGate bundle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       withShufflePartitions(spark, statePartitions) {
-        val q = stream.writeStream
-          .outputMode("append")
-          .format("parquet")
-          .option("path", outPath)
-          .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-sink"))
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        startAppendToParquet(stream, outPath).awaitTermination()
       }
     } finally {
       prevNoData match {
@@ -292,13 +286,17 @@ object StreamingQueries {
     * the real dedup horizon and state stays bounded by eviction,
     * which is exactly what this operator exists to guarantee.
     */
-  def streamDedupViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame = {
-    val deduped = eventsStream(spark, dir)
+  /** The dedup lineage [[streamDedupViaSink]] and the StreamGate sink
+    * bundle share.
+    */
+  private[streaming] def streamDedupLineage(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
       .withWatermark("ts", "90 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runAppendToParquet(spark, deduped, outPath)
-  }
+
+  def streamDedupViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame =
+    runAppendToParquet(spark, streamDedupLineage(spark, dir), outPath)
 
   /** Documents table as a file stream (declared schema, as all
     * streaming file sources require).
@@ -335,6 +333,22 @@ object StreamingQueries {
     * sink.
     */
   def qualityRouteViaSink(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    // stateless routing: no state stores, but keep sink parallelism
+    // consistent with the other gate streams
+    withShufflePartitions(spark, 8) {
+      startQualityRoute(spark, dir, outDir).awaitTermination()
+    }
+    readQualityRouteKeep(spark, outDir)
+  }
+
+  /** Start (without awaiting) the two-sink quality router. The caller
+    * owns the conf bracket, as with [[startAppendToParquet]].
+    */
+  private[streaming] def startQualityRoute(
+      spark: SparkSession,
+      dir: String,
+      outDir: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
     val keepPath = s"$outDir/keep"
     val rejectPath = s"$outDir/reject"
     // a NULL keep (NULL text) must still route somewhere or the
@@ -346,28 +360,33 @@ object StreamingQueries {
         col("source"),
         coalesce(graft.operators.TextAnalysis.gopherKeep(col("text")), lit(false)).as("keep"),
       )
-    // stateless routing: no state stores, but keep sink parallelism
-    // consistent with the other gate streams
-    withShufflePartitions(spark, 8) {
-      val q = routed.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-          batch.persist()
-          try {
-            batch.filter(col("keep")).select("doc_id", "source")
-              .write.mode("overwrite").parquet(s"$keepPath/b$batchId")
-            batch.filter(!col("keep")).select("doc_id", "source")
-              .write.mode("overwrite").parquet(s"$rejectPath/b$batchId")
-          } finally { batch.unpersist(); () }
-        }
-        .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-route"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    routed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col("keep")).select("doc_id", "source")
+            .write.mode("overwrite").parquet(s"$keepPath/b$batchId")
+          batch.filter(!col("keep")).select("doc_id", "source")
+            .write.mode("overwrite").parquet(s"$rejectPath/b$batchId")
+        } finally { batch.unpersist(); () }
+      }
+      .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-route"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 
+  /** Read back the keep side of a completed quality-route run. */
+  private[streaming] def readQualityRouteKeep(spark: SparkSession, outDir: String): DataFrame = {
+    val keepPath = s"$outDir/keep"
     val outSchema = new StructType().add("doc_id", LongType).add("source", StringType)
+    // batch dirs are selected by NAME (b<id>), never by isDirectory
+    // alone: a crashed or retried batch write can leave a _temporary
+    // staging directory behind, and a bare directory glob would read
+    // (or fail on) its partial files
     val batchDirs = Option(new java.io.File(keepPath).listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath)
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .map(_.getPath)
     if (batchDirs.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
     else spark.read.schema(outSchema).parquet(batchDirs.toIndexedSeq: _*)
   }
