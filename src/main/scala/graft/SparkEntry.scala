@@ -46,6 +46,9 @@ object SparkEntry {
     "sql_subquery" -> (RelationalQueries.sqlSubquery _),
     "text_winnowing" -> (TextAnalysis.winnowingStats _),
     "having_filter" -> (RelationalQueries.havingFilter _),
+    // co-bucketed warehouse join: write-once clustered tables, then a
+    // zero-Exchange merge join (plan pinned in BucketingSpec)
+    "bucketed_join" -> (graft.operators.Bucketing.bucketedJoinSummary _),
     // real Structured Streaming execution, oracle-checked against the
     // same SQL as the batch twins — all four run as ONE concurrent
     // bundle (StreamGate): votes/turnout fan out of a shared source
@@ -394,6 +397,14 @@ object SparkEntry {
   private val flo64Sql = (0 until 32).map(j => s"(CASE WHEN l_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
   private def extensionOracleSql: Map[String, String] = Map(
+    // the bucketed warehouse join is bucketing-invariant by
+    // construction, so the oracle is the plain join of the same
+    // parquet tables
+    "bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "json_extraction" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
         |  count(*) AS n,

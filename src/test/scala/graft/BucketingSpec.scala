@@ -16,6 +16,28 @@ class BucketingSpec extends AnyFunSuite {
     .builder(master = "local[4]", shufflePartitions = 4)
     .getOrCreate()
 
+  test("bucketed_join gate: merge join of the co-bucketed warehouse tables plans with zero Exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val df = graft.operators.Bucketing.bucketedJoinSummary(spark, sf)
+    // the ONLY exchange allowed is the tiny |segments|-key aggregate's;
+    // the join itself must ride the bucket-partitioning of both sides
+    val joinSubtree = walk(df.queryExecution.executedPlan)
+      .find(_.getClass.getSimpleName.startsWith("SortMergeJoin"))
+      .getOrElse(fail(s"no merge join planned:\n${df.queryExecution.executedPlan.toString.take(600)}"))
+    assert(
+      !joinSubtree.toString.contains("Exchange"),
+      s"bucketed gate join still shuffles:\n${joinSubtree.toString.take(600)}",
+    )
+    // note: per-bucket LOCAL Sorts remain — Spark does not propagate
+    // bucket-file sort order to the scan (a bucket can span files), and
+    // a local sort is not a shuffle; zero Exchange is the invariant
+  }
+
   test("join of co-bucketed tables plans without any shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {

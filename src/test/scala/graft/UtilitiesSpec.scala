@@ -14,6 +14,15 @@ class UtilitiesSpec extends AnyFunSuite {
     .builder(master = "local[4]", shufflePartitions = 4)
     .getOrCreate()
 
+  test("ExplainAll and TimeOne drive a gate end-to-end on a shared session") {
+    // smoke coverage for the two scratch driver utilities: they must
+    // resolve gates through the SparkEntry registry and run without
+    // touching the session lifecycle
+    ExplainAll.run(spark, sf, Seq("votes_per_candidate"))
+    val timings = TimeOne.run(spark, sf, Seq("votes_per_candidate"))
+    assert(timings.size == 2 && timings.forall(_._3 > 0))
+  }
+
   test("native functions are callable from SQL via extensions descriptors") {
     // inject on an existing session the same way withExtensions would
     GraftExtensions.descriptors.foreach { case (ident, info, builder) =>
