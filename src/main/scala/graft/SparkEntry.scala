@@ -90,8 +90,19 @@ object SparkEntry {
     "text_tf_idf" -> (TextAnalysis.tfIdfTopTerms _),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
+    // tokenizer-training + sub-document-dedup surface: round-1 BPE
+    // pair-merge frequencies and content-defined chunking stats
+    "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
+    "cdc_chunk_stats" -> (TextAnalysis.cdcChunkStats _),
     "cdc_latest_per_key" -> (RelationalQueries.latestEventPerUser _),
     "events_hourly_uniques" -> (RelationalQueries.hourlyUniques _),
+    // analytics depth: exact-integer-sums Pearson correlation (a
+    // native streaming corr() is summation-order-dependent and can
+    // never hash-match), one-pass strict-ordering funnel, and
+    // lag/ntile window analytics over a unique total order
+    "stats_correlation" -> (RelationalQueries.statsCorrelation _),
+    "funnel_steps" -> (RelationalQueries.funnelSteps _),
+    "event_gap_quartiles" -> (RelationalQueries.eventGapQuartiles _),
     // two-phase salted aggregation twin — same oracle as the direct
     // groupBy, keeping the skew remedy inside the correctness surface
     "skew_salted_votes" -> (RelationalQueries.votesPerCandidateSalted _),
@@ -105,6 +116,11 @@ object SparkEntry {
     "dedup_degree_stats" -> (Dedup.degreeHistogram _),
     "source_overlap" -> ((s, d) => Dedup.sourceShingleOverlap(s, d)),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
+    // graph analytics on the memoized near-dup pair graph: fixed-
+    // iteration scaled-integer PageRank (canonical-doc centrality)
+    // and the wedge/triangle census (duplication-structure shape)
+    "graph_pagerank" -> ((s, d) => graft.operators.GraphOps.pagerank(s, d)),
+    "graph_triangles" -> (graft.operators.GraphOps.triangleCensus _),
     "dedup_keep_best" -> (Dedup.keepBestDedup _),
     "dedup_simhash" -> (Dedup.simhashFingerprints _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashHammingPairs(s, d)),
@@ -397,6 +413,63 @@ object SparkEntry {
   private val flo64Sql = (0 until 32).map(j => s"(CASE WHEN l_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
   private def extensionOracleSql: Map[String, String] = Map(
+    // exact 128-bit integer sums (DuckDB: sum(BIGINT) accumulates in
+    // HUGEINT) cast to double, then the identical IEEE formula —
+    // bit-identical r without any engine-native corr()
+    "stats_correlation" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |s AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT c_mktsegment, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         AS corr_price_balance
+        |FROM s""".stripMargin,
+    "funnel_steps" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS ta,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tb,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tc
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        |         CASE WHEN ta IS NOT NULL AND tb > ta THEN 1 ELSE 0 END AS s2,
+        |         CASE WHEN ta IS NOT NULL AND tb > ta AND tc > tb THEN 1 ELSE 0 END AS s3
+        |  FROM pu),
+        |tot AS (SELECT CAST(sum(s1) AS BIGINT) AS n_signup,
+        |               CAST(sum(s2) AS BIGINT) AS n_click,
+        |               CAST(sum(s3) AS BIGINT) AS n_purchase FROM st)
+        |SELECT n_signup, n_click, n_purchase,
+        |       CAST(CASE WHEN n_signup > 0 THEN (1000000 * n_click) // n_signup ELSE 0 END AS BIGINT)
+        |         AS conv_click_x1e6,
+        |       CAST(CASE WHEN n_click > 0 THEN (1000000 * n_purchase) // n_click ELSE 0 END AS BIGINT)
+        |         AS conv_purchase_x1e6
+        |FROM tot""".stripMargin,
+    "event_gap_quartiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+        |         epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT *,
+        |         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap,
+        |         CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY vc, event_id) AS BIGINT) AS quartile
+        |  FROM e)
+        |SELECT event_type, quartile, count(*) AS n_events,
+        |       CAST(sum(COALESCE(gap, 0)) AS BIGINT) AS sum_gap_us,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |       CAST(sum(vc) AS DOUBLE) / 100 AS total_value
+        |FROM g GROUP BY 1, 2""".stripMargin,
     // the bucketed warehouse join is bucketing-invariant by
     // construction, so the oracle is the plain join of the same
     // parquet tables
@@ -523,6 +596,41 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS n FROM t WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // adjacent char pairs over the DISTINCT word table weighted by
+    // word frequency — integer counts, lexicographic tie-break
+    "bpe_pair_stats" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS wf FROM w WHERE w <> '' GROUP BY w),
+        |p AS (
+        |  SELECT wf, substr(w, i, 2) AS pair
+        |  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // content-defined chunk segmentation: break after words whose md5
+    // starts with '0'; chunk id = breaks strictly before the word
+    "cdc_chunk_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, ts[i] AS w, i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+        |  WHERE ts[i] <> ''),
+        |m AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |         COALESCE(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM m),
+        |cl AS (SELECT doc_id, chunk, count(*) AS len FROM c GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       CAST(sum(len) AS BIGINT) AS n_words,
+        |       CAST(max(len) AS BIGINT) AS max_chunk_len,
+        |       CAST((100 * sum(len)) // count(*) AS BIGINT) AS avg_chunk_x100
+        |FROM cl GROUP BY doc_id""".stripMargin,
     // p divides the same two BIGINT counts in both engines → the
     // IEEE quotient is bit-identical
     "lm_bigram" ->
@@ -653,6 +761,49 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
          |SELECT doc_a, doc_b, n_common, n_union, jaccard FROM lshpairs""".stripMargin,
+    // fixed-iteration PageRank on the verified pair graph, ALL in
+    // scaled-integer arithmetic (rank × 1e6, floor division): integer
+    // sums are order-independent, so three chained CTE rounds here
+    // equal Spark's three join+sum rounds bit-for-bit
+    "graph_pagerank" ->
+      s"""WITH $minhashPairCtes,
+         |edges AS (SELECT doc_a, doc_b FROM lshpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+         |deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY 1),
+         |pr0 AS (SELECT doc_a AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |pr1 AS (SELECT e.doc_b AS node,
+         |               150000 + (85 * sum(p.pr // d.deg)) // 100 AS pr
+         |        FROM edges e JOIN deg d ON e.doc_a = d.doc_a
+         |        JOIN pr0 p ON e.doc_a = p.node GROUP BY 1),
+         |pr2 AS (SELECT e.doc_b AS node,
+         |               150000 + (85 * sum(p.pr // d.deg)) // 100 AS pr
+         |        FROM edges e JOIN deg d ON e.doc_a = d.doc_a
+         |        JOIN pr1 p ON e.doc_a = p.node GROUP BY 1),
+         |pr3 AS (SELECT e.doc_b AS node,
+         |               150000 + (85 * sum(p.pr // d.deg)) // 100 AS pr
+         |        FROM edges e JOIN deg d ON e.doc_a = d.doc_a
+         |        JOIN pr2 p ON e.doc_a = p.node GROUP BY 1)
+         |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM pr3""".stripMargin,
+    // wedge/triangle census of the pair graph; clustering coefficient
+    // as an exact scaled-integer ratio. Triangles close ordered
+    // wedges a<b<c against the oriented edge list
+    "graph_triangles" ->
+      s"""WITH $minhashPairCtes,
+         |edges AS (SELECT doc_a, doc_b FROM lshpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+         |deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY 1),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles FROM lshpairs ab
+         |  JOIN lshpairs bc ON ab.doc_b = bc.doc_a
+         |  JOIN lshpairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |       (SELECT count(*) FROM lshpairs) AS n_edges,
+         |       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |       (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles,
+         |       (SELECT CAST(CASE WHEN sum(deg * (deg - 1) // 2) > 0
+         |                    THEN (3 * (SELECT n_triangles FROM tri) * 1000000)
+         |                         // sum(deg * (deg - 1) // 2)
+         |                    ELSE 0 END AS BIGINT) FROM deg) AS clustering_x1e6""".stripMargin,
     // degree histogram over the same verified pair set
     "dedup_degree_stats" ->
       s"""WITH $minhashPairCtes,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-duplicate pair graph — the natural
+  * follow-on once a dedup pipeline has materialized its pair set:
+  * centrality picks the canonical representative of a duplicate
+  * neighborhood better than raw degree, and the triangle census
+  * quantifies how clique-like (template/boilerplate families) vs
+  * chain-like (drifting near-copies) the duplication structure is.
+  *
+  * Both operators ride the memoized, persisted MinHash-LSH pair
+  * artifact ([[Dedup.minhashLshPairsShared]]), so the expensive
+  * banding/verification lineage is paid once per (session, dir)
+  * across the whole dedup/graph gate family.
+  *
+  * Determinism discipline: PageRank is computed in SCALED INTEGER
+  * arithmetic (rank × 10^6, integer division) — integer sums are
+  * order-independent where float sums are not, so a fixed iteration
+  * count yields bit-identical results on any engine and any
+  * partitioning; this is the same exact-integer rule the money
+  * pipeline uses (RelationalQueries.Num).
+  */
+object GraphOps {
+
+  /** Both directions of the undirected pair graph. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")
+    pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  }
+
+  /** Fixed-iteration PageRank on the near-dup graph, scaled-integer
+    * arithmetic: pr₀ = 10^6; prₖ₊₁(v) = 0.15·10^6 + 0.85·Σ
+    * prₖ(u) div deg(u) over in-neighbors u, all in integer ops.
+    *
+    * Scale shape: per iteration ONE join of the edge list against the
+    * |nodes|-row rank table (AQE picks broadcast while ranks fit)
+    * plus one integer-sum aggregation — the textbook distributed PR
+    * round. The iteration count is small and fixed, so the rounds
+    * build one DAG like the IVF Lloyd loop; an open-ended convergence
+    * loop would truncate lineage per round instead (as
+    * connectedComponents does). Every node of the pair graph has
+    * degree ≥ 1 in both directions, so the contribution sum covers
+    * all nodes each round.
+    */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "doc_a")
+    var pr = deg.select(col("doc_a").as("node"), lit(1000000L).as("pr"))
+    (1 to iters).foreach { _ =>
+      pr = withDeg
+        .join(pr, col("doc_a") === col("node"))
+        .select(col("doc_b").as("node"), expr("pr div deg").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"), (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+    }
+    pr.select(col("node").as("doc_id"), col("pr").as("pr_scaled"))
+  }
+
+  /** One-row census of the near-dup graph: nodes, undirected edges,
+    * wedges (open two-paths, Σ deg·(deg−1)/2), triangles, and the
+    * global clustering coefficient as a scaled-integer ratio
+    * (3·triangles·10^6 div wedges — exact, engine-portable).
+    *
+    * Triangles are counted by the standard ordered wedge-close join:
+    * orient every edge a<b, join wedges (a<b<c) against the oriented
+    * edge list. At scale this is the canonical two-shuffle triangle
+    * count; the orientation bounds each wedge pivot by the node's
+    * HIGHER-degree neighbors only, which is what keeps the join from
+    * exploding on skewed (template-family) neighborhoods.
+    */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")
+    val e = edges(spark, dir)
+    val deg = e.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+    val wedgeCount = deg
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      .select(col("n_wedges"))
+    // oriented edges (a<b, as emitted): wedges a<b<c close iff (b,c) is an edge
+    val w = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(pairs.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+    val triCount = w
+      .join(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a", "c"),
+        "left_semi",
+      )
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+    val nNodes = e.select(col("doc_a")).distinct().agg(count(lit(1)).as("n_nodes"))
+    nNodes
+      .crossJoin(nEdges)
+      .crossJoin(wedgeCount)
+      .crossJoin(triCount)
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        col("n_wedges"),
+        col("n_triangles"),
+        expr("CASE WHEN n_wedges > 0 THEN (3 * n_triangles * 1000000) div n_wedges ELSE 0 END")
+          .as("clustering_x1e6"),
+      )
+  }
+}

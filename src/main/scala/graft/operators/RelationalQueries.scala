@@ -714,4 +714,121 @@ object RelationalQueries {
         min("o_totalprice").as("min_price"),
         max("o_totalprice").as("max_price"),
       )
+
+  /** Exact-integer-sums Pearson correlation of order value vs account
+    * balance per market segment — the cross-engine-portable way to
+    * compute second-moment statistics: every sum (x, y, x², y², xy)
+    * is an EXACT integer-cents sum in a 128-bit buffer
+    * ([[Num.sumScaled]]; the xy products overflow a long sum far
+    * below the design scale), and only then does the textbook
+    * formula run in doubles — identical IEEE operations on identical
+    * inputs yield bit-identical r in any engine, where a native
+    * streaming corr() is summation-order-dependent and never
+    * hash-matches across engines (or even across partitionings).
+    *
+    * Scale shape: one join (AQE-sized) and one |segments|-key
+    * aggregation with map-side combine; the formula is a 5-row
+    * projection.
+    */
+  def statsCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val j = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_mktsegment"),
+        cents(col("o_totalprice")).as("x"),
+        cents(col("c_acctbal")).as("y"),
+      )
+    val sums = j
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        sumScaled(col("x")).as("sx"),
+        sumScaled(col("y")).as("sy"),
+        sumScaled(col("x") * col("x")).as("sxx"),
+        sumScaled(col("y") * col("y")).as("syy"),
+        sumScaled(col("x") * col("y")).as("sxy"),
+      )
+    val nD = col("n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    sums.select(
+      col("c_mktsegment"),
+      col("n"),
+      ((nD * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+          sqrt(nD * d("syy") - d("sy") * d("sy")))).as("corr_price_balance"),
+    )
+  }
+
+  /** First-touch funnel over the event stream: a user reaches step 2
+    * when their first click is strictly after their first signup, and
+    * step 3 when their first purchase is strictly after that first
+    * click — the standard strict-ordering product funnel, computed in
+    * ONE aggregation pass (conditional mins per user, then boolean
+    * algebra), never an events self-join. Conversion ratios are
+    * scaled-integer divisions of the exact counts.
+    *
+    * Scale shape: one |users|-key shuffle with map-side combined
+    * conditional mins; the funnel reduction is a 1-row aggregate.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val us = expr("unix_micros(ts)")
+    val perUser = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", us)).as("ta"),
+        min(when(col("event_type") === "click", us)).as("tb"),
+        min(when(col("event_type") === "purchase", us)).as("tc"),
+      )
+      .select(
+        when(col("ta").isNotNull, 1L).otherwise(0L).as("s1"),
+        when(col("ta").isNotNull && col("tb") > col("ta"), 1L).otherwise(0L).as("s2"),
+        when(
+          col("ta").isNotNull && col("tb") > col("ta") && col("tc") > col("tb"),
+          1L,
+        ).otherwise(0L).as("s3"),
+      )
+    perUser
+      .agg(sum(col("s1")).as("n_signup"), sum(col("s2")).as("n_click"), sum(col("s3")).as("n_purchase"))
+      .select(
+        col("n_signup"),
+        col("n_click"),
+        col("n_purchase"),
+        expr("CASE WHEN n_signup > 0 THEN (1000000 * n_click) div n_signup ELSE 0 END")
+          .as("conv_click_x1e6"),
+        expr("CASE WHEN n_click > 0 THEN (1000000 * n_purchase) div n_click ELSE 0 END")
+          .as("conv_purchase_x1e6"),
+      )
+  }
+
+  /** Window-function analytics depth: per-user inter-event gaps (lag
+    * over the event-time order) bucketed by value quartile within
+    * each event type (ntile over a UNIQUE (value, event_id) order —
+    * both engines assign ntile identically given a total order).
+    * Gap sums are exact integer micros.
+    *
+    * Scale shape: two windows, each partitioned by a bounded key
+    * (user for the lag, event type for the quartile); the final
+    * aggregate is |types|×4 keys with map-side combine.
+    */
+  def eventGapQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val wGap = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wQ = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
+    t(spark, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        cents(col("value")).as("vc"),
+        expr("unix_micros(ts)").as("us"),
+      )
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wGap))
+      .withColumn("quartile", ntile(4).over(wQ).cast("long"))
+      .groupBy("event_type", "quartile")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(coalesce(col("gap"), lit(0L))).as("sum_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        moneyFromCents(sum(col("vc"))).as("total_value"),
+      )
+  }
 }

@@ -531,4 +531,79 @@ object TextAnalysis {
         countDistinct(col("fp")).as("n_distinct_fp"),
         min(col("fp")).as("min_fp"),
       )
+
+  /** Round-1 BPE merge statistics: the frequency of every adjacent
+    * character pair across the corpus, weighted by word frequency —
+    * the table a byte-pair-encoding tokenizer trainer builds to pick
+    * its next merge. Top-k by count with a lexicographic tie-break.
+    *
+    * Scale shape (100 TB): pair counting runs over the DISTINCT word
+    * table weighted by frequency, not the raw corpus — the standard
+    * BPE trick (|vocab| ≪ corpus tokens, and the word-frequency
+    * aggregate combines map-side). Two bounded shuffles (|vocab|,
+    * |pairs| ≤ |alphabet|²) and a TakeOrderedAndProject; the corpus
+    * text is scanned exactly once.
+    */
+  def bpePairStats(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val wf = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("wf"))
+    wf.filter(length(col("w")) >= 2)
+      .select(
+        col("wf"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"),
+      )
+      .groupBy("pair")
+      .agg(sum(col("wf")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Content-defined chunking over whitespace tokens: a chunk break
+    * falls after every word whose md5 starts with '0' (expected chunk
+    * length 16 words), so chunk boundaries depend only on CONTENT —
+    * inserting a paragraph shifts no downstream boundaries, which is
+    * the property that makes CDC the standard sub-document dedup
+    * granularity (two near-identical docs share all chunks outside
+    * the edit). Emits per-doc segmentation stats; the avg chunk
+    * length is an exact scaled-integer ratio.
+    *
+    * Scale shape: boundary marking is map-side expression work; the
+    * prefix-sum chunk id is a per-doc window (docs are bounded, so a
+    * doc_id partition never skews); the two aggregations combine
+    * map-side. The corpus text is scanned once.
+    */
+  def cdcChunkStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("brk", when(substring(md5(col("w")), 1, 1) === "0", 1L).otherwise(0L))
+    // chunk id = number of breaks strictly BEFORE this word (a break
+    // after word i starts a new chunk at word i+1)
+    val w = Window
+      .partitionBy("doc_id")
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk", coalesce(sum(col("brk")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("n_words"),
+        max(col("len")).as("max_chunk_len"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        col("n_words"),
+        col("max_chunk_len"),
+        expr("(100 * n_words) div n_chunks").as("avg_chunk_x100"),
+      )
+  }
 }
