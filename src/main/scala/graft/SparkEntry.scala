@@ -103,6 +103,11 @@ object SparkEntry {
     "stats_correlation" -> (RelationalQueries.statsCorrelation _),
     "funnel_steps" -> (RelationalQueries.funnelSteps _),
     "event_gap_quartiles" -> (RelationalQueries.eventGapQuartiles _),
+    "event_transitions" -> (RelationalQueries.eventTransitions _),
+    "retention_cohorts" -> (RelationalQueries.retentionCohorts _),
+    "zscore_outliers" -> (RelationalQueries.zscoreOutliers _),
+    "pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    "timeseries_gapfill" -> (RelationalQueries.hourlyGapFill _),
     // two-phase salted aggregation twin — same oracle as the direct
     // groupBy, keeping the skew remedy inside the correctness surface
     "skew_salted_votes" -> (RelationalQueries.votesPerCandidateSalted _),
@@ -433,6 +438,106 @@ object SparkEntry {
         |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |         AS corr_price_balance
         |FROM s""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e),
+        |c AS (
+        |  SELECT prev_type, event_type, count(*) AS n FROM p
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.event_type, c.n,
+        |       CAST((1000000 * c.n) // t.n_from AS BIGINT) AS p_x1e6
+        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
+    "retention_cohorts" ->
+      """WITH ad AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |co AS (SELECT user_id, min(day) AS cohort_day FROM ad GROUP BY 1)
+        |SELECT strftime(co.cohort_day, '%Y-%m-%d') AS cohort,
+        |       CAST(ad.day - co.cohort_day AS BIGINT) AS day_offset,
+        |       count(*) AS n_active_users
+        |FROM ad JOIN co ON ad.user_id = co.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    // μ and σ from exact integer sums (HUGEINT accumulation), the
+    // per-row |z| > 2 comparison in identical IEEE doubles
+    "zscore_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n, sum(vc) AS sx, sum(vc * vc) AS sxx
+        |  FROM e GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, n,
+        |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu_cents,
+        |         sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma_cents
+        |  FROM s)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN abs(CAST(e.vc AS DOUBLE) - st.mu_cents)
+        |                          > 2.0 * st.sigma_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       any_value(st.mu_cents) AS mu_cents,
+        |       any_value(st.sigma_cents) AS sigma_cents
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |GROUP BY e.event_type""".stripMargin,
+    "pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |nn AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS nn FROM toks),
+        |big AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS cxy
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        |  WHERE len(ts) >= 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT b.w1, b.w2, b.cxy,
+        |       (CAST(b.cxy AS DOUBLE) * CAST(nn.nn AS DOUBLE)) /
+        |       (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) AS pmi_ratio
+        |FROM big b
+        |JOIN uni ux ON ux.w = b.w1
+        |JOIN uni uy ON uy.w = b.w2
+        |CROSS JOIN nn
+        |ORDER BY pmi_ratio DESC, b.w1, b.w2 LIMIT 20""".stripMargin,
+    "timeseries_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+        |         epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |hr AS (
+        |  SELECT user_id, hour, vc,
+        |         row_number() OVER (PARTITION BY user_id, hour
+        |                            ORDER BY us DESC, event_id DESC) AS rk
+        |  FROM e),
+        |hlast AS (SELECT user_id, hour, vc AS last_vc FROM hr WHERE rk = 1),
+        |hcnt AS (SELECT user_id, hour, count(*) AS n_ev FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |f AS (
+        |  SELECT u.user_id, hours.hour, hcnt.n_ev,
+        |         last_value(hlast.last_vc IGNORE NULLS)
+        |           OVER (PARTITION BY u.user_id ORDER BY hours.hour
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_vc
+        |  FROM u CROSS JOIN hours
+        |  LEFT JOIN hlast ON hlast.user_id = u.user_id AND hlast.hour = hours.hour
+        |  LEFT JOIN hcnt ON hcnt.user_id = u.user_id AND hcnt.hour = hours.hour)
+        |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       CAST(sum(CASE WHEN n_ev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_active_users,
+        |       CAST(sum(CASE WHEN n_ev IS NULL AND carried_vc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_carried_users,
+        |       CAST(sum(COALESCE(carried_vc, 0)) AS DOUBLE) / 100 AS carried_value
+        |FROM f GROUP BY 1""".stripMargin,
     "funnel_steps" ->
       """WITH pu AS (
         |  SELECT user_id,

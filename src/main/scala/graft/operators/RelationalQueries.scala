@@ -800,6 +800,152 @@ object RelationalQueries {
       )
   }
 
+  /** First-order event-type transition matrix (the Markov view of
+    * user behavior): count (previous type → type) transitions along
+    * each user's event-time order, plus the transition probability as
+    * a scaled-integer ratio of exact counts. Session boundaries are
+    * not cut here — this is the raw global transition census.
+    *
+    * Scale shape: one per-user lag window (bounded partitions), then
+    * a |types|²-key aggregate with map-side combine.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val withPrev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = withPrev
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("prev_type").agg(sum(col("n")).as("n_from"))
+    counts
+      .join(totals, "prev_type")
+      .select(
+        col("prev_type"),
+        col("event_type"),
+        col("n"),
+        expr("(1000000 * n) div n_from").as("p_x1e6"),
+      )
+  }
+
+  /** Retention cohort table: users grouped by their first-activity
+    * day (the cohort), counted by day offset of each later active
+    * day — the canonical growth-analytics triangle, exact integers.
+    *
+    * Scale shape: one |users|-key min-aggregate for cohort
+    * assignment, one distinct (user, day) pass (partial-combined),
+    * then a (cohort, offset)-key count. No self-join of the event
+    * log, which is the naive formulation that dies at scale.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val activeDays = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = activeDays.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    activeDays
+      .join(cohorts, "user_id")
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+      )
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
+  /** Per-type z-score outlier census from EXACT integer sums: μ and
+    * σ derive from the 128-bit cents sums (never a streaming
+    * variance, which is order-dependent), the per-row z comparison
+    * then runs in identical IEEE doubles in both engines. Emits
+    * counts of |z| > 2 plus the double mean/stddev themselves.
+    *
+    * Scale shape: one |types|-key stats aggregate, broadcast back
+    * over the scan (5 rows), one more |types|-key count — two
+    * map-side-combined passes, no window.
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val typed = t(spark, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val stats = typed
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sumScaled(col("vc")).as("sx"),
+        sumScaled(col("vc") * col("vc")).as("sxx"),
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mu_cents"),
+        sqrt(
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double"))
+        ).as("sigma_cents"),
+      )
+    typed
+      .join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(
+          when(
+            abs(col("vc").cast("double") - col("mu_cents")) > lit(2.0) * col("sigma_cents"),
+            1L,
+          ).otherwise(0L)
+        ).as("n_outliers"),
+        first(col("mu_cents")).as("mu_cents"),
+        first(col("sigma_cents")).as("sigma_cents"),
+      )
+  }
+
+  /** Hourly gap-filled forward-fill series — the feature-engineering
+    * staple "carry each user's last observed value across silent
+    * hours": an hour spine (corpus min→max hour) is crossed with the
+    * user set, each user's latest per-hour value lands on it, and a
+    * running last-non-null window carries values forward; emitted as
+    * per-hour census rows (active vs carried users, carried value).
+    *
+    * Scale shape: the per-(user, hour) latest value is one combined
+    * aggregation; the spine is |users| × |reporting window| rows — at
+    * scale the window is a bounded reporting period, and the
+    * forward-fill window per user is bounded by the same period, so
+    * no partition skews. The hour list derives from a 1-row global
+    * aggregate and broadcasts.
+    */
+  def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      col("user_id"),
+      date_trunc("hour", col("ts")).as("hour"),
+      cents(col("value")).as("vc"),
+      expr("unix_micros(ts)").as("us"),
+      col("event_id"),
+    )
+    val hourly = ev
+      .groupBy("user_id", "hour")
+      .agg(
+        count(lit(1)).as("n_ev"),
+        max_by(col("vc"), struct(col("us"), col("event_id"))).as("last_vc"),
+      )
+    val hours = ev
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val spine = ev.select("user_id").distinct().crossJoin(broadcast(hours))
+    val wFill = Window
+      .partitionBy("user_id")
+      .orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("carried_vc", last(col("last_vc"), ignoreNulls = true).over(wFill))
+      .groupBy(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(
+        sum(when(col("n_ev").isNotNull, 1L).otherwise(0L)).as("n_active_users"),
+        sum(when(col("n_ev").isNull && col("carried_vc").isNotNull, 1L).otherwise(0L))
+          .as("n_carried_users"),
+        moneyFromCents(sum(coalesce(col("carried_vc"), lit(0L)))).as("carried_value"),
+      )
+  }
+
   /** Window-function analytics depth: per-user inter-event gaps (lag
     * over the event-time order) bucketed by value quartile within
     * each event type (ntile over a UNIQUE (value, event_id) order —

@@ -562,6 +562,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top PMI collocations: pointwise mutual information of adjacent
+    * word pairs, ln((c_xy·N) / (c_x·c_y)) over exact integer counts —
+    * the collocation-extraction staple — emitted as the RAW RATIO
+    * (cxy·N)/(cx·cy): the IEEE quotient of products of identical
+    * BIGINTs is engine-portable where ln() is NOT (JVM Math.log and
+    * libm disagree in the last ulp), and ln is monotone so the
+    * ratio ranks identically. Ties break lexicographically and a
+    * minimum pair count filters the unstable long tail.
+    *
+    * Scale shape: one corpus scan feeds both the unigram and the
+    * adjacent-pair counts (map-side combined, |vocab|- and
+    * |pairs|-bounded shuffles); the final top-k is
+    * TakeOrderedAndProject.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String, k: Int = 20, minCount: Long = 5L): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), expr("filter(ts, t -> t <> '')").as("ts"))
+    val uni = toks
+      .select(explode(col("ts")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+    val big = toks
+      // guard: Spark's sequence(1, 0) DESCENDS instead of returning
+      // empty, so single-token docs must not reach the transform
+      .filter(size(col("ts")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")
+        ).as("p")
+      )
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val n = toks.select(explode(col("ts")).as("w")).agg(count(lit(1)).as("nn"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(broadcast(n))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("cxy"),
+        ((col("cxy").cast("double") * col("nn").cast("double")) /
+          (col("cx").cast("double") * col("cy").cast("double"))).as("pmi_ratio"),
+      )
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Content-defined chunking over whitespace tokens: a chunk break
     * falls after every word whose md5 starts with '0' (expected chunk
     * length 16 words), so chunk boundaries depend only on CONTENT —

@@ -248,6 +248,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "ivf_kmeans_iterated" -> (Set("centroid"), "per-round centroids, |cells| bounded by the label domain"),
       "vocab_coverage" -> (Set("token"), "vocabulary is top-k limited (TakeOrderedAndProject) before the hint"),
       "decontamination_overlap" -> (Set("shingle"), "held-out split is broadcastable by documented contract; the Bloom twin covers the un-broadcastable shape"),
+      "zscore_outliers" -> (Set("mu_cents"), "per-type stats are |event_type|-bounded (fixed 5-value domain)"),
     )
 
     def tablesUnder(p: LogicalPlan): Set[String] =
