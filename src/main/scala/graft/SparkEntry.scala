@@ -108,10 +108,19 @@ object SparkEntry {
     "zscore_outliers" -> (RelationalQueries.zscoreOutliers _),
     "pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "timeseries_gapfill" -> (RelationalQueries.hourlyGapFill _),
+    "winsorized_stats" -> (RelationalQueries.winsorizedStats _),
+    "chi2_contingency" -> (TextAnalysis.chi2Contingency _),
     // two-phase salted aggregation twin — same oracle as the direct
     // groupBy, keeping the skew remedy inside the correctness surface
     "skew_salted_votes" -> (RelationalQueries.votesPerCandidateSalted _),
     "range_join_bands" -> ((s, d) => RelationalQueries.rangeJoinBands(s, d)),
+    // the documented large-interval-table rewrite: bucket both sides,
+    // equi-join + residual predicate — same oracle as the broadcast
+    // probe formulation
+    "range_join_bucketed" -> ((s, d) => RelationalQueries.rangeJoinBandsBucketed(s, d)),
+    // replicated-dim salted join twin — the hot-key join remedy,
+    // hash-matched against the plain-join oracle
+    "skew_salted_join" -> (RelationalQueries.skewSaltedJoin _),
     // incrementally-maintained CDC view: stateful update-mode max_by,
     // same oracle as the batch compaction
     "stream_cdc_latest" -> (StreamingQueries.latestEventPerUserStream _),
@@ -176,6 +185,8 @@ object SparkEntry {
       "stream_cdc_latest" -> base("cdc_latest_per_key"),
       // salted two-phase agg must equal the direct groupBy
       "skew_salted_votes" -> base("votes_per_candidate"),
+      // the bucketed rewrite must equal the broadcast range probe
+      "range_join_bucketed" -> base("range_join_bands"),
     )
   }
 
@@ -438,6 +449,59 @@ object SparkEntry {
         |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |         AS corr_price_balance
         |FROM s""".stripMargin,
+    // exact rank-position percentiles + exact clamped-integer-sum
+    // means — every double is an integer quotient
+    "winsorized_stats" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |cuts AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rk = ((n - 1) * 5) // 100 + 1 THEN vc END) AS p05_cents,
+        |         max(CASE WHEN rk = ((n - 1) * 95) // 100 + 1 THEN vc END) AS p95_cents
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       any_value(c.p05_cents) AS p05_cents,
+        |       any_value(c.p95_cents) AS p95_cents,
+        |       CAST(sum(e.vc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS raw_mean_cents,
+        |       CAST(sum(least(greatest(e.vc, c.p05_cents), c.p95_cents)) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS wins_mean_cents
+        |FROM e JOIN cuts c ON e.event_type = c.event_type
+        |GROUP BY e.event_type""".stripMargin,
+    // per-cell chi-square contributions (a cross-row double sum is
+    // summation-order-dependent; per-cell expressions are portable)
+    "chi2_contingency" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM cells)
+        |SELECT c.lang, c.source, c.n_docs,
+        |       (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(nn.nn AS DOUBLE)
+        |         AS expected,
+        |       (CAST(c.n_docs AS DOUBLE) -
+        |        (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(nn.nn AS DOUBLE)) *
+        |       (CAST(c.n_docs AS DOUBLE) -
+        |        (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(nn.nn AS DOUBLE)) /
+        |       ((CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(nn.nn AS DOUBLE))
+        |         AS chi2_contrib
+        |FROM cells c
+        |JOIN rt ON rt.lang = c.lang
+        |JOIN ct ON ct.source = c.source
+        |CROSS JOIN nn""".stripMargin,
+    // plain-join oracle for the replicated-dim salted join twin
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100
+        |    AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     "event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

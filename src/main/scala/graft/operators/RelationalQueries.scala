@@ -570,6 +570,75 @@ object RelationalQueries {
       )
   }
 
+  /** The documented large-interval-table path of [[rangeJoinBands]]:
+    * when the band table is too big to broadcast, bucket BOTH sides
+    * by floor(value / bucketWidth) — each event lands in one bucket,
+    * each band replicates into the buckets its [lo, hi) span overlaps
+    * — and the non-equi probe becomes an EQUI-join on the bucket plus
+    * a residual range predicate. bucketWidth (50) deliberately
+    * divides the band width (100) unevenly enough that every band
+    * replicates into two buckets, so the rewrite's replication logic
+    * is actually exercised. Same result and oracle as the broadcast
+    * formulation.
+    *
+    * Scale shape: a plain shuffled equi-join both sides — AQE picks
+    * broadcast while the replicated band table fits and degrades to
+    * shuffle when it doesn't, which is the entire point of the
+    * rewrite (no hint, sweep-pinned).
+    */
+  def rangeJoinBandsBucketed(
+      spark: SparkSession,
+      dir: String,
+      bands: Int = 8,
+      bucketWidth: Long = 50L,
+  ): DataFrame = {
+    val dim = spark.range(bands.toLong)
+      .select(
+        col("id").as("band_id"),
+        (col("id") * 100).cast("double").as("lo"),
+        ((col("id") + 1) * 100).cast("double").as("hi"),
+      )
+      .withColumn(
+        "bucket",
+        explode(
+          sequence(
+            expr(s"CAST(lo AS BIGINT) div $bucketWidth"),
+            expr(s"(CAST(hi AS BIGINT) - 1) div $bucketWidth"),
+          )
+        ),
+      )
+    t(spark, dir, "events")
+      .withColumn("bucket", expr(s"CAST(value AS BIGINT) div $bucketWidth"))
+      .join(dim, Seq("bucket"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneyFromCents(sum(cents(col("value")))).as("total_value"),
+      )
+  }
+
+  /** Salted-join twin of the events⋈customer enrichment: the
+    * replicated-dimension remedy ([[Skew.saltedEquiJoin]]) for a
+    * hot user overwhelming one reducer, reduced to the same
+    * per-segment aggregate a plain join produces — keeping the skew
+    * remedy inside the correctness surface exactly like
+    * `skew_salted_votes` does for aggregation.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val facts = t(spark, dir, "events")
+      .select(col("user_id").as("k"), col("event_id"), cents(col("value")).as("vc"))
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    graft.operators.Skew
+      .saltedEquiJoin(facts, dim, key = "k", saltBy = "event_id", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneyFromCents(sum(col("vc"))).as("total_value"),
+      )
+  }
+
   /** Hourly unique-user analytics: events per hour with exact
     * distinct-user counts — the engagement roll-up every event
     * pipeline reports.
@@ -895,6 +964,53 @@ object RelationalQueries {
         ).as("n_outliers"),
         first(col("mu_cents")).as("mu_cents"),
         first(col("sigma_cents")).as("sigma_cents"),
+      )
+  }
+
+  /** Winsorized robust statistics per event type: exact discrete
+    * p05/p95 cut points (rank-position selection over a UNIQUE
+    * (value, event_id) order — the same integer rank formula as
+    * lengthPercentiles, identical in both engines), then the
+    * winsorized mean from the EXACT integer sum of clamped cents.
+    * Every emitted double is an exact-integer quotient — fully
+    * portable, unlike any interpolating percentile or streaming
+    * trimmed mean.
+    *
+    * Scale shape: one rank window per type (bounded key domain), a
+    * |types|-row cut table joined back (AQE's call), and a final
+    * map-side-combined aggregate.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val typed = t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+    val wOrd = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+    def atQ(pct: Int): Column =
+      max(when(col("rk") === expr(s"((n - 1) * $pct) div 100") + 1, col("vc")))
+    val cuts = typed
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type", "n")
+      .agg(atQ(5).as("p05_cents"), atQ(95).as("p95_cents"))
+      .select(col("event_type"), col("p05_cents"), col("p95_cents"))
+    typed
+      .join(cuts, "event_type")
+      .select(
+        col("event_type"),
+        col("vc"),
+        least(greatest(col("vc"), col("p05_cents")), col("p95_cents")).as("wc"),
+        col("p05_cents"),
+        col("p95_cents"),
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        first(col("p05_cents")).as("p05_cents"),
+        first(col("p95_cents")).as("p95_cents"),
+        (sumScaled(col("vc")).cast("double") / count(lit(1)).cast("double"))
+          .as("raw_mean_cents"),
+        (sumScaled(col("wc")).cast("double") / count(lit(1)).cast("double"))
+          .as("wins_mean_cents"),
       )
   }
 

@@ -41,6 +41,30 @@ object Skew {
       .groupBy(col("k"))
       .agg(sum("partial_sum").as("total"), sum("partial_n").as("n"))
 
+  /** Replicated-dimension salted equi-join — the classic hot-key
+    * join remedy for when AQE's runtime skew split cannot apply
+    * (e.g. the join feeds a streaming stage, or the skew is in a
+    * single key that still overflows a split): the fact side hashes
+    * each row into one of `salts` sub-keys, the dimension side
+    * replicates into all of them, so a hot join key's probe work
+    * spreads over `salts` reducers while every (fact, dim) match
+    * still meets exactly once. Result is row-identical to the plain
+    * equi-join; the price is dim×salts replication, which is why the
+    * REPLICATED side must be the dimension.
+    */
+  def saltedEquiJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltBy: String,
+      salts: Int = 16,
+  ): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val f = facts.withColumn("__salt", pmod(xxhash64(col(saltBy)), lit(salts.toLong)))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Skew-guarded blocked self-join for all-pairs-within-block
     * workloads (SimHash source blocks, IVF cells): a plain equi-join
     * on the block key serializes a dominant block's |block|²

@@ -562,6 +562,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** χ² contingency table of corpus composition (language ×
+    * source): observed counts, expected counts under independence,
+    * and the per-cell χ² contribution — the drift/independence
+    * diagnostic a corpus-mix monitor runs. Emitted PER CELL, not as
+    * the summed statistic: a cross-row double sum is
+    * summation-order-dependent and would never hash-match across
+    * engines, while each cell's (o−e)²/e is a fixed expression over
+    * exact integers — portable. (The consumer sums the tiny cell
+    * table for the statistic; |cells| = |langs|·|sources|.)
+    *
+    * Scale shape: one |cells|-key count with map-side combine; the
+    * margin joins are |langs|- and |sources|-row relations (AQE
+    * broadcasts), N is a 1-row global aggregate.
+    */
+  def chi2Contingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = docs(spark, dir).groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+    val rowT = cells.groupBy("lang").agg(sum(col("n_docs")).as("rt"))
+    val colT = cells.groupBy("source").agg(sum(col("n_docs")).as("ct"))
+    val n = cells.agg(sum(col("n_docs")).as("nn"))
+    val e = (col("rt").cast("double") * col("ct").cast("double")) / col("nn").cast("double")
+    cells
+      .join(rowT, "lang")
+      .join(colT, "source")
+      .crossJoin(broadcast(n))
+      .select(
+        col("lang"),
+        col("source"),
+        col("n_docs"),
+        e.as("expected"),
+        ((col("n_docs").cast("double") - e) * (col("n_docs").cast("double") - e) / e)
+          .as("chi2_contrib"),
+      )
+  }
+
   /** Top PMI collocations: pointwise mutual information of adjacent
     * word pairs, ln((c_xy·N) / (c_x·c_y)) over exact integer counts —
     * the collocation-extraction staple — emitted as the RAW RATIO
