@@ -110,6 +110,10 @@ object SparkEntry {
     "timeseries_gapfill" -> (RelationalQueries.hourlyGapFill _),
     "winsorized_stats" -> (RelationalQueries.winsorizedStats _),
     "chi2_contingency" -> (TextAnalysis.chi2Contingency _),
+    "votes_sliding" -> (RelationalQueries.votesSlidingWindow _),
+    // deterministic count-min: md5-bucketed counters make the sketch
+    // itself oracle-checkable (est >= true, both exact integers)
+    "countmin_topk" -> ((s, d) => TextAnalysis.countMinEstimates(s, d)),
     // two-phase salted aggregation twin — same oracle as the direct
     // groupBy, keeping the skew remedy inside the correctness surface
     "skew_salted_votes" -> (RelationalQueries.votesPerCandidateSalted _),
@@ -124,6 +128,9 @@ object SparkEntry {
     // incrementally-maintained CDC view: stateful update-mode max_by,
     // same oracle as the batch compaction
     "stream_cdc_latest" -> (StreamingQueries.latestEventPerUserStream _),
+    // live funnel: stateful update-mode per-user first-touch mins,
+    // reduced on the read side — same oracle as the batch funnel
+    "stream_funnel" -> (StreamingQueries.funnelStepsStream _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -187,6 +194,8 @@ object SparkEntry {
       "skew_salted_votes" -> base("votes_per_candidate"),
       // the bucketed rewrite must equal the broadcast range probe
       "range_join_bucketed" -> base("range_join_bands"),
+      // the live streaming funnel must equal the batch recompute
+      "stream_funnel" -> base("funnel_steps"),
     )
   }
 
@@ -449,6 +458,36 @@ object SparkEntry {
         |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |         AS corr_price_balance
         |FROM s""".stripMargin,
+    // each event lands in exactly the two 30-min-grid window starts
+    // covering it; window start re-derived from integer micros
+    "votes_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+        |         epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, vc,
+        |         (us // 1800000000) * 1800000000 - k * 1800000000 AS ws
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) g)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type,
+        |       CAST(sum(vc) AS DOUBLE) / 100 AS total_value,
+        |       count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "countmin_topk" ->
+      """WITH tc AS (
+        |  SELECT w AS token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |tb AS (
+        |  SELECT token, n, s,
+        |         substr(md5(CAST(s AS VARCHAR) || '|' || token), 1, 2) AS bucket
+        |  FROM tc, LATERAL (SELECT unnest(generate_series(0, 3)) AS s) g),
+        |counters AS (
+        |  SELECT s, bucket, CAST(sum(n) AS BIGINT) AS cnt FROM tb GROUP BY 1, 2)
+        |SELECT tb.token, CAST(max(tb.n) AS BIGINT) AS n, min(c.cnt) AS est_n
+        |FROM tb JOIN counters c ON c.s = tb.s AND c.bucket = tb.bucket
+        |GROUP BY tb.token ORDER BY n DESC, tb.token LIMIT 20""".stripMargin,
     // exact rank-position percentiles + exact clamped-integer-sum
     // means — every double is an integer quotient
     "winsorized_stats" ->

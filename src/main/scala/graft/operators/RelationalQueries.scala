@@ -214,6 +214,25 @@ object RelationalQueries {
         col("n"),
       )
 
+  /** Sliding-window variant of [[votesWindowed]]: 1-hour windows
+    * every 30 minutes, so each event lands in exactly two overlapping
+    * windows — the smoothing/trend shape tumbling windows can't
+    * express. Spark's `window(ts, len, slide)` replicates rows into
+    * their windows BEFORE the aggregate; state and shuffle scale by
+    * the overlap factor (len/slide = 2 here), which is the knob to
+    * budget at scale.
+    */
+  def votesSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(moneyFromCents(sum(cents(col("value")))).as("total_value"), count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"),
+        col("total_value"),
+        col("n"),
+      )
+
   /** TPC-H Q1-style pricing summary: scan-heavy filter + wide
     * aggregate. Predicate and the projection both push to the parquet
     * scan; aggregate has 6 groups — shuffle is trivial.
@@ -839,15 +858,29 @@ object RelationalQueries {
     * Scale shape: one |users|-key shuffle with map-side combined
     * conditional mins; the funnel reduction is a 1-row aggregate.
     */
-  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnelReduce(funnelPerUser(t(spark, dir, "events")))
+
+  /** Per-user conditional first-touch times — the SHARED builder the
+    * batch gate and the streaming twin both apply (one definition,
+    * one oracle, no drift; same pattern as latestEventPerKey). Works
+    * unchanged as a streaming update-mode aggregation: the state is
+    * three min timestamps per user.
+    */
+  private[graft] def funnelPerUser(events: DataFrame): DataFrame = {
     val us = expr("unix_micros(ts)")
-    val perUser = t(spark, dir, "events")
+    events
       .groupBy("user_id")
       .agg(
         min(when(col("event_type") === "signup", us)).as("ta"),
         min(when(col("event_type") === "click", us)).as("tb"),
         min(when(col("event_type") === "purchase", us)).as("tc"),
       )
+  }
+
+  /** Reduce the per-user first-touch table to the 1-row funnel. */
+  private[graft] def funnelReduce(perUser: DataFrame): DataFrame =
+    perUser
       .select(
         when(col("ta").isNotNull, 1L).otherwise(0L).as("s1"),
         when(col("ta").isNotNull && col("tb") > col("ta"), 1L).otherwise(0L).as("s2"),
@@ -856,7 +889,6 @@ object RelationalQueries {
           1L,
         ).otherwise(0L).as("s3"),
       )
-    perUser
       .agg(sum(col("s1")).as("n_signup"), sum(col("s2")).as("n_click"), sum(col("s3")).as("n_purchase"))
       .select(
         col("n_signup"),
@@ -867,7 +899,6 @@ object RelationalQueries {
         expr("CASE WHEN n_click > 0 THEN (1000000 * n_purchase) div n_click ELSE 0 END")
           .as("conv_purchase_x1e6"),
       )
-  }
 
   /** First-order event-type transition matrix (the Markov view of
     * user behavior): count (previous type → type) transitions along

@@ -562,6 +562,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Count-min sketch estimates for the top corpus tokens: d=4
+    * md5-derived hash rows × 256 hex-prefix buckets, estimate =
+    * min over rows of the bucket counter — the deterministic twin of
+    * the streaming heavy-hitters sketch (the md5 bucketing makes the
+    * whole sketch engine-portable where a seeded-random sketch never
+    * is). Emitted as (token, true count, estimate) for the top-k so
+    * the one-sided error guarantee (est ≥ true, overshoot bounded by
+    * collisions) is directly visible and oracle-checked.
+    *
+    * Scale shape: the counter table is d×256 rows built by one
+    * |vocab|-bounded aggregation (itself map-side combined from one
+    * corpus scan); in a real streaming deployment the same counters
+    * are the map-side partial state and merge by addition — what
+    * this gate pins is the estimate algebra.
+    */
+  def countMinEstimates(spark: SparkSession, dir: String, d: Int = 4, k: Int = 20): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+    val seedBuckets = array(
+      (0 until d).map(s =>
+        struct(
+          lit(s).as("seed"),
+          substring(md5(concat(lit(s.toString + "|"), col("token"))), 1, 2).as("bucket"),
+        )
+      ): _*
+    )
+    val tb = counts
+      .select(col("token"), col("n"), explode(seedBuckets).as("sb"))
+      .select(col("token"), col("n"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+    val counters = tb.groupBy("seed", "bucket").agg(sum(col("n")).as("cnt"))
+    tb.join(counters, Seq("seed", "bucket"))
+      .groupBy("token")
+      .agg(max(col("n")).as("n"), min(col("cnt")).as("est_n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("n"), col("est_n"))
+  }
+
   /** χ² contingency table of corpus composition (language ×
     * source): observed counts, expected counts under independence,
     * and the per-cell χ² contribution — the drift/independence

@@ -432,6 +432,23 @@ object StreamingQueries {
     runToFinal(spark, agg, Seq("user_id"))
   }
 
+  /** Streaming twin of RelationalQueries.funnelSteps: the per-user
+    * conditional first-touch mins run as a stateful update-mode
+    * aggregation (state = three min timestamps per user — the live
+    * funnel a growth dashboard actually maintains), collapsed by
+    * batch id like every update-mode gate, then reduced to the 1-row
+    * funnel on the read side. Shared builders with the batch gate —
+    * one definition, one oracle, no drift.
+    */
+  def funnelStepsStream(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = runToFinal(
+      spark,
+      graft.operators.RelationalQueries.funnelPerUser(eventsStream(spark, dir)),
+      Seq("user_id"),
+    )
+    graft.operators.RelationalQueries.funnelReduce(perUser)
+  }
+
   /** Streaming twin of RelationalQueries.votesPerCandidate — same
     * oracle SQL.
     */
