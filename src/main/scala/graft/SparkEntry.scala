@@ -95,6 +95,9 @@ object SparkEntry {
     "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "cdc_chunk_stats" -> (TextAnalysis.cdcChunkStats _),
     "cdc_latest_per_key" -> (RelationalQueries.latestEventPerUser _),
+    // MERGE INTO semantics: delete/update/insert branches as one
+    // left join + one anti-join — what Delta/Iceberg MERGE plans
+    "cdc_merge_upsert" -> (RelationalQueries.mergeUpsert _),
     "events_hourly_uniques" -> (RelationalQueries.hourlyUniques _),
     // analytics depth: exact-integer-sums Pearson correlation (a
     // native streaming corr() is summation-order-dependent and can
@@ -458,6 +461,35 @@ object SparkEntry {
         |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |         AS corr_price_balance
         |FROM s""".stripMargin,
+    // MERGE branches replicated with the same latest-change CTE:
+    // delete on 'error', update matched, insert unmatched
+    "cdc_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT user_id, last_type, last_vc FROM (
+        |    SELECT user_id, event_type AS last_type,
+        |           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS last_vc,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM events) WHERE rk = 1),
+        |base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal
+        |  FROM customer),
+        |kept AS (
+        |  SELECT b.c_mktsegment AS segment,
+        |         COALESCE(ch.last_vc, b.bal) AS bal,
+        |         CASE WHEN ch.last_type IS NOT NULL THEN 1 ELSE 0 END AS updated
+        |  FROM base b LEFT JOIN ch ON b.c_custkey = ch.user_id
+        |  WHERE ch.last_type IS NULL OR ch.last_type <> 'error'),
+        |ins AS (
+        |  SELECT 'NEW' AS segment, ch.last_vc AS bal, 0 AS updated
+        |  FROM ch LEFT JOIN base b ON ch.user_id = b.c_custkey
+        |  WHERE ch.last_type <> 'error' AND b.c_custkey IS NULL),
+        |m AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT segment, count(*) AS n_rows,
+        |       CAST(sum(updated) AS BIGINT) AS n_updated,
+        |       CAST(sum(bal) AS DOUBLE) / 100 AS total_balance
+        |FROM m GROUP BY segment""".stripMargin,
     // each event lands in exactly the two 30-min-grid window starts
     // covering it; window start re-derived from integer micros
     "votes_sliding" ->

@@ -560,6 +560,62 @@ object RelationalQueries {
         col("last.event_type").as("last_event_type"),
       )
 
+  /** MERGE INTO semantics (the warehouse upsert): apply a CDC change
+    * set onto the customer base table — WHEN MATCHED AND
+    * last_event_type = 'error' THEN DELETE, WHEN MATCHED THEN UPDATE
+    * (balance := last event value), WHEN NOT MATCHED THEN INSERT —
+    * expressed Spark-first as one left join for the matched branches
+    * plus one anti-join for the inserts. The change set is the
+    * latest-event-per-user compaction (the same survivor contract as
+    * the CDC gates, extended with the value column). Reduced to a
+    * per-segment census so the gate output is small and exact.
+    *
+    * Scale shape: base⋈changes is the one real shuffle (both sides
+    * key-partitioned; AQE's call on strategy); the anti-join reuses
+    * the same key partitioning. No row visits the driver; MERGE
+    * engines (Delta/Iceberg) plan exactly this join pair under the
+    * hood.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val changes = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max_by(
+          struct(col("event_type"), cents(col("value")).as("vc")),
+          struct(col("ts"), col("event_id")),
+        ).as("last"),
+      )
+      .select(
+        col("user_id"),
+        col("last.event_type").as("last_type"),
+        col("last.vc").as("last_vc"),
+      )
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("bal"))
+    val matchedOrKept = base
+      .join(changes, base("c_custkey") === changes("user_id"), "left")
+      // WHEN MATCHED AND 'error' THEN DELETE
+      .filter(col("last_type").isNull || col("last_type") =!= "error")
+      // WHEN MATCHED THEN UPDATE, else keep
+      .select(
+        col("c_mktsegment").as("segment"),
+        coalesce(col("last_vc"), col("bal")).as("bal"),
+        when(col("last_type").isNotNull, 1L).otherwise(0L).as("updated"),
+      )
+    val inserts = changes
+      .filter(col("last_type") =!= "error")
+      .join(base, changes("user_id") === base("c_custkey"), "left_anti")
+      .select(lit("NEW").as("segment"), col("last_vc").as("bal"), lit(0L).as("updated"))
+    matchedOrKept
+      .unionAll(inserts)
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("updated")).as("n_updated"),
+        moneyFromCents(sum(col("bal"))).as("total_balance"),
+      )
+  }
+
   /** Banded range join — the non-equi join family: events land in
     * value bands defined by a [lo, hi) interval table (the shape of
     * tiered pricing, SLA buckets, score bands). The band dimension is
