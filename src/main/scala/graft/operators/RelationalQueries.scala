@@ -989,18 +989,18 @@ object RelationalQueries {
     * day (the cohort), counted by day offset of each later active
     * day — the canonical growth-analytics triangle, exact integers.
     *
-    * Scale shape: one |users|-key min-aggregate for cohort
-    * assignment, one distinct (user, day) pass (partial-combined),
-    * then a (cohort, offset)-key count. No self-join of the event
-    * log, which is the naive formulation that dies at scale.
+    * Scale shape: ONE corpus scan — the cohort day is a min window
+    * over the distinct (user, day) frame rather than a separate
+    * aggregate joined back (which would re-scan the event log), then
+    * a (cohort, offset)-key count. No self-join of the event log,
+    * which is the naive formulation that dies at scale.
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val activeDays = t(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    val cohorts = activeDays.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     activeDays
-      .join(cohorts, "user_id")
+      .withColumn("cohort_day", min(col("day")).over(Window.partitionBy("user_id")))
       .groupBy(
         date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
@@ -1108,9 +1108,12 @@ object RelationalQueries {
     * running last-non-null window carries values forward; emitted as
     * per-hour census rows (active vs carried users, carried value).
     *
-    * Scale shape: the per-(user, hour) latest value is one combined
-    * aggregation; the spine is |users| × |reporting window| rows — at
-    * scale the window is a bounded reporting period, and the
+    * Scale shape: ONE corpus scan — the per-(user, hour) latest
+    * value is one combined aggregation, and both the hour bounds and
+    * the user set derive from THAT aggregate (a naive formulation
+    * re-scans the event log for each; pinned single-scan in
+    * PlanShapeSpec). The spine is |users| × |reporting window| rows —
+    * at scale the window is a bounded reporting period, and the
     * forward-fill window per user is bounded by the same period, so
     * no partition skews. The hour list derives from a 1-row global
     * aggregate and broadcasts.
@@ -1129,10 +1132,12 @@ object RelationalQueries {
         count(lit(1)).as("n_ev"),
         max_by(col("vc"), struct(col("us"), col("event_id"))).as("last_vc"),
       )
-    val hours = ev
+    // an hour/user present in the corpus is present in the aggregate,
+    // so bounds and user set both derive from the |users×hours| frame
+    val hours = hourly
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
-    val spine = ev.select("user_id").distinct().crossJoin(broadcast(hours))
+    val spine = hourly.select("user_id").distinct().crossJoin(broadcast(hours))
     val wFill = Window
       .partitionBy("user_id")
       .orderBy("hour")

@@ -571,13 +571,16 @@ object TextAnalysis {
     * the one-sided error guarantee (est ≥ true, overshoot bounded by
     * collisions) is directly visible and oracle-checked.
     *
-    * Scale shape: the counter table is d×256 rows built by one
-    * |vocab|-bounded aggregation (itself map-side combined from one
-    * corpus scan); in a real streaming deployment the same counters
-    * are the map-side partial state and merge by addition — what
-    * this gate pins is the estimate algebra.
+    * Scale shape: ONE corpus scan — the bucket counters are a sum
+    * WINDOW over the (token, seed, bucket) frame rather than a
+    * separate aggregate joined back (the join-back would duplicate
+    * the vocab lineage); |seed×bucket| = d×256 window partitions,
+    * each holding one bucket's tokens. In a real streaming
+    * deployment the same counters are the map-side partial state and
+    * merge by addition — what this gate pins is the estimate algebra.
     */
   def countMinEstimates(spark: SparkSession, dir: String, d: Int = 4, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
@@ -591,11 +594,10 @@ object TextAnalysis {
         )
       ): _*
     )
-    val tb = counts
+    counts
       .select(col("token"), col("n"), explode(seedBuckets).as("sb"))
       .select(col("token"), col("n"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
-    val counters = tb.groupBy("seed", "bucket").agg(sum(col("n")).as("cnt"))
-    tb.join(counters, Seq("seed", "bucket"))
+      .withColumn("cnt", sum(col("n")).over(Window.partitionBy("seed", "bucket")))
       .groupBy("token")
       .agg(max(col("n")).as("n"), min(col("cnt")).as("est_n"))
       .orderBy(col("n").desc, col("token"))
@@ -613,20 +615,20 @@ object TextAnalysis {
     * exact integers — portable. (The consumer sums the tiny cell
     * table for the statistic; |cells| = |langs|·|sources|.)
     *
-    * Scale shape: one |cells|-key count with map-side combine; the
-    * margin joins are |langs|- and |sources|-row relations (AQE
-    * broadcasts), N is a 1-row global aggregate.
+    * Scale shape: ONE corpus scan — the margins and the grand total
+    * are WINDOWS over the tiny |cells| aggregate, not separate
+    * aggregates joined back (each join-back re-executes the corpus
+    * scan through the cells lineage; pinned single-scan in
+    * PlanShapeSpec).
     */
   def chi2Contingency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cells = docs(spark, dir).groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
-    val rowT = cells.groupBy("lang").agg(sum(col("n_docs")).as("rt"))
-    val colT = cells.groupBy("source").agg(sum(col("n_docs")).as("ct"))
-    val n = cells.agg(sum(col("n_docs")).as("nn"))
     val e = (col("rt").cast("double") * col("ct").cast("double")) / col("nn").cast("double")
     cells
-      .join(rowT, "lang")
-      .join(colT, "source")
-      .crossJoin(broadcast(n))
+      .withColumn("rt", sum(col("n_docs")).over(Window.partitionBy("lang")))
+      .withColumn("ct", sum(col("n_docs")).over(Window.partitionBy("source")))
+      .withColumn("nn", sum(col("n_docs")).over(Window.partitionBy()))
       .select(
         col("lang"),
         col("source"),
@@ -646,9 +648,10 @@ object TextAnalysis {
     * ratio ranks identically. Ties break lexicographically and a
     * minimum pair count filters the unstable long tail.
     *
-    * Scale shape: one corpus scan feeds both the unigram and the
-    * adjacent-pair counts (map-side combined, |vocab|- and
-    * |pairs|-bounded shuffles); the final top-k is
+    * Scale shape: two corpus scans (unigrams and adjacent pairs need
+    * different explosions), |vocab|- and |pairs|-bounded map-side
+    * combined shuffles; the token total N derives from the unigram
+    * table, never a third scan. The final top-k is
     * TakeOrderedAndProject.
     */
   def pmiCollocations(spark: SparkSession, dir: String, k: Int = 20, minCount: Long = 5L): DataFrame = {
@@ -672,7 +675,7 @@ object TextAnalysis {
       .groupBy("w1", "w2")
       .agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= minCount)
-    val n = toks.select(explode(col("ts")).as("w")).agg(count(lit(1)).as("nn"))
+    val n = uni.agg(sum(col("c")).as("nn"))
     big
       .join(uni.select(col("w").as("w1"), col("c").as("cx")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")

@@ -210,6 +210,25 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.operators.Dedup.invalidate()
   }
 
+  test("derived-frame analytics scan their corpus exactly once") {
+    // bounds/margins/user-sets must derive from the first aggregate,
+    // not re-scan the source through a duplicated lineage
+    def sourceScans(df: DataFrame, col: String): Int =
+      collectPlan(df).count(p =>
+        p.getClass.getSimpleName.startsWith("FileSourceScan") && p.output.exists(_.name == col))
+    // gap-fill: the spine (bounds + user set) and the join side both
+    // consume the SAME per-(user, hour) aggregate — statically two
+    // scan nodes, but the identical aggregate exchange is one reused
+    // stage at runtime (AQE); the naive formulation carried FOUR
+    // independent corpus lineages
+    assert(sourceScans(graft.operators.RelationalQueries.hourlyGapFill(spark, sf), "event_id") <= 2)
+    assert(sourceScans(graft.operators.RelationalQueries.retentionCohorts(spark, sf), "user_id") == 1)
+    assert(sourceScans(graft.operators.TextAnalysis.chi2Contingency(spark, sf), "lang") == 1)
+    assert(sourceScans(graft.operators.TextAnalysis.bpePairStats(spark, sf), "text") == 1)
+    assert(sourceScans(graft.operators.TextAnalysis.cdcChunkStats(spark, sf), "text") == 1)
+    assert(sourceScans(graft.operators.TextAnalysis.countMinEstimates(spark, sf), "text") == 1)
+  }
+
   test("global broadcast discipline: no gate plan pins a corpus-scaling relation to a broadcast") {
     // The invariant behind the turnout/q3/q5/supplier_rank/outer_join
     // de-pins, enforced over EVERY batch gate plan so the species can
