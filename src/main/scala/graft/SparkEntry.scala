@@ -98,6 +98,11 @@ object SparkEntry {
     // MERGE INTO semantics: delete/update/insert branches as one
     // left join + one anti-join — what Delta/Iceberg MERGE plans
     "cdc_merge_upsert" -> (RelationalQueries.mergeUpsert _),
+    // SCD Type-2 version intervals via a per-user lead window
+    "scd2_intervals" -> (RelationalQueries.scd2Intervals _),
+    // behavioral path census: first-3-event-type sequences per
+    // 1h-gap session, top-k
+    "session_paths" -> ((s, d) => RelationalQueries.sessionPaths(s, d)),
     "events_hourly_uniques" -> (RelationalQueries.hourlyUniques _),
     // analytics depth: exact-integer-sums Pearson correlation (a
     // native streaming corr() is summation-order-dependent and can
@@ -461,6 +466,32 @@ object SparkEntry {
         |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |         AS corr_price_balance
         |FROM s""".stripMargin,
+    "session_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 3600000000 THEN 1 ELSE 0 END AS news FROM l),
+        |g AS (SELECT *, CAST(sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |                                   ORDER BY us, event_id) AS rk FROM g),
+        |p AS (
+        |  SELECT user_id, sid, string_agg(event_type, '->' ORDER BY rk) AS path
+        |  FROM r WHERE rk <= 3 GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+    "scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        |  SELECT event_type, us,
+        |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_versions,
+        |       CAST(sum(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_current,
+        |       CAST(sum(COALESCE(valid_to_us - us, 0)) AS BIGINT) AS total_duration_us
+        |FROM v GROUP BY event_type""".stripMargin,
     // MERGE branches replicated with the same latest-change CTE:
     // delete on 'error', update matched, insert unmatched
     "cdc_merge_upsert" ->

@@ -560,6 +560,34 @@ object RelationalQueries {
         col("last.event_type").as("last_event_type"),
       )
 
+  /** SCD Type-2 history build: each user event becomes a version row
+    * with a [valid_from, valid_to) interval — valid_to is the next
+    * event's time (lead over the event-time order), null for the
+    * current version — the standard dimension-history shape every
+    * warehouse maintains. Reduced to per-type version counts,
+    * open-version counts, and exact integer-micros total durations.
+    *
+    * Scale shape: ONE corpus scan, one per-user lead window (bounded
+    * partitions), one |types|-key aggregate with map-side combine.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    t(spark, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        expr("unix_micros(ts)").as("us"),
+      )
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("n_current"),
+        sum(coalesce(col("valid_to_us") - col("us"), lit(0L))).as("total_duration_us"),
+      )
+  }
+
   /** MERGE INTO semantics (the warehouse upsert): apply a CDC change
     * set onto the customer base table — WHEN MATCHED AND
     * last_event_type = 'error' THEN DELETE, WHEN MATCHED THEN UPDATE
@@ -758,6 +786,51 @@ object RelationalQueries {
         moneyFromCents(sum(cents(col("value")))).as("total_value"),
       )
       .drop("__sid")
+  }
+
+  /** Top session paths: the ordered sequence of the FIRST THREE event
+    * types in each 1-hour-gap session (same gaps-and-islands
+    * convention as [[userSessions]]), counted and ranked — the
+    * behavioral-path census a product funnel analysis starts from.
+    * The path string is built from an explicitly ORDERED collection
+    * (sort_array over (rank, type) structs — a bare collect_list has
+    * no deterministic order), so both engines agg the identical
+    * string.
+    *
+    * Scale shape: one corpus scan, two per-user windows (lag +
+    * running sum, bounded partitions), a rank trim to ≤3 rows per
+    * session BEFORE the path aggregation, then a |paths|-key count
+    * and TakeOrderedAndProject top-k.
+    */
+  def sessionPaths(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val gapUs = 3600L * 1000 * 1000
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+    val wSess = Window.partitionBy("user_id", "__sid").orderBy(col("__us"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("__us"))
+      .withColumn("__prev", lag("__us", 1).over(w))
+      .withColumn(
+        "__new_session",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1).otherwise(0),
+      )
+      .withColumn("__sid", sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__rk", row_number().over(wSess))
+      .filter(col("__rk") <= 3)
+      .groupBy("user_id", "__sid")
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("__rk"), col("event_type")))),
+            x => x.getField("event_type"),
+          ),
+          "->",
+        ).as("path")
+      )
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
   }
 
   /** Sessionization via the built-in `session_window` (ST2's session
