@@ -66,11 +66,14 @@ object GraphOps {
     * (3·triangles·10^6 div wedges — exact, engine-portable).
     *
     * Triangles are counted by the standard ordered wedge-close join:
-    * orient every edge a<b, join wedges (a<b<c) against the oriented
-    * edge list. At scale this is the canonical two-shuffle triangle
-    * count; the orientation bounds each wedge pivot by the node's
-    * HIGHER-degree neighbors only, which is what keeps the join from
-    * exploding on skewed (template-family) neighborhoods.
+    * orient every edge a<b (by doc id), join wedges (a<b<c) against
+    * the oriented edge list — each triangle is counted exactly once
+    * under any total-order orientation. At scale the skew-hardened
+    * variant orients by (degree, id) instead, so every wedge pivot
+    * is its edge's LOWER-degree endpoint and a hub's Θ(d²) wedge
+    * expansion is avoided; id orientation (used here) is the plain
+    * two-shuffle formulation and does NOT provide that bound — swap
+    * the orientation key when deploying against a skewed graph.
     */
   def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")

@@ -584,7 +584,11 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("n_versions"),
         sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("n_current"),
-        sum(coalesce(col("valid_to_us") - col("us"), lit(0L))).as("total_duration_us"),
+        // micros durations are ~1e13 per row — a plain long sum wraps
+        // at the design scale where the oracle's HUGEINT does not;
+        // the 128-bit buffer keeps both sides exact (Num scaladoc)
+        sumScaled(coalesce(col("valid_to_us") - col("us"), lit(0L)))
+          .cast("long").as("total_duration_us"),
       )
   }
 
@@ -1253,7 +1257,8 @@ object RelationalQueries {
       .groupBy("event_type", "quartile")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(coalesce(col("gap"), lit(0L))).as("sum_gap_us"),
+        // micros gaps need the 128-bit sum buffer (see scd2Intervals)
+        sumScaled(coalesce(col("gap"), lit(0L))).cast("long").as("sum_gap_us"),
         max(col("gap")).as("max_gap_us"),
         moneyFromCents(sum(col("vc"))).as("total_value"),
       )

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.util.UUID
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -122,6 +120,61 @@ object StreamingQueries {
         VotePipeline.startCaptureQuery(agg, "graft_run_to_final", availableNow = true)
       q.awaitTermination()
       capture.latest(spark, keyCols)
+    }
+  }
+
+  /** Production twin of [[runToFinal]] for changelogs whose key
+    * domain SCALES WITH THE CORPUS (per-user state): each update-mode
+    * micro-batch lands on its own parquet directory (`b<batchId>`,
+    * overwrite — the at-least-once-idempotent contract the quality
+    * router uses) and the latest-per-key collapse runs DISTRIBUTEDLY
+    * on read-back (update mode emits a changed key at most once per
+    * batch, so max-batch-id per key is exact). No row ever visits
+    * the driver; [[runToFinal]]'s in-memory capture remains only for
+    * key-cardinality-bounded changelogs.
+    */
+  def runToFinalViaSink(
+      spark: SparkSession,
+      agg: DataFrame,
+      keyCols: Seq[String],
+      outDir: String,
+      statePartitions: Int = 8,
+  ): DataFrame = {
+    val outSchema = agg.schema
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    try {
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      withShufflePartitions(spark, statePartitions) {
+        val q = agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
+          }
+          .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-rtf"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+    val dirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+    if (dirs.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    else {
+      val withBid = dirs.toSeq.map { d =>
+        spark.read.schema(outSchema).parquet(d.getPath)
+          .withColumn("__bid", lit(d.getName.drop(1).toLong))
+      }.reduce(_ unionAll _)
+      val valueCols = outSchema.fieldNames.toSeq.filterNot(keyCols.contains)
+      withBid
+        .groupBy(keyCols.map(col): _*)
+        .agg(max_by(struct(valueCols.map(col): _*), col("__bid")).as("__last"))
+        .select(keyCols.map(col) ++ valueCols.map(n => col("__last").getField(n).as(n)): _*)
     }
   }
 
@@ -427,9 +480,11 @@ object StreamingQueries {
     */
   def latestEventPerUserStream(spark: SparkSession, dir: String): DataFrame = {
     // the survivor contract is the SHARED batch builder applied to
-    // the stream — one definition, one oracle, no drift
+    // the stream — one definition, one oracle, no drift. Per-user
+    // keys scale with the corpus, so the changelog rides the
+    // distributed sink path (see runToFinalViaSink), not a capture
     val agg = graft.operators.RelationalQueries.latestEventPerKey(eventsStream(spark, dir))
-    runToFinal(spark, agg, Seq("user_id"))
+    runToFinalViaSink(spark, agg, Seq("user_id"), scratchSinkDir("cdc") + "/out")
   }
 
   /** Streaming twin of RelationalQueries.funnelSteps: the per-user
@@ -441,10 +496,14 @@ object StreamingQueries {
     * one definition, one oracle, no drift.
     */
   def funnelStepsStream(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = runToFinal(
+    // per-user state is a CORPUS-SCALING key domain → the changelog
+    // must land on the distributed sink path, never a driver capture;
+    // only the 1-row reduced funnel ever reaches the driver
+    val perUser = runToFinalViaSink(
       spark,
       graft.operators.RelationalQueries.funnelPerUser(eventsStream(spark, dir)),
       Seq("user_id"),
+      scratchSinkDir("funnel") + "/out",
     )
     graft.operators.RelationalQueries.funnelReduce(perUser)
   }

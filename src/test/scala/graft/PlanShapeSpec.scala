@@ -280,12 +280,17 @@ class PlanShapeSpec extends AnyFunSuite {
         case _ => Nil
       }.flatMap(n => corpusTables.find(t => n.startsWith(t))).toSet
 
-    def structurallyBounded(p: LogicalPlan): Boolean =
-      p.exists {
-        case _: GlobalLimit | _: LocalLimit => true
-        case a: Aggregate if a.groupingExpressions.isEmpty => true
-        case _ => false
-      }
+    // Bounded must hold on the PATH from the hint down to every
+    // corpus leaf — a Limit on a side branch (e.g. a limited dim
+    // joined in) bounds nothing about the corpus side, so a bare
+    // subtree-exists check would exempt exactly the regression this
+    // sweep exists to catch.
+    def pathBounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case leaf if leaf.children.isEmpty => tablesUnder(leaf).isEmpty
+      case other => other.children.forall(c => tablesUnder(c).isEmpty || pathBounded(c))
+    }
 
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !name.startsWith("stream_")) {
@@ -298,7 +303,7 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       for (h <- hints) {
         val corpus = tablesUnder(h.child)
-        if (corpus.nonEmpty && !structurallyBounded(h.child)) {
+        if (corpus.nonEmpty && !pathBounded(h.child)) {
           contractBounded.get(name) match {
             case Some((requiredCols, _)) =>
               val out = h.child.output.map(_.name).toSet
