@@ -22,6 +22,23 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     .builder(master = "local[4]", shufflePartitions = 4)
     .getOrCreate()
 
+  test("sink-path changelog collapse equals the in-memory capture path") {
+    // runToFinalViaSink (per-batch overwrite dirs + distributed
+    // max-batch-id collapse) must produce exactly what the bounded
+    // in-memory capture produces on the same update-mode lineage —
+    // the pin that lets corpus-scaling-key gates ride the sink path
+    val dir = "/root/testdata/sf0.001"
+    def agg = graft.operators.RelationalQueries
+      .latestEventPerKey(graft.streaming.StreamingQueries.eventsStream(spark, dir))
+    val viaCapture = graft.streaming.StreamingQueries
+      .runToFinal(spark, agg, Seq("user_id")).collect().toSet
+    val out = Files.createTempDirectory("graft-rtf-sink").toString + "/out"
+    val viaSink = graft.streaming.StreamingQueries
+      .runToFinalViaSink(spark, agg, Seq("user_id"), out).collect().toSet
+    assert(viaSink == viaCapture, "sink-path collapse diverged from the capture path")
+    assert(viaSink.nonEmpty)
+  }
+
   test("checkpoint restart resumes from offsets without double counting") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-in").toString
