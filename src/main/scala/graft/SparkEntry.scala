@@ -112,6 +112,9 @@ object SparkEntry {
     "funnel_steps" -> (RelationalQueries.funnelSteps _),
     "event_gap_quartiles" -> (RelationalQueries.eventGapQuartiles _),
     "event_transitions" -> (RelationalQueries.eventTransitions _),
+    // unordered co-occurrence twin of the transition matrix
+    // (association mining's first A-priori level)
+    "itemset_pairs" -> (RelationalQueries.itemsetPairs _),
     "retention_cohorts" -> (RelationalQueries.retentionCohorts _),
     "zscore_outliers" -> (RelationalQueries.zscoreOutliers _),
     "pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
@@ -604,6 +607,13 @@ object SparkEntry {
         |    AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+    // the oracle uses the classic distinct self-join formulation the
+    // Spark side deliberately avoids — results are identical
+    "itemset_pairs" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_users
+        |FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
     "event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

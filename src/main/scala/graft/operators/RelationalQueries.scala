@@ -1033,6 +1033,32 @@ object RelationalQueries {
           .as("conv_purchase_x1e6"),
       )
 
+  /** Frequent itemset pairs (association mining's first A-priori
+    * level): how many users exhibit each UNORDERED pair of event
+    * types — the market-basket counterpart of the ordered
+    * [[eventTransitions]] matrix. Formulated Spark-first as one
+    * per-user set aggregation plus a map-side pair expansion over
+    * the sorted set (bounded by |types|² per user), never a distinct
+    * self-join — the self-join shuffles the distinct table twice and
+    * re-keys it, where this shape pays one |users|-key shuffle with
+    * map-side combined partial sets and expands pairs at scan speed.
+    */
+  def itemsetPairs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(
+        explode(
+          expr(
+            "flatten(transform(ts, (x, i) -> " +
+              "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS type_a, y AS type_b))))"
+          )
+        ).as("p")
+      )
+      .select(col("p.type_a"), col("p.type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users"))
+
   /** First-order event-type transition matrix (the Markov view of
     * user behavior): count (previous type → type) transitions along
     * each user's event-time order, plus the transition probability as
