@@ -83,6 +83,9 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetitionStats _),
     "text_quality_filter" -> (TextAnalysis.gopherQualityFilter _),
     "text_lang_id" -> (TextAnalysis.langIdConfusion _),
+    // predicted-language mix per source vs the corpus-wide mix, as
+    // exact scaled-integer shares and lift
+    "lang_mix_drift" -> (TextAnalysis.langMixDrift _),
     "vocab_top_tokens" -> ((s, d) => TextAnalysis.vocabTopTokens(s, d)),
     "lm_bigram" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
@@ -94,6 +97,9 @@ object SparkEntry {
     // pair-merge frequencies and content-defined chunking stats
     "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "cdc_chunk_stats" -> (TextAnalysis.cdcChunkStats _),
+    // RAG retrieval chunking: overlapping token windows, one row per
+    // chunk with its content hash (the retrieval index key)
+    "rag_chunks" -> ((s, d) => TextAnalysis.ragChunks(s, d)),
     "cdc_latest_per_key" -> (RelationalQueries.latestEventPerUser _),
     // MERGE INTO semantics: delete/update/insert branches as one
     // left join + one anti-join — what Delta/Iceberg MERGE plans
@@ -405,6 +411,24 @@ object SparkEntry {
   private val stopCount =
     s"len(list_filter(string_split(text, ' '), x -> x IN ($stopList)))"
   private val fp = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  // the langId marker-argmax replayed in SQL; two CTEs exposing
+  // (source, lang, predicted) per document — shared by the lang-ID
+  // confusion gate and the language-mix drift gate
+  private lazy val langIdCtes: String = {
+    val scores = TextAnalysis.markers
+      .map { case (lang, ws) =>
+        s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+      }
+      .mkString(", ")
+    val g = "greatest(" + TextAnalysis.markers.map("s_" + _._1).mkString(", ") + ")"
+    val cases = TextAnalysis.markers
+      .map { case (lang, _) => s"WHEN s_$lang = $g THEN '$lang'" }
+      .mkString(" ")
+    s"""lids AS (SELECT source, lang, $scores FROM documents),
+       |lidp AS (SELECT source, lang, CASE WHEN $g = 0 THEN 'unknown' $cases
+       |         ELSE 'unknown' END AS predicted FROM lids)""".stripMargin
+  }
 
   // ordered-fold vector math identical to graft.functions.VectorFunctions
   private def dotSql(a: String, b: String): String =
@@ -912,6 +936,21 @@ object SparkEntry {
         |       CAST(max(len) AS BIGINT) AS max_chunk_len,
         |       CAST((100 * sum(len)) // count(*) AS BIGINT) AS avg_chunk_x100
         |FROM cl GROUP BY doc_id""".stripMargin,
+    // DuckDB range() excludes the end, Spark sequence(0, n-1, s)
+    // includes n-1: both enumerate starts 0, s, 2s, … < n_tokens;
+    // list_slice's inclusive end start+32 matches Spark's length-32
+    // slice; md5 hex is identical across engines
+    "rag_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, start_tok,
+        |       CAST(len(list_slice(toks, start_tok + 1, start_tok + 32)) AS BIGINT)
+        |         AS n_tok_chunk,
+        |       md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' '))
+        |         AS chunk_hash
+        |FROM s""".stripMargin,
     // p divides the same two BIGINT counts in both engines → the
     // IEEE quotient is bit-identical
     "lm_bigram" ->
@@ -1014,21 +1053,27 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN nt >= 20 AND nt <= 1000 AND meanlen >= 3.0 AND meanlen <= 10.0
          |                     AND nstop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
          |FROM f GROUP BY source""".stripMargin,
-    "text_lang_id" -> {
-      val scores = TextAnalysis.markers
-        .map { case (lang, ws) =>
-          s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
-        }
-        .mkString(", ")
-      val g = "greatest(" + TextAnalysis.markers.map("s_" + _._1).mkString(", ") + ")"
-      val cases = TextAnalysis.markers
-        .map { case (lang, _) => s"WHEN s_$lang = $g THEN '$lang'" }
-        .mkString(" ")
-      s"""WITH s AS (SELECT lang, $scores FROM documents),
-         |p AS (SELECT lang, CASE WHEN $g = 0 THEN 'unknown' $cases
-         |      ELSE 'unknown' END AS predicted FROM s)
-         |SELECT lang, predicted, count(*) AS n FROM p GROUP BY lang, predicted""".stripMargin
-    },
+    "text_lang_id" ->
+      s"""WITH $langIdCtes
+         |SELECT lang, predicted, count(*) AS n FROM lidp GROUP BY lang, predicted""".stripMargin,
+    // lift product in HUGEINT (oracle) / DECIMAL(38,0) (Spark): both
+    // exact; the plain x1e6 shares stay inside BIGINT
+    "lang_mix_drift" ->
+      s"""WITH $langIdCtes,
+         |cells AS (
+         |  SELECT source, predicted, count(*) AS n_docs FROM lidp GROUP BY 1, 2),
+         |m AS (
+         |  SELECT source, predicted, n_docs,
+         |         sum(n_docs) OVER (PARTITION BY source) AS n_src,
+         |         sum(n_docs) OVER (PARTITION BY predicted) AS n_lang,
+         |         sum(n_docs) OVER () AS nn
+         |  FROM cells)
+         |SELECT source, predicted, n_docs,
+         |       CAST((1000000 * n_docs) // n_src AS BIGINT) AS share_x1e6,
+         |       CAST((1000000 * n_lang) // nn AS BIGINT) AS global_share_x1e6,
+         |       CAST((1000000::HUGEINT * n_docs * nn) // (n_src * n_lang) AS BIGINT)
+         |         AS lift_x1e6
+         |FROM m""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT source, count(*) AS n_docs,
          |  count(DISTINCT $fp) AS n_distinct_fp,

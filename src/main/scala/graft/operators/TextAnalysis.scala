@@ -735,4 +735,78 @@ object TextAnalysis {
         expr("(100 * n_words) div n_chunks").as("avg_chunk_x100"),
       )
   }
+
+  /** RAG-style retrieval chunking: split every document into
+    * overlapping fixed token windows (window `w`, stride `s`, overlap
+    * `w - s`) and emit one row per chunk — start offset, chunk token
+    * count, and the chunk's content hash (the retrieval index key).
+    * This is the materialization step every retrieval / embedding
+    * pipeline runs before indexing.
+    *
+    * Scale shape: the chunk array builds map-side inside one
+    * let-bound expression (the token array is bound once — the naive
+    * composition re-splits the text per window), then explodes at
+    * scan speed. No shuffle at all: output partitioning inherits the
+    * scan, and a 100 TB corpus chunks embarrassingly parallel.
+    * Chunk starts come from `sequence(0, size-1, s)` — `size >= 1`
+    * always holds for split() output, so the sequence is never
+    * descending (see the ANSI gotcha in [[winnowedFingerprints]]).
+    */
+  def ragChunks(spark: SparkSession, dir: String, w: Int = 32, s: Int = 24): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+          transform(
+            sequence(lit(0), size(toks) - 1, lit(s)),
+            st =>
+              struct(
+                st.cast("long").as("start_tok"),
+                size(slice(toks, st + 1, lit(w))).cast("long").as("n_tok_chunk"),
+                md5(array_join(slice(toks, st + 1, lit(w)), " ")).as("chunk_hash"),
+              ),
+          )
+        }).as("c"),
+      )
+      .select(col("doc_id"), col("c.start_tok"), col("c.n_tok_chunk"), col("c.chunk_hash"))
+
+  /** Per-source language-mix drift: how far each source's PREDICTED
+    * language distribution (via [[langId]] — this is a composition of
+    * the lang-ID operator with the drift analytics, not a re-read of
+    * the declared `lang` column that [[chi2Contingency]] uses) sits
+    * from the corpus-wide mix. Emits each source×language cell's
+    * within-source share, the language's global share, and the lift
+    * ratio between them — all as exact scaled-integer floor
+    * divisions. The lift product runs in DECIMAL(38,0) on the Spark
+    * side and HUGEINT in the oracle, so the arithmetic stays exact
+    * far past the BIGINT overflow point (1e6·N² wraps 64 bits at
+    * N≈3e6 docs; 38 digits carries ~1e10 docs — the 100 TB corpus).
+    *
+    * Scale shape: lang-ID is map-side expression work at scan speed;
+    * one |source×lang|-key combine shuffle; the three margins derive
+    * from the tiny cell table via windows (the empty-partition total
+    * window is bounded by |sources|·|langs| rows, same contract as
+    * [[chi2Contingency]]).
+    */
+  def langMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs(spark, dir)
+      .select(col("source"), langId(col("text")).as("predicted"))
+      .groupBy("source", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("n_src", sum(col("n_docs")).over(Window.partitionBy("source")))
+      .withColumn("n_lang", sum(col("n_docs")).over(Window.partitionBy("predicted")))
+      .withColumn("nn", sum(col("n_docs")).over(Window.partitionBy()))
+      .select(
+        col("source"),
+        col("predicted"),
+        col("n_docs"),
+        expr("(1000000 * n_docs) div n_src").as("share_x1e6"),
+        expr("(1000000 * n_lang) div nn").as("global_share_x1e6"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs * nn) div (n_src * n_lang) AS BIGINT)"
+        ).as("lift_x1e6"),
+      )
+  }
 }
