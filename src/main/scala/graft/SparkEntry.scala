@@ -28,6 +28,9 @@ object SparkEntry {
     "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
     "q3_shipping_priority" -> (RelationalQueries.q3ShippingPriority _),
     "q5_local_supplier" -> (RelationalQueries.q5LocalSupplier _),
+    // bilateral-trade and product-type-profit join shapes (Q7/Q9)
+    "q7_volume_shipping" -> (RelationalQueries.q7VolumeShipping _),
+    "q9_product_profit" -> (RelationalQueries.q9ProductProfit _),
     "top_orders" -> (RelationalQueries.topOrders _),
     "supplier_rank" -> (RelationalQueries.supplierRank _),
     "rollup_sales" -> (RelationalQueries.rollupSales _),
@@ -159,6 +162,12 @@ object SparkEntry {
     // and the wedge/triangle census (duplication-structure shape)
     "graph_pagerank" -> ((s, d) => graft.operators.GraphOps.pagerank(s, d)),
     "graph_triangles" -> (graft.operators.GraphOps.triangleCensus _),
+    // bounded-round seeded label spreading (hop distance + nearest
+    // seed), distinct from the CC fixpoint
+    "graph_label_prop" -> ((s, d) => graft.operators.GraphOps.labelPropagation(s, d)),
+    // whole-cluster train/val/test assignment: a near-dup family
+    // never straddles a split
+    "sample_leakage_free" -> (graft.operators.Sampling.leakageFreeSplits _),
     "dedup_keep_best" -> (Dedup.keepBestDedup _),
     "dedup_simhash" -> (Dedup.simhashFingerprints _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashHammingPairs(s, d)),
@@ -286,6 +295,30 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       year(l_shipdate) AS l_year, $revenue AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_10', 'NATION_12')
+         |  AND n2.n_name IN ('NATION_10', 'NATION_12')
+         |  AND n1.n_name <> n2.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year, $revenue AS revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%bolt%'
+         |GROUP BY 1, 2""".stripMargin,
     "top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
@@ -1177,6 +1210,53 @@ object SparkEntry {
          |SELECT cc.doc_id, cc.cluster_id, sz.n_members,
          |       CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
          |FROM cc JOIN sz USING (cluster_id)""".stripMargin,
+    // 3 chained frontier rounds over the pair graph; (dist, seed)
+    // packed as dist·10^12 + seed so min() is the lexicographic min
+    "graph_label_prop" ->
+      s"""WITH $minhashPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS enc FROM edges
+         |       JOIN documents ON src = doc_id
+         |       WHERE substr(md5(text || '|lpseed'), 1, 1) IN ('0','1','2','3')),
+         |l1 AS (SELECT id, min(enc) AS enc FROM (
+         |  SELECT e.dst AS id, l.enc + 1000000000000 AS enc
+         |  FROM edges e JOIN l0 l ON l.id = e.src
+         |  UNION ALL SELECT id, enc FROM l0) GROUP BY id),
+         |l2 AS (SELECT id, min(enc) AS enc FROM (
+         |  SELECT e.dst AS id, l.enc + 1000000000000 AS enc
+         |  FROM edges e JOIN l1 l ON l.id = e.src
+         |  UNION ALL SELECT id, enc FROM l1) GROUP BY id),
+         |l3 AS (SELECT id, min(enc) AS enc FROM (
+         |  SELECT e.dst AS id, l.enc + 1000000000000 AS enc
+         |  FROM edges e JOIN l2 l ON l.id = e.src
+         |  UNION ALL SELECT id, enc FROM l2) GROUP BY id)
+         |SELECT id AS doc_id, enc // 1000000000000 AS dist,
+         |       enc % 1000000000000 AS seed_id
+         |FROM l3""".stripMargin,
+    // split decided by the cluster representative's hash, so every
+    // near-dup family lands in exactly one split
+    "sample_leakage_free" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
+         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |j AS (SELECT d.doc_id, cc.cluster_id,
+         |             COALESCE(cc.cluster_id, d.doc_id) AS rep
+         |      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+         |s AS (SELECT cluster_id, rep,
+         |        CASE WHEN substr(md5(CAST(rep AS VARCHAR) || '|csplit'), 1, 2) < 'cc' THEN 'train'
+         |             WHEN substr(md5(CAST(rep AS VARCHAR) || '|csplit'), 1, 2) < 'e6' THEN 'val'
+         |             ELSE 'test' END AS split
+         |      FROM j)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_groups,
+         |       CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_clustered_docs
+         |FROM s GROUP BY split""".stripMargin,
     // keep/drop decision per document: quality-ranked survivor per
     // near-dup cluster (longest doc, tie → smaller id), singletons
     // kept with their own id as cluster_id

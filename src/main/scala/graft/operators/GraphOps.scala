@@ -107,4 +107,53 @@ object GraphOps {
           .as("clustering_x1e6"),
       )
   }
+
+  /** Seeded label propagation on the near-dup graph: a deterministic
+    * 1/4 of the graph's documents (salted content-hash bucket) act as
+    * labeled seeds; `rounds` synchronous frontier expansions spread
+    * each seed's id outward, every node adopting the lexicographic
+    * minimum (hop distance, seed id) it has seen. Unlike the
+    * connected-components fixpoint this is BOUNDED-ROUND and
+    * PARTIALLY SEEDED — the semi-supervised "spread the labels you
+    * have" primitive (quality flags, license tags, topic marks
+    * radiating through duplicate neighborhoods) — and emits hop
+    * distance, which the CC fixpoint never tracks.
+    *
+    * Determinism: (dist, seed) packs into one BIGINT as
+    * dist·10^12 + seed — min over the packed value IS the
+    * lexicographic min, and integer mins are order-independent, so a
+    * fixed round count is bit-identical on any engine/partitioning
+    * (the PageRank rule). Bound: doc ids must stay below 10^12;
+    * repack at 10^15 if a corpus exceeds it (dist ≤ 3 keeps even
+    * that far inside 2^63).
+    *
+    * Scale shape: rides the memoized pair artifact; each round is ONE
+    * join of the edge list against the current |reached|-row label
+    * table (AQE broadcasts while it fits) plus one min-aggregation —
+    * same per-round plan as [[pagerank]], built as one fixed DAG.
+    */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val e = edges(spark, dir)
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    var lbl = e
+      .select(col("doc_a").as("id"))
+      .distinct()
+      .join(docs, "id")
+      .filter(substring(md5(concat(col("text"), lit("|lpseed"))), 1, 1).isin("0", "1", "2", "3"))
+      .select(col("id"), col("id").as("enc"))
+    (1 to rounds).foreach { _ =>
+      lbl = e
+        .join(lbl, col("doc_a") === col("id"))
+        .select(col("doc_b").as("id"), (col("enc") + 1000000000000L).as("enc"))
+        .union(lbl)
+        .groupBy("id")
+        .agg(min(col("enc")).as("enc"))
+    }
+    lbl.select(
+      col("id").as("doc_id"),
+      expr("enc div 1000000000000").as("dist"),
+      pmod(col("enc"), lit(1000000000000L)).as("seed_id"),
+    )
+  }
 }

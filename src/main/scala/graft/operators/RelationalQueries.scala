@@ -325,6 +325,69 @@ object RelationalQueries {
       .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
   }
 
+  /** TPC-H Q7-style volume shipping: bilateral trade between two
+    * nations — revenue by (supplier nation, customer nation, ship
+    * year) for the two directed pairs. The 6-table shape exercises a
+    * join where BOTH sides of the nation predicate matter (supplier's
+    * nation vs customer's nation), unlike Q5's same-nation equality.
+    *
+    * Scale shape: both `nation` legs are pre-filtered to the 2-row
+    * pair domain and keep static broadcast hints (fixed domain at
+    * every scale). `supplier` and `customer` scale with the corpus —
+    * no hints; AQE chooses from measured sizes (turnoutByLocation
+    * rule, pinned by the PlanShapeSpec sweep). Joining the 2-row
+    * nation dims into supplier/customer FIRST shrinks both to ~2/25
+    * before they meet the fact tables, so the one unavoidable big
+    * shuffle stays lineitem⋈orders. Group key is 2·2·|years| — tiny.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_10", "NATION_12")
+    val n1 = t(spark, dir, "nation").filter(col("n_name").isin(pair.map(lit(_)): _*))
+    val n2 = t(spark, dir, "nation")
+      .filter(col("n_name").isin(pair.map(lit(_)): _*))
+      .select(col("n_nationkey").as("n2_nationkey"), col("n_name").as("n2_name"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(n1), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(n2), col("c_nationkey") === col("n2_nationkey"))
+      .select(col("c_custkey"), col("n2_name").as("cust_nation"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+    li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
+  }
+
+  /** TPC-H Q9-style product-type profit: revenue from parts whose
+    * name matches a pattern, by supplier nation and order year (the
+    * testdata ships no partsupp table, so profit is the discounted
+    * revenue without the supplycost leg — the join/aggregation shape
+    * is Q9's).
+    *
+    * Scale shape: `part` scales with the corpus AND the LIKE filter's
+    * selectivity is data-dependent — no static hint; AQE measures the
+    * post-filter size and broadcasts only while it fits. The
+    * lineitem⋈part join runs BEFORE orders so the pattern filter
+    * prunes the fact table ahead of the big lineitem⋈orders shuffle.
+    * `nation` keeps its fixed-domain hint. Group key |nations|·|years|.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").filter(col("p_name").like("%bolt%"))
+    val supp = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val li = t(spark, dir, "lineitem")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(moneyFromScaled(sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))), 100L).as("revenue"))
+  }
+
   /** Global top-N: ORDER BY + LIMIT with a unique tie-break.
     * TakeOrderedAndProject: each partition keeps N rows, driver
     * merges — no full sort, scales to any input size.

@@ -314,4 +314,40 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared_shingles"))
       .filter(col("n_shared_shingles") >= minShared)
   }
+
+  /** Dedup-AWARE train/val/test split: the whole near-duplicate
+    * cluster moves as one unit. Per-document content-hash splitting
+    * ([[assignSplit]]) leaks — two near-identical documents hash to
+    * different buckets and one lands in train while its twin holds
+    * out. Here every document's split is decided by hashing its
+    * cluster REPRESENTATIVE (the component-minimum doc id from the
+    * LSH pair graph; singletons represent themselves), so a
+    * near-dup family can never straddle a split boundary — by
+    * construction, not by post-hoc filtering. Emits per-split
+    * document / group / clustered-member counts.
+    *
+    * Scale shape: rides the memoized cluster artifact
+    * ([[Dedup.lshClusters]]); one left join of the corpus against the
+    * |clustered-docs|-row label table (AQE broadcasts while it fits),
+    * map-side hash assignment, and a 3-row aggregation. The
+    * distinct-rep count shuffles |groups| rows once.
+    */
+  def leakageFreeSplits(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Dedup.lshClusters(spark, dir)
+    docs(spark, dir)
+      .select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .select(
+        col("cluster_id"),
+        col("rep"),
+        assignSplit(col("rep").cast("string"), "csplit").as("split"),
+      )
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"),
+      )
+  }
 }
