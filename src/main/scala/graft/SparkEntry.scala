@@ -151,6 +151,9 @@ object SparkEntry {
     // live funnel: stateful update-mode per-user first-touch mins,
     // reduced on the read side — same oracle as the batch funnel
     "stream_funnel" -> (StreamingQueries.funnelStepsStream _),
+    // stateful last-event chaining (flatMapGroupsWithState) through
+    // the append sink — same oracle as the batch lag-window matrix
+    "stream_transitions" -> ((s, d) => graft.streaming.Transitions.transitionsViaSink(s, d)),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -222,6 +225,8 @@ object SparkEntry {
       "range_join_bucketed" -> base("range_join_bands"),
       // the live streaming funnel must equal the batch recompute
       "stream_funnel" -> base("funnel_steps"),
+      // the stateful last-event tracker must equal the batch lag window
+      "stream_transitions" -> base("event_transitions"),
     )
   }
 

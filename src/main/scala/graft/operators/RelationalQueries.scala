@@ -1137,6 +1137,15 @@ object RelationalQueries {
       .select(col("user_id"), col("event_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
+    transitionMatrix(withPrev)
+  }
+
+  /** (prev_type, event_type) rows → the counted transition matrix
+    * with exact scaled-integer probabilities. Shared by the batch
+    * lag-window gate above and the streaming stateful-tracker twin
+    * (graft.streaming.Transitions).
+    */
+  private[graft] def transitionMatrix(withPrev: DataFrame): DataFrame = {
     val counts = withPrev
       .groupBy("prev_type", "event_type")
       .agg(count(lit(1)).as("n"))

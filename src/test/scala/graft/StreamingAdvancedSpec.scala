@@ -435,4 +435,41 @@ class StreamingAdvancedSpec extends AnyFunSuite {
       .filter(col("user_id") === 1).agg(sum("n")).head.getLong(0)
     assert(w0 == 2L, s"late event was not dropped (got $w0 events in user 1 windows)")
   }
+
+  test("transition tracker chains per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Transitions
+    val stream = MemoryStream[Transitions.Ev]
+    val out = Transitions.track(stream.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("trans_test")
+      .option("checkpointLocation", Files.createTempDirectory("graft-trans").toString)
+      .start()
+    // batch 1: user 1 rows arrive OUT of order inside the batch (the
+    // tracker must sort by (us, event_id) before chaining); user 2
+    // gets a lone event whose transition can only close in batch 2
+    stream.addData(
+      Transitions.Ev(1L, 2L, 200L, "click"),
+      Transitions.Ev(1L, 1L, 100L, "signup"),
+      Transitions.Ev(2L, 10L, 100L, "signup"),
+    )
+    q.processAllAvailable()
+    // batch 2: the cross-batch pairs close against carried state
+    stream.addData(
+      Transitions.Ev(1L, 3L, 300L, "purchase"),
+      Transitions.Ev(2L, 11L, 400L, "click"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_test")
+      .select("user_id", "prev_type", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = Set(
+      (1L, "signup", "click"),
+      (1L, "click", "purchase"),
+      (2L, "signup", "click"),
+    )
+    assert(got == want, s"transition multiset diverged: $got")
+  }
 }
