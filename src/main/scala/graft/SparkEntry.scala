@@ -125,6 +125,11 @@ object SparkEntry {
     // (association mining's first A-priori level)
     "itemset_pairs" -> (RelationalQueries.itemsetPairs _),
     "retention_cohorts" -> (RelationalQueries.retentionCohorts _),
+    // growth dashboard: daily active/new/returning + running uniques
+    // via first-touch counting (never a windowed COUNT DISTINCT)
+    "daily_uniques_running" -> (RelationalQueries.dailyUniquesRunning _),
+    // last-touch revenue attribution per channel
+    "attribution_last_touch" -> (RelationalQueries.attributionLastTouch _),
     "zscore_outliers" -> (RelationalQueries.zscoreOutliers _),
     "pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "timeseries_gapfill" -> (RelationalQueries.hourlyGapFill _),
@@ -182,6 +187,9 @@ object SparkEntry {
     "similarity_ann_multiprobe" -> ((s, d) => Similarity.annLshTopKMultiProbe(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "embedding_quantize" -> (Similarity.quantizeInt8 _),
+    // per-label centroid alignment to the corpus mean over exact
+    // integer sum vectors (cosine is scale-invariant)
+    "embedding_centroid_drift" -> (Similarity.centroidDrift _),
     "sample_per_source_cap" -> ((s, d) => graft.operators.Sampling.perSourceCap(s, d)),
     "pack_sequences" -> ((s, d) => graft.operators.Packing.packSequences(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
@@ -699,6 +707,39 @@ object SparkEntry {
         |       count(*) AS n_active_users
         |FROM ad JOIN co ON ad.user_id = co.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "daily_uniques_running" ->
+      """WITH ad AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, day,
+        |              min(day) OVER (PARTITION BY user_id) AS first_day
+        |       FROM ad),
+        |d AS (SELECT day, count(*) AS n_active,
+        |        CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_new
+        |      FROM fd GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_active, n_new,
+        |       n_active - n_new AS n_returning,
+        |       CAST(sum(n_new) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_uniques
+        |FROM d""".stripMargin,
+    // the IGNORE NULLS carry-forward window is the same total order
+    // as the Spark side: (epoch micros, event_id)
+    "attribution_last_touch" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |           IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM t)
+        |SELECT COALESCE(touch, 'direct') AS channel, count(*) AS n_purchases,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |         AS attributed_value
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     // μ and σ from exact integer sums (HUGEINT accumulation), the
     // per-row |z| > 2 comparison in identical IEEE doubles
     "zscore_outliers" ->
@@ -1503,6 +1544,28 @@ object SparkEntry {
         |  CAST(list_max(q) AS INT) AS q_max,
         |  CAST(len(q) AS INT) AS n_dims
         |FROM q""".stripMargin,
+    // integer sum vectors per (label, dim), cosine via the same
+    // ordered-fold dot/norm the similarity oracles replay; cosine's
+    // scale invariance makes sums stand in for means exactly
+    "embedding_centroid_drift" ->
+      s"""WITH e AS (
+         |  SELECT label, i - 1 AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |  FROM embeddings,
+         |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |pl AS (
+         |  SELECT label, dim, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |lv AS (
+         |  SELECT label, list(s ORDER BY dim) AS v,
+         |         max(CASE WHEN dim = 0 THEN n END) AS n_vecs
+         |  FROM pl GROUP BY label),
+         |gd AS (SELECT dim, CAST(sum(s) AS BIGINT) AS s FROM pl GROUP BY dim),
+         |gv AS (SELECT list(s ORDER BY dim) AS gvec FROM gd)
+         |SELECT label, n_vecs,
+         |       ${dotSql("v", "gvec")} / (${normSql("v")} * ${normSql("gvec")})
+         |         AS cos_to_global
+         |FROM lv, gv""".stripMargin,
     "sample_per_source_cap" ->
       """WITH h AS (
         |  SELECT source, doc_id, substr(md5(text || '|cap'), 1, 2) AS h

@@ -828,6 +828,85 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_unique_users"),
       )
 
+  /** Daily active / new / returning users plus the running cumulative
+    * unique count — the growth-dashboard table. The naive formulation
+    * (windowed COUNT DISTINCT up to each day) re-deduplicates the
+    * whole history per day — quadratic and un-runnable at scale. The
+    * linear shape: a user is NEW only on their min-day (one
+    * |users|-key aggregate), daily new = count of first-touches per
+    * day, and the cumulative unique count is a running SUM of daily
+    * news over the |days|-bounded day table; returning = active − new.
+    *
+    * Scale shape: two bounded shuffles — distinct (user, day) pairs,
+    * then |users| first-days — and one window over |days| rows. The
+    * event log is scanned once (first-day derives from the distinct
+    * frame via a window, not a separate aggregate joined back).
+    */
+  def dailyUniquesRunning(spark: SparkSession, dir: String): DataFrame = {
+    val activeDays = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("first_day", min(col("day")).over(Window.partitionBy("user_id")))
+    val daily = activeDays
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+      )
+    daily
+      .withColumn(
+        "cum_uniques",
+        sum(col("n_new")).over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+      )
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"),
+        col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        col("cum_uniques"),
+      )
+  }
+
+  /** Last-touch revenue attribution: each purchase's value is
+    * credited to the nearest PRECEDING non-purchase event type in the
+    * user's timeline (the marketing-attribution staple), summed per
+    * channel in exact decimal money. Purchases with no preceding
+    * touch fall into a 'direct' bucket.
+    *
+    * Scale shape: one window pass over the user partition (the same
+    * single exchange every per-user timeline op here plans) — the
+    * conditional `last(..., ignoreNulls)` carries the latest
+    * non-purchase type forward without materializing per-user event
+    * lists; then a |channels|-key aggregate.
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("__us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        unix_micros(col("ts")).as("__us"),
+      )
+      .withColumn(
+        "touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w),
+      )
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        moneyFromCents(sum(cents(col("value")))).as("attributed_value"),
+      )
+  }
+
   /** Batch sessionization via gaps-and-islands: a new session starts
     * after > 1 hour of inactivity. Times compared as integer
     * microseconds so the cross-engine comparison is exact. Two

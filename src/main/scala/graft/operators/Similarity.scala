@@ -241,4 +241,61 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_a"), col("vec_b"))
   }
+
+  /** Per-label embedding centroid drift: how far each label's mean
+    * embedding points away from the corpus-wide mean, as the cosine
+    * between the two centroids — the embedding-space analogue of the
+    * language-mix drift table (cluster/source collapse, distribution
+    * shift between snapshots, one label swamping the corpus mean).
+    *
+    * Determinism: a float mean is summation-order-dependent and can
+    * never hash-match across engines, so each component is
+    * floor-quantized to a scaled BIGINT (floor is exact on doubles;
+    * round is not — same rule as [[quantizeInt8]]) and the centroid
+    * SUMS are exact integer vectors. Cosine is scale-invariant, so
+    * cosine(sum vector, sum vector) IS the cosine of the means —
+    * the 1/n never needs to be divided out, and the only floating
+    * arithmetic left is the final ordered-fold dot/norm over
+    * identical integers in both engines. Component-sum bound:
+    * 10^6·|vecs| per dimension — 2^63 holds past 10^12 vectors.
+    *
+    * Scale shape: one scan, exploded to (label, dim) keys — the
+    * shuffle carries |labels|·|dims| rows after map-side combine, not
+    * |vecs|·|dims|; the global centroid derives from the per-label
+    * table (no second scan); the final cosine is |labels| rows
+    * against a 1-row broadcast.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineFold
+    val perDim = embPlain(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(
+        col("label"),
+        col("dim"),
+        floor(col("x").cast("double") * 1000000.0).cast("long").as("q"),
+      )
+      .groupBy("label", "dim")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val labelVecs = perDim
+      .groupBy("label")
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("s")))),
+          p => p.getField("s"),
+        ).as("v"),
+        max(when(col("dim") === 0, col("n"))).as("n_vecs"),
+      )
+    val globalVec = perDim
+      .groupBy("dim")
+      .agg(sum(col("s")).as("s"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("s")))),
+          p => p.getField("s"),
+        ).as("gv")
+      )
+    labelVecs
+      .crossJoin(broadcast(globalVec))
+      .select(col("label"), col("n_vecs"), cosineFold(col("v"), col("gv")).as("cos_to_global"))
+  }
 }
