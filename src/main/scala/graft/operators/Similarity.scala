@@ -259,13 +259,16 @@ object Similarity {
     * identical integers in both engines. Component-sum bound:
     * 10^6·|vecs| per dimension — 2^63 holds past 10^12 vectors.
     *
-    * Scale shape: one scan, exploded to (label, dim) keys — the
-    * shuffle carries |labels|·|dims| rows after map-side combine, not
-    * |vecs|·|dims|; the global centroid derives from the per-label
-    * table (no second scan); the final cosine is |labels| rows
-    * against a 1-row broadcast.
+    * Scale shape: ONE corpus scan, exploded to (label, dim) keys —
+    * the shuffle carries |labels|·|dims| rows after map-side combine,
+    * not |vecs|·|dims|. The global per-dim sums derive from the tiny
+    * per-label-per-dim table via a window over the dim partition
+    * (the chi2Contingency margin pattern — a separate global
+    * aggregate joined back would re-scan the corpus; the plan is
+    * pinned to a single embeddings scan and zero joins).
     */
   def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.cosineFold
     val perDim = embPlain(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -276,26 +279,20 @@ object Similarity {
       )
       .groupBy("label", "dim")
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-    val labelVecs = perDim
+      .withColumn("g", sum(col("s")).over(Window.partitionBy("dim")))
+    perDim
       .groupBy("label")
       .agg(
         transform(
           sort_array(collect_list(struct(col("dim"), col("s")))),
           p => p.getField("s"),
         ).as("v"),
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("g")))),
+          p => p.getField("g"),
+        ).as("gv"),
         max(when(col("dim") === 0, col("n"))).as("n_vecs"),
       )
-    val globalVec = perDim
-      .groupBy("dim")
-      .agg(sum(col("s")).as("s"))
-      .agg(
-        transform(
-          sort_array(collect_list(struct(col("dim"), col("s")))),
-          p => p.getField("s"),
-        ).as("gv")
-      )
-    labelVecs
-      .crossJoin(broadcast(globalVec))
       .select(col("label"), col("n_vecs"), cosineFold(col("v"), col("gv")).as("cos_to_global"))
   }
 }

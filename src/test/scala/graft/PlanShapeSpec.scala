@@ -227,6 +227,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sourceScans(graft.operators.TextAnalysis.bpePairStats(spark, sf), "text") == 1)
     assert(sourceScans(graft.operators.TextAnalysis.cdcChunkStats(spark, sf), "text") == 1)
     assert(sourceScans(graft.operators.TextAnalysis.countMinEstimates(spark, sf), "text") == 1)
+    // continuation-pass gates: same single-lineage discipline
+    assert(sourceScans(graft.operators.TextAnalysis.langMixDrift(spark, sf), "source") == 1)
+    assert(sourceScans(graft.operators.Similarity.centroidDrift(spark, sf), "label") == 1)
+    assert(sourceScans(graft.operators.RelationalQueries.dailyUniquesRunning(spark, sf), "user_id") == 1)
+    assert(sourceScans(graft.operators.RelationalQueries.itemsetPairs(spark, sf), "user_id") == 1)
+  }
+
+  test("continuation-pass gates keep their declared shuffle/join shape") {
+    import graft.operators.{RelationalQueries, Similarity, TextAnalysis}
+    // RAG chunking is pure map-side explode — zero exchanges
+    assert(shuffles(TextAnalysis.ragChunks(spark, sf)) == 0)
+    // itemset pairs: per-user set agg + pair groupBy — exactly two
+    // shuffles and NO join (the self-join formulation is the oracle's)
+    val ip = RelationalQueries.itemsetPairs(spark, sf)
+    assert(shuffles(ip) == 2)
+    assert(collectPlan(ip).count(_.getClass.getSimpleName.contains("Join")) == 0)
+    // centroid drift: single lineage end-to-end, no join anywhere
+    assert(collectPlan(Similarity.centroidDrift(spark, sf))
+      .count(_.getClass.getSimpleName.contains("Join")) == 0)
+    // last-touch attribution: one user-partition window exchange plus
+    // the channel aggregate — never a join back
+    val at = RelationalQueries.attributionLastTouch(spark, sf)
+    assert(collectPlan(at).count(_.getClass.getSimpleName.contains("Join")) == 0)
   }
 
   test("global broadcast discipline: no gate plan pins a corpus-scaling relation to a broadcast") {
