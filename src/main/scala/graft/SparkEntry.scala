@@ -31,6 +31,9 @@ object SparkEntry {
     // bilateral-trade and product-type-profit join shapes (Q7/Q9)
     "q7_volume_shipping" -> (RelationalQueries.q7VolumeShipping _),
     "q9_product_profit" -> (RelationalQueries.q9ProductProfit _),
+    // Morton-tile locality spans vs the linear layout — the
+    // measurement behind OPTIMIZE ... ZORDER BY
+    "zorder_locality" -> (graft.operators.Bucketing.zorderLocality _),
     "top_orders" -> (RelationalQueries.topOrders _),
     "supplier_rank" -> (RelationalQueries.supplierRank _),
     "rollup_sales" -> (RelationalQueries.rollupSales _),
@@ -93,6 +96,9 @@ object SparkEntry {
     "lm_bigram" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
     "text_length_percentiles" -> (TextAnalysis.lengthPercentiles _),
+    // sort-free histogram quantiles: the constant-memory production
+    // path the exact rank-window percentiles validate
+    "quantile_histogram" -> ((s, d) => TextAnalysis.quantileHistogram(s, d)),
     "text_tf_idf" -> (TextAnalysis.tfIdfTopTerms _),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
@@ -332,6 +338,27 @@ object SparkEntry {
          |JOIN nation ON s_nationkey = n_nationkey
          |WHERE p_name LIKE '%bolt%'
          |GROUP BY 1, 2""".stripMargin,
+    // bit-interleave replayed literally: disjoint bit positions sum
+    // to the Morton code in both engines
+    "zorder_locality" -> {
+      val mortonSql = (0 until 10)
+        .map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+         |m AS (SELECT x, y, $mortonSql AS z FROM t),
+         |zb AS (
+         |  SELECT z >> 12 AS bucket, count(*) AS n_rows,
+         |         max(x) - min(x) + 1 AS x_span, max(y) - min(y) + 1 AS y_span
+         |  FROM m GROUP BY 1),
+         |lb AS (
+         |  SELECT x >> 2 AS bucket, count(*) AS n_rows,
+         |         max(x) - min(x) + 1 AS x_span, max(y) - min(y) + 1 AS y_span
+         |  FROM m GROUP BY 1)
+         |SELECT 'zorder' AS layout, bucket, n_rows, x_span, y_span FROM zb
+         |UNION ALL
+         |SELECT 'linear' AS layout, bucket, n_rows, x_span, y_span FROM lb""".stripMargin
+    },
     "top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
@@ -1098,6 +1125,24 @@ object SparkEntry {
         |       max(CASE WHEN rk = ((n - 1) * 90) // 100 + 1 THEN n_tok END) AS p90_tok,
         |       max(CASE WHEN rk = ((n - 1) * 99) // 100 + 1 THEN n_tok END) AS p99_tok
         |FROM r GROUP BY lang, n""".stripMargin,
+    "quantile_histogram" ->
+      """WITH b AS (
+        |  SELECT len(string_split(text, ' ')) // 8 AS bin FROM documents),
+        |h AS (SELECT bin, count(*) AS n_docs FROM b GROUP BY bin),
+        |c AS (SELECT bin, n_docs,
+        |        CAST(sum(n_docs) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_docs,
+        |        CAST(sum(n_docs) OVER () AS BIGINT) AS n_total
+        |      FROM h)
+        |SELECT bin, bin * 8 AS bin_lo, n_docs, cum_docs,
+        |  CAST(cum_docs >= (50 * n_total + 99) // 100
+        |       AND cum_docs - n_docs < (50 * n_total + 99) // 100 AS INT) AS is_p50_bin,
+        |  CAST(cum_docs >= (90 * n_total + 99) // 100
+        |       AND cum_docs - n_docs < (90 * n_total + 99) // 100 AS INT) AS is_p90_bin,
+        |  CAST(cum_docs >= (99 * n_total + 99) // 100
+        |       AND cum_docs - n_docs < (99 * n_total + 99) // 100 AS INT) AS is_p99_bin
+        |FROM c""".stripMargin,
     // log-free idf: score = tf·N/df — an integer product divided by
     // an integer, bit-identical cross-engine; ties break on token
     "text_tf_idf" ->

@@ -68,6 +68,63 @@ object Bucketing {
     * local sort is not a shuffle). Results are bucketing-invariant,
     * so the DuckDB oracle is the plain join of the same parquet.
     */
+  /** Z-order (Morton) interleave of two bounded keys: bit i of x
+    * lands at position 2i, bit i of y at 2i+1. Disjoint bit
+    * positions, so summing the shifted bits IS the interleave — all
+    * exact integer ops, identical in any engine.
+    */
+  def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits)
+      .map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }
+      .reduce(_ + _)
+
+  /** Z-order locality statistics — the measurement behind
+    * `OPTIMIZE ... ZORDER BY (x, y)`: bucket rows by the top bits of
+    * the Morton code of (partkey, suppkey) and emit each bucket's
+    * row count and per-dimension spans, against the same-bucket-count
+    * LINEAR layout (range on x alone) as the contrast. Z-order tiles
+    * bound BOTH spans (each bucket is a 2^k × 2^k tile of key
+    * space), where the linear layout bounds only x — y_span stays
+    * the full domain, which is exactly why a two-column
+    * range-predicate scan over linear layout reads everything.
+    *
+    * Scale shape: the Morton code is a map-side integer expression
+    * (codegen, no shuffle); both layouts ride ONE corpus scan — each
+    * row explodes into its two (layout, bucket) assignments map-side
+    * and a single |2·buckets|-key aggregate does the rest (grouping
+    * the same scan twice would read the fact table twice; at 100 TB
+    * the scan is the cost). At a deployment this ships as the
+    * clustering key of the table WRITE (the data-layout twin of
+    * [[bucketedTables]]); here the gate measures the locality the
+    * layout buys.
+    */
+  def zorderLocality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(
+        (col("l_partkey") % 1024).as("x"),
+        (col("l_suppkey") % 1024).as("y"),
+      )
+      .withColumn("z", morton(col("x"), col("y"), 10))
+      .select(
+        col("x"),
+        col("y"),
+        explode(
+          array(
+            struct(lit("zorder").as("layout"), shiftright(col("z"), 12).as("bucket")),
+            struct(lit("linear").as("layout"), shiftright(col("x"), 2).as("bucket")),
+          )
+        ).as("lb"),
+      )
+      .groupBy(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (max(col("x")) - min(col("x")) + 1).as("x_span"),
+        (max(col("y")) - min(col("y")) + 1).as("y_span"),
+      )
+
   def bucketedJoinSummary(spark: SparkSession, dir: String): DataFrame = {
     val (ordersT, custT) = bucketedTables(spark, dir)
     spark.table(ordersT)

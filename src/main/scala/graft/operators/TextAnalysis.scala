@@ -770,6 +770,44 @@ object TextAnalysis {
       )
       .select(col("doc_id"), col("c.start_tok"), col("c.n_tok_chunk"), col("c.chunk_hash"))
 
+  /** Sort-free histogram quantiles: fixed equi-width bins over the
+    * token-count distribution, cumulative counts, and the bins where
+    * the p50/p90/p99 ranks land. [[lengthPercentiles]] is the exact
+    * twin — but its rank window SORTS each group, which at 100 TB is
+    * the step that dies; this is the constant-memory production
+    * path: one |bins|-key aggregation (map-side combined), a window
+    * over the tiny bin table, and the quantile read off as the first
+    * bin whose cumulative count crosses ceil(q·N). Every value is an
+    * exact integer — the estimate's granularity (the bin width) is
+    * explicit in the output rather than hidden in sketch error.
+    */
+  def quantileHistogram(spark: SparkSession, dir: String, width: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    def crosses(pct: Int): Column = {
+      // ceil(pct·N / 100) in integers: (pct·N + 99) div 100
+      val target = expr(s"($pct * n_total + 99) div 100")
+      (col("cum_docs") >= target && col("cum_docs") - col("n_docs") < target).cast("int")
+    }
+    docs(spark, dir)
+      .select(tokenCount(col("text")).cast("long").as("n_tok"))
+      .select(expr(s"n_tok div $width").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .select(
+        col("bin"),
+        (col("bin") * width).as("bin_lo"),
+        col("n_docs"),
+        col("cum_docs"),
+        crosses(50).as("is_p50_bin"),
+        crosses(90).as("is_p90_bin"),
+        crosses(99).as("is_p99_bin"),
+      )
+  }
+
   /** Per-source language-mix drift: how far each source's PREDICTED
     * language distribution (via [[langId]] — this is a composition of
     * the lang-ID operator with the drift analytics, not a re-read of

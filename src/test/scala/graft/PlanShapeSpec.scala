@@ -232,6 +232,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sourceScans(graft.operators.Similarity.centroidDrift(spark, sf), "label") == 1)
     assert(sourceScans(graft.operators.RelationalQueries.dailyUniquesRunning(spark, sf), "user_id") == 1)
     assert(sourceScans(graft.operators.RelationalQueries.itemsetPairs(spark, sf), "user_id") == 1)
+    assert(sourceScans(graft.operators.TextAnalysis.quantileHistogram(spark, sf), "text") == 1)
+    // both layout groupings ride one fact scan via the per-row explode
+    assert(sourceScans(graft.operators.Bucketing.zorderLocality(spark, sf), "l_partkey") == 1)
   }
 
   test("continuation-pass gates keep their declared shuffle/join shape") {
