@@ -100,6 +100,9 @@ object SparkEntry {
     // path the exact rank-window percentiles validate
     "quantile_histogram" -> ((s, d) => TextAnalysis.quantileHistogram(s, d)),
     "text_tf_idf" -> (TextAnalysis.tfIdfTopTerms _),
+    // BM25 top-10 per query over exact-rational fixed-point term
+    // scores (k1=6/5, b=3/4 folded into one integer quotient)
+    "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
     // tokenizer-training + sub-document-dedup surface: round-1 BPE
@@ -134,6 +137,9 @@ object SparkEntry {
     // growth dashboard: daily active/new/returning + running uniques
     // via first-touch counting (never a windowed COUNT DISTINCT)
     "daily_uniques_running" -> (RelationalQueries.dailyUniquesRunning _),
+    // time-proximity dedup: same-key bursts within 10 min collapse
+    // to their first event (gaps-and-islands, one exchange)
+    "debounce_events" -> ((s, d) => RelationalQueries.debounceEvents(s, d)),
     // last-touch revenue attribution per channel
     "attribution_last_touch" -> (RelationalQueries.attributionLastTouch _),
     "zscore_outliers" -> (RelationalQueries.zscoreOutliers _),
@@ -734,6 +740,30 @@ object SparkEntry {
         |       count(*) AS n_active_users
         |FROM ad JOIN co ON ad.user_id = co.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "debounce_events" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, event_id, us,
+        |         lag(us) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY us, event_id) AS prev
+        |  FROM t),
+        |f AS (
+        |  SELECT user_id, event_type, event_id, us,
+        |         CASE WHEN prev IS NULL OR us - prev > 600000000 THEN 1 ELSE 0 END
+        |           AS new_burst
+        |  FROM g),
+        |i AS (
+        |  SELECT user_id, event_type, event_id, new_burst,
+        |         CAST(sum(new_burst) OVER (PARTITION BY user_id, event_type
+        |           ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS burst
+        |  FROM f)
+        |SELECT user_id, event_type, burst,
+        |       max(CASE WHEN new_burst = 1 THEN event_id END) AS kept_event_id,
+        |       count(*) AS n_collapsed
+        |FROM i GROUP BY 1, 2, 3""".stripMargin,
     "daily_uniques_running" ->
       """WITH ad AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1125,6 +1155,39 @@ object SparkEntry {
         |       max(CASE WHEN rk = ((n - 1) * 90) // 100 + 1 THEN n_tok END) AS p90_tok,
         |       max(CASE WHEN rk = ((n - 1) * 99) // 100 + 1 THEN n_tok END) AS p99_tok
         |FROM r GROUP BY lang, n""".stripMargin,
+    // same single-rational scoring; HUGEINT stands in for DECIMAL(38,0)
+    "bm25_search" -> {
+      val qvals = TextAnalysis.bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+        .mkString(", ")
+      s"""WITH q(query_id, token) AS (VALUES $qvals),
+         |tok AS (
+         |  SELECT doc_id, t AS token
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> ''),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT doc_id, token, tf,
+         |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
+         |         CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+         |  FROM tf),
+         |tot AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl0) AS BIGINT) AS tot_tok
+         |  FROM (SELECT doc_id, sum(tf) AS dl0 FROM tf GROUP BY 1)),
+         |s AS (
+         |  SELECT q.query_id, i.doc_id,
+         |    CAST((1000000::HUGEINT * 22 * t.n_docs * i.tf * (t.tot_tok // t.n_docs))
+         |      // (i.df * (10 * i.tf * (t.tot_tok // t.n_docs)
+         |                  + 3 * (t.tot_tok // t.n_docs) + 9 * i.dl)) AS BIGINT) AS sc
+         |  FROM idx i JOIN q USING (token), tot t),
+         |agg AS (SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS bm25_x1e6
+         |        FROM s GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, bm25_x1e6,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY bm25_x1e6 DESC, doc_id) AS BIGINT) AS rk
+         |      FROM agg)
+         |SELECT query_id, doc_id, bm25_x1e6, rk FROM r WHERE rk <= 10""".stripMargin
+    },
     "quantile_histogram" ->
       """WITH b AS (
         |  SELECT len(string_split(text, ' ')) // 8 AS bin FROM documents),

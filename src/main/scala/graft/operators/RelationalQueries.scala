@@ -828,6 +828,48 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_unique_users"),
       )
 
+  /** Debounce / throttle dedup: bursts of the same (user, event_type)
+    * within 10 minutes of the previous occurrence collapse to their
+    * FIRST event (the webhook/retry/double-click suppression rule —
+    * time-proximity dedup, where [[dedupVotes]] is exact-key dedup
+    * with no time dimension). Burst boundaries are gaps-and-islands:
+    * an event starts a new burst iff its gap from the key's previous
+    * event exceeds the window; the island id is the running count of
+    * boundary flags. Integer-microsecond gaps, unique (us, event_id)
+    * total order — deterministic in any engine.
+    *
+    * Scale shape: both window passes and the final aggregate share
+    * the (user, event_type) partitioning, so Spark plans ONE exchange
+    * for the whole thing.
+    */
+  def debounceEvents(spark: SparkSession, dir: String, windowUs: Long = 600L * 1000 * 1000): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("__us"), col("event_id"))
+    t(spark, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("event_id"),
+        unix_micros(col("ts")).as("__us"),
+      )
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn(
+        "__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > windowUs, 1L).otherwise(0L),
+      )
+      .withColumn(
+        "burst",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      )
+      .groupBy("user_id", "event_type", "burst")
+      .agg(
+        // the burst's first row IS its boundary row (exactly one
+        // __new = 1 per island), so no order-by-struct agg is needed
+        max(when(col("__new") === 1L, col("event_id"))).as("kept_event_id"),
+        count(lit(1)).as("n_collapsed"),
+      )
+      .select(col("user_id"), col("event_type"), col("burst"), col("kept_event_id"), col("n_collapsed"))
+  }
+
   /** Daily active / new / returning users plus the running cumulative
     * unique count — the growth-dashboard table. The naive formulation
     * (windowed COUNT DISTINCT up to each day) re-deduplicates the

@@ -808,6 +808,80 @@ object TextAnalysis {
       )
   }
 
+  /** Fixed query set for the BM25 gate: disjoint term lists, so each
+    * token's df is never double-counted across queries.
+    */
+  val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("window", "scan"),
+    2 -> Seq("column", "value"),
+    3 -> Seq("join", "hash"),
+  )
+
+  /** BM25 full-text ranking (k1 = 1.2, b = 0.75) of the corpus
+    * against a fixed query set — top-10 docs per query. The classic
+    * formula is float-laden (log idf, fractional length norm); both
+    * engines here compute each term's score as ONE exact rational:
+    * with k1 = 6/5 and b = 3/4, multiplying numerator and denominator
+    * by 10·avgdl gives
+    *
+    *   score = 22·N·tf·avgdl / (df · (10·tf·avgdl + 3·avgdl + 9·dl))
+    *
+    * — every factor an integer (idf is the log-free rarity ratio
+    * N/df, the [[tfIdfTopTerms]] rule), floor-scaled to ×10^6 per
+    * term and integer-summed per (query, doc). The product runs in
+    * DECIMAL(38,0)/HUGEINT so it stays exact at any corpus size.
+    *
+    * Scale shape: doc lengths and dfs derive from the tf index via
+    * windows (the [[tfIdfTopTerms]] single-scan rule); the 1-row
+    * corpus totals are a global aggregate of the same tf lineage —
+    * statically a second scan node, but AQE reuses the tf exchange
+    * (the hourlyGapFill pattern; scans pinned ≤ 2). The query-term
+    * join shrinks the index to |query terms| posting lists BEFORE
+    * scoring, and the per-query top-10 plans as WindowGroupLimit —
+    * partitions keep 10 candidates per query before the rank
+    * exchange.
+    */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qdf = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val indexed = tf
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+    val totals = tf
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("tot_tok"))
+    val scored = indexed
+      .join(broadcast(qdf), "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl", expr("tot_tok div n_docs"))
+      .withColumn(
+        "sc",
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * 22 * n_docs * tf * avgdl) div " +
+            "(CAST(df AS DECIMAL(38,0)) * (10 * tf * avgdl + 3 * avgdl + 9 * dl)) AS BIGINT)"
+        ),
+      )
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("sc")).as("bm25_x1e6"))
+    scored
+      .withColumn(
+        "rk",
+        row_number()
+          .over(Window.partitionBy("query_id").orderBy(col("bm25_x1e6").desc, col("doc_id")))
+          .cast("long"),
+      )
+      .filter(col("rk") <= k)
+  }
+
   /** Per-source language-mix drift: how far each source's PREDICTED
     * language distribution (via [[langId]] — this is a composition of
     * the lang-ID operator with the drift analytics, not a re-read of
