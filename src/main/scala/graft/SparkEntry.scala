@@ -103,6 +103,10 @@ object SparkEntry {
     // BM25 top-10 per query over exact-rational fixed-point term
     // scores (k1=6/5, b=3/4 folded into one integer quotient)
     "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+    // Zipf rank×freq fit over the top-100 vocab (DECIMAL(38,0)
+    // normalization product — 1e6·rank·freq wraps BIGINT for real
+    // stop-word counts)
+    "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
     // tokenizer-training + sub-document-dedup surface: round-1 BPE
@@ -142,6 +146,11 @@ object SparkEntry {
     "debounce_events" -> ((s, d) => RelationalQueries.debounceEvents(s, d)),
     // last-touch revenue attribution per channel
     "attribution_last_touch" -> (RelationalQueries.attributionLastTouch _),
+    // decayed twin: power-of-two half-life weights keep every credit
+    // an exact integer (float pow decay can never hash-match)
+    "attribution_time_decay" -> ((s, d) => RelationalQueries.attributionTimeDecay(s, d)),
+    // trailing-7-observed-days spike detection, exact integer ratios
+    "daily_anomaly" -> (RelationalQueries.dailyAnomaly _),
     "zscore_outliers" -> (RelationalQueries.zscoreOutliers _),
     "pmi_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     "timeseries_gapfill" -> (RelationalQueries.hourlyGapFill _),
@@ -797,6 +806,53 @@ object SparkEntry {
         |         AS attributed_value
         |FROM w WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    // same carry-forward total order; the decay weight is the exact
+    // integer 2^(20-k), summed in HUGEINT, one final division on
+    // identical integers
+    "attribution_time_decay" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value, us,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |           IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN us END
+        |           IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+        |  FROM t),
+        |p AS (
+        |  SELECT COALESCE(touch, 'direct') AS channel,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+        |         CASE WHEN touch_us IS NULL THEN 0
+        |              ELSE least((us - touch_us) // 1800000000, 20) END AS k
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT channel, count(*) AS n_purchases,
+        |       CAST(sum(vc * (CAST(1 AS BIGINT) << CAST(20 - k AS INT))) AS DOUBLE)
+        |         / 104857600.0 AS decayed_value
+        |FROM p GROUP BY 1""".stripMargin,
+    // trailing window counts OBSERVED days (ROWS frame), ratio only
+    // with a full 7-day baseline — exact floor division both sides
+    "daily_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n_events,
+        |         CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trailing_n,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_days
+        |  FROM d)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, trailing_n,
+        |       CAST(CASE WHEN n_days = 7
+        |                 THEN (7000000 * n_events) // trailing_n END AS BIGINT)
+        |         AS ratio_x1e6,
+        |       CAST(CASE WHEN n_days = 7
+        |                  AND (7000000 * n_events) // trailing_n >= 2000000
+        |                 THEN 1 ELSE 0 END AS INT) AS is_spike
+        |FROM w""".stripMargin,
     // μ and σ from exact integer sums (HUGEINT accumulation), the
     // per-row |z| > 2 comparison in identical IEEE doubles
     "zscore_outliers" ->
@@ -1037,6 +1093,22 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS n FROM t WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // rank over the top-100 table only; the normalization product in
+    // HUGEINT mirrors the Spark DECIMAL(38,0) discipline
+    "zipf_fit" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM t WHERE token <> '' GROUP BY token),
+        |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100),
+        |r AS (
+        |  SELECT token, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+        |         max(n) OVER () AS n1
+        |  FROM top)
+        |SELECT rank, token, n, rank * n AS rank_x_freq,
+        |       CAST((CAST(1000000 AS HUGEINT) * rank * n) // n1 AS BIGINT)
+        |         AS c_norm_x1e6
+        |FROM r""".stripMargin,
     // adjacent char pairs over the DISTINCT word table weighted by
     // word frequency — integer counts, lexicographic tie-break
     "bpe_pair_stats" ->

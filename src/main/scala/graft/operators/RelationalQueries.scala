@@ -949,6 +949,98 @@ object RelationalQueries {
       )
   }
 
+  /** Time-decayed last-touch attribution: the decayed twin of
+    * [[attributionLastTouch]] — each purchase credits its nearest
+    * preceding touch with value · 2^(−k), where k counts elapsed
+    * 30-minute half-lives (capped at 20; 'direct' purchases keep full
+    * weight). The decay weight is the POWER OF TWO 2^(20−k), so every
+    * per-row credit is an exact integer (cents × an integer weight) —
+    * a float `pow(0.5, dt/τ)` is neither cross-engine portable nor
+    * order-independent under summation. Per-row bound: 10^5 cents ×
+    * 2^20 ≈ 10^11, so the channel sums ride the 128-bit buffer
+    * ([[Num.sumScaled]]/HUGEINT) and stay exact at any corpus size;
+    * the single final division by 2^20·100 runs on identical exact
+    * integers in both engines.
+    *
+    * Scale shape: the same one-window-pass-plus-|channels|-key-agg
+    * plan as the undecayed twin — the carry-forward window now also
+    * carries the touch timestamp (same frame, same single exchange).
+    */
+  def attributionTimeDecay(
+      spark: SparkSession,
+      dir: String,
+      halfLifeUs: Long = 1800L * 1000 * 1000,
+  ): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("__us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def carry(c: Column): Column =
+      last(when(col("event_type") =!= "purchase", c), ignoreNulls = true).over(w)
+    t(spark, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        unix_micros(col("ts")).as("__us"),
+      )
+      .withColumn("touch", carry(col("event_type")))
+      .withColumn("touch_us", carry(col("__us")))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("touch"), lit("direct")).as("channel"),
+        cents(col("value")).as("vc"),
+        when(col("touch_us").isNull, 0L)
+          .otherwise(least(expr(s"(__us - touch_us) div $halfLifeUs"), lit(20L)))
+          .as("k"),
+      )
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sumScaled(col("vc") * expr("shiftleft(1L, int(20 - k))")).as("__credit"),
+      )
+      .select(
+        col("channel"),
+        col("n_purchases"),
+        (col("__credit").cast("double") / 104857600.0).as("decayed_value"),
+      )
+  }
+
+  /** Day-level traffic anomaly detection: each (event type, day)
+    * count against the trailing 7 OBSERVED days' total (ROWS frame —
+    * sparse day gaps are [[hourlyGapFill]]'s concern, not re-solved
+    * here), with the spike ratio as an exact scaled-integer floor
+    * division and a ≥2× flag. Days without a full 7-day history emit
+    * NULL ratio / flag 0 in both engines rather than a noisy partial
+    * baseline. 7·10^6·n wraps 64 bits only past ~10^12 events per
+    * (type, day) — comfortably exact at design scale.
+    *
+    * Scale shape: one |types|·|days|-key aggregate with map-side
+    * combine (the corpus shuffles once, as day keys), then windows
+    * over that tiny table partitioned by type.
+    */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val wTrail = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("trailing_n", sum(col("n_events")).over(wTrail))
+      .withColumn("__days", count(lit(1)).over(wTrail))
+      .withColumn(
+        "ratio_x1e6",
+        when(col("__days") === 7, expr("(7000000 * n_events) div trailing_n")).cast("long"),
+      )
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"),
+        col("trailing_n"),
+        col("ratio_x1e6"),
+        when(col("ratio_x1e6") >= 2000000L, 1).otherwise(0).cast("int").as("is_spike"),
+      )
+  }
+
   /** Batch sessionization via gaps-and-islands: a new session starts
     * after > 1 hour of inactivity. Times compared as integer
     * microseconds so the cross-engine comparison is exact. Two

@@ -882,6 +882,37 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Zipf-law fit table over the top-`k` corpus tokens: rank, raw
+    * frequency, the rank×frequency product (Zipf's law says it is
+    * ~constant), and that product normalized by the rank-1 frequency
+    * as a scaled-integer ratio — the tokenizer/corpus health check
+    * (a truncated or templated corpus bends the rank·freq curve).
+    * Every emitted value is an exact integer: the normalization
+    * product runs in DECIMAL(38,0)/HUGEINT because 10^6·rank·freq
+    * wraps 64 bits once a token passes ~10^11 occurrences — real at
+    * the design scale for stop-words.
+    *
+    * Scale shape: rides [[vocabTopTokens]] (map-side explode, one
+    * |vocab|-key combine shuffle, TakeOrderedAndProject top-k); the
+    * rank window then runs on the k-row result, never the corpus.
+    */
+  def zipfFit(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.orderBy(col("n").desc, col("token"))
+    val wAll = Window.partitionBy()
+    vocabTopTokens(spark, dir, k)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("n1", max(col("n")).over(wAll))
+      .select(
+        col("rank"),
+        col("token"),
+        col("n"),
+        (col("rank") * col("n")).as("rank_x_freq"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * rank * n) div n1 AS BIGINT)")
+          .as("c_norm_x1e6"),
+      )
+  }
+
   /** Per-source language-mix drift: how far each source's PREDICTED
     * language distribution (via [[langId]] — this is a composition of
     * the lang-ID operator with the drift analytics, not a re-read of
