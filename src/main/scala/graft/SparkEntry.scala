@@ -180,6 +180,10 @@ object SparkEntry {
     // stateful last-event chaining (flatMapGroupsWithState) through
     // the append sink — same oracle as the batch lag-window matrix
     "stream_transitions" -> ((s, d) => graft.streaming.Transitions.transitionsViaSink(s, d)),
+    // live per-user co-occurrence sets (update-mode collect_set via
+    // the sink path), expanded with the shared batch reducer — same
+    // oracle as the batch itemset gate
+    "stream_itemset_pairs" -> (StreamingQueries.itemsetPairsStream _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -201,6 +205,9 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhashFingerprints _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashHammingPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // asymmetric |A∩B|/min(|A|,|B|) over the same inverted index —
+    // catches short-doc-inside-long-doc families Jaccard misses
+    "dedup_containment" -> ((s, d) => Dedup.ngramContainmentPairs(s, d)),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNgramJaccardPairs(s, d)),
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -211,6 +218,9 @@ object SparkEntry {
     // per-label centroid alignment to the corpus mean over exact
     // integer sum vectors (cosine is scale-invariant)
     "embedding_centroid_drift" -> (Similarity.centroidDrift _),
+    // per-source cosine between interleaved snapshot-half centroids
+    // (embeddings ⋈ documents on the shared id domain)
+    "source_snapshot_drift" -> (Similarity.sourceSnapshotDrift _),
     "sample_per_source_cap" -> ((s, d) => graft.operators.Sampling.perSourceCap(s, d)),
     "pack_sequences" -> ((s, d) => graft.operators.Packing.packSequences(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
@@ -256,6 +266,8 @@ object SparkEntry {
       "stream_funnel" -> base("funnel_steps"),
       // the stateful last-event tracker must equal the batch lag window
       "stream_transitions" -> base("event_transitions"),
+      // the live co-occurrence sets must expand to the batch pair census
+      "stream_itemset_pairs" -> base("itemset_pairs"),
     )
   }
 
@@ -1573,6 +1585,22 @@ object SparkEntry {
          |       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
          |FROM comm JOIN nsh na ON na.doc_id = doc_a JOIN nsh nb ON nb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
+    // same inverted-index CTEs; only the score differs (exact
+    // scaled-integer floor division, min set size in the denominator)
+    "dedup_containment" ->
+      s"""WITH $shingleCtes,
+         |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 50),
+         |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |comm AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST((1000000 * n_common) // least(na.n, nb.n) AS BIGINT)
+         |         AS containment_x1e6
+         |FROM comm JOIN nsh na ON na.doc_id = doc_a JOIN nsh nb ON nb.doc_id = doc_b
+         |WHERE (1000000 * n_common) // least(na.n, nb.n) >= 500000""".stripMargin,
     "dedup_char_ngram" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
@@ -1746,6 +1774,33 @@ object SparkEntry {
          |       ${dotSql("v", "gvec")} / (${normSql("v")} * ${normSql("gvec")})
          |         AS cos_to_global
          |FROM lv, gv""".stripMargin,
+    // interleaved snapshot halves per source, same integer-sum-vector
+    // cosine rule; embeddings join documents on the shared id
+    "source_snapshot_drift" ->
+      s"""WITH j AS (
+         |  SELECT d.source, e.vec_id % 2 AS half, e.embedding
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |ex AS (
+         |  SELECT source, half, i - 1 AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |  FROM j,
+         |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |pd AS (
+         |  SELECT source, dim,
+         |    CAST(sum(CASE WHEN half = 0 THEN q END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN half = 1 THEN q END) AS BIGINT) AS sb,
+         |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM ex GROUP BY 1, 2),
+         |sv AS (
+         |  SELECT source, list(sa ORDER BY dim) AS va, list(sb ORDER BY dim) AS vb,
+         |         max(CASE WHEN dim = 0 THEN na END) AS n_a,
+         |         max(CASE WHEN dim = 0 THEN nb END) AS n_b
+         |  FROM pd GROUP BY source)
+         |SELECT source, n_a, n_b,
+         |       ${dotSql("va", "vb")} / (${normSql("va")} * ${normSql("vb")})
+         |         AS cos_halves
+         |FROM sv""".stripMargin,
     "sample_per_source_cap" ->
       """WITH h AS (
         |  SELECT source, doc_id, substr(md5(text || '|cap'), 1, 2) AS h

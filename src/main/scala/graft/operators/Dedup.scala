@@ -660,6 +660,24 @@ object Dedup {
       withShingles: DataFrame,
       maxDf: Int,
       threshold: Double,
+  ): DataFrame =
+    pairCommonCounts(withShingles, maxDf)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_common"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+
+  /** The shared inverted-index core of the shingle-set scorers:
+    * (doc_a, n_a, doc_b, n_b, n_common) per candidate pair — exactly
+    * two posting exchanges regardless of which score ([[ngramJaccardPairs]]
+    * Jaccard or [[ngramContainmentPairs]] containment) projects it.
+    */
+  private def pairCommonCounts(
+      withShingles: DataFrame,
+      maxDf: Int,
   ): DataFrame = {
     // Inverted index with the doc's shingle-set size computed
     // map-side (size(sh)) and carried INSIDE the posting lists: the
@@ -700,14 +718,38 @@ object Dedup {
     pairs
       .groupBy("doc_a", "n_a", "doc_b", "n_b")
       .agg(count(lit(1)).as("n_common"))
+  }
+
+  /** Asymmetric containment pairs over word shingles:
+    * |A∩B| / min(|A|,|B|) — the near-dup score Jaccard misses when a
+    * short document is wholly embedded in a long one (quote farms,
+    * boilerplate wrappers: the union term drowns the overlap). Same
+    * inverted-index pipeline as [[ngramJaccardPairs]] (the common
+    * counts and set sizes ride the identical two-exchange plan); only
+    * the final scoring differs, as an exact scaled-integer floor
+    * division. 10^6·n_common wraps 64 bits only past ~10^13 shingles
+    * per document — not a real document.
+    */
+  def ngramContainmentPairs(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      maxDf: Int = 50,
+      minContainmentX1e6: Long = 500000L,
+  ): DataFrame =
+    pairCommonCounts(
+      docs(spark, dir)
+        .filter(size(split(col("text"), " ")) >= k)
+        .select(col("doc_id"), shingles(col("text"), k).as("sh")),
+      maxDf,
+    )
       .select(
         col("doc_a"),
         col("doc_b"),
         col("n_common"),
-        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"),
+        expr("(1000000 * n_common) div least(n_a, n_b)").cast("long").as("containment_x1e6"),
       )
-      .filter(col("jaccard") >= threshold)
-  }
+      .filter(col("containment_x1e6") >= minContainmentX1e6)
 
   /** Degree histogram of the MinHash-LSH near-dup graph: how many
     * documents have exactly d verified near-duplicates — the

@@ -1320,9 +1320,19 @@ object RelationalQueries {
     * map-side combined partial sets and expands pairs at scan speed.
     */
   def itemsetPairs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy("user_id")
-      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    itemsetPairExpansion(
+      t(spark, dir, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    )
+
+  /** The map-side pair expansion + count shared by [[itemsetPairs]]
+    * and its streaming twin (which maintains the per-user sets as
+    * update-mode state and expands on read-back): input is any frame
+    * with a SORTED `ts` array of event types per row.
+    */
+  def itemsetPairExpansion(perUserSets: DataFrame): DataFrame =
+    perUserSets
       .select(
         explode(
           expr(

@@ -295,4 +295,58 @@ object Similarity {
       )
       .select(col("label"), col("n_vecs"), cosineFold(col("v"), col("gv")).as("cos_to_global"))
   }
+
+  /** Per-source snapshot drift: for each document source, the cosine
+    * between the centroids of two interleaved corpus halves (even vs
+    * odd ids — the deterministic stand-in for "this week's crawl vs
+    * last week's"). A healthy stationary source scores ≈1; a source
+    * whose content shifted between snapshots drops. Composes the
+    * embeddings table with the documents dim through the id join the
+    * tables share ([[graft.sources.Tables]] vec_id ↔ doc_id).
+    *
+    * Determinism: the same floor-quantized integer-sum-vector rule as
+    * [[centroidDrift]] — cosine's scale invariance lets exact integer
+    * SUMS stand in for means, and the only floats are the final
+    * ordered fold over identical integers.
+    *
+    * Scale shape: one equi-join of two corpus tables on their id
+    * (shuffle join, unhinted — both sides scale, AQE picks the
+    * strategy), then one |sources|·|dims|·2-key combine shuffle; the
+    * per-source fold runs on |dims|-length arrays.
+    */
+  def sourceSnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val perDim = embPlain(spark, dir)
+      .join(src, col("vec_id") === col("doc_id"))
+      .select(col("source"), (col("vec_id") % 2).as("half"), col("embedding"))
+      .select(col("source"), col("half"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(
+        col("source"),
+        col("half"),
+        col("dim"),
+        floor(col("x").cast("double") * 1000000.0).cast("long").as("q"),
+      )
+      .groupBy("source", "dim")
+      .agg(
+        sum(when(col("half") === 0, col("q"))).as("sa"),
+        sum(when(col("half") === 1, col("q"))).as("sb"),
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"),
+      )
+    perDim
+      .groupBy("source")
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("sa")))),
+          p => p.getField("sa"),
+        ).as("va"),
+        transform(
+          sort_array(collect_list(struct(col("dim"), col("sb")))),
+          p => p.getField("sb"),
+        ).as("vb"),
+        max(when(col("dim") === 0, col("na"))).as("n_a"),
+        max(when(col("dim") === 0, col("nb"))).as("n_b"),
+      )
+      .select(col("source"), col("n_a"), col("n_b"), cosineFold(col("va"), col("vb")).as("cos_halves"))
+  }
 }

@@ -508,6 +508,30 @@ object StreamingQueries {
     graft.operators.RelationalQueries.funnelReduce(perUser)
   }
 
+  /** Streaming twin of RelationalQueries.itemsetPairs: the per-user
+    * event-type sets are maintained as update-mode `collect_set`
+    * state (one bounded-by-|types| set per user — the live
+    * co-occurrence tracker), landed on the distributed sink path
+    * (per-user keys scale with the corpus), then expanded to pair
+    * counts on read-back with the SHARED batch expansion — one
+    * definition, one oracle, no drift. The set is sorted at read
+    * time: collect_set order is engine-internal, the expansion
+    * contract wants the sorted array.
+    */
+  def itemsetPairsStream(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = runToFinalViaSink(
+      spark,
+      eventsStream(spark, dir)
+        .groupBy("user_id")
+        .agg(collect_set(col("event_type")).as("ts")),
+      Seq("user_id"),
+      scratchSinkDir("itemset") + "/out",
+    )
+    graft.operators.RelationalQueries.itemsetPairExpansion(
+      perUser.select(col("user_id"), sort_array(col("ts")).as("ts"))
+    )
+  }
+
   /** Streaming twin of RelationalQueries.votesPerCandidate — same
     * oracle SQL.
     */
