@@ -107,6 +107,9 @@ object SparkEntry {
     // normalization product — 1e6·rank·freq wraps BIGINT for real
     // stop-word counts)
     "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    // Good–Turing count-of-counts spectrum (|distinct freqs| rows;
+    // the (r+1)·N_{r+1} product rides DECIMAL(38,0)/HUGEINT)
+    "token_freq_of_freqs" -> (TextAnalysis.freqOfFreqs _),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
     // tokenizer-training + sub-document-dedup surface: round-1 BPE
@@ -141,6 +144,8 @@ object SparkEntry {
     // growth dashboard: daily active/new/returning + running uniques
     // via first-touch counting (never a windowed COUNT DISTINCT)
     "daily_uniques_running" -> (RelationalQueries.dailyUniquesRunning _),
+    // weekly avg-DAU/WAU ratio off one (week, day, user) distinct
+    "stickiness_weekly" -> (RelationalQueries.stickinessWeekly _),
     // time-proximity dedup: same-key bursts within 10 min collapse
     // to their first event (gaps-and-islands, one exchange)
     "debounce_events" -> ((s, d) => RelationalQueries.debounceEvents(s, d)),
@@ -231,6 +236,9 @@ object SparkEntry {
     "sample_top_quality" -> ((s, d) => graft.operators.Sampling.topQualityPerSource(s, d)),
     "sample_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
     "sample_stratified" -> (graft.operators.Sampling.stratifiedQualityMix _),
+    // largest-remainder token-budget apportionment: quotas sum
+    // EXACTLY to the budget (per-source rounding can't)
+    "token_budget_allocation" -> ((s, d) => graft.operators.Sampling.tokenBudgetAllocation(s, d)),
     "decontamination_overlap" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlap(s, d)),
     "decontamination_bloom" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlapBloom(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
@@ -801,6 +809,21 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS cum_uniques
         |FROM d""".stripMargin,
+    // both unique curves derive from one DISTINCT (week, day, user)
+    // set, mirroring the Spark lineage; date - date is integer days
+    "stickiness_weekly" ->
+      """WITH du AS (
+        |  SELECT DISTINCT (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week,
+        |         CAST(ts AS DATE) - DATE '2024-01-01' AS dayn, user_id
+        |  FROM events),
+        |d AS (SELECT week, dayn, count(*) AS dau FROM du GROUP BY 1, 2),
+        |wk AS (SELECT week, count(*) AS n_days, CAST(sum(dau) AS BIGINT) AS dau_sum
+        |       FROM d GROUP BY 1),
+        |wa AS (SELECT week, count(*) AS wau
+        |       FROM (SELECT DISTINCT week, user_id FROM du) GROUP BY 1)
+        |SELECT CAST(week AS BIGINT) AS week, n_days, dau_sum, wau,
+        |       CAST((1000000 * dau_sum) // (n_days * wau) AS BIGINT) AS stickiness_x1e6
+        |FROM wk JOIN wa USING (week)""".stripMargin,
     // the IGNORE NULLS carry-forward window is the same total order
     // as the Spark side: (epoch micros, event_id)
     "attribution_last_touch" ->
@@ -1121,6 +1144,22 @@ object SparkEntry {
         |       CAST((CAST(1000000 AS HUGEINT) * rank * n) // n1 AS BIGINT)
         |         AS c_norm_x1e6
         |FROM r""".stripMargin,
+    // lead() over the |distinct freqs|-row spectrum; 0 marks the
+    // empty-next-bin gap of the unsmoothed estimator
+    "token_freq_of_freqs" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY 1),
+        |sp AS (SELECT freq, count(*) AS n_types FROM tf GROUP BY 1),
+        |l AS (SELECT freq, n_types,
+        |        lead(n_types) OVER (ORDER BY freq) AS next_n,
+        |        lead(freq) OVER (ORDER BY freq) AS next_f
+        |      FROM sp)
+        |SELECT freq, n_types,
+        |  CAST(CASE WHEN next_f = freq + 1
+        |       THEN CAST((1000000::HUGEINT * (freq + 1) * next_n) // n_types AS BIGINT)
+        |       ELSE 0 END AS BIGINT) AS good_turing_x1e6
+        |FROM l""".stripMargin,
     // adjacent char pairs over the DISTINCT word table weighted by
     // word frequency — integer counts, lexicographic tie-break
     "bpe_pair_stats" ->
@@ -1906,6 +1945,26 @@ object SparkEntry {
          |SELECT source, quality_class, thr AS threshold, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN h <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
          |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // Hamilton apportionment: floor quotas + largest remainders; the
+    // budget·tokens product in HUGEINT, remainders < total fit BIGINT
+    "token_budget_allocation" ->
+      """WITH ps AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT source, n_tokens,
+        |        CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+        |        1000000::HUGEINT * n_tokens AS prod
+        |      FROM ps),
+        |r AS (SELECT source, n_tokens,
+        |        CAST(prod // total AS BIGINT) AS q,
+        |        CAST(prod - (prod // total) * total AS BIGINT) AS rem
+        |      FROM t),
+        |k AS (SELECT *, CAST(1000000 - sum(q) OVER () AS BIGINT) AS leftover,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM r)
+        |SELECT source, n_tokens,
+        |       CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM k""".stripMargin,
     "sample_weighted_mix" ->
       """WITH f AS (
         |  SELECT source,

@@ -1584,4 +1584,44 @@ object RelationalQueries {
         moneyFromCents(sum(col("vc"))).as("total_value"),
       )
   }
+
+  /** Weekly stickiness (avg-DAU / WAU): per 7-day window from the
+    * epoch anchor, the number of active days, summed daily uniques,
+    * weekly uniques, and their ratio ×10^6 — the product-health
+    * metric ("how many of this week's users show up on a given
+    * day"). Exact integers throughout: 10^6·ΣDAU wraps 64 bits only
+    * past ~10^13 user-days — beyond design scale.
+    *
+    * Scale shape: ONE distinct shuffle over (week, day, user) — the
+    * only corpus-sized exchange; daily and weekly uniques both derive
+    * from it (the weekly distinct re-shuffles the already-deduped
+    * frame, strictly smaller), and the final join runs on |weeks|
+    * rows.
+    */
+  def stickinessWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val du = t(spark, dir, "events")
+      .select(
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("dayn"),
+        col("user_id"),
+      )
+      .withColumn("week", expr("dayn div 7"))
+      .select("week", "dayn", "user_id")
+      .distinct()
+    val daily = du
+      .groupBy("week", "dayn")
+      .agg(count(lit(1)).as("dau"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+    val weekly =
+      du.select("week", "user_id").distinct().groupBy("week").agg(count(lit(1)).as("wau"))
+    daily
+      .join(weekly, "week")
+      .select(
+        col("week"),
+        col("n_days"),
+        col("dau_sum"),
+        col("wau"),
+        expr("(1000000 * dau_sum) div (n_days * wau)").as("stickiness_x1e6"),
+      )
+  }
 }

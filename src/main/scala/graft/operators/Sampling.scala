@@ -350,4 +350,46 @@ object Sampling {
         sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"),
       )
   }
+
+  /** Largest-remainder (Hamilton) apportionment of a fixed training
+    * token budget across sources, proportional to each source's
+    * token mass — the "how many tokens of each source go into this
+    * mixture" allocator. Every source gets floor(budget·tokens/total)
+    * outright; the leftover seats go to the largest fractional
+    * remainders (ties by source name), so the quotas sum EXACTLY to
+    * the budget — a property per-source independent rounding can't
+    * give.
+    *
+    * Determinism: all integer arithmetic. The budget·tokens product
+    * runs in DECIMAL(38,0)/HUGEINT (10^6·10^13 corpus tokens wraps 64
+    * bits); each remainder is < total, so it fits BIGINT again.
+    *
+    * Scale shape: one per-source combine shuffle over the corpus
+    * (token counts are map-side sums); everything after runs on the
+    * |sources|-row table via single-partition windows — fine because
+    * |sources| is bounded (thousands at most), never the corpus.
+    */
+  def tokenBudgetAllocation(
+      spark: SparkSession,
+      dir: String,
+      budget: Long = 1000000L,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val one = Window.partitionBy(lit(1))
+    docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(one))
+      .withColumn("prod", col("n_tokens").cast("decimal(38,0)") * lit(budget))
+      .withColumn("q", expr("CAST(prod div total AS BIGINT)"))
+      .withColumn("rem", expr("CAST(prod - CAST(q AS DECIMAL(38,0)) * total AS BIGINT)"))
+      .withColumn("leftover", lit(budget) - sum(col("q")).over(one))
+      .withColumn("rk", row_number().over(one.orderBy(col("rem").desc, col("source"))))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        (col("q") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"),
+      )
+  }
 }

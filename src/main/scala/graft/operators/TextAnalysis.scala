@@ -952,4 +952,45 @@ object TextAnalysis {
         ).as("lift_x1e6"),
       )
   }
+
+  /** Token frequency-of-frequencies (the Good–Turing count-of-counts
+    * table): for each raw corpus frequency r, how many distinct
+    * token types occur exactly r times, plus the Good–Turing
+    * adjusted count r* = (r+1)·N_{r+1}/N_r as a floor-scaled integer
+    * (0 where the r+1 bin is empty — the classic unsmoothed
+    * estimator's gap). The head of this table is what a tokenizer /
+    * corpus-health check reads: a healthy natural corpus has
+    * N_1 > N_2 > … ; templated or truncated corpora bend it.
+    *
+    * Determinism: the (r+1)·N_{r+1} product runs in DECIMAL(38,0)/
+    * HUGEINT — a stop-word's r at design scale (~10^11) times
+    * 10^6·N_{r+1} overflows 64 bits.
+    *
+    * Scale shape: one |vocab|-key combine shuffle (map-side partial
+    * counts), then a |distinct frequencies|-key combine — thousands
+    * of rows at any corpus size, so the ordered lead() window on a
+    * single partition is fine (and never sees the corpus).
+    */
+  def freqOfFreqs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .groupBy("freq")
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("next_n", lead(col("n_types"), 1).over(Window.orderBy(col("freq"))))
+      .withColumn("next_f", lead(col("freq"), 1).over(Window.orderBy(col("freq"))))
+      .select(
+        col("freq"),
+        col("n_types"),
+        when(
+          col("next_f") === col("freq") + 1L,
+          expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (freq + 1) * next_n) div n_types AS BIGINT)"
+          ),
+        ).otherwise(0L).as("good_turing_x1e6"),
+      )
+  }
 }
