@@ -31,6 +31,9 @@ object SparkEntry {
     // bilateral-trade and product-type-profit join shapes (Q7/Q9)
     "q7_volume_shipping" -> (RelationalQueries.q7VolumeShipping _),
     "q9_product_profit" -> (RelationalQueries.q9ProductProfit _),
+    // returned-item revenue per customer over a quarter, top 20
+    // (TakeOrderedAndProject; corpus sides unhinted for AQE)
+    "q10_returned_item" -> (RelationalQueries.q10ReturnedItem _),
     // Morton-tile locality spans vs the linear layout — the
     // measurement behind OPTIMIZE ... ZORDER BY
     "zorder_locality" -> (graft.operators.Bucketing.zorderLocality _),
@@ -92,6 +95,10 @@ object SparkEntry {
     // predicted-language mix per source vs the corpus-wide mix, as
     // exact scaled-integer shares and lift
     "lang_mix_drift" -> (TextAnalysis.langMixDrift _),
+    // per-lang Herfindahl + effective source count (monoculture check)
+    "source_concentration" -> (TextAnalysis.sourceConcentration _),
+    // per-source type-token ratio + inverse-Simpson effective vocab
+    "unigram_diversity" -> (TextAnalysis.unigramDiversity _),
     "vocab_top_tokens" -> ((s, d) => TextAnalysis.vocabTopTokens(s, d)),
     "lm_bigram" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
@@ -213,6 +220,9 @@ object SparkEntry {
     // asymmetric |A∩B|/min(|A|,|B|) over the same inverted index —
     // catches short-doc-inside-long-doc families Jaccard misses
     "dedup_containment" -> ((s, d) => Dedup.ngramContainmentPairs(s, d)),
+    // per-source duplicated-shingle fraction (with multiplicity) —
+    // the scan-level "does this source need pairwise dedup" audit
+    "dedup_shingle_mass" -> ((s, d) => Dedup.shingleDupMass(s, d)),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNgramJaccardPairs(s, d)),
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -373,6 +383,23 @@ object SparkEntry {
          |JOIN nation ON s_nationkey = n_nationkey
          |WHERE p_name LIKE '%bolt%'
          |GROUP BY 1, 2""".stripMargin,
+    // (revenue, c_custkey) is a unique total order, so the LIMIT 20
+    // is deterministic; acctbal goes through DECIMAL(12,2) exactly
+    // like the Spark side's dec2→cents→double discipline
+    "q10_returned_item" ->
+      s"""SELECT c_custkey, c_name,
+         |       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+         |       n_name, $revenue AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
     // bit-interleave replayed literally: disjoint bit positions sum
     // to the Morton code in both engines
     "zorder_locality" -> {
@@ -1368,6 +1395,31 @@ object SparkEntry {
          |SELECT lang, predicted, count(*) AS n FROM lidp GROUP BY lang, predicted""".stripMargin,
     // lift product in HUGEINT (oracle) / DECIMAL(38,0) (Spark): both
     // exact; the plain x1e6 shares stay inside BIGINT
+    // HHI and its inverse off one (lang, source) count table; squares
+    // and the 1e6-scaled ratios ride HUGEINT end to end
+    "source_concentration" ->
+      """WITH s AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+        |a AS (SELECT lang, count(*) AS n_sources, CAST(sum(c) AS BIGINT) AS n_docs,
+        |        sum(CAST(c AS HUGEINT) * c) AS sq
+        |      FROM s GROUP BY 1)
+        |SELECT lang, n_docs, n_sources,
+        |  CAST((1000000::HUGEINT * sq) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+        |    AS hhi_x1e6,
+        |  CAST((1000000::HUGEINT * n_docs * n_docs) // sq AS BIGINT) AS eff_sources_x1e6
+        |FROM a""".stripMargin,
+    // inverse Simpson over (source, token) counts — same exact
+    // integer pipeline as the Spark side
+    "unigram_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT source, token, count(*) AS c FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |a AS (SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        sum(CAST(c AS HUGEINT) * c) AS sq
+        |      FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  CAST((1000000::HUGEINT * n_types) // n_tokens AS BIGINT) AS ttr_x1e6,
+        |  CAST((1000000::HUGEINT * n_tokens * n_tokens) // sq AS BIGINT) AS eff_vocab_x1e6
+        |FROM a""".stripMargin,
     "lang_mix_drift" ->
       s"""WITH $langIdCtes,
          |cells AS (
@@ -1626,6 +1678,23 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
     // same inverted-index CTEs; only the score differs (exact
     // scaled-integer floor division, min set size in the denominator)
+    // shingles WITH multiplicity (no DISTINCT — unlike shingleCtes):
+    // total vs distinct per source gives the duplicated mass
+    "dedup_shingle_mass" ->
+      """WITH tok AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+        |g2 AS (SELECT source, shingle, count(*) AS c FROM sh GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_shingles,
+        |        count(*) AS n_distinct
+        |      FROM g2 GROUP BY 1)
+        |SELECT source, n_shingles, n_distinct,
+        |  CAST((1000000::HUGEINT * (n_shingles - n_distinct)) // n_shingles AS BIGINT)
+        |    AS dup_frac_x1e6
+        |FROM a""".stripMargin,
     "dedup_containment" ->
       s"""WITH $shingleCtes,
          |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -823,4 +823,46 @@ object Dedup {
         (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"),
       )
   }
+
+  /** Per-source duplicate shingle mass: total 3-word-shingle
+    * occurrences (WITH multiplicity — unlike [[shingles]], repeats
+    * count), distinct shingles, and the duplicated fraction — the
+    * corpus-level "how much of this source is repeated text" audit
+    * that decides whether a source needs pairwise dedup at all, and
+    * the calibration target the MinHash family's recall is judged
+    * against. The 10^6-scaled fraction rides DECIMAL(38,0)/HUGEINT
+    * (10^6 × a 10^13-shingle source wraps 64 bits).
+    *
+    * Scale shape: the shingle expansion is map-side (let-bound
+    * sequence transform, no array materialized per row beyond the
+    * token count); ONE (source, shingle) combine shuffle with
+    * map-side partial counts carries the corpus; the per-source
+    * reduction is tiny.
+    */
+  def shingleDupMass(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = bindArray(toks) { ts =>
+      when(
+        size(ts) >= k,
+        transform(
+          sequence(lit(0), size(ts) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*),
+        ),
+      ).otherwise(array().cast("array<string>"))
+    }
+    docs(spark, dir)
+      .select(col("source"), explode(sh).as("shingle"))
+      .groupBy("source", "shingle")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_shingles"), count(lit(1)).as("n_distinct"))
+      .select(
+        col("source"),
+        col("n_shingles"),
+        col("n_distinct"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_shingles - n_distinct)) div n_shingles AS BIGINT)"
+        ).as("dup_frac_x1e6"),
+      )
+  }
 }

@@ -1624,4 +1624,42 @@ object RelationalQueries {
         expr("(1000000 * dau_sum) div (n_days * wau)").as("stickiness_x1e6"),
       )
   }
+
+  /** TPC-H Q10-style returned-item report: revenue lost to returns
+    * per customer over one quarter, top 20. The returnflag and date
+    * predicates both push to their parquet scans before any join.
+    *
+    * Broadcast discipline: customer and the filtered orders/lineitem
+    * sides all scale with the corpus — no static hints; AQE makes the
+    * size-based call (the quarter-filtered orders side often DOES fit
+    * at runtime — that is AQE's measurement to make, not a compile
+    * -time pin). Only the 25-row fixed-domain nation keeps its hint.
+    * Top-20 plans as TakeOrderedAndProject: each partition keeps 20
+    * candidates, no global sort. Exact decimal money via scaled-long
+    * cents; (revenue, c_custkey) is a unique total order.
+    */
+  def q10ReturnedItem(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-10-01") && col("o_orderdate") < lit("1996-01-01"))
+    val li = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(
+        moneyFromScaled(
+          sumScaled(cents(col("l_extendedprice")) * hundredths(lit(1) - col("l_discount"))),
+          100L,
+        ).as("revenue")
+      )
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        moneyFromCents(cents(col("c_acctbal"))).as("acctbal"),
+        col("n_name"),
+        col("revenue"),
+      )
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
 }

@@ -993,4 +993,78 @@ object TextAnalysis {
         ).otherwise(0L).as("good_turing_x1e6"),
       )
   }
+
+  /** Per-language source-concentration profile: the Herfindahl index
+    * Σ(share²) of documents across sources, and its inverse — the
+    * "effective number of sources" — both as floor-scaled integers.
+    * This is the mixture-health check behind a training corpus: a
+    * language whose effective source count collapses toward 1 is a
+    * single-crawl monoculture no matter how many nominal sources it
+    * lists. All arithmetic is exact: counts, their squares in
+    * DECIMAL(38,0)/HUGEINT (a 10^12-doc source squares past 64
+    * bits), and integer floor division at the end.
+    *
+    * Scale shape: one (lang, source) combine shuffle with map-side
+    * partial counts — the only corpus-sized exchange; the per-lang
+    * reduction runs on |langs|·|sources| rows, bounded far below the
+    * corpus.
+    */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("c")).as("n_docs"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sq"),
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_sources"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * sq) div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+        ).as("hhi_x1e6"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs * n_docs) div sq AS BIGINT)"
+        ).as("eff_sources_x1e6"),
+      )
+
+  /** Per-source unigram diversity: type-token ratio and the inverse
+    * Simpson index of the token distribution ("effective vocabulary
+    * size" — how many equally-likely tokens would produce the same
+    * repeat probability). Near-duplicate-heavy or templated sources
+    * show an effective vocabulary far below their nominal type count;
+    * this is the cheap scan-level screen that runs before any
+    * pairwise dedup. Exact integers throughout: Σc² rides
+    * DECIMAL(38,0)/HUGEINT (a stop-word count at design scale
+    * squares past 64 bits).
+    *
+    * Scale shape: one (source, token) combine shuffle with map-side
+    * partial counts over the exploded index — only (source, token,
+    * count) rows shuffle, never the text; the per-source reduction
+    * is |sources|·|vocab|-bounded.
+    */
+  def unigramDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sq"),
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_types"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_types) div n_tokens AS BIGINT)")
+          .as("ttr_x1e6"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens * n_tokens) div sq AS BIGINT)")
+          .as("eff_vocab_x1e6"),
+      )
 }
