@@ -153,6 +153,9 @@ object SparkEntry {
     "daily_uniques_running" -> (RelationalQueries.dailyUniquesRunning _),
     // weekly avg-DAU/WAU ratio off one (week, day, user) distinct
     "stickiness_weekly" -> (RelationalQueries.stickinessWeekly _),
+    // per-day peak concurrent sessions via a day-partitioned boundary
+    // sweep + |days|-row carry (two-level prefix sum, no global sort)
+    "concurrency_peaks" -> (RelationalQueries.concurrencyPeaks _),
     // time-proximity dedup: same-key bursts within 10 min collapse
     // to their first event (gaps-and-islands, one exchange)
     "debounce_events" -> ((s, d) => RelationalQueries.debounceEvents(s, d)),
@@ -236,6 +239,8 @@ object SparkEntry {
     // per-source cosine between interleaved snapshot-half centroids
     // (embeddings ⋈ documents on the shared id domain)
     "source_snapshot_drift" -> (Similarity.sourceSnapshotDrift _),
+    // per-dimension quantized moments (whitening / dead-dim table)
+    "embedding_dim_stats" -> (Similarity.embeddingDimStats _),
     "sample_per_source_cap" -> ((s, d) => graft.operators.Sampling.perSourceCap(s, d)),
     "pack_sequences" -> ((s, d) => graft.operators.Packing.packSequences(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
@@ -851,6 +856,33 @@ object SparkEntry {
         |SELECT CAST(week AS BIGINT) AS week, n_days, dau_sum, wau,
         |       CAST((1000000 * dau_sum) // (n_days * wau) AS BIGINT) AS stickiness_x1e6
         |FROM wk JOIN wa USING (week)""".stripMargin,
+    // same session islands as user_sessions; the boundary sweep rides
+    // the identical (us, delta DESC, user_id) unique order, and the
+    // carry CTE mirrors the Spark side's |days|-row cumulative
+    "concurrency_peaks" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 3600000000 THEN 1 ELSE 0 END AS news FROM l),
+        |g AS (SELECT *, CAST(sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m),
+        |s AS (SELECT user_id, min(us) AS start_us, max(us) AS end_us FROM g GROUP BY user_id, sid),
+        |b AS (SELECT user_id, start_us AS us, CAST(1 AS BIGINT) AS delta FROM s
+        |      UNION ALL
+        |      SELECT user_id, end_us AS us, CAST(-1 AS BIGINT) AS delta FROM s),
+        |d AS (SELECT *, us // 86400000000 AS dayn FROM b),
+        |rs AS (SELECT *, sum(delta) OVER (PARTITION BY dayn
+        |         ORDER BY us, delta DESC, user_id ROWS UNBOUNDED PRECEDING) AS rs
+        |       FROM d),
+        |p AS (SELECT dayn,
+        |        CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |        CAST(max(rs) AS BIGINT) AS local_peak,
+        |        CAST(sum(delta) AS BIGINT) AS tot
+        |      FROM rs GROUP BY 1),
+        |c AS (SELECT *, coalesce(sum(tot) OVER (ORDER BY dayn
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+        |      FROM p)
+        |SELECT dayn, n_starts, CAST(carry + local_peak AS BIGINT) AS peak_concurrency
+        |FROM c""".stripMargin,
     // the IGNORE NULLS carry-forward window is the same total order
     // as the Spark side: (epoch micros, event_id)
     "attribution_last_touch" ->
@@ -1882,6 +1914,18 @@ object SparkEntry {
          |       ${dotSql("v", "gvec")} / (${normSql("v")} * ${normSql("gvec")})
          |         AS cos_to_global
          |FROM lv, gv""".stripMargin,
+    // same floor-quantization rule as centroid drift; Σq stays raw
+    // (negatives — integer division is not portable there), Σq²/n is
+    // positive so the floor quotient matches Spark's div
+    "embedding_dim_stats" ->
+      """WITH e AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g)
+        |SELECT dim, count(*) AS n_vecs, CAST(sum(q) AS BIGINT) AS sum_q,
+        |       CAST(sum(CAST(q AS HUGEINT) * q) // count(*) AS BIGINT) AS meansq_q
+        |FROM e GROUP BY dim""".stripMargin,
     // interleaved snapshot halves per source, same integer-sum-vector
     // cosine rule; embeddings join documents on the shared id
     "source_snapshot_drift" ->

@@ -1662,4 +1662,61 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
+
+  /** Peak concurrent sessions per day — the capacity-planning gauge
+    * ("how many users were on at once"). Sessions are the same
+    * 1-hour-gap islands as [[userSessions]]; each contributes a +1
+    * boundary at its start and a −1 at its end (inclusive-touch
+    * convention: at an equal instant, starts order before ends, so a
+    * session ending exactly when another starts counts as an
+    * overlap). Peak(day) = carry-in from all earlier days + the max
+    * running boundary sum within the day.
+    *
+    * Determinism: the running sum rides the unique total order
+    * (us, delta DESC, user_id) — a user's own start/end at the same
+    * instant differ in delta, and distinct same-instant users differ
+    * in user_id.
+    *
+    * Scale shape: a textbook two-level prefix sum. The corpus-sized
+    * sweep is PARTITIONED by day (the classic interval-stabbing
+    * running sum would be one global-order window — a single-reducer
+    * sort at 100 TB); the cross-day dependency collapses into a
+    * |days|-row cumulative of per-day boundary totals, where a
+    * single-partition window is free. One per-user session window +
+    * one per-day window + the tiny carry join.
+    */
+  def concurrencyPeaks(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+    val sessions = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("__us"))
+      .withColumn("__prev", lag("__us", 1).over(w))
+      .withColumn(
+        "__new_session",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1).otherwise(0),
+      )
+      .withColumn("__sid", sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "__sid")
+      .agg(min("__us").as("start_us"), max("__us").as("end_us"))
+    val bounds = sessions
+      .select(col("user_id"), col("start_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("user_id"), col("end_us").as("us"), lit(-1L).as("delta")))
+      .withColumn("dayn", expr("us div 86400000000"))
+    val wDay = Window.partitionBy("dayn").orderBy(col("us"), col("delta").desc, col("user_id"))
+    val wCarry = Window.orderBy(col("dayn")).rowsBetween(Window.unboundedPreceding, -1)
+    bounds
+      .withColumn("rs", sum(col("delta")).over(wDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("dayn")
+      .agg(
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        max(col("rs")).as("__local_peak"),
+        sum(col("delta")).as("__tot"),
+      )
+      .withColumn("__carry", coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
+      .select(
+        col("dayn"),
+        col("n_starts"),
+        (col("__carry") + col("__local_peak")).as("peak_concurrency"),
+      )
+  }
 }

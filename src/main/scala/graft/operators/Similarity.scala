@@ -349,4 +349,37 @@ object Similarity {
       )
       .select(col("source"), col("n_a"), col("n_b"), cosineFold(col("va"), col("vb")).as("cos_halves"))
   }
+
+  /** Per-dimension embedding moments — the whitening/normalization
+    * table an ANN index build reads (dimension means for centering,
+    * second moments for scaling, dead-dimension detection). Exact
+    * integers only: each coordinate floor-quantizes to q = ⌊10^6·x⌋
+    * (the [[centroidDrift]] rule), and we emit Σq (can be negative —
+    * emitted raw, never floor-divided, because integer division
+    * conventions differ across engines on negatives) and ⌊Σq²/n⌋
+    * (numerator positive, so floor division is portable). Σq² rides
+    * DECIMAL(38,0)/HUGEINT — 10^12 per coordinate times a 10^12-row
+    * corpus is far past 64 bits; the per-n quotient fits BIGINT
+    * again.
+    *
+    * Scale shape: posexplode is map-side; ONE (dim,)-keyed combine
+    * shuffle with map-side partial sums — |dims| final rows. The
+    * n·d exploded rows never carry the vector, just (dim, q).
+    */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame =
+    embPlain(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), floor(col("x").cast("double") * 1000000.0).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("__ssq"),
+      )
+      .select(
+        col("dim"),
+        col("n_vecs"),
+        col("sum_q"),
+        expr("CAST(__ssq div n_vecs AS BIGINT)").as("meansq_q"),
+      )
 }
