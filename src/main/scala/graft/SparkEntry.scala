@@ -99,6 +99,10 @@ object SparkEntry {
     "source_concentration" -> (TextAnalysis.sourceConcentration _),
     // per-source type-token ratio + inverse-Simpson effective vocab
     "unigram_diversity" -> (TextAnalysis.unigramDiversity _),
+    // per-lang top-10 tokens (WindowGroupLimit, not a global sort)
+    "lang_top_tokens" -> ((s, d) => TextAnalysis.langTopTokens(s, d)),
+    // pairwise vocabulary Jaccard between languages (bounded lists)
+    "lang_vocab_overlap" -> (TextAnalysis.langVocabOverlap _),
     "vocab_top_tokens" -> ((s, d) => TextAnalysis.vocabTopTokens(s, d)),
     "lm_bigram" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
@@ -226,6 +230,8 @@ object SparkEntry {
     // per-source duplicated-shingle fraction (with multiplicity) —
     // the scan-level "does this source need pairwise dedup" audit
     "dedup_shingle_mass" -> ((s, d) => Dedup.shingleDupMass(s, d)),
+    // shared 5-token-prefix families (boilerplate-header detector)
+    "dedup_prefix_families" -> ((s, d) => Dedup.prefixFamilies(s, d)),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNgramJaccardPairs(s, d)),
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -1452,6 +1458,33 @@ object SparkEntry {
         |  CAST((1000000::HUGEINT * n_types) // n_tokens AS BIGINT) AS ttr_x1e6,
         |  CAST((1000000::HUGEINT * n_tokens * n_tokens) // sq AS BIGINT) AS eff_vocab_x1e6
         |FROM a""".stripMargin,
+    // row_number() is BIGINT in DuckDB → INT to match Spark's rank
+    "lang_top_tokens" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT lang, token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, token, cnt,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS INT) AS rk
+        |      FROM tf)
+        |SELECT lang, rk, token, cnt FROM r WHERE rk <= 10""".stripMargin,
+    // the join formulation of the bounded-list pair expansion; the
+    // final jaccard is one double division of identical integers
+    "lang_vocab_overlap" ->
+      """WITH lt AS (
+        |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |lt2 AS (SELECT lang, token FROM lt WHERE token <> ''),
+        |ns AS (SELECT lang, count(*) AS n FROM lt2 GROUP BY 1),
+        |comm AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_common
+        |  FROM lt2 a JOIN lt2 b ON a.token = b.token AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT c.lang_a, c.lang_b, c.n_common,
+        |       na.n + nb.n - c.n_common AS n_union,
+        |       CAST(c.n_common AS DOUBLE) / (na.n + nb.n - c.n_common) AS jaccard
+        |FROM comm c
+        |JOIN ns na ON na.lang = c.lang_a
+        |JOIN ns nb ON nb.lang = c.lang_b""".stripMargin,
     "lang_mix_drift" ->
       s"""WITH $langIdCtes,
          |cells AS (
@@ -1710,6 +1743,18 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
     // same inverted-index CTEs; only the score differs (exact
     // scaled-integer floor division, min set size in the denominator)
+    // family sizes via the same one-pass count window; list slice
+    // ts[1:5] caps at the list end exactly like Spark's slice
+    "dedup_prefix_families" ->
+      """WITH p AS (
+        |  SELECT source, array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+        |  FROM documents),
+        |f AS (SELECT source, prefix, count(*) OVER (PARTITION BY prefix) AS fam FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN fam >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_family,
+        |  CAST(count(DISTINCT CASE WHEN fam >= 2 THEN prefix END) AS BIGINT) AS n_families,
+        |  CAST(max(CASE WHEN fam >= 2 THEN fam ELSE 0 END) AS BIGINT) AS max_family
+        |FROM f GROUP BY 1""".stripMargin,
     // shingles WITH multiplicity (no DISTINCT — unlike shingleCtes):
     // total vs distinct per source gives the duplicated mass
     "dedup_shingle_mass" ->

@@ -865,4 +865,36 @@ object Dedup {
         ).as("dup_frac_x1e6"),
       )
   }
+
+  /** Shared-prefix families: documents opening with the SAME first
+    * five tokens — the boilerplate-header / template detector (crawl
+    * corpora are full of "terms of service" and scraper-injected
+    * preambles that full-document MinHash misses when bodies
+    * diverge). Per source: docs total, docs whose prefix is shared
+    * corpus-wide by ≥2 documents, distinct such prefix families
+    * touching the source, and the largest family size seen.
+    *
+    * Scale shape: the prefix is a map-side projection (first k
+    * tokens only — the text never shuffles); family sizes come from
+    * ONE count window partitioned by prefix (a join formulation
+    * would shuffle the same key twice); the per-source rollup's
+    * count(DISTINCT prefix) expands only rows already known to be in
+    * a family.
+    */
+  def prefixFamilies(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, dir)
+      .select(
+        col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, k)).as("prefix"),
+      )
+      .withColumn("fam", count(lit(1)).over(Window.partitionBy("prefix")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("fam") >= 2, 1L).otherwise(0L)).as("n_in_family"),
+        countDistinct(when(col("fam") >= 2, col("prefix"))).as("n_families"),
+        max(when(col("fam") >= 2, col("fam")).otherwise(0L)).as("max_family"),
+      )
+  }
 }

@@ -1067,4 +1067,78 @@ object TextAnalysis {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens * n_tokens) div sq AS BIGINT)")
           .as("eff_vocab_x1e6"),
       )
+
+  /** Top-10 tokens PER LANGUAGE by frequency (ties lexicographic) —
+    * the per-group heavy-hitter view behind stop-word lists and
+    * per-language tokenizer seeds. Unlike the global
+    * [[vocabTopTokens]] (TakeOrderedAndProject), the per-group top-k
+    * plans as WindowGroupLimit: each partition keeps ≤10 candidates
+    * per lang BEFORE the rank exchange, so the window never sorts a
+    * full group — the grouped analogue of top-k pushdown.
+    *
+    * Scale shape: one (lang, token) combine shuffle with map-side
+    * partials, then the group-limited rank window over |langs|·|vocab|
+    * count rows — the text never shuffles.
+    */
+  def langTopTokens(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    docs(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("token"), col("cnt"))
+  }
+
+  /** Pairwise vocabulary Jaccard between languages — how much the
+    * language partitions' token inventories actually overlap (high
+    * overlap between two predicted languages means the language-ID
+    * boundary is porous there; it is also the cross-lingual
+    * contamination gauge for a "monolingual" corpus slice). Same
+    * sorted-list pair expansion as the source overlap matrix: the
+    * per-token language list is |langs|-bounded, so the expansion is
+    * O(|langs|²) per token, never a self-join of the corpus.
+    *
+    * Scale shape: one distinct (lang, token) shuffle, one per-token
+    * combine producing the bounded lang lists, and a |langs|²-row
+    * tail. The final division is one double op on identical exact
+    * integers in both engines.
+    */
+  def langVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lt = docs(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val ns = lt.groupBy("lang").agg(count(lit(1)).as("n"))
+    val pairs = lt
+      .groupBy("token")
+      .agg(sort_array(collect_set(col("lang"))).as("ls"))
+      .filter(size(col("ls")) >= 2)
+      .select(
+        explode(graft.functions.Let.bindArray(col("ls")) { a =>
+          flatten(
+            transform(
+              a,
+              (x, i) => transform(slice(a, i + 2, size(a)), y => struct(x.as("a"), y.as("b"))),
+            )
+          )
+        }).as("p"),
+      )
+      .groupBy(col("p.a").as("lang_a"), col("p.b").as("lang_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(ns.select(col("lang").as("lang_a"), col("n").as("na")), Seq("lang_a"))
+      .join(ns.select(col("lang").as("lang_b"), col("n").as("nb")), Seq("lang_b"))
+      .select(
+        col("lang_a"),
+        col("lang_b"),
+        col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+          .as("jaccard"),
+      )
+  }
 }

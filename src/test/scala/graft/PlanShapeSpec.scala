@@ -99,6 +99,46 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("per-lang top-k is WindowGroupLimit (per-partition candidate pruning before the rank)") {
+    val df = graft.operators.TextAnalysis.langTopTokens(spark, sf)
+    val plan = collectPlan(df)
+    assert(
+      plan.exists(_.getClass.getSimpleName.startsWith("WindowGroupLimit")),
+      "grouped top-k must prune to <=k candidates per (partition, lang) before the rank exchange",
+    )
+  }
+
+  test("concurrency peaks: the corpus-sized sweep is day-partitioned, not a global-order window") {
+    // the two-level prefix sum's claim: every corpus-sized WindowExec
+    // is partitioned (per-user sessionize, per-day sweep); the only
+    // unpartitioned window (the cross-day carry) runs AFTER the
+    // per-day aggregate, so its input is |days| rows
+    val df = graft.operators.RelationalQueries.concurrencyPeaks(spark, sf)
+    def walkWithChildren(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walkWithChildren(a.executedPlan)
+      case other => other +: other.children.flatMap(walkWithChildren)
+    }
+    val plan = walkWithChildren(df.queryExecution.executedPlan)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(
+      unpartitioned.size == 1,
+      "exactly one unpartitioned window (the |days|-row carry) is allowed",
+    )
+    // the carry window must sit above the per-day aggregate: its
+    // subtree contains a HashAggregate, so it never sees raw bounds
+    assert(
+      unpartitioned.head.collectLeaves().nonEmpty &&
+        walkWithChildren(unpartitioned.head).exists(
+          _.getClass.getSimpleName.contains("HashAggregate")
+        ),
+      "the unpartitioned carry window must consume the per-day aggregate, not corpus rows",
+    )
+  }
+
   test("tf-idf scans the corpus text once and shuffles only index rows") {
     // df must derive from the tf table (count window), not a second
     // aggregate over the raw corpus — the latter re-expands the tf
