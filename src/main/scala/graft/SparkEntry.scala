@@ -160,6 +160,8 @@ object SparkEntry {
     // per-day peak concurrent sessions via a day-partitioned boundary
     // sweep + |days|-row carry (two-level prefix sum, no global sort)
     "concurrency_peaks" -> (RelationalQueries.concurrencyPeaks _),
+    // robust (median/MAD) outlier census — exact rank-math medians
+    "mad_outliers" -> (RelationalQueries.madOutliers _),
     // time-proximity dedup: same-key bursts within 10 min collapse
     // to their first event (gaps-and-islands, one exchange)
     "debounce_events" -> ((s, d) => RelationalQueries.debounceEvents(s, d)),
@@ -232,6 +234,8 @@ object SparkEntry {
     "dedup_shingle_mass" -> ((s, d) => Dedup.shingleDupMass(s, d)),
     // shared 5-token-prefix families (boilerplate-header detector)
     "dedup_prefix_families" -> ((s, d) => Dedup.prefixFamilies(s, d)),
+    // cumulative content-novelty per ingest-order bucket
+    "dedup_yield_curve" -> ((s, d) => Dedup.dedupYieldCurve(s, d)),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNgramJaccardPairs(s, d)),
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -862,6 +866,31 @@ object SparkEntry {
         |SELECT CAST(week AS BIGINT) AS week, n_days, dau_sum, wau,
         |       CAST((1000000 * dau_sum) // (n_days * wau) AS BIGINT) AS stickiness_x1e6
         |FROM wk JOIN wa USING (week)""".stripMargin,
+    // both medians replay the percentile_disc rank rule on integer
+    // cents with the (value, event_id) unique order; money via the
+    // standard cents→double discipline
+    "mad_outliers" ->
+      """WITH ty AS (
+        |  SELECT event_type, event_id,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n FROM ty),
+        |med AS (SELECT event_type, max(CASE WHEN rk = ((n - 1) * 50) // 100 + 1 THEN vc END) AS med_c
+        |        FROM r1 GROUP BY 1),
+        |dv AS (SELECT ty.event_type, ty.event_id, ty.vc, med.med_c,
+        |         abs(ty.vc - med.med_c) AS dev
+        |       FROM ty JOIN med USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n FROM dv),
+        |mad AS (SELECT event_type, max(CASE WHEN rk = ((n - 1) * 50) // 100 + 1 THEN dev END) AS mad_c
+        |        FROM r2 GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_events,
+        |       CAST(max(d.med_c) AS DOUBLE) / 100.0 AS median_value,
+        |       CAST(max(m.mad_c) AS DOUBLE) / 100.0 AS mad_value,
+        |       CAST(sum(CASE WHEN d.dev > 3 * m.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dv d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY 1""".stripMargin,
     // same session islands as user_sessions; the boundary sweep rides
     // the identical (us, delta DESC, user_id) unique order, and the
     // carry CTE mirrors the Spark side's |days|-row cumulative
@@ -1743,6 +1772,21 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
     // same inverted-index CTEs; only the score differs (exact
     // scaled-integer floor division, min set size in the denominator)
+    // first-occurrence via the same min-over-hash window; cumulative
+    // sums run on the |buckets|-row frame
+    "dedup_yield_curve" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |f AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS first_id FROM d),
+        |b AS (SELECT doc_id // 1000 AS bucket, count(*) AS n_docs,
+        |        CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |      FROM f GROUP BY 1),
+        |c AS (SELECT *,
+        |        CAST(sum(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        |        CAST(sum(n_novel) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_novel
+        |      FROM b)
+        |SELECT bucket, n_docs, n_novel, cum_docs, cum_novel,
+        |       CAST((1000000::HUGEINT * cum_novel) // cum_docs AS BIGINT) AS novelty_x1e6
+        |FROM c""".stripMargin,
     // family sizes via the same one-pass count window; list slice
     // ts[1:5] caps at the list end exactly like Spark's slice
     "dedup_prefix_families" ->

@@ -897,4 +897,48 @@ object Dedup {
         max(when(col("fam") >= 2, col("fam")).otherwise(0L)).as("max_family"),
       )
   }
+
+  /** Dedup yield curve: walking the corpus in ingest order (doc_id),
+    * per 1000-doc bucket, how many documents are content-novel
+    * (first exact occurrence of their md5) vs repeats, with the
+    * cumulative novelty rate — the "is this crawl still paying"
+    * curve that decides when continued ingestion of a source stops
+    * being worth the compute. The 10^6-scaled cumulative ratio rides
+    * DECIMAL(38,0)/HUGEINT (10^6 × a 10^13-doc corpus wraps 64
+    * bits).
+    *
+    * Scale shape: ONE corpus scan; first-occurrence is a min window
+    * partitioned by content hash (same exchange a groupBy would pay,
+    * but keeps the per-doc row for bucketing without a join back);
+    * then a |buckets|-key combine and the tiny cumulative window
+    * over |buckets| rows.
+    */
+  def dedupYieldCurve(spark: SparkSession, dir: String, bucket: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .groupBy(expr(s"doc_id div $bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"),
+      )
+      .withColumn(
+        "cum_docs",
+        sum(col("n_docs")).over(Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)),
+      )
+      .withColumn(
+        "cum_novel",
+        sum(col("n_novel")).over(Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)),
+      )
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        col("n_novel"),
+        col("cum_docs"),
+        col("cum_novel"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_novel) div cum_docs AS BIGINT)")
+          .as("novelty_x1e6"),
+      )
+  }
 }

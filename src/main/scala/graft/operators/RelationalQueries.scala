@@ -1719,4 +1719,45 @@ object RelationalQueries {
         (col("__carry") + col("__local_peak")).as("peak_concurrency"),
       )
   }
+
+  /** Median-absolute-deviation outlier census per event type — the
+    * robust twin of [[zscoreOutliers]] (a handful of extreme values
+    * drags μ and σ toward themselves, so the z-score screen under-
+    * counts exactly when it matters; the median and MAD don't move).
+    * Both medians use the exact `percentile_disc` rank rule of
+    * [[TextAnalysis.lengthPercentiles]] on integer cents, so every
+    * compared quantity is exact — flags dev > 3·MAD in integers.
+    *
+    * Scale shape: two rank windows partitioned by event_type over
+    * integer cents (range-partitionable group sorts — the production
+    * path at 100 TB swaps in the GK sketch, validated against this
+    * exact twin), each reduced to a |types|-row frame that joins back
+    * WITHOUT a static hint: AQE broadcasts the measured handful of
+    * rows (same de-pin rule as the turnout family).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    def p50(frame: DataFrame, v: String, out: String): DataFrame = {
+      val wOrd = Window.partitionBy("event_type").orderBy(col(v), col("event_id"))
+      frame
+        .withColumn("__rk", row_number().over(wOrd).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .groupBy("event_type")
+        .agg(max(when(col("__rk") === expr("((__n - 1) * 50) div 100") + 1, col(v))).as(out))
+    }
+    val typed = t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+    val dev = typed
+      .join(p50(typed, "vc", "med_c"), "event_type")
+      .withColumn("dev", abs(col("vc") - col("med_c")))
+    dev
+      .join(p50(dev, "dev", "mad_c"), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneyFromCents(max(col("med_c"))).as("median_value"),
+        moneyFromCents(max(col("mad_c"))).as("mad_value"),
+        sum(when(col("dev") > lit(3L) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"),
+      )
+  }
 }
