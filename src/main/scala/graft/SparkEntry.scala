@@ -219,6 +219,8 @@ object SparkEntry {
     // bounded-round seeded label spreading (hop distance + nearest
     // seed), distinct from the CC fixpoint
     "graph_label_prop" -> ((s, d) => graft.operators.GraphOps.labelPropagation(s, d)),
+    // fixed-round 2-core peeling census on the shared pair graph
+    "graph_kcore" -> ((s, d) => graft.operators.GraphOps.kCorePeeling(s, d)),
     // whole-cluster train/val/test assignment: a near-dup family
     // never straddles a split
     "sample_leakage_free" -> (graft.operators.Sampling.leakageFreeSplits _),
@@ -1635,6 +1637,29 @@ object SparkEntry {
          |FROM cc JOIN sz USING (cluster_id)""".stripMargin,
     // 3 chained frontier rounds over the pair graph; (dist, seed)
     // packed as dist·10^12 + seed so min() is the lexicographic min
+    // three peel rounds as chained CTEs; n_nodes counts the degree
+    // survivors of each round, n_edges the pairs with both ends kept
+    "graph_kcore" ->
+      s"""WITH $minhashPairCtes,
+         |e0 AS (SELECT doc_a, doc_b FROM lshpairs),
+         |s0 AS (SELECT doc_a AS a FROM e0 UNION ALL SELECT doc_b FROM e0),
+         |k1 AS (SELECT a FROM s0 GROUP BY a HAVING count(*) >= 2),
+         |e1 AS (SELECT doc_a, doc_b FROM e0
+         |       WHERE doc_a IN (SELECT a FROM k1) AND doc_b IN (SELECT a FROM k1)),
+         |s1 AS (SELECT doc_a AS a FROM e1 UNION ALL SELECT doc_b FROM e1),
+         |k2 AS (SELECT a FROM s1 GROUP BY a HAVING count(*) >= 2),
+         |e2 AS (SELECT doc_a, doc_b FROM e1
+         |       WHERE doc_a IN (SELECT a FROM k2) AND doc_b IN (SELECT a FROM k2)),
+         |s2 AS (SELECT doc_a AS a FROM e2 UNION ALL SELECT doc_b FROM e2),
+         |k3 AS (SELECT a FROM s2 GROUP BY a HAVING count(*) >= 2),
+         |e3 AS (SELECT doc_a, doc_b FROM e2
+         |       WHERE doc_a IN (SELECT a FROM k3) AND doc_b IN (SELECT a FROM k3))
+         |SELECT 1 AS round, (SELECT count(*) FROM k1) AS n_nodes,
+         |       (SELECT count(*) FROM e1) AS n_edges
+         |UNION ALL
+         |SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+         |UNION ALL
+         |SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)""".stripMargin,
     "graph_label_prop" ->
       s"""WITH $minhashPairCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs

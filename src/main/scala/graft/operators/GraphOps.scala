@@ -156,4 +156,41 @@ object GraphOps {
       pmod(col("enc"), lit(1000000000000L)).as("seed_id"),
     )
   }
+
+  /** Fixed-round k-core peeling census (k=2): per round, the nodes
+    * still meeting the degree bar and the edges both of whose
+    * endpoints survive — the standard "strip the hair off the dup
+    * graph" step that separates incidental pairings from dense
+    * template families before expensive clustering. BOUNDED rounds
+    * like [[labelPropagation]], not an open-ended fixpoint: the
+    * census row per round IS the convergence diagnostic (node count
+    * stops moving when the core stabilizes).
+    *
+    * Scale shape: per round one degree aggregation over the pair
+    * graph + two semi-joins against the |kept|-row node set (AQE
+    * broadcasts it while it fits) — everything on the pair graph,
+    * never the corpus; the memoized pair artifact is paid once per
+    * session across the dedup/graph family. Output is |rounds| rows
+    * of global aggregates.
+    */
+  def kCorePeeling(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3): DataFrame = {
+    var e = Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")
+    val census = (1 to rounds).map { r =>
+      val sym = e.union(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val keep = sym
+        .groupBy("doc_a")
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select("doc_a")
+      e = e
+        .join(keep, Seq("doc_a"), "left_semi")
+        .join(keep.select(col("doc_a").as("doc_b")), Seq("doc_b"), "left_semi")
+        .select("doc_a", "doc_b")
+      keep
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    census.reduce(_.unionAll(_))
+  }
 }
