@@ -103,6 +103,9 @@ object SparkEntry {
     "lang_top_tokens" -> ((s, d) => TextAnalysis.langTopTokens(s, d)),
     // pairwise vocabulary Jaccard between languages (bounded lists)
     "lang_vocab_overlap" -> (TextAnalysis.langVocabOverlap _),
+    // robust (median/MAD) token-length census per PREDICTED language
+    // — grouped twin of mad_outliers over the classifier's output
+    "lang_robust_stats" -> (TextAnalysis.langRobustStats _),
     "vocab_top_tokens" -> ((s, d) => TextAnalysis.vocabTopTokens(s, d)),
     "lm_bigram" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
@@ -205,9 +208,19 @@ object SparkEntry {
     // the sink path), expanded with the shared batch reducer — same
     // oracle as the batch itemset gate
     "stream_itemset_pairs" -> (StreamingQueries.itemsetPairsStream _),
+    // live hourly-active-users gauge: in-stream (user, hour) dedup
+    // appended to the sink, stateless per-hour count on the landed
+    // first-sightings (streaming COUNT DISTINCT, the two-stage way)
+    "stream_active_users" -> (StreamingQueries.activeUsersStream _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
+    // sketch-quality audit: signature agreement vs bucketed true
+    // Jaccard over the verified pairs ("is 12 hashes enough")
+    "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    // are the low-quality docs also the duplicated ones? fixed-bin
+    // stopword-score buckets × exact-dup fraction
+    "quality_dup_calibration" -> (Dedup.qualityDupCalibration _),
     "dedup_degree_stats" -> (Dedup.degreeHistogram _),
     "source_overlap" -> ((s, d) => Dedup.sourceShingleOverlap(s, d)),
     "dedup_clusters" -> (Dedup.nearDupClusters _),
@@ -238,6 +251,9 @@ object SparkEntry {
     "dedup_prefix_families" -> ((s, d) => Dedup.prefixFamilies(s, d)),
     // cumulative content-novelty per ingest-order bucket
     "dedup_yield_curve" -> ((s, d) => Dedup.dedupYieldCurve(s, d)),
+    // the same novelty curve per SOURCE (which feed still pays),
+    // cumulative windows partitioned by source — parallel prefix sums
+    "source_yield_curves" -> ((s, d) => Dedup.sourceYieldCurves(s, d)),
     "dedup_char_ngram" -> ((s, d) => Dedup.charNgramJaccardPairs(s, d)),
     "similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "similarity_ann_lsh" -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -577,8 +593,11 @@ object SparkEntry {
     val cases = TextAnalysis.markers
       .map { case (lang, _) => s"WHEN s_$lang = $g THEN '$lang'" }
       .mkString(" ")
-    s"""lids AS (SELECT source, lang, $scores FROM documents),
-       |lidp AS (SELECT source, lang, CASE WHEN $g = 0 THEN 'unknown' $cases
+    s"""lids AS (SELECT source, lang, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, $scores
+       |         FROM documents),
+       |lidp AS (SELECT source, lang, doc_id, n_tok,
+       |         CASE WHEN $g = 0 THEN 'unknown' $cases
        |         ELSE 'unknown' END AS predicted FROM lids)""".stripMargin
   }
 
@@ -1516,6 +1535,29 @@ object SparkEntry {
         |FROM comm c
         |JOIN ns na ON na.lang = c.lang_a
         |JOIN ns nb ON nb.lang = c.lang_b""".stripMargin,
+    // the mad_outliers rank-rule medians replayed over the langId
+    // CTE's predicted column; every compared quantity is an integer
+    "lang_robust_stats" ->
+      s"""WITH $langIdCtes,
+         |r1 AS (SELECT predicted, doc_id, n_tok,
+         |         CAST(row_number() OVER (PARTITION BY predicted ORDER BY n_tok, doc_id) AS BIGINT) AS rk,
+         |         count(*) OVER (PARTITION BY predicted) AS n FROM lidp),
+         |med AS (SELECT predicted, max(CASE WHEN rk = ((n - 1) * 50) // 100 + 1 THEN n_tok END) AS med_tok
+         |        FROM r1 GROUP BY 1),
+         |dv AS (SELECT l.predicted, l.doc_id, l.n_tok, med.med_tok,
+         |         abs(l.n_tok - med.med_tok) AS dev
+         |       FROM lidp l JOIN med ON l.predicted = med.predicted),
+         |r2 AS (SELECT predicted, doc_id, dev,
+         |         CAST(row_number() OVER (PARTITION BY predicted ORDER BY dev, doc_id) AS BIGINT) AS rk,
+         |         count(*) OVER (PARTITION BY predicted) AS n FROM dv),
+         |mad AS (SELECT predicted, max(CASE WHEN rk = ((n - 1) * 50) // 100 + 1 THEN dev END) AS mad_tok
+         |        FROM r2 GROUP BY 1)
+         |SELECT d.predicted, count(*) AS n_docs,
+         |       max(d.med_tok) AS median_tok,
+         |       max(m.mad_tok) AS mad_tok,
+         |       CAST(sum(CASE WHEN d.dev > 3 * m.mad_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dv d JOIN mad m ON d.predicted = m.predicted
+         |GROUP BY 1""".stripMargin,
     "lang_mix_drift" ->
       s"""WITH $langIdCtes,
          |cells AS (
@@ -1588,6 +1630,33 @@ object SparkEntry {
          |                    THEN (3 * (SELECT n_triangles FROM tri) * 1000000)
          |                         // sum(deg * (deg - 1) // 2)
          |                    ELSE 0 END AS BIGINT) FROM deg) AS clustering_x1e6""".stripMargin,
+    // the sig CTE's per-seed minhashes joined per verified pair;
+    // every matrix coordinate is an integer (agreement count, integer
+    // Jaccard bucket)
+    "minhash_calibration" ->
+      s"""WITH $minhashPairCtes,
+         |ag AS (
+         |  SELECT p.doc_a, p.doc_b, p.n_common, p.n_union,
+         |         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM lshpairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT n_agree, (10 * n_common) // n_union AS true_bucket,
+         |       count(*) AS n_pairs
+         |FROM ag GROUP BY 1, 2""".stripMargin,
+    // fixed 100-wide stopword-score bins × dup-family count window
+    "quality_dup_calibration" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, md5(text) AS h,
+         |         (1000 * $stopCount) // len(string_split(text, ' ')) AS sx
+         |  FROM documents),
+         |f AS (SELECT *, count(*) OVER (PARTITION BY h) AS fam FROM s)
+         |SELECT sx // 100 AS q_bucket, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN fam >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       CAST((1000000::HUGEINT * sum(CASE WHEN fam >= 2 THEN 1 ELSE 0 END))
+         |            // count(*) AS BIGINT) AS dup_x1e6
+         |FROM f GROUP BY 1""".stripMargin,
     // degree histogram over the same verified pair set
     "dedup_degree_stats" ->
       s"""WITH $minhashPairCtes,
@@ -1810,6 +1879,24 @@ object SparkEntry {
         |        CAST(sum(n_novel) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_novel
         |      FROM b)
         |SELECT bucket, n_docs, n_novel, cum_docs, cum_novel,
+        |       CAST((1000000::HUGEINT * cum_novel) // cum_docs AS BIGINT) AS novelty_x1e6
+        |FROM c""".stripMargin,
+    // same min-over-hash first occurrence (GLOBAL — a source
+    // re-crawling another's content earns no novelty), cumulative
+    // windows partitioned by source
+    "source_yield_curves" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |f AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS first_id FROM d),
+        |b AS (SELECT source, doc_id // 1000 AS bucket, count(*) AS n_docs,
+        |        CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |      FROM f GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |        CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bucket
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        |        CAST(sum(n_novel) OVER (PARTITION BY source ORDER BY bucket
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_novel
+        |      FROM b)
+        |SELECT source, bucket, n_docs, n_novel, cum_docs, cum_novel,
         |       CAST((1000000::HUGEINT * cum_novel) // cum_docs AS BIGINT) AS novelty_x1e6
         |FROM c""".stripMargin,
     // family sizes via the same one-pass count window; list slice
@@ -2128,6 +2215,12 @@ object SparkEntry {
     // content is the distinct key set whatever row survived
     "stream_dedup_sink" ->
       "SELECT user_id, event_type FROM events GROUP BY user_id, event_type",
+    // the landed first-sighting set IS the distinct (user, hour)
+    // table, so the read-back count per hour equals COUNT(DISTINCT)
+    "stream_active_users" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     // keep side of the streaming quality router == the batch filter
     // with the same four Gopher rules
     "stream_quality_route_sink" ->

@@ -941,4 +941,122 @@ object Dedup {
           .as("novelty_x1e6"),
       )
   }
+
+  /** MinHash sketch calibration matrix: for every VERIFIED near-dup
+    * pair, the signature-agreement count (the sketch's own similarity
+    * estimate, 0..numHashes) against the bucketed TRUE Jaccard — the
+    * "is 12 hashes enough" audit that decides the numHashes/bands
+    * spend before scaling the pipeline 100×. A well-behaved sketch
+    * concentrates near the diagonal; mass in the off-diagonal corners
+    * is estimation error the banding's S-curve will amplify.
+    *
+    * Determinism: agreement counts are integers over md5-string
+    * minhashes (identical in any engine), and the true-Jaccard bucket
+    * is the integer quotient (10·n_common) div n_union — no floats.
+    *
+    * Scale shape: rides the memoized pair artifact (bounded by the
+    * banding); signatures recompute in one corpus scan and join the
+    * |pairs|-row side twice — AQE broadcasts the pair side while it
+    * fits. Output is a ≤ (numHashes+1)×11 matrix.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String, numHashes: Int = 12): DataFrame = {
+    val sigs = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), minhashSignature(shingles(col("text")), numHashes).as("sig"))
+    minhashLshPairsShared(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("long")
+          .as("n_agree"),
+        expr("(10 * n_common) div n_union").as("true_bucket"),
+      )
+      .groupBy("n_agree", "true_bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Quality × duplication calibration: docs bucketed by an integer
+    * quality score (stopword ratio ×1000, fixed 100-wide bins) with
+    * the exact-dup fraction per bucket — the "are low-quality docs
+    * also the duplicated ones" audit that tells a curation pipeline
+    * whether its quality filter and its dedup pass are removing the
+    * same mass (run one first and the other's yield collapses) or
+    * independent mass (both pay their way).
+    *
+    * Scale shape: one corpus scan; the dup flag is a count window
+    * over the content hash (same exchange as [[dedupYieldCurve]]'s
+    * first-occurrence window); fixed score bins mean a bounded-key
+    * hash aggregation, never a global ntile sort.
+    */
+  def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h"),
+        graft.functions.Let.bindArray(TextAnalysis.tokens(col("text"))) { toks =>
+          struct(
+            size(toks).cast("long").as("n_tok"),
+            size(filter(toks, t => t.isin(TextAnalysis.stopwordsEn.map(lit(_)): _*)))
+              .cast("long")
+              .as("n_stop"),
+          )
+        }.as("s"),
+      )
+      .select(col("doc_id"), col("h"), expr("(1000 * s.n_stop) div s.n_tok").as("sx"))
+      .withColumn("fam", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy(expr("sx div 100").as("q_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("fam") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+      )
+      .withColumn(
+        "dup_x1e6",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_dup_docs) div n_docs AS BIGINT)"),
+      )
+  }
+
+  /** Per-SOURCE dedup yield curves — [[dedupYieldCurve]] broken out
+    * by ingest source: each source's cumulative novelty against the
+    * WHOLE corpus seen so far (first occurrence is the global
+    * min-doc_id per content hash, so a source re-crawling another
+    * source's content scores zero novelty for it). The per-source
+    * curve is the "which feed should we keep paying for" decision
+    * table the global curve can't answer.
+    *
+    * Scale shape: strictly better than the global curve — the same
+    * single corpus scan and min-over-hash window, but the cumulative
+    * windows are PARTITIONED by source (parallel |buckets|-row
+    * prefix sums per source, never the global curve's single-reducer
+    * ordered window).
+    */
+  def sourceYieldCurves(spark: SparkSession, dir: String, bucket: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window
+      .partitionBy("source")
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy("h")))
+      .groupBy(col("source"), expr(s"doc_id div $bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"),
+      )
+      .withColumn("cum_docs", sum(col("n_docs")).over(cum))
+      .withColumn("cum_novel", sum(col("n_novel")).over(cum))
+      .select(
+        col("source"),
+        col("bucket"),
+        col("n_docs"),
+        col("n_novel"),
+        col("cum_docs"),
+        col("cum_novel"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_novel) div cum_docs AS BIGINT)")
+          .as("novelty_x1e6"),
+      )
+  }
 }

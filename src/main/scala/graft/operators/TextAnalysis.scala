@@ -1141,4 +1141,55 @@ object TextAnalysis {
           .as("jaccard"),
       )
   }
+
+  /** Robust (median/MAD) length census per PREDICTED language — the
+    * grouped twin of [[RelationalQueries.madOutliers]] over the
+    * language-ID output instead of a labeled column: a language whose
+    * token-length MAD is tiny relative to its median is dominated by
+    * templated documents, and the outlier count flags the tail worth
+    * re-screening. Grouping by the classifier's own output (not the
+    * `lang` label) makes this a production-shaped audit: labels don't
+    * exist at ingest time.
+    *
+    * Determinism: token counts are exact integers, both medians use
+    * the exact `percentile_disc` rank rule (row_number over the
+    * unique (value, doc_id) order), and the 3·MAD screen compares
+    * integers — nothing floating anywhere.
+    *
+    * Scale shape: two rank windows partitioned by predicted language
+    * (range-partitionable group sorts; the 100 TB path swaps in the
+    * GK sketch this exact twin validates), each reduced to a
+    * |langs|-row frame that joins back WITHOUT a static hint — AQE
+    * broadcasts the handful of rows (turnout de-pin rule).
+    */
+  def langRobustStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy("predicted")
+    def p50(frame: DataFrame, v: String, out: String): DataFrame = {
+      val wOrd = Window.partitionBy("predicted").orderBy(col(v), col("doc_id"))
+      frame
+        .withColumn("__rk", row_number().over(wOrd).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .groupBy("predicted")
+        .agg(max(when(col("__rk") === expr("((__n - 1) * 50) div 100") + 1, col(v))).as(out))
+    }
+    val typed = docs(spark, dir)
+      .select(
+        langId(col("text")).as("predicted"),
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+      )
+    val dev = typed
+      .join(p50(typed, "n_tok", "med_tok"), "predicted")
+      .withColumn("dev", abs(col("n_tok") - col("med_tok")))
+    dev
+      .join(p50(dev, "dev", "mad_tok"), "predicted")
+      .groupBy("predicted")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("med_tok")).as("median_tok"),
+        max(col("mad_tok")).as("mad_tok"),
+        sum(when(col("dev") > lit(3L) * col("mad_tok"), 1L).otherwise(0L)).as("n_outliers"),
+      )
+  }
 }

@@ -561,4 +561,33 @@ object StreamingQueries {
       )
     runToFinal(spark, agg, Seq("hour_start", "event_type"))
   }
+
+  /** Streaming hourly-active-users gauge: the live concurrency/DAU
+    * counter a product dashboard runs. Streaming aggregations can't
+    * express COUNT(DISTINCT …), so the production pattern is the
+    * two-stage pipeline this gate runs end-to-end: stage 1 dedups
+    * (user, hour) FIRST-SIGHTINGS in-stream
+    * (`dropDuplicatesWithinWatermark` — one state row per active
+    * user-hour, evicted as the watermark passes) and appends them to
+    * the distributed sink; stage 2 is a stateless per-hour count of
+    * the landed first-sightings (on a real deployment, the downstream
+    * consumer — or an approx HLL gauge validated by this exact twin).
+    *
+    * The watermark delay exceeds the corpus event-time span (the
+    * bounded-input analogue of "delay ≥ max duplicate lag", same
+    * contract as [[streamDedupLineage]]), so the landed set is
+    * EXACTLY the distinct (user, hour) table and the gauge equals
+    * batch COUNT(DISTINCT user_id) per hour regardless of micro-batch
+    * boundaries.
+    */
+  def activeUsersStream(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = eventsStream(spark, dir)
+      .select(col("ts"), col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("user_id", "hour_ts")
+      .select(col("user_id"), col("hour_ts"))
+    runAppendToParquet(spark, firsts, scratchSinkDir("hau") + "/out")
+      .groupBy(date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
