@@ -34,6 +34,11 @@ object SparkEntry {
     // returned-item revenue per customer over a quarter, top 20
     // (TakeOrderedAndProject; corpus sides unhinted for AQE)
     "q10_returned_item" -> (RelationalQueries.q10ReturnedItem _),
+    // Q18 large-volume orders: aggregate-once-then-join rewrite of
+    // the textbook HAVING-subquery double scan
+    "q18_large_orders" -> (RelationalQueries.q18LargeOrders _),
+    // Q12's late-shipment priority split over the synthetic schema
+    "q12_ship_priority" -> (RelationalQueries.q12ShipPriority _),
     // Morton-tile locality spans vs the linear layout — the
     // measurement behind OPTIMIZE ... ZORDER BY
     "zorder_locality" -> (graft.operators.Bucketing.zorderLocality _),
@@ -106,6 +111,11 @@ object SparkEntry {
     // robust (median/MAD) token-length census per PREDICTED language
     // — grouped twin of mad_outliers over the classifier's output
     "lang_robust_stats" -> (TextAnalysis.langRobustStats _),
+    // approximate sketches under oracle: the ESTIMATE is
+    // engine-specific, but the exact twin and the error-bound flag
+    // are cross-engine facts — a sketch out of contract fails the gate
+    "sketch_hll_bounds" -> (graft.operators.Sketches.hllBoundsGate _),
+    "sketch_gk_bounds" -> (graft.operators.Sketches.gkBoundsGate _),
     "vocab_top_tokens" -> ((s, d) => TextAnalysis.vocabTopTokens(s, d)),
     "lm_bigram" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "pack_length_buckets" -> ((s, d) => graft.operators.Packing.lengthBuckets(s, d)),
@@ -416,6 +426,31 @@ object SparkEntry {
          |JOIN nation ON s_nationkey = n_nationkey
          |WHERE p_name LIKE '%bolt%'
          |GROUP BY 1, 2""".stripMargin,
+    // the textbook HAVING-subquery formulation (lineitem scanned
+    // twice) — the Spark side's aggregate-once rewrite must match it;
+    // (totalprice, o_orderkey) is a unique total order for the LIMIT
+    "q18_large_orders" ->
+      """WITH sq AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+        |       sq.sum_qty
+        |FROM orders
+        |JOIN sq ON o_orderkey = sq.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
     // (revenue, c_custkey) is a unique total order, so the LIMIT 20
     // is deterministic; acctbal goes through DECIMAL(12,2) exactly
     // like the Spark side's dec2→cents→double discipline
@@ -1535,6 +1570,28 @@ object SparkEntry {
         |FROM comm c
         |JOIN ns na ON na.lang = c.lang_a
         |JOIN ns nb ON nb.lang = c.lang_b""".stripMargin,
+    // the sketch gates hash-compare only cross-engine facts: the
+    // exact twin plus the guarantee flag (constant true while the
+    // sketch honors its error contract)
+    "sketch_hll_bounds" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |       true AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    "sketch_gk_bounds" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc, event_id
+        |  FROM events),
+        |r AS (SELECT vc, CAST(row_number() OVER (ORDER BY vc, event_id) AS BIGINT) AS rk,
+        |        count(*) OVER () AS n FROM v),
+        |e AS (SELECT
+        |  max(CASE WHEN rk = ((n - 1) * 50) // 100 + 1 THEN vc END) AS ex_50,
+        |  max(CASE WHEN rk = ((n - 1) * 90) // 100 + 1 THEN vc END) AS ex_90,
+        |  max(CASE WHEN rk = ((n - 1) * 99) // 100 + 1 THEN vc END) AS ex_99
+        | FROM r)
+        |SELECT CAST(50 AS BIGINT) AS p, CAST(ex_50 AS DOUBLE) / 100.0 AS exact_value,
+        |       true AS within_bound FROM e
+        |UNION ALL SELECT 90, CAST(ex_90 AS DOUBLE) / 100.0, true FROM e
+        |UNION ALL SELECT 99, CAST(ex_99 AS DOUBLE) / 100.0, true FROM e""".stripMargin,
     // the mad_outliers rank-rule medians replayed over the langId
     // CTE's predicted column; every compared quantity is an integer
     "lang_robust_stats" ->

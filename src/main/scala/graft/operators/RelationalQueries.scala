@@ -1663,6 +1663,61 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** TPC-H Q18 (large-volume orders): customers whose single orders
+    * exceed 300 units. The classic HAVING-subquery formulation is
+    * rewritten as aggregate-then-join — lineitem aggregates ONCE to
+    * per-order quantity sums and the >300 survivors (a tiny fraction)
+    * drive the orders/customer joins, instead of scanning lineitem
+    * twice (once for the IN-subquery, once for re-aggregation). The
+    * oracle deliberately IS the textbook double-scan formulation.
+    *
+    * Quantities are small exact-integer doubles (≤ 50·7 per order),
+    * so their sums are exact in any summation order. Both join sides
+    * scale with the corpus — no static broadcast hints, AQE decides
+    * (turnout de-pin rule). Top-100 by (totalprice, o_orderkey
+    * unique tie-break) compiles to TakeOrderedAndProject.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        moneyFromCents(cents(col("o_totalprice"))).as("totalprice"),
+        col("sum_qty"),
+      )
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q12's shape over the synthetic schema (no l_shipmode /
+    * l_receiptdate columns exist): lines shipped more than 60 days
+    * after their order date, per ship month, split by order priority
+    * class — the late-shipment audit. One corpus-scaling equi-join
+    * (no hints, AQE decides) feeding a |months|-key hash aggregation
+    * with map-side combine; the CASE sums are exact integers.
+    */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val high = Seq("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(high: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin(high: _*), 1L).otherwise(0L))
+          .as("low_line_count"),
+      )
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning gauge
     * ("how many users were on at once"). Sessions are the same
     * 1-hour-gap islands as [[userSessions]]; each contributes a +1
