@@ -39,6 +39,11 @@ object SparkEntry {
     "q18_large_orders" -> (RelationalQueries.q18LargeOrders _),
     // Q12's late-shipment priority split over the synthetic schema
     "q12_ship_priority" -> (RelationalQueries.q12ShipPriority _),
+    // Q4 EXISTS → left-semi with a mixed-side residual predicate
+    "q4_order_priority" -> (RelationalQueries.q4OrderPriority _),
+    // Q13 zero-inclusive order-count histogram (outer join + double
+    // aggregation)
+    "q13_customer_distribution" -> (RelationalQueries.q13CustomerDistribution _),
     // Morton-tile locality spans vs the linear layout — the
     // measurement behind OPTIMIZE ... ZORDER BY
     "zorder_locality" -> (graft.operators.Bucketing.zorderLocality _),
@@ -218,6 +223,11 @@ object SparkEntry {
     // the sink path), expanded with the shared batch reducer — same
     // oracle as the batch itemset gate
     "stream_itemset_pairs" -> (StreamingQueries.itemsetPairsStream _),
+    // A-priori level-2 closure: support, confidences, and lift per
+    // type pair out of ONE tagged generator + hash aggregation
+    "assoc_rules" -> (RelationalQueries.assocRules _),
+    // the BPE iteration step: apply round-1's top merge, recount
+    "bpe_merge_round2" -> ((s, d) => TextAnalysis.bpeMergeRound2(s, d)),
     // live hourly-active-users gauge: in-stream (user, hour) dedup
     // appended to the sink, stateless per-hour count on the landed
     // first-sightings (streaming COUNT DISTINCT, the two-stage way)
@@ -228,6 +238,12 @@ object SparkEntry {
     // sketch-quality audit: signature agreement vs bucketed true
     // Jaccard over the verified pairs ("is 12 hashes enough")
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    // band-occupancy histogram: the hot-bucket audit run before a
+    // 100× scale-up (pair expansion is quadratic per bucket)
+    "lsh_band_stats" -> ((s, d) => Dedup.lshBandStats(s, d)),
+    // exact-integer power iteration: dominant principal direction of
+    // the embedding corpus, raw unnormalized v3 components
+    "embedding_power_iteration" -> (Similarity.powerIteration _),
     // are the low-quality docs also the duplicated ones? fixed-bin
     // stopword-score buckets × exact-dup fraction
     "quality_dup_calibration" -> (Dedup.qualityDupCalibration _),
@@ -442,6 +458,22 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
     "q12_ship_priority" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -844,6 +876,25 @@ object SparkEntry {
         |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_users
         |FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2""".stripMargin,
+    // support/confidence/lift per unordered pair; the lift numerator
+    // rides HUGEINT exactly like the Spark side's DECIMAL(38,0)
+    "assoc_rules" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT count(DISTINCT user_id) AS nut FROM d),
+        |nt AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+        |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, p.n_ab,
+        |  CAST((1000000::HUGEINT * n_ab) // na.n AS BIGINT) AS conf_ab_x1e6,
+        |  CAST((1000000::HUGEINT * n_ab) // nb.n AS BIGINT) AS conf_ba_x1e6,
+        |  CAST((1000000::HUGEINT * n_ab * nu.nut) // (na.n::HUGEINT * nb.n) AS BIGINT)
+        |    AS lift_x1e6
+        |FROM p
+        |JOIN nt na ON na.event_type = type_a
+        |JOIN nt nb ON nb.event_type = type_b
+        |CROSS JOIN nu""".stripMargin,
     "event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
@@ -1322,6 +1373,25 @@ object SparkEntry {
         |  WHERE length(w) >= 2)
         |SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // round 2: the top round-1 merge applied via leftmost
+    // non-overlapping regexp_replace (= BPE greedy order), pairs
+    // recounted over the merged symbol strings
+    "bpe_merge_round2" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS wf FROM w0 WHERE w <> '' GROUP BY w),
+        |r1 AS (
+        |  SELECT substr(w, i, 2) AS pair, sum(wf) AS n
+        |  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |top AS (SELECT pair FROM r1 ORDER BY n DESC, pair LIMIT 1),
+        |m AS (SELECT regexp_replace(w, (SELECT pair FROM top), 'A', 'g') AS w2, wf
+        |      FROM wf),
+        |r2 AS (
+        |  SELECT substr(w2, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n
+        |  FROM m, LATERAL (SELECT unnest(generate_series(1, length(w2) - 1)) AS i) g
+        |  WHERE length(w2) >= 2 GROUP BY 1)
+        |SELECT pair, n FROM r2 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     // content-defined chunk segmentation: break after words whose md5
     // starts with '0'; chunk id = breaks strictly before the word
     "cdc_chunk_stats" ->
@@ -1687,6 +1757,31 @@ object SparkEntry {
          |                    THEN (3 * (SELECT n_triangles FROM tri) * 1000000)
          |                         // sum(deg * (deg - 1) // 2)
          |                    ELSE 0 END AS BIGINT) FROM deg) AS clustering_x1e6""".stripMargin,
+    // the bands CTE re-grouped to occupancies (cand/lshpairs tail
+    // CTEs go unused — DuckDB evaluates CTEs lazily)
+    "lsh_band_stats" ->
+      s"""WITH $minhashPairCtes,
+         |bsz AS (SELECT b AS band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2)
+         |SELECT band, sz AS bucket_size, count(*) AS n_buckets
+         |FROM bsz GROUP BY 1, 2""".stripMargin,
+    // the Aᵀ(A·v) chain replayed as per-vec/per-dim sum CTEs; HUGEINT
+    // stands in for DECIMAL(38,0) at every accumulation
+    "embedding_power_iteration" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS HUGEINT) AS qv
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |v1 AS (SELECT dim, sum(qv) AS v FROM q GROUP BY 1),
+        |s2 AS (SELECT vec_id, sum(q.qv * v1.v) AS dot
+        |       FROM q JOIN v1 USING (dim) GROUP BY 1),
+        |v2 AS (SELECT dim, sum(q.qv * s2.dot) AS v
+        |       FROM q JOIN s2 USING (vec_id) GROUP BY 1),
+        |s3 AS (SELECT vec_id, sum(q.qv * v2.v) AS dot
+        |       FROM q JOIN v2 USING (dim) GROUP BY 1),
+        |v3 AS (SELECT dim, sum(q.qv * s3.dot) AS v
+        |       FROM q JOIN s3 USING (vec_id) GROUP BY 1)
+        |SELECT dim, CAST(v AS BIGINT) AS pc1_raw FROM v3""".stripMargin,
     // the sig CTE's per-seed minhashes joined per verified pair;
     // every matrix coordinate is an integer (agreement count, integer
     // Jaccard bucket)

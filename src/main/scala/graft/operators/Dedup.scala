@@ -154,6 +154,60 @@ object Dedup {
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
       )
 
+  /** The (doc_id, band, bkey) LSH band keys of every shingled doc —
+    * the shared first stage of [[minhashLshPairs]] and the
+    * [[lshBandStats]] occupancy audit. Band key = md5 of the
+    * concatenated signature slice. The signature is let-bound so the
+    * numHashes-hash computation runs ONCE per document — naive
+    * element_at(sig, ...) references would re-evaluate the full
+    * signature per band element (no CSE in interpreted lambdas).
+    */
+  private def bandedKeysOf(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    base
+      .select(
+        col("doc_id"),
+        explode(bindArray(minhashSignature(col("sh"), numHashes)) { s =>
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b =>
+              struct(
+                b.cast("int").as("band"),
+                md5(concat_ws(",", slice(s, (b * rows + 1).cast("int"), lit(rows)))).as("bkey"),
+              ),
+          )
+        }).as("bk"),
+      ).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** LSH band-occupancy histogram: per band, how many buckets exist
+    * at each occupancy. THE operational audit of a banding config
+    * before a 100× scale-up — pair expansion is Σ sz·(sz−1)/2 per
+    * bucket, so one hot bucket (boilerplate shingle families, near-
+    * constant docs) is a quadratic blowup the skew guard then has to
+    * absorb; this histogram is how you see it coming (and how you
+    * pick numHashes/bands so the tail stays bounded). Same shape the
+    * verdict's salted-sub-blocking guards consume.
+    *
+    * Scale: the band-key build is map-side; two bounded-key combines
+    * (band×bkey, then band×occupancy). Never expands a single pair.
+    */
+  def lshBandStats(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+  ): DataFrame = {
+    val base = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    bandedKeysOf(base, numHashes, bands)
+      .groupBy("band", "bkey")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band").cast("long").as("band"), col("sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+  }
+
   /** MinHash + LSH near-duplicate pairs, fully deterministic.
     *
     * numHashes=12 signatures → 4 bands × 3 rows; docs sharing any
@@ -170,7 +224,6 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.3,
   ): DataFrame = {
-    val rows = numHashes / bands
     // no persist (a lazily-consumed result leaves no safe unpersist
     // point, and a session-lifetime cache entry is a leak): the
     // 12-hash signature lineage is consumed by exactly ONE
@@ -180,25 +233,7 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
 
-    // band key = md5 of the concatenated signature slice. The
-    // signature is let-bound so the 12-hash computation runs ONCE per
-    // document — naive element_at(sig, ...) references would
-    // re-evaluate the full signature per band element (no CSE in
-    // interpreted lambdas).
-    val banded = base
-      .select(
-        col("doc_id"),
-        explode(bindArray(minhashSignature(col("sh"), numHashes)) { s =>
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b =>
-              struct(
-                b.cast("int").as("band"),
-                md5(concat_ws(",", slice(s, (b * rows + 1).cast("int"), lit(rows)))).as("bkey"),
-              ),
-          )
-        }).as("bk"),
-      ).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val banded = bandedKeysOf(base, numHashes, bands)
 
     // band buckets are posting lists: one groupBy on (band, bkey)
     // computes the signatures exactly once and expands each bucket to

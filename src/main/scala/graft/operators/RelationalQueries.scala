@@ -1345,6 +1345,74 @@ object RelationalQueries {
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_users"))
 
+  /** Association rules over the per-user event-type sets: support,
+    * both directed confidences, and lift for every unordered type
+    * pair — the A-priori level-2 closure of [[itemsetPairs]] (counts
+    * alone can't say whether "checkout ⇒ search" beats base rate;
+    * lift is the part a recommender actually consumes).
+    *
+    * Scale shape: ONE corpus scan. A single let-bound generator emits
+    * the user marker, the singleton memberships, and the sorted-set
+    * pair expansion together, so N, the per-type counts, and the pair
+    * counts all come out of ONE (kind, a, b) hash aggregation
+    * (bounded by |types|² keys); the three consumers of that
+    * aggregate are identical subtrees Spark collapses with exchange
+    * reuse, and the final assembly joins |types|-row frames.
+    * Determinism: every ratio is an exact integer quotient; the lift
+    * numerator 10⁶·n_ab·N rides DECIMAL(38,0)/HUGEINT (wraps BIGINT
+    * past N ≈ 10⁶ users squared).
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Let.bindArray
+    val nullS = lit(null).cast("string")
+    val tagged = t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(
+        explode(bindArray(col("ts")) { a =>
+          concat(
+            array(struct(lit("u").as("kind"), nullS.as("a"), nullS.as("b"))),
+            transform(a, x => struct(lit("s").as("kind"), x.as("a"), nullS.as("b"))),
+            flatten(
+              transform(
+                a,
+                (x, i) =>
+                  transform(
+                    slice(a, i + 2, size(a)),
+                    y => struct(lit("p").as("kind"), x.as("a"), y.as("b")),
+                  ),
+              )
+            ),
+          )
+        }).as("t")
+      )
+      .select(col("t.kind").as("kind"), col("t.a").as("a"), col("t.b").as("b"))
+    val counts = tagged.groupBy("kind", "a", "b").agg(count(lit(1)).as("n"))
+    val nu = counts.filter(col("kind") === "u").select(col("n").as("n_users_total"))
+    val singles = counts.filter(col("kind") === "s")
+    counts
+      .filter(col("kind") === "p")
+      .select(col("a").as("type_a"), col("b").as("type_b"), col("n").as("n_ab"))
+      .join(singles.select(col("a").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+      .join(singles.select(col("a").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+      .crossJoin(nu)
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_ab"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab) div n_a AS BIGINT)")
+          .as("conf_ab_x1e6"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab) div n_b AS BIGINT)")
+          .as("conf_ba_x1e6"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_users_total) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).as("lift_x1e6"),
+      )
+  }
+
   /** First-order event-type transition matrix (the Markov view of
     * user behavior): count (previous type → type) transitions along
     * each user's event-time order, plus the transition probability as
@@ -1717,6 +1785,47 @@ object RelationalQueries {
           .as("low_line_count"),
       )
   }
+
+  /** TPC-H Q4 (order priority checking): orders in a quarter with at
+    * least one LATE line (shipped > 30 days after the order date),
+    * counted per priority. The EXISTS subquery is a LEFT SEMI join
+    * with a mixed-side residual predicate — the dedicated semi-join
+    * shape (no fan-out, no post-join dedup; a plain inner join would
+    * double-count multi-late-line orders). Both sides scale with the
+    * corpus: no hints, AQE picks the strategy.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-07-01") && col("o_orderdate") < lit("1995-10-01"))
+      .join(
+        t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("interval 30 days"),
+        "left_semi",
+      )
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q13 (customer distribution): how many customers placed
+    * exactly k orders, INCLUDING the zero-order customers — which is
+    * why the outer join exists (an inner join silently drops the
+    * customers the question is mostly about). Double aggregation:
+    * per-customer order counts, then the |distinct counts|-row
+    * histogram. count(o_custkey) counts non-null matches only, so
+    * the null row of an unmatched customer lands in the k=0 bucket.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .join(
+        t(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_outer",
+      )
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
 
   /** Peak concurrent sessions per day — the capacity-planning gauge
     * ("how many users were on at once"). Sessions are the same

@@ -382,4 +382,54 @@ object Similarity {
         col("sum_q"),
         expr("CAST(__ssq div n_vecs AS BIGINT)").as("meansq_q"),
       )
+
+  /** Dominant principal direction of the embedding corpus by
+    * unnormalized power iteration, entirely in exact integer
+    * arithmetic: seed v₁ = Aᵀ·1 (the per-dimension sum), then two
+    * exact applications v ← Aᵀ(A·v), over floor-quantized components
+    * q = ⌊10³·x⌋. Every intermediate stays inside 128-bit integers:
+    * |v₃| ≤ n³·q⁵·dim², under 10³⁸ to n ≈ 10⁶ vectors at q ≤ 10³ —
+    * which is why the quantization here is 10³, not the 10⁶ of
+    * [[dimensionStats]] (each extra step multiplies the bound by
+    * n·q²·dim). Past that corpus size, quantize at 10² or insert an
+    * exact integer rescale (divide every component by its gcd or a
+    * power of two) between steps — never a float normalize.
+    * The raw v3 components are emitted UN-normalized and UN-divided:
+    * any normalization is a float (never hash-matches) or a negative
+    * integer division (floor vs truncate differs across engines —
+    * the [[dimensionStats]] sum_q rule). Downstream consumers
+    * normalize the 64 numbers however they like; direction is what
+    * an iteration sweep needs (PCA whitening decides off the RATIO
+    * of components, which raw integers preserve exactly).
+    *
+    * Scale shape: the Aᵀ(A·v) factored form — each step is one pass
+    * over the exploded (vec, dim, q) frame joining the |dims|-row v
+    * (AQE-broadcast), a per-vec dot combine, then a per-dim weighted
+    * combine; never the dim×dim Gram materialization and never a
+    * corpus×corpus product. Seed + two steps = five bounded-key hash
+    * aggregations over the same exploded lineage.
+    */
+  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val q = embPlain(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(
+        col("vec_id"),
+        col("dim"),
+        floor(col("x").cast("double") * 1000.0).cast("decimal(38,0)").as("qv"),
+      )
+    def step(v: DataFrame): DataFrame = {
+      val dots = q
+        .join(v, Seq("dim"))
+        .groupBy("vec_id")
+        .agg(sum(col("qv") * col("v")).as("dot"))
+      q.join(dots, Seq("vec_id"))
+        .groupBy("dim")
+        .agg(sum(col("qv") * col("dot")).as("v"))
+    }
+    val v1 = q.groupBy("dim").agg(sum(col("qv")).as("v")) // seed Aᵀ·1
+    // every ACCUMULATION above is 128-bit; the final components fit
+    // 64-bit at this table's fixed row count (≈3·10¹⁷ measured) and
+    // the emit narrows so both engines hand the comparator a BIGINT
+    step(step(v1)).select(col("dim"), col("v").cast("long").as("pc1_raw"))
+  }
 }

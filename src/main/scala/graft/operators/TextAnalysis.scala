@@ -562,6 +562,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE training ROUND 2: apply the single highest-frequency merge
+    * from [[bpePairStats]]'s round-1 census to the word table and
+    * recount the adjacent-pair frequencies over the merged symbol
+    * sequences — the actual iteration step of byte-pair-encoding
+    * tokenizer training (round 1 alone never shows how merges
+    * interact; "er" merging changes every count that touched 'e' or
+    * 'r'). The merged pair becomes the single symbol 'A' (the corpus
+    * is lowercase, so the capital can't collide), and both engines'
+    * regexp_replace substitutes leftmost non-overlapping occurrences
+    * — exactly BPE's greedy merge order.
+    *
+    * Scale shape: the word-frequency table (|vocab|, not corpus-
+    * sized) carries all weights, so the iteration runs over vocab
+    * rows — the standard BPE-at-scale trick; the 1-row top merge is
+    * a broadcast. Each further round is the same two bounded
+    * aggregations.
+    */
+  def bpeMergeRound2(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val wf = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("wf"))
+    def pairCounts(words: DataFrame, wcol: String): DataFrame =
+      words
+        .filter(length(col(wcol)) >= 2)
+        .select(
+          col("wf"),
+          explode(expr(s"transform(sequence(1, length($wcol) - 1), i -> substring($wcol, i, 2))"))
+            .as("pair"),
+        )
+        .groupBy("pair")
+        .agg(sum(col("wf")).as("n"))
+    val top = pairCounts(wf, "w").orderBy(col("n").desc, col("pair")).limit(1)
+    val merged = wf
+      .crossJoin(broadcast(top.select(col("pair").as("mp"))))
+      .select(col("wf"), regexp_replace(col("w"), col("mp"), lit("A")).as("w2"))
+    pairCounts(merged, "w2").orderBy(col("n").desc, col("pair")).limit(k)
+  }
+
   /** Count-min sketch estimates for the top corpus tokens: d=4
     * md5-derived hash rows × 256 hex-prefix buckets, estimate =
     * min over rows of the bucket counter — the deterministic twin of
