@@ -81,16 +81,30 @@ object Bench {
       val w = run2(k)
       k -> (if (v < 0 || w < 0) -1.0 else math.min(v, w))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond-rounded timings: a full-precision double is ~18
+    // chars and 158 of them pushed the stdout JSON line past the
+    // driver's capture truncation in round 6 (only 60 timings
+    // survived). 3 decimals ≈ halves the line and is far below timing
+    // noise on a multi-tenant host.
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failures stay visible as -1 per query but must not deflate the
     // headline total; n_failed makes a partial run unmistakable
     val ok = results.values.filter(_ >= 0)
     val total = ok.sum
     val nFailed = results.values.count(_ < 0)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
-    )
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt and braces against any stdout capture limit: persist the
+    // identical JSON where the round-end auto-commit will pick it up,
+    // so the full per-query map always survives for perf comparisons
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1765,7 +1765,11 @@ object SparkEntry {
          |SELECT band, sz AS bucket_size, count(*) AS n_buckets
          |FROM bsz GROUP BY 1, 2""".stripMargin,
     // the Aᵀ(A·v) chain replayed as per-vec/per-dim sum CTEs; HUGEINT
-    // stands in for DECIMAL(38,0) at every accumulation
+    // stands in for DECIMAL(38,0) at every accumulation, and each
+    // step's output takes the same exact toward-zero 10³ rescale as
+    // the Spark side (DuckDB `//` truncates toward zero, matching
+    // Spark's `(v - v % 1000) / 1000`) so the final components fit
+    // BIGINT at every SF
     "embedding_power_iteration" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
@@ -1775,11 +1779,11 @@ object SparkEntry {
         |v1 AS (SELECT dim, sum(qv) AS v FROM q GROUP BY 1),
         |s2 AS (SELECT vec_id, sum(q.qv * v1.v) AS dot
         |       FROM q JOIN v1 USING (dim) GROUP BY 1),
-        |v2 AS (SELECT dim, sum(q.qv * s2.dot) AS v
+        |v2 AS (SELECT dim, sum(q.qv * s2.dot) // 1000 AS v
         |       FROM q JOIN s2 USING (vec_id) GROUP BY 1),
         |s3 AS (SELECT vec_id, sum(q.qv * v2.v) AS dot
         |       FROM q JOIN v2 USING (dim) GROUP BY 1),
-        |v3 AS (SELECT dim, sum(q.qv * s3.dot) AS v
+        |v3 AS (SELECT dim, sum(q.qv * s3.dot) // 1000 AS v
         |       FROM q JOIN s3 USING (vec_id) GROUP BY 1)
         |SELECT dim, CAST(v AS BIGINT) AS pc1_raw FROM v3""".stripMargin,
     // the sig CTE's per-seed minhashes joined per verified pair;

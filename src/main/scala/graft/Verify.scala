@@ -25,7 +25,16 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // a failed query must leave a LOUD artifact, not an absent
+        // key: round 6's 12 analysis-time throws produced no row at
+        // all in the correctness file and read as "untested" instead
+        // of "broken". A one-row (err) result guarantees the driver's
+        // compare finds a schema/hash MISMATCH against the oracle.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        import spark.implicits._
+        Seq(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}")
+          .toDF("err").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

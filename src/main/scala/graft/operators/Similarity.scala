@@ -391,9 +391,23 @@ object Similarity {
     * |v₃| ≤ n³·q⁵·dim², under 10³⁸ to n ≈ 10⁶ vectors at q ≤ 10³ —
     * which is why the quantization here is 10³, not the 10⁶ of
     * [[dimensionStats]] (each extra step multiplies the bound by
-    * n·q²·dim). Past that corpus size, quantize at 10² or insert an
-    * exact integer rescale (divide every component by its gcd or a
-    * power of two) between steps — never a float normalize.
+    * n·q²·dim).
+    *
+    * Each step's output is rescaled by an EXACT truncating integer
+    * division by 10³ before the next step / emission. The 128-bit
+    * bound above covers the accumulators, but the round-6 corpus
+    * proved the un-rescaled FINAL components blow past ±2⁶³
+    * (≈ -1.47·10¹⁹ at sf0.1 → ANSI CAST_OVERFLOW on the BIGINT
+    * emission). Two 10³ rescales put the final ~10⁶ under that edge
+    * while keeping ~13 significant digits — direction ratios are
+    * preserved far beyond what any consumer of a principal DIRECTION
+    * can use. The truncation is spelled `(v - v % 10³) / 10³` rather
+    * than `div`: Spark's `div` narrows its result to BIGINT, which is
+    * exactly the overflow being avoided, while `%` on decimals takes
+    * the dividend's sign in both engines, so subtract-then-divide is
+    * an exact toward-zero truncation that DuckDB's `//` (also
+    * toward-zero, verified: `-1500 // 1000 = -1`) reproduces
+    * bit-for-bit — no floor-vs-truncate cross-engine hazard.
     * The raw v3 components are emitted UN-normalized and UN-divided:
     * any normalization is a float (never hash-matches) or a negative
     * integer division (floor vs truncate differs across engines —
@@ -424,12 +438,18 @@ object Similarity {
         .agg(sum(col("qv") * col("v")).as("dot"))
       q.join(dots, Seq("vec_id"))
         .groupBy("dim")
-        .agg(sum(col("qv") * col("dot")).as("v"))
+        .agg(sum(col("qv") * col("dot")).as("raw"))
+        // exact toward-zero 10³ rescale (see scaladoc): keeps the
+        // emitted components inside BIGINT at every corpus SF
+        .select(
+          col("dim"),
+          expr("CAST((raw - (raw % 1000)) / 1000 AS DECIMAL(38,0))").as("v"),
+        )
     }
     val v1 = q.groupBy("dim").agg(sum(col("qv")).as("v")) // seed Aᵀ·1
-    // every ACCUMULATION above is 128-bit; the final components fit
-    // 64-bit at this table's fixed row count (≈3·10¹⁷ measured) and
-    // the emit narrows so both engines hand the comparator a BIGINT
+    // every ACCUMULATION above is 128-bit; the per-step rescale keeps
+    // the emitted components 64-bit, so both engines hand the
+    // comparator a BIGINT
     step(step(v1)).select(col("dim"), col("v").cast("long").as("pc1_raw"))
   }
 }

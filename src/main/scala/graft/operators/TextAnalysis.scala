@@ -871,15 +871,17 @@ object TextAnalysis {
     * term and integer-summed per (query, doc). The product runs in
     * DECIMAL(38,0)/HUGEINT so it stays exact at any corpus size.
     *
-    * Scale shape: doc lengths and dfs derive from the tf index via
-    * windows (the [[tfIdfTopTerms]] single-scan rule); the 1-row
-    * corpus totals are a global aggregate of the same tf lineage —
-    * statically a second scan node, but AQE reuses the tf exchange
-    * (the hourlyGapFill pattern; scans pinned ≤ 2). The query-term
-    * join shrinks the index to |query terms| posting lists BEFORE
-    * scoring, and the per-query top-10 plans as WindowGroupLimit —
-    * partitions keep 10 candidates per query before the rank
-    * exchange.
+    * Scale shape: the query-term join shrinks the tf index to
+    * |query terms| posting lists FIRST; everything derived after that
+    * point (the per-token df window) runs on those few posting lists,
+    * never the corpus. Per-doc lengths come from the tf aggregation
+    * lineage as a |docs|-row groupBy (`dls`) hash-joined back into
+    * the filtered postings — NOT a `sum over (partition by doc_id)`
+    * window, which round 6 measured as a second corpus-sized
+    * sort+shuffle of the full postings table. The 1-row corpus
+    * totals re-aggregate the same |docs|-row `dls`. The per-query
+    * top-10 plans as WindowGroupLimit — partitions keep 10
+    * candidates per query before the rank exchange.
     */
   def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -892,15 +894,16 @@ object TextAnalysis {
       .filter(col("token") =!= "")
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val indexed = tf
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
-    val totals = tf
-      .groupBy("doc_id")
-      .agg(sum(col("tf")).as("dl0"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("tot_tok"))
-    val scored = indexed
+    val dls = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val totals = dls
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
+    val scored = tf
       .join(broadcast(qdf), "token")
+      // df over the FILTERED postings is exact: the filter keeps every
+      // posting of a query token, and the query term lists are
+      // disjoint, so count-per-token is that token's document count
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .join(dls, "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("avgdl", expr("tot_tok div n_docs"))
       .withColumn(

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.util.SessionCache
 
@@ -34,18 +34,48 @@ object Tables {
     */
   def invalidate(): Unit = cache.invalidate()
 
-  /** Parquet TIMESTAMP(NANOS) (the `events.ts` column) is not a legal
-    * Spark type; read it as a raw nanos long, then convert to a
-    * proper TimestampType (µs precision) ourselves. The conf is a
-    * dynamic SQLConf, so this works on any caller-provided session.
+  /** Canonicalize an `events.ts` column to session-zoned
+    * TimestampType (µs precision) regardless of which encoding the
+    * corpus generation happened to use. The dispatch is on the ACTUAL
+    * read type, not an assumed one — corpora have shipped with at
+    * least two encodings so far:
+    *
+    *   - parquet TIMESTAMP(NANOS): not a legal Spark type; with
+    *     `nanosAsLong` it surfaces as a raw nanos LongType →
+    *     `timestamp_micros(ts div 1000)`.
+    *   - parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false: Spark 4
+    *     reads it as TimestampNTZType → cast to TimestampType. Exact
+    *     under the engine's pinned UTC session timezone (the cast
+    *     re-interprets the same wall-clock fields, and UTC makes the
+    *     wall clock the instant).
+    *   - parquet TIMESTAMP(MICROS) adjusted to UTC: already
+    *     TimestampType → pass through.
+    *
+    * Every downstream `unix_micros(ts)` / window / watermark then sees
+    * one stable type. Batch ([[apply]]) and streaming
+    * ([[graft.streaming.StreamingQueries.eventsStream]]) MUST share
+    * this helper: round 6 lost 16 gates because the two read paths
+    * each hard-coded the nanos branch.
+    */
+  def canonicalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  /** The `nanosAsLong` conf only matters for the TIMESTAMP(NANOS)
+    * encoding (without it that footer type fails to load at all); it
+    * is inert for the other encodings. Dynamic SQLConf, so this works
+    * on any caller-provided session.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate(spark, (dir, name, false)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      if (name == "events") canonicalizeEventTs(df) else df
     }
 
   /** Like apply, but with full-cluster parallelism GUARANTEED for the

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.RelationalQueries.Num._
+import graft.sources.Tables
 
 /** Structured Streaming twins of the batch event aggregations, run
   * through a REAL streaming query (file source → incremental
@@ -67,25 +68,39 @@ object StreamingQueries {
   }
 
   /** Event-stream file source. Schema must be declared for streaming
-    * reads; ts arrives as raw parquet nanos (see Tables) and is
-    * converted to a proper timestamp here.
+    * reads — but the `ts` field's type is taken from the actual
+    * parquet footer (one batch-side schema inference, no data read),
+    * NOT assumed: the corpus has shipped as both TIMESTAMP(NANOS)
+    * (surfaces as a nanos long) and TIMESTAMP(MICROS)/NTZ, and a
+    * hard-coded LongType declaration over the micros encoding reads
+    * the raw micros into the long column — every downstream
+    * `div 1000` then silently compresses event time 1000×. The
+    * canonicalizer in [[graft.sources.Tables.canonicalizeEventTs]] is
+    * shared with the batch path so both see one stable TimestampType.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // footer-only schema probe; an empty/not-yet-written source dir
+    // (a legal streaming start state) has no footer to probe, and any
+    // rows that later arrive there are written by THIS engine's sinks
+    // as canonical TimestampType — so that is the fallback
+    val tsType =
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch { case _: Throwable => TimestampType }
     val schema = new StructType()
       .add("event_id", LongType)
-      .add("ts", LongType)
+      .add("ts", tsType)
       .add("user_id", LongType)
       .add("event_type", StringType)
       .add("value", DoubleType)
       .add("props", StringType)
     // the file streaming source requires a directory path; select just
     // the events table out of the corpus dir via glob filter
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.canonicalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Run one update-mode streaming aggregation to completion

@@ -24,8 +24,19 @@ object NamedArtifact {
   /** Register `df` as temp view `name`, cache it MEMORY_AND_DISK, and
     * return the view-backed frame (whose plan the cache registry
     * matches by the stored view definition, closure-safe).
+    *
+    * Any SAME-NAME artifact is uncached FIRST: a rebuild after the
+    * memoizing soft reference was GC-cleared (without an intervening
+    * invalidate) would otherwise `createOrReplaceTempView` over the
+    * old definition and — because closure-bearing plans never
+    * canonical-match — register a SECOND cache entry while the first
+    * entry's storage blocks stay pinned with no name left to reach
+    * them. Uncache-then-replace makes rebuild idempotent: at most one
+    * cache entry ever exists per name, so drop-by-name always frees
+    * every block this helper pinned.
     */
   def cache(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    Try(spark.catalog.uncacheTable(name))
     df.createOrReplaceTempView(name)
     if (!spark.catalog.isCached(name)) {
       spark.catalog.cacheTable(name, StorageLevel.MEMORY_AND_DISK)

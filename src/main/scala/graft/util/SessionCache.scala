@@ -55,6 +55,16 @@ final class SessionCache[K, V <: AnyRef] {
   /** Drop everything (benchmark hygiene between timed runs). */
   def invalidate(): Unit = bySession.synchronized(bySession.clear())
 
+  /** TEST HOOK: clear every soft value reference, exactly as the JVM
+    * does under memory pressure. Eviction timing is otherwise not
+    * reproducible in a spec, and the GC-cleared-entry path is the one
+    * [[invalidateKeys]] exists for — it must stay pinned by a test,
+    * not by luck.
+    */
+  private[graft] def simulateValueEviction(): Unit = bySession.synchronized {
+    bySession.forEach((_, scoped) => scoped.values.foreach(_.clear()))
+  }
+
   /** Drop everything, first running `onKey` for EVERY (session, key)
     * pair still reachable through a live session — INCLUDING entries
     * whose soft value has already been GC-cleared.

@@ -72,4 +72,54 @@ class FormatsSpec extends AnyFunSuite {
     assert(viaJson.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(viaJson).isEmpty)
     assert(viaCsv.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(viaCsv).isEmpty)
   }
+
+  test("events.ts canonicalizer reads nanos-long, NTZ-micros, and LTZ-micros encodings identically") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // the corpus has shipped with different at-rest ts encodings
+    // across rounds (round 6 lost 16 gates to a nanos→NTZ switch);
+    // pin that all three known encodings of the SAME instants
+    // canonicalize to the same TimestampType values on BOTH the batch
+    // and the streaming read path
+    val base = Tables(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .limit(500)
+      .cache()
+    val dirNanos = Files.createTempDirectory("graft-ts-nanos").toString
+    val dirNtz = Files.createTempDirectory("graft-ts-ntz").toString
+    val dirLtz = Files.createTempDirectory("graft-ts-ltz").toString
+    // TIMESTAMP(NANOS) surfaces as a raw nanos long under nanosAsLong;
+    // a written LongType column exercises the identical dispatch arm
+    base.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.parquet(s"$dirNanos/events.parquet")
+    base.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.parquet(s"$dirNtz/events.parquet")
+    base.write.parquet(s"$dirLtz/events.parquet")
+
+    def batchFingerprint(dir: String): Seq[(Long, Long)] = {
+      val df = Tables(spark, dir, "events")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"batch read of $dir must canonicalize ts to TimestampType")
+      df.select(col("event_id"), expr("unix_micros(ts)"))
+        .orderBy("event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    }
+    val viaNanos = batchFingerprint(dirNanos)
+    val viaNtz = batchFingerprint(dirNtz)
+    val viaLtz = batchFingerprint(dirLtz)
+    assert(viaNanos.nonEmpty)
+    assert(viaNanos == viaNtz, "nanos-long vs NTZ-micros reads disagree")
+    assert(viaNtz == viaLtz, "NTZ-micros vs LTZ-micros reads disagree")
+
+    // streaming path: same canonical type for every encoding (the
+    // round-6 silent 1000x compression was exactly this path assuming
+    // LongType over a micros corpus)
+    for (d <- Seq(dirNanos, dirNtz, dirLtz)) {
+      val st = graft.streaming.StreamingQueries.eventsStream(spark, d)
+      assert(st.isStreaming)
+      assert(st.schema("ts").dataType == TimestampType,
+        s"streaming read of $d must canonicalize ts to TimestampType")
+    }
+  }
 }

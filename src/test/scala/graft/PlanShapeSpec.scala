@@ -386,6 +386,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("bm25 derives doc length by aggregation, never a corpus-wide doc_id window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // round 6 measured the `sum(tf) over (partition by doc_id)` doc
+    // length as a second full sort+shuffle of the postings table; dl
+    // now rides a |docs|-row groupBy joined into the query-filtered
+    // postings. Remaining windows (per-token df over the filtered
+    // posting lists, the per-query rank) must never partition by
+    // doc_id — that is the corpus-sized shape reappearing
+    val df = graft.operators.TextAnalysis.bm25Search(spark, sf)
+    val wins = collectPlan(df).collect { case w: WindowExec => w }
+    assert(!wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "doc_id"))),
+      wins.map(_.partitionSpec.mkString(",")).mkString("; "))
+  }
+
   test("money aggregation keeps the primitive fixed-width buffer (no object aggregation)") {
     // SumScaled128's raison d'être: a two-long UnsafeRow buffer that
     // hash-aggregates as primitives. ObjectHashAggregate appearing

@@ -221,4 +221,42 @@ class UtilitiesSpec extends AnyFunSuite {
     // restore default for other suites sharing the session
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("named-artifact invalidation frees storage even after soft-value eviction and rebuild") {
+    // the GC-cleared-entry path invalidateKeys exists for, made
+    // deterministic: evict the soft value, rebuild (which must NOT
+    // leave a second, unreachable cache entry), then key-based drop —
+    // every storage block this lineage pinned must be gone
+    val cache = new graft.util.SessionCache[String, org.apache.spark.sql.DataFrame]
+    val name = graft.util.NamedArtifact.viewName("graft_spec_artifact", sf)
+    // baseline: other suites share this session and may hold their own
+    // cached plans — the contract is that THIS artifact's storage is
+    // freed, i.e. no persistent RDD beyond the baseline survives
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    def build() = cache.getOrElseUpdate(spark, sf) {
+      graft.util.NamedArtifact.cache(
+        spark, name, Tables(spark, sf, "nation").groupBy("n_regionkey").count())
+    }
+    assert(build().count() > 0)
+    assert(spark.catalog.isCached(name))
+
+    // simulate memory-pressure eviction of the memoized value, then a
+    // rebuild — the pre-fix behavior double-registered the cache entry
+    cache.simulateValueEviction()
+    assert(cache.get(spark, sf).isEmpty, "evicted value must read as absent")
+    assert(build().count() > 0)
+    assert(spark.catalog.isCached(name))
+
+    // key-based invalidation must reach the blocks by NAME: the value
+    // reference was cleared, so a value-based hook could not
+    cache.simulateValueEviction()
+    cache.invalidateKeys((s, _) => graft.util.NamedArtifact.drop(s, name))
+    assert(!spark.sessionState.catalog.getTempView(name).isDefined)
+    // storage freed: no persistent RDD beyond the pre-test baseline
+    // survives — the pre-fix double-registration left the first
+    // build's blocks pinned as an unreachable orphan here
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(leaked.isEmpty,
+      s"artifact storage leaked past key-based invalidation: RDD ids $leaked")
+  }
 }
