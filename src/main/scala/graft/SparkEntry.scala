@@ -587,43 +587,62 @@ object SparkEntry {
 
   /** 3-word shingle CTEs shared by the near-dup oracles (DuckDB lists
     * are 1-indexed; LATERAL generate_series enumerates positions).
+    *
+    * `sh` is MATERIALIZED: DuckDB 1.0 inlines plain CTEs into every
+    * reference, and each consumer of this block references `sh` at
+    * least three times — without the hint the shingle expansion is
+    * re-evaluated per reference (the same quadratic-recomputation
+    * defect the Spark k-core peel had before its localCheckpoint).
+    * MATERIALIZED is a semantics-free evaluation hint, so the oracle
+    * rows are unchanged.
     */
   private val shingleCtes =
     """tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g)""".stripMargin
 
   /** Full CTE chain producing the verified MinHash-LSH near-dup pairs
     * as `lshpairs` — shared by the dedup_minhash_lsh oracle and the
     * dedup_clusters transitive-closure oracle.
+    *
+    * `sig`/`bands` are always MATERIALIZED (every consumer evaluates
+    * them, and `bands` self-joins / `sig` double-joins in the
+    * calibration oracle). The tail (`nsh`, `lshpairs`) is MATERIALIZED
+    * only when `matTail` is set: DuckDB 1.0 EVALUATES a materialized
+    * CTE even if unreferenced (probed), and `lsh_band_stats` stops at
+    * `bands` — forcing the candidate-verification tail there would
+    * charge the oracle for work its query never uses. Every consumer
+    * that actually reads `lshpairs` passes the default.
     */
-  private def minhashPairCtes =
+  private def minhashPairCtes(matTail: Boolean = true): String = {
+    val m = if (matTail) "MATERIALIZED " else ""
     s"""$shingleCtes,
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id, s, min(md5(s || '|' || shingle)) AS mh
        |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS s) hs
        |  GROUP BY doc_id, s),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, b, md5(string_agg(mh, ',' ORDER BY s)) AS bkey
        |  FROM (SELECT doc_id, s, mh, s // 3 AS b FROM sig) GROUP BY doc_id, b),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |nsh AS $m(SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |comm AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
        |  GROUP BY c.doc_a, c.doc_b),
-       |lshpairs AS (
+       |lshpairs AS $m(
        |  SELECT c.doc_a, c.doc_b, n_common, na.n + nb.n - n_common AS n_union,
        |         CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
        |  FROM comm c JOIN nsh na ON na.doc_id = c.doc_a JOIN nsh nb ON nb.doc_id = c.doc_b
        |  WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3)""".stripMargin
+  }
 
   private def decontaminationSql: String =
     """WITH sp AS (SELECT doc_id, text,
@@ -1712,17 +1731,17 @@ object SparkEntry {
         |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
         |FROM documents GROUP BY source""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH $minhashPairCtes
+      s"""WITH ${minhashPairCtes()}
          |SELECT doc_a, doc_b, n_common, n_union, jaccard FROM lshpairs""".stripMargin,
     // fixed-iteration PageRank on the verified pair graph, ALL in
     // scaled-integer arithmetic (rank × 1e6, floor division): integer
     // sums are order-independent, so three chained CTE rounds here
     // equal Spark's three join+sum rounds bit-for-bit
     "graph_pagerank" ->
-      s"""WITH $minhashPairCtes,
-         |edges AS (SELECT doc_a, doc_b FROM lshpairs
+      s"""WITH ${minhashPairCtes()},
+         |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM lshpairs
          |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
-         |deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY 1),
+         |deg AS MATERIALIZED (SELECT doc_a, count(*) AS deg FROM edges GROUP BY 1),
          |pr0 AS (SELECT doc_a AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
          |pr1 AS (SELECT e.doc_b AS node,
          |               150000 + (85 * sum(p.pr // d.deg)) // 100 AS pr
@@ -1741,11 +1760,11 @@ object SparkEntry {
     // as an exact scaled-integer ratio. Triangles close ordered
     // wedges a<b<c against the oriented edge list
     "graph_triangles" ->
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
          |edges AS (SELECT doc_a, doc_b FROM lshpairs
          |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
-         |deg AS (SELECT doc_a, count(*) AS deg FROM edges GROUP BY 1),
-         |tri AS (
+         |deg AS MATERIALIZED (SELECT doc_a, count(*) AS deg FROM edges GROUP BY 1),
+         |tri AS MATERIALIZED (
          |  SELECT count(*) AS n_triangles FROM lshpairs ab
          |  JOIN lshpairs bc ON ab.doc_b = bc.doc_a
          |  JOIN lshpairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
@@ -1757,10 +1776,11 @@ object SparkEntry {
          |                    THEN (3 * (SELECT n_triangles FROM tri) * 1000000)
          |                         // sum(deg * (deg - 1) // 2)
          |                    ELSE 0 END AS BIGINT) FROM deg) AS clustering_x1e6""".stripMargin,
-    // the bands CTE re-grouped to occupancies (cand/lshpairs tail
-    // CTEs go unused — DuckDB evaluates CTEs lazily)
+    // the bands CTE re-grouped to occupancies; matTail = false keeps
+    // the unused cand/lshpairs tail lazy (a MATERIALIZED but
+    // unreferenced CTE is still evaluated in DuckDB 1.0)
     "lsh_band_stats" ->
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes(matTail = false)},
          |bsz AS (SELECT b AS band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2)
          |SELECT band, sz AS bucket_size, count(*) AS n_buckets
          |FROM bsz GROUP BY 1, 2""".stripMargin,
@@ -1790,7 +1810,7 @@ object SparkEntry {
     // every matrix coordinate is an integer (agreement count, integer
     // Jaccard bucket)
     "minhash_calibration" ->
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
          |ag AS (
          |  SELECT p.doc_a, p.doc_b, p.n_common, p.n_union,
          |         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
@@ -1815,7 +1835,7 @@ object SparkEntry {
          |FROM f GROUP BY 1""".stripMargin,
     // degree histogram over the same verified pair set
     "dedup_degree_stats" ->
-      s"""WITH $minhashPairCtes,
+      s"""WITH ${minhashPairCtes()},
          |deg AS (
          |  SELECT doc_id, count(*) AS degree FROM (
          |    SELECT doc_a AS doc_id FROM lshpairs
@@ -1848,14 +1868,14 @@ object SparkEntry {
     // reached (node, label) across one edge, so min(label) per node
     // is the component minimum, exactly the Spark min-label fixpoint
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
          |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
          |reach(id, lbl) AS (
          |  SELECT src, src FROM edges
          |  UNION
          |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
-         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |cc AS MATERIALIZED (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
          |sz AS (SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id)
          |SELECT cc.doc_id, cc.cluster_id, sz.n_members,
          |       CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
@@ -1865,19 +1885,19 @@ object SparkEntry {
     // three peel rounds as chained CTEs; n_nodes counts the degree
     // survivors of each round, n_edges the pairs with both ends kept
     "graph_kcore" ->
-      s"""WITH $minhashPairCtes,
-         |e0 AS (SELECT doc_a, doc_b FROM lshpairs),
+      s"""WITH ${minhashPairCtes()},
+         |e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM lshpairs),
          |s0 AS (SELECT doc_a AS a FROM e0 UNION ALL SELECT doc_b FROM e0),
-         |k1 AS (SELECT a FROM s0 GROUP BY a HAVING count(*) >= 2),
-         |e1 AS (SELECT doc_a, doc_b FROM e0
+         |k1 AS MATERIALIZED (SELECT a FROM s0 GROUP BY a HAVING count(*) >= 2),
+         |e1 AS MATERIALIZED (SELECT doc_a, doc_b FROM e0
          |       WHERE doc_a IN (SELECT a FROM k1) AND doc_b IN (SELECT a FROM k1)),
          |s1 AS (SELECT doc_a AS a FROM e1 UNION ALL SELECT doc_b FROM e1),
-         |k2 AS (SELECT a FROM s1 GROUP BY a HAVING count(*) >= 2),
-         |e2 AS (SELECT doc_a, doc_b FROM e1
+         |k2 AS MATERIALIZED (SELECT a FROM s1 GROUP BY a HAVING count(*) >= 2),
+         |e2 AS MATERIALIZED (SELECT doc_a, doc_b FROM e1
          |       WHERE doc_a IN (SELECT a FROM k2) AND doc_b IN (SELECT a FROM k2)),
          |s2 AS (SELECT doc_a AS a FROM e2 UNION ALL SELECT doc_b FROM e2),
-         |k3 AS (SELECT a FROM s2 GROUP BY a HAVING count(*) >= 2),
-         |e3 AS (SELECT doc_a, doc_b FROM e2
+         |k3 AS MATERIALIZED (SELECT a FROM s2 GROUP BY a HAVING count(*) >= 2),
+         |e3 AS MATERIALIZED (SELECT doc_a, doc_b FROM e2
          |       WHERE doc_a IN (SELECT a FROM k3) AND doc_b IN (SELECT a FROM k3))
          |SELECT 1 AS round, (SELECT count(*) FROM k1) AS n_nodes,
          |       (SELECT count(*) FROM e1) AS n_edges
@@ -1886,17 +1906,17 @@ object SparkEntry {
          |UNION ALL
          |SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)""".stripMargin,
     "graph_label_prop" ->
-      s"""WITH $minhashPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+      s"""WITH ${minhashPairCtes()},
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
          |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
-         |l0 AS (SELECT DISTINCT src AS id, src AS enc FROM edges
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS enc FROM edges
          |       JOIN documents ON src = doc_id
          |       WHERE substr(md5(text || '|lpseed'), 1, 1) IN ('0','1','2','3')),
-         |l1 AS (SELECT id, min(enc) AS enc FROM (
+         |l1 AS MATERIALIZED (SELECT id, min(enc) AS enc FROM (
          |  SELECT e.dst AS id, l.enc + 1000000000000 AS enc
          |  FROM edges e JOIN l0 l ON l.id = e.src
          |  UNION ALL SELECT id, enc FROM l0) GROUP BY id),
-         |l2 AS (SELECT id, min(enc) AS enc FROM (
+         |l2 AS MATERIALIZED (SELECT id, min(enc) AS enc FROM (
          |  SELECT e.dst AS id, l.enc + 1000000000000 AS enc
          |  FROM edges e JOIN l1 l ON l.id = e.src
          |  UNION ALL SELECT id, enc FROM l1) GROUP BY id),
@@ -1910,14 +1930,14 @@ object SparkEntry {
     // split decided by the cluster representative's hash, so every
     // near-dup family lands in exactly one split
     "sample_leakage_free" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
          |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
          |reach(id, lbl) AS (
          |  SELECT src, src FROM edges
          |  UNION
          |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
-         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |cc AS MATERIALIZED (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
          |j AS (SELECT d.doc_id, cc.cluster_id,
          |             COALESCE(cc.cluster_id, d.doc_id) AS rep
          |      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
@@ -1934,14 +1954,14 @@ object SparkEntry {
     // near-dup cluster (longest doc, tie → smaller id), singletons
     // kept with their own id as cluster_id
     "dedup_keep_best" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
          |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
          |reach(id, lbl) AS (
          |  SELECT src, src FROM edges
          |  UNION
          |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
-         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |cc AS MATERIALIZED (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
          |ranked AS (
          |  SELECT cc.doc_id, cc.cluster_id,
          |         row_number() OVER (PARTITION BY cc.cluster_id
@@ -1957,14 +1977,14 @@ object SparkEntry {
     // the composed pipeline: keep-best survivors (full-corpus dedup) ∩
     // quality-filtered docs, split-assigned, summarized per source
     "curation_pipeline" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
          |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
          |reach(id, lbl) AS (
          |  SELECT src, src FROM edges
          |  UNION
          |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
-         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |cc AS MATERIALIZED (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
          |ranked AS (
          |  SELECT cc.doc_id,
          |         row_number() OVER (PARTITION BY cc.cluster_id
