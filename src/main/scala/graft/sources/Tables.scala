@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, LongType, TimestampNTZType, TimestampType}
 
 import graft.util.SessionCache
 
@@ -58,13 +58,49 @@ object Tables {
     * each hard-coded the nanos branch.
     */
   def canonicalizeEventTs(df: DataFrame): DataFrame =
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+    canonicalizeTimeCol(df, "ts", TimestampType)
+
+  /** The general form of [[canonicalizeEventTs]]: pin `colName` to
+    * `target` (the type every downstream query was written against)
+    * no matter which at-rest encoding this round's corpus shipped.
+    * Dispatch arms:
+    *
+    *   - already `target` → untouched (today's encoding, zero cost);
+    *   - LongType = raw nanos under `nanosAsLong` →
+    *     `timestamp_micros(v div 1000)` then cast;
+    *   - TIMESTAMP NTZ ↔ LTZ and DATE → plain cast. All exact under
+    *     the engine's pinned UTC session timezone (the cast
+    *     re-interprets the same wall-clock fields, and UTC makes the
+    *     wall clock the instant; DATE is its midnight).
+    *
+    * The target is per-column, NOT a global normal form: `events.ts`
+    * canonicalizes to session-zoned TimestampType (watermarks,
+    * `unix_micros`), while the TPC-H date columns canonicalize to
+    * TIMESTAMP_NTZ — exactly the types those queries and their green
+    * oracle rows were built against, so a corpus re-encoding can
+    * never shift query OUTPUT types either.
+    */
+  def canonicalizeTimeCol(df: DataFrame, colName: String, target: DataType): DataFrame =
+    df.schema.fields.find(_.name == colName).map(_.dataType) match {
+      case Some(`target`) | None => df
       case Some(LongType) =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case Some(TimestampNTZType) =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)").cast(target))
+      case Some(TimestampNTZType) | Some(TimestampType) | Some(DateType) =>
+        df.withColumn(colName, col(colName).cast(target))
       case _ => df
     }
+
+  /** Per-table time-column contracts: the type the engine's queries
+    * (and their committed oracle rows) assume. Round 6 proved the
+    * corpus regeneration can silently re-encode any of these; every
+    * batch read goes through this map so the blast radius of the next
+    * re-encoding is zero.
+    */
+  private val timeContracts: Map[String, Seq[(String, DataType)]] = Map(
+    "events" -> Seq("ts" -> TimestampType),
+    "orders" -> Seq("o_orderdate" -> TimestampNTZType),
+    "lineitem" -> Seq("l_shipdate" -> TimestampNTZType),
+  )
 
   /** The `nanosAsLong` conf only matters for the TIMESTAMP(NANOS)
     * encoding (without it that footer type fails to load at all); it
@@ -75,7 +111,9 @@ object Tables {
     cache.getOrElseUpdate(spark, (dir, name, false)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events") canonicalizeEventTs(df) else df
+      timeContracts.getOrElse(name, Nil).foldLeft(df) { case (d, (c, t)) =>
+        canonicalizeTimeCol(d, c, t)
+      }
     }
 
   /** Like apply, but with full-cluster parallelism GUARANTEED for the

@@ -122,4 +122,45 @@ class FormatsSpec extends AnyFunSuite {
         s"streaming read of $d must canonicalize ts to TimestampType")
     }
   }
+
+  test("TPC-H date columns canonicalize to NTZ from nanos-long, LTZ, DATE, and NTZ encodings") {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    // the round-6 lesson generalized: the corpus regeneration may
+    // re-encode o_orderdate/l_shipdate just as it re-encoded
+    // events.ts. Pin that every plausible at-rest encoding of the
+    // SAME dates reads back to the contract type (TIMESTAMP_NTZ — the
+    // type all committed TPC-H predicates and oracle rows were built
+    // against) with identical values on the batch path.
+    val base = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate")
+      .limit(500)
+      .cache()
+    val encodings: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      // raw nanos long (TIMESTAMP(NANOS) surfaces this way under nanosAsLong)
+      "nanos" -> base.withColumn(
+        "o_orderdate", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000")),
+      "ltz" -> base.withColumn("o_orderdate", col("o_orderdate").cast(TimestampType)),
+      "date" -> base.withColumn("o_orderdate", col("o_orderdate").cast(DateType)),
+      "ntz" -> base,
+    )
+    val prints = encodings.map { case (label, df) =>
+      val dir = Files.createTempDirectory(s"graft-date-$label").toString
+      df.write.parquet(s"$dir/orders.parquet")
+      val back = Tables(spark, dir, "orders")
+      assert(back.schema("o_orderdate").dataType == TimestampNTZType,
+        s"$label encoding must canonicalize o_orderdate to TIMESTAMP_NTZ")
+      val got = back
+        .select(col("o_orderkey"),
+          expr("CAST(o_orderdate AS STRING)").as("d"))
+        .orderBy("o_orderkey")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSeq
+      label -> got
+    }
+    val ref = prints.head._2
+    assert(ref.nonEmpty)
+    for ((label, got) <- prints.tail)
+      assert(got == ref, s"$label encoding disagrees with ${prints.head._1}")
+  }
 }
