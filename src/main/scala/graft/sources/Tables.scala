@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 import graft.util.SessionCache
 
@@ -102,6 +102,20 @@ object Tables {
     "lineitem" -> Seq("l_shipdate" -> TimestampNTZType),
   )
 
+  /** Plain cast-to-contract columns (no time semantics). The typed
+    * Catalyst expressions ([[graft.functions.CosineSimilarity]] and
+    * friends) require `array<float>` exactly; a corpus regeneration
+    * that re-encodes embeddings as `list<double>` would otherwise
+    * fail type-check across the whole similarity/embedding gate
+    * family at analysis time. A double re-encoding of the same f32
+    * values casts back exactly; genuinely different values still fail
+    * the oracle compare loudly — the cast widens survival, never
+    * hides drift.
+    */
+  private val castContracts: Map[String, Seq[(String, DataType)]] = Map(
+    "embeddings" -> Seq("embedding" -> ArrayType(FloatType)),
+  )
+
   /** The `nanosAsLong` conf only matters for the TIMESTAMP(NANOS)
     * encoding (without it that footer type fails to load at all); it
     * is inert for the other encodings. Dynamic SQLConf, so this works
@@ -111,8 +125,13 @@ object Tables {
     cache.getOrElseUpdate(spark, (dir, name, false)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      timeContracts.getOrElse(name, Nil).foldLeft(df) { case (d, (c, t)) =>
+      val timed = timeContracts.getOrElse(name, Nil).foldLeft(df) { case (d, (c, t)) =>
         canonicalizeTimeCol(d, c, t)
+      }
+      castContracts.getOrElse(name, Nil).foldLeft(timed) { case (d, (c, t)) =>
+        if (d.schema.fields.exists(f => f.name == c && f.dataType != t))
+          d.withColumn(c, col(c).cast(t))
+        else d
       }
     }
 

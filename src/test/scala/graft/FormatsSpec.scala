@@ -163,4 +163,23 @@ class FormatsSpec extends AnyFunSuite {
     for ((label, got) <- prints.tail)
       assert(got == ref, s"$label encoding disagrees with ${prints.head._1}")
   }
+
+  test("embeddings canonicalize to array<float> from a list<double> re-encoding, values identical") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    // the typed cosine/minhash expressions require array<float>
+    // exactly; pin that a corpus regeneration shipping the SAME f32
+    // values as list<double> reads back bit-identically instead of
+    // failing type-check across the similarity gate family
+    val base = Tables(spark, sf, "embeddings").limit(100).cache()
+    val dir = Files.createTempDirectory("graft-emb-f64").toString
+    base.withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val back = Tables(spark, dir, "embeddings")
+    assert(back.schema("embedding").dataType == ArrayType(FloatType),
+      "double re-encoding must canonicalize back to array<float>")
+    def fp(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
+      df.select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    assert(fp(back) == fp(base), "f64 round-trip must be bit-identical to the f32 source")
+  }
 }
