@@ -206,15 +206,25 @@ object StreamingQueries {
     */
   def similarityScoredStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosine
+    // footer-probed element type, the eventsStream rule: a declared
+    // array<float> over a re-encoded list<double> corpus fails at
+    // read; declare what is actually at rest and cast to the
+    // array<float> contract the typed cosine expression requires
+    // (exact for double re-encodings of the same f32 values)
+    val embType =
+      try spark.read.parquet(s"$dir/embeddings.parquet").schema("embedding").dataType
+      catch { case _: Throwable => ArrayType(FloatType) }
     val schema = new StructType()
       .add("vec_id", LongType)
-      .add("embedding", ArrayType(FloatType))
+      .add("embedding", embType)
       .add("label", IntegerType)
     val corpus = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .select(
+        col("vec_id").as("neighbor_id"),
+        col("embedding").cast(ArrayType(FloatType)).as("ce"))
     val queries = graft.sources.Tables(spark, dir, "embeddings")
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -181,5 +181,12 @@ class FormatsSpec extends AnyFunSuite {
       df.select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     assert(fp(back) == fp(base), "f64 round-trip must be bit-identical to the f32 source")
+
+    // streaming path: the scored stream must declare the at-rest type
+    // (footer probe) and still hand the cosine expression array<float>
+    val st = graft.streaming.StreamingQueries.similarityScoredStream(spark, dir)
+    assert(st.isStreaming)
+    assert(st.schema("cos").dataType.typeName == "double",
+      "typed cosine must type-check over the double-encoded corpus stream")
   }
 }
