@@ -129,8 +129,14 @@ object GraphOps {
     *
     * Scale shape: rides the memoized pair artifact; each round is ONE
     * join of the edge list against the current |reached|-row label
-    * table (AQE broadcasts while it fits) plus one min-aggregation —
-    * same per-round plan as [[pagerank]], built as one fixed DAG.
+    * table (AQE broadcasts while it fits) plus one min-aggregation.
+    * Unlike [[pagerank]] — whose rounds reference the previous rank
+    * table exactly once, so the fixed DAG evaluates linearly — each
+    * round here references the label table TWICE (the frontier join
+    * and the union that retains already-reached nodes), doubling the
+    * un-truncated lineage per round: 2^rounds evaluations of the seed
+    * scan. The per-round localCheckpoint (the [[kCorePeeling]] /
+    * [[Dedup.connectedComponents]] rule) keeps it linear.
     */
   def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val e = edges(spark, dir)
@@ -142,6 +148,7 @@ object GraphOps {
       .join(docs, "id")
       .filter(substring(md5(concat(col("text"), lit("|lpseed"))), 1, 1).isin("0", "1", "2", "3"))
       .select(col("id"), col("id").as("enc"))
+      .localCheckpoint()
     (1 to rounds).foreach { _ =>
       lbl = e
         .join(lbl, col("doc_a") === col("id"))
@@ -149,6 +156,7 @@ object GraphOps {
         .union(lbl)
         .groupBy("id")
         .agg(min(col("enc")).as("enc"))
+        .localCheckpoint()
     }
     lbl.select(
       col("id").as("doc_id"),
