@@ -143,14 +143,16 @@ object IvfIndex {
     * integer assignment sequence is engine-portable and the final
     * one oracle-gates.
     *
-    * The round count is small and FIXED, so rounds past the memoized
-    * first one build a single DAG executed by one action — no
-    * per-round materialization (an open-ended convergence loop would
-    * truncate lineage per round instead, as connectedComponents
-    * does). Round 1 is the shared [[round1Assignment]] artifact, so
-    * the corpus parquet is scanned once per (session, dir) across
-    * the whole IVF gate family; later rounds read the persisted
-    * (vec_id, embedding, cell) frame, never the files.
+    * Round 1 is the shared [[round1Assignment]] artifact, so the
+    * corpus parquet is scanned once per (session, dir) across the
+    * whole IVF gate family. Every later round references the previous
+    * assignment TWICE — as the reassign input and through the
+    * centroid aggregation — which is exactly the double-reference
+    * shape that makes an un-truncated lineage double per round
+    * (2^(iters−1) evaluations of round 2 for a caller-supplied
+    * iteration count; the labelPropagation rule). Each round is
+    * therefore localCheckpoint-truncated — on a cluster, a checkpoint
+    * dir / table write — so the loop evaluates linearly in `iters`.
     */
   def kmeansIterated(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     var assigned = round1Assignment(spark, dir)
@@ -158,7 +160,7 @@ object IvfIndex {
       assigned = reassign(
         assigned.select(col("vec_id"), col("embedding")),
         centroids(assigned, "cell"),
-      )
+      ).localCheckpoint()
     }
     assigned.select(col("vec_id"), col("cell").as("assigned_cell"))
   }
