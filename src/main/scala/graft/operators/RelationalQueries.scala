@@ -1521,28 +1521,36 @@ object RelationalQueries {
   }
 
   /** Winsorized robust statistics per event type: exact discrete
-    * p05/p95 cut points (rank-position selection over a UNIQUE
-    * (value, event_id) order — the same integer rank formula as
+    * p05/p95 cut points (the value at the integer rank formula of
     * lengthPercentiles, identical in both engines), then the
     * winsorized mean from the EXACT integer sum of clamped cents.
     * Every emitted double is an exact-integer quotient — fully
     * portable, unlike any interpolating percentile or streaming
     * trimmed mean.
     *
-    * Scale shape: one rank window per type (bounded key domain), a
-    * |types|-row cut table joined back (AQE's call), and a final
-    * map-side-combined aggregate.
+    * Scale shape: SORT-FREE ranks (the quantile_histogram /
+    * gkBoundsGate rule) — a per-type row_number window would sort a
+    * corpus-sized partition per type (the key domain is ~5, so each
+    * partition is corpus/5 in one task). The value at a rank depends
+    * only on the value order, so aggregate to the per-(type, cents)
+    * histogram first (map-side combine) and read the rank off the
+    * cumulative count over that bounded frame; then a |types|-row cut
+    * table joined back (AQE's call) and a final map-side-combined
+    * aggregate.
     */
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val typed = t(spark, dir, "events")
       .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
-    val wOrd = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy("event_type")
     def atQ(pct: Int): Column =
-      max(when(col("rk") === expr(s"((n - 1) * $pct) div 100") + 1, col("vc")))
+      min(when(col("cum") >= expr(s"((n - 1) * $pct) div 100") + 1, col("vc")))
     val cuts = typed
-      .withColumn("rk", row_number().over(wOrd).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type", "vc")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .groupBy("event_type", "n")
       .agg(atQ(5).as("p05_cents"), atQ(95).as("p95_cents"))
       .select(col("event_type"), col("p05_cents"), col("p95_cents"))
@@ -1892,22 +1900,29 @@ object RelationalQueries {
     * [[TextAnalysis.lengthPercentiles]] on integer cents, so every
     * compared quantity is exact — flags dev > 3·MAD in integers.
     *
-    * Scale shape: two rank windows partitioned by event_type over
-    * integer cents (range-partitionable group sorts — the production
-    * path at 100 TB swaps in the GK sketch, validated against this
-    * exact twin), each reduced to a |types|-row frame that joins back
-    * WITHOUT a static hint: AQE broadcasts the measured handful of
-    * rows (same de-pin rule as the turnout family).
+    * Scale shape: SORT-FREE medians (the quantile_histogram /
+    * gkBoundsGate rule) — a per-type rank window would sort a
+    * corpus-sized partition per task at this key domain (~5 types).
+    * Each median aggregates to the per-(type, value) histogram first
+    * (map-side combine), reads the rank off the cumulative count
+    * over that bounded frame, and reduces to a |types|-row frame
+    * that joins back WITHOUT a static hint: AQE broadcasts the
+    * measured handful of rows (same de-pin rule as the turnout
+    * family). The production path at 100 TB swaps in the GK sketch,
+    * validated against this exact twin.
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val wAll = Window.partitionBy("event_type")
     def p50(frame: DataFrame, v: String, out: String): DataFrame = {
-      val wOrd = Window.partitionBy("event_type").orderBy(col(v), col("event_id"))
+      val wCum = Window.partitionBy("event_type").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, 0)
       frame
-        .withColumn("__rk", row_number().over(wOrd).cast("long"))
-        .withColumn("__n", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"), col(v))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", sum(col("__cnt")).over(wCum))
+        .withColumn("__n", sum(col("__cnt")).over(wAll))
         .groupBy("event_type")
-        .agg(max(when(col("__rk") === expr("((__n - 1) * 50) div 100") + 1, col(v))).as(out))
+        .agg(min(when(col("__cum") >= expr("((__n - 1) * 50) div 100") + 1, col(v))).as(out))
     }
     val typed = t(spark, dir, "events")
       .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))

@@ -84,15 +84,24 @@ object Sketches {
         (expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("vc"),
         col("event_id"),
       )
-    val wOrd = Window.orderBy(col("vc"), col("event_id"))
-    val ranked = vals
-      .withColumn("rk", row_number().over(wOrd).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    // SORT-FREE exact ranks (the quantile_histogram rule): a corpus
+    // row_number window would single-task-sort every event row — the
+    // one shape that cannot survive 100 TB. The value at rank r
+    // depends only on the value ORDER, so aggregate to the
+    // |distinct cents| histogram (map-side combine) and rank via the
+    // cumulative count over that bounded frame: the value at rank r
+    // is the smallest vc whose cumulative count reaches r.
+    val hist = vals.groupBy("vc").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("vc")).rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
     // value at the percentile_disc rank and at rank ± tolerance
     // (tolerance ranks clamp to [1, n]), per p
     def exactAt(p: Int, off: String): Column = {
       val target = expr(s"((n - 1) * $p) div 100 + 1 $off")
-      max(when(col("rk") === greatest(lit(1L), least(col("n"), target)), col("vc")))
+      val t = greatest(lit(1L), least(col("n"), target))
+      min(when(col("cum") >= t, col("vc")))
     }
     val tolExpr = s"(n div $acc + 2)"
     val exactCols = Seq(50, 90, 99).flatMap { p =>
@@ -108,7 +117,13 @@ object Sketches {
     val approx = vals.agg(
       percentile_approx(col("vc"), array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ap")
     )
-    val joined = exact.crossJoin(approx)
+    // one-row frame, referenced by all three output branches below:
+    // un-truncated, each union branch re-evaluates BOTH the global
+    // rank window and the GK pass (3x the corpus work), and three
+    // independent percentile_approx evaluations could even disagree
+    // run-to-run. Materializing the single row makes the sketch run
+    // once (the double-reference truncation rule).
+    val joined = exact.crossJoin(approx).localCheckpoint()
     val rows = Seq(50, 90, 99).zipWithIndex.map { case (p, i) =>
       joined.select(
         lit(p.toLong).as("p"),

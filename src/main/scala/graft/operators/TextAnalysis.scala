@@ -401,22 +401,29 @@ object TextAnalysis {
     * profile that sizes context windows and length buckets. Integer
     * positions into integer data: no interpolation, no float drift.
     *
-    * Scale shape: the per-group sort is a rank window partitioned by
-    * lang — range-partitionable, but still a sort of the group. At
-    * 100 TB the production path is a mergeable quantile sketch (see
-    * [[Sketches]] for the GK profile); this operator is the exact,
+    * Scale shape: SORT-FREE ranks (the quantile_histogram rule) — a
+    * per-lang rank window sorts a corpus-sized partition per task at
+    * this key domain. The value at a rank depends only on the value
+    * order, so aggregate to the per-(lang, length) histogram first
+    * (map-side combine; lengths are bounded) and read each rank off
+    * the cumulative count over that small frame. At 100 TB the
+    * production path is a mergeable quantile sketch (see [[Sketches]]
+    * for the GK profile); this operator is the exact,
     * oracle-checkable twin the sketch is validated against.
     */
   def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy("lang").orderBy(col("n_tok"), col("doc_id"))
+    val wCum = Window.partitionBy("lang").orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy("lang")
     def atQ(pct: Int): Column =
-      max(when(col("rk") === expr(s"((n - 1) * $pct) div 100") + 1, col("n_tok")))
+      min(when(col("cum") >= expr(s"((n - 1) * $pct) div 100") + 1, col("n_tok")))
     docs(spark, dir)
-      .select(col("lang"), col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
-      .withColumn("rk", row_number().over(wOrd).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy("lang", "n_tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .groupBy("lang", "n")
       .agg(atQ(50).as("p50_tok"), atQ(90).as("p90_tok"), atQ(99).as("p99_tok"))
   }
@@ -1195,26 +1202,32 @@ object TextAnalysis {
     * exist at ingest time.
     *
     * Determinism: token counts are exact integers, both medians use
-    * the exact `percentile_disc` rank rule (row_number over the
-    * unique (value, doc_id) order), and the 3·MAD screen compares
-    * integers — nothing floating anywhere.
+    * the exact `percentile_disc` rank rule, and the 3·MAD screen
+    * compares integers — nothing floating anywhere.
     *
-    * Scale shape: two rank windows partitioned by predicted language
-    * (range-partitionable group sorts; the 100 TB path swaps in the
-    * GK sketch this exact twin validates), each reduced to a
-    * |langs|-row frame that joins back WITHOUT a static hint — AQE
-    * broadcasts the handful of rows (turnout de-pin rule).
+    * Scale shape: SORT-FREE medians (the quantile_histogram /
+    * madOutliers rule) — a per-language rank window sorts a
+    * corpus-sized partition per task at this key domain. Each median
+    * aggregates to the per-(lang, value) histogram first (map-side
+    * combine) and reads the rank off the cumulative count over that
+    * bounded frame; each reduces to a |langs|-row frame that joins
+    * back WITHOUT a static hint — AQE broadcasts the handful of rows
+    * (turnout de-pin rule). The 100 TB path swaps in the GK sketch
+    * this exact twin validates.
     */
   def langRobustStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy("predicted")
     def p50(frame: DataFrame, v: String, out: String): DataFrame = {
-      val wOrd = Window.partitionBy("predicted").orderBy(col(v), col("doc_id"))
+      val wCum = Window.partitionBy("predicted").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, 0)
       frame
-        .withColumn("__rk", row_number().over(wOrd).cast("long"))
-        .withColumn("__n", count(lit(1)).over(wAll))
+        .groupBy(col("predicted"), col(v))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", sum(col("__cnt")).over(wCum))
+        .withColumn("__n", sum(col("__cnt")).over(wAll))
         .groupBy("predicted")
-        .agg(max(when(col("__rk") === expr("((__n - 1) * 50) div 100") + 1, col(v))).as(out))
+        .agg(min(when(col("__cum") >= expr("((__n - 1) * 50) div 100") + 1, col(v))).as(out))
     }
     val typed = docs(spark, dir)
       .select(

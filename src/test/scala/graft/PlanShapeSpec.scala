@@ -386,6 +386,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("exact percentile gates rank via histograms, never a corpus row_number window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    // the quantile_histogram rule applied to the whole exact-rank
+    // family: a row_number window partitioned by a ~5-key column
+    // sorts a corpus-sized partition per task — the value at a rank
+    // depends only on the value order, so ranks come off the
+    // cumulative count of the per-(group, value) histogram instead.
+    // The remaining windows are cumulative sums over those bounded
+    // histogram frames; none may compute row_number.
+    val gates = Seq(
+      graft.operators.Sketches.gkBoundsGate(spark, sf),
+      graft.operators.RelationalQueries.winsorizedStats(spark, sf),
+      graft.operators.RelationalQueries.madOutliers(spark, sf),
+      graft.operators.TextAnalysis.lengthPercentiles(spark, sf),
+      graft.operators.TextAnalysis.langRobustStats(spark, sf),
+    )
+    for (df <- gates) {
+      val rn = collectPlan(df).collect { case w: WindowExec => w }
+        .filter(_.windowExpression.exists(_.exists(_.isInstanceOf[RowNumber])))
+      assert(rn.isEmpty, s"row_number window in exact-percentile plan: $rn")
+    }
+  }
+
   test("bm25 derives doc length by aggregation, never a corpus-wide doc_id window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // round 6 measured the `sum(tf) over (partition by doc_id)` doc
