@@ -101,10 +101,16 @@ object Bench {
     println(line)
     // belt and braces against any stdout capture limit: persist the
     // identical JSON where the round-end auto-commit will pick it up,
-    // so the full per-query map always survives for perf comparisons
+    // so the full per-query map always survives for perf comparisons.
+    // Path is overridable (and defaults to the working directory, not
+    // a hard-coded checkout location); a failed fallback write is
+    // logged, never silent.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(fullPath).toAbsolutePath, line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL fallback write to $fullPath failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

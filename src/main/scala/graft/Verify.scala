@@ -31,10 +31,18 @@ object Verify {
         // of "broken". A one-row (err) result guarantees the driver's
         // compare finds a schema/hash MISMATCH against the oracle.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        import spark.implicits._
-        Seq(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}")
-          .toDF("err").coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // the loud-artifact write gets its own guard: if the original
+        // failure's root cause (disk full, dead session) also breaks
+        // THIS write, we must degrade to the stderr-only report above,
+        // not abort every remaining gate
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}")
+            .toDF("err").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case w: Throwable =>
+          System.err.println(s"[verify] $name err-artifact write also failed: ${w.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

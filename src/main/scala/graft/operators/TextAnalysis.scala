@@ -907,9 +907,15 @@ object TextAnalysis {
     val scored = tf
       .join(broadcast(qdf), "token")
       // df over the FILTERED postings is exact: the filter keeps every
-      // posting of a query token, and the query term lists are
-      // disjoint, so count-per-token is that token's document count
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      // posting of a query token, so within ONE query's slice the
+      // count per token is that token's document count. Partitioning
+      // by (query_id, token) — not token alone — keeps this true even
+      // when two queries share a token: the query join replicates each
+      // posting once per owning query, and a token-only partition
+      // would count the replicas and silently inflate df.
+      .withColumn(
+        "df",
+        count(lit(1)).over(Window.partitionBy("query_id", "token")))
       .join(dls, "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("avgdl", expr("tot_tok div n_docs"))

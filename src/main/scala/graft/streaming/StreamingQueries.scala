@@ -59,6 +59,20 @@ object StreamingQueries {
     dirs
   }
 
+  /** Footer-only type probe for a declared-schema streaming source.
+    * Falls back to `fallback` ONLY for the legal empty-source start
+    * states (path absent, or present with no parquet footer to
+    * infer from — both surface as AnalysisException); any other probe
+    * failure (permissions, corrupt footer, missing column) propagates
+    * loudly instead of silently declaring a schema the later stream
+    * read will fail against with a confusing mismatch error.
+    */
+  private def probeColumnType(
+      spark: SparkSession, path: String, column: String,
+      fallback: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    try spark.read.parquet(path).schema(column).dataType
+    catch { case _: org.apache.spark.sql.AnalysisException => fallback }
+
   private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -84,9 +98,7 @@ object StreamingQueries {
     // (a legal streaming start state) has no footer to probe, and any
     // rows that later arrive there are written by THIS engine's sinks
     // as canonical TimestampType — so that is the fallback
-    val tsType =
-      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-      catch { case _: Throwable => TimestampType }
+    val tsType = probeColumnType(spark, s"$dir/events.parquet", "ts", TimestampType)
     val schema = new StructType()
       .add("event_id", LongType)
       .add("ts", tsType)
@@ -212,8 +224,7 @@ object StreamingQueries {
     // array<float> contract the typed cosine expression requires
     // (exact for double re-encodings of the same f32 values)
     val embType =
-      try spark.read.parquet(s"$dir/embeddings.parquet").schema("embedding").dataType
-      catch { case _: Throwable => ArrayType(FloatType) }
+      probeColumnType(spark, s"$dir/embeddings.parquet", "embedding", ArrayType(FloatType))
     val schema = new StructType()
       .add("vec_id", LongType)
       .add("embedding", embType)

@@ -27,6 +27,7 @@ TABLES = [
 
 
 def main(sf_dir: str, oracle_json: str, runs: int = 2) -> None:
+    runs = max(1, runs)  # runs <= 0 would leave best=None -> TypeError
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
