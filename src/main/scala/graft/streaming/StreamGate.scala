@@ -312,7 +312,15 @@ object StreamGate {
         .outputMode("update")
         .option("checkpointLocation", scratchDir("graft-ckpt-win"))
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-          val rows = batch.collect()
+          // same bounded-key contract (and the same cap) as
+          // VotePipeline.ChangelogCapture: fail loudly instead of
+          // growing the driver heap if the key space is unbounded
+          val cap = VotePipeline.ChangelogCapture.DefaultMaxRowsPerBatch
+          val rows = batch.limit(cap + 1).collect()
+          if (rows.length > cap)
+            throw new IllegalStateException(
+              s"StreamGate windowed capture: micro-batch $batchId exceeds $cap rows; " +
+                "bounded-key update-mode changelogs only")
           lock.synchronized { windowedRows ++= rows.map(batchId -> _); () }
         }
         .trigger(Trigger.AvailableNow())

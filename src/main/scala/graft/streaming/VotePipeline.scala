@@ -131,13 +131,28 @@ object VotePipeline {
     * keys per batch for update-mode aggregates, which is the only
     * shape this harness class serves. Append-mode streams at scale go
     * to a real sink instead (see StreamingQueries sink variants).
+    *
+    * That bounded-key assumption is ENFORCED, not trusted:
+    * `maxRowsPerBatch` caps each collected micro-batch, and a batch
+    * past the cap fails the query loudly instead of quietly growing
+    * the driver heap until it OOMs. The guard collects at most
+    * cap + 1 rows (a `limit` before the collect), so even the failing
+    * path never materializes the oversized batch driver-side.
     */
-  final class ChangelogCapture private[streaming] (schema: org.apache.spark.sql.types.StructType) {
+  final class ChangelogCapture private[streaming] (
+      schema: org.apache.spark.sql.types.StructType,
+      maxRowsPerBatch: Int = ChangelogCapture.DefaultMaxRowsPerBatch) {
     private val batches =
       scala.collection.mutable.LinkedHashMap.empty[Long, Array[org.apache.spark.sql.Row]]
 
     private[streaming] def write(batch: DataFrame, batchId: Long): Unit = {
-      val rows = batch.collect()
+      val rows = batch.limit(maxRowsPerBatch + 1).collect()
+      if (rows.length > maxRowsPerBatch)
+        throw new IllegalStateException(
+          s"ChangelogCapture: micro-batch $batchId exceeds maxRowsPerBatch=" +
+            s"$maxRowsPerBatch captured rows. This harness sink is for " +
+            "bounded-key update-mode changelogs only; route unbounded " +
+            "streams to a distributed sink (StreamingQueries sink variants).")
       synchronized { batches(batchId) = rows; () }
     }
 
@@ -159,6 +174,15 @@ object VotePipeline {
     }
   }
 
+  object ChangelogCapture {
+    /** Generous for any bounded-key changelog (the gate aggregates
+      * have at most a few thousand keys) while far below what would
+      * threaten a driver heap; an unbounded-key stream blows through
+      * it within its first corpus-sized micro-batch.
+      */
+    val DefaultMaxRowsPerBatch: Int = 100000
+  }
+
   /** Start one update-mode changelog query whose sink is a
     * [[ChangelogCapture]]; returns the running query and the capture.
     * The capture replaces the old memory-sink harness path (retired):
@@ -171,8 +195,9 @@ object VotePipeline {
       agg: DataFrame,
       queryName: String,
       availableNow: Boolean = false,
+      maxRowsPerBatch: Int = ChangelogCapture.DefaultMaxRowsPerBatch,
   ): (StreamingQuery, ChangelogCapture) = {
-    val capture = new ChangelogCapture(agg.schema)
+    val capture = new ChangelogCapture(agg.schema, maxRowsPerBatch)
     val checkpoint = StreamGate.scratchDir(s"graft-ckpt-$queryName")
     val writer = agg.writeStream
       .outputMode("update")

@@ -124,6 +124,28 @@ class StreamingVotingSpec extends AnyFunSuite {
     assert(total == 2L, s"expected 2 votes after dedup, got $total")
   }
 
+  test("ChangelogCapture row cap fails an unbounded-key stream loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    // per-voter keys: every record is a distinct group — the unbounded
+    // key shape the capture harness must REJECT, not buffer
+    stream.addData((1 to 10).map(i => voteJson(i, "Ohio", 1)))
+    val parsed = VotePipeline.parsedStream(stream.toDF().select($"value"))
+    val perVoter = parsed.groupBy($"voter_id").agg(count(lit(1)).as("n"))
+    val (q, _) = VotePipeline.startCaptureQuery(perVoter, "cap_test", maxRowsPerBatch = 3)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(
+      messages(err).exists(_.contains("maxRowsPerBatch")),
+      s"expected the row-cap guard to fire, got: ${messages(err).mkString(" | ")}")
+  }
+
   test("malformed JSON is captured, not silently dropped") {
     import spark.implicits._
     val df = Seq("{not json at all", voterJson(1, "Illinois")).toDF("value")
