@@ -1577,20 +1577,29 @@ object RelationalQueries {
 
   /** Hourly gap-filled forward-fill series — the feature-engineering
     * staple "carry each user's last observed value across silent
-    * hours": an hour spine (corpus min→max hour) is crossed with the
-    * user set, each user's latest per-hour value lands on it, and a
-    * running last-non-null window carries values forward; emitted as
-    * per-hour census rows (active vs carried users, carried value).
+    * hours": per-hour census rows (active vs carried users, carried
+    * value, where a user's value carries forward from their latest
+    * active hour through the end of the reporting window).
     *
-    * Scale shape: ONE corpus scan — the per-(user, hour) latest
-    * value is one combined aggregation, and both the hour bounds and
-    * the user set derive from THAT aggregate (a naive formulation
-    * re-scans the event log for each; pinned single-scan in
-    * PlanShapeSpec). The spine is |users| × |reporting window| rows —
-    * at scale the window is a bounded reporting period, and the
-    * forward-fill window per user is bounded by the same period, so
-    * no partition skews. The hour list derives from a 1-row global
-    * aggregate and broadcasts.
+    * Scale shape: the census is computed as a DIFFERENCE ARRAY, not
+    * by materializing the |users| × |hours| forward-filled spine the
+    * textbook formulation (still the oracle's, exactly because DuckDB
+    * can afford it at oracle SF) builds. Each user's carried value
+    * changes ONLY at their active hours (+v at first activity,
+    * v − prev_v after), and their alive-indicator changes once (at
+    * first activity), so per-user `lag` over active hours yields
+    * O(|active (user, hour)| ) delta rows; summing deltas per hour
+    * and running ONE cumulative sum over the bounded hour spine
+    * reconstructs the exact census. Cost: one corpus scan → one
+    * per-(user, hour) combine aggregation → a per-user lag window
+    * (partition size = that user's active hours, never the global
+    * span) → a |hours|-row cumulative window. Dormant users cost
+    * nothing after their last event; the old spine formulation
+    * materialized them every hour of the corpus span (round-7 verdict
+    * task 2). The final window orders the |hours| spine globally —
+    * bounded by the reporting period (a config constant at scale),
+    * the same frame the hour-sequence broadcast already assumes.
+    * Single-scan pinned in PlanShapeSpec.
     */
   def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events").select(
@@ -1606,25 +1615,34 @@ object RelationalQueries {
         count(lit(1)).as("n_ev"),
         max_by(col("vc"), struct(col("us"), col("event_id"))).as("last_vc"),
       )
+    // per-user deltas at active hours: carried value moves from
+    // prev_vc to last_vc; the user becomes "alive" (contributes to
+    // the carried census) at their first active hour and stays so
+    // through the end of the window
+    val wPrev = Window.partitionBy("user_id").orderBy("hour")
+    val deltas = hourly
+      .withColumn("prev_vc", lag(col("last_vc"), 1).over(wPrev))
+      .groupBy("hour")
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(col("last_vc") - coalesce(col("prev_vc"), lit(0L))).as("d_value"),
+        sum(when(col("prev_vc").isNull, 1L).otherwise(0L)).as("d_alive"),
+      )
     // an hour/user present in the corpus is present in the aggregate,
-    // so bounds and user set both derive from the |users×hours| frame
+    // so the spine bounds derive from a 1-row aggregate and broadcast
     val hours = hourly
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
-    val spine = hourly.select("user_id").distinct().crossJoin(broadcast(hours))
-    val wFill = Window
-      .partitionBy("user_id")
-      .orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    spine
-      .join(hourly, Seq("user_id", "hour"), "left")
-      .withColumn("carried_vc", last(col("last_vc"), ignoreNulls = true).over(wFill))
-      .groupBy(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
-      .agg(
-        sum(when(col("n_ev").isNotNull, 1L).otherwise(0L)).as("n_active_users"),
-        sum(when(col("n_ev").isNull && col("carried_vc").isNotNull, 1L).otherwise(0L))
-          .as("n_carried_users"),
-        moneyFromCents(sum(coalesce(col("carried_vc"), lit(0L)))).as("carried_value"),
+    val wCum = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    hours
+      .join(deltas, Seq("hour"), "left")
+      .withColumn("alive", sum(coalesce(col("d_alive"), lit(0L))).over(wCum))
+      .withColumn("cum_value", sum(coalesce(col("d_value"), lit(0L))).over(wCum))
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        coalesce(col("n_active"), lit(0L)).as("n_active_users"),
+        (col("alive") - coalesce(col("n_active"), lit(0L))).as("n_carried_users"),
+        moneyFromCents(col("cum_value")).as("carried_value"),
       )
   }
 
