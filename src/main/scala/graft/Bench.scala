@@ -61,26 +61,66 @@ object Bench {
     // single sample can be dominated by foreign load; the min is the
     // standard noise-robust point estimate for latency benchmarks.
     // failures must surface as -1, never as a (tiny, bogus) timing
-    def timeAll(): Map[String, Double] = {
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // The streaming gates run as memoized CONCURRENT bundles (ST7):
+    // the first member to execute pays the whole bundle's checkpoint
+    // + state-store setup and every sibling then reads the memoized
+    // result for ~0. Per-query attribution must not hand the entire
+    // bundle to whichever member ran first (round 7 reported
+    // stream_dedup_sink at 4.9 s vs 0.03 s siblings), so each bundle
+    // is timed ONCE per run (its setup+execution wall time, triggered
+    // through its first member), members are then timed individually
+    // (their marginal cost on the shared results), and the bundle
+    // time is amortized equally across members. The raw bundle
+    // timings are emitted alongside the per-query map ("bundles") so
+    // the artifact is self-describing.
+    val bundles: Seq[(String, Seq[String])] = Seq(
+      "stream_gate" -> Seq(
+        "stream_votes_per_candidate", "stream_votes_windowed",
+        "stream_similarity_topk", "stream_turnout_by_location",
+        "stream_interval_join"),
+      "stream_sink" -> Seq(
+        "stream_interval_join_sink", "stream_similarity_topk_sink",
+        "stream_dedup_sink", "stream_quality_route_sink"),
+    )
+    val bundled: Set[String] = bundles.flatMap(_._2).toSet
+    def timeAll(): (Map[String, Double], Map[String, Double]) = {
       resetCaches()
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { materialize(fn(spark, sfDir)); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-          }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = scala.collection.mutable.Map.empty[String, Double]
+      val bundleTimes = scala.collection.mutable.Map.empty[String, Double]
+      bundles.foreach { case (bname, members) =>
+        val wall = timeOne(s"bundle:$bname", SparkEntry.queries(members.head))
+        bundleTimes(bname) = wall
+        members.foreach { m => times(m) = timeOne(m, SparkEntry.queries(m)) }
+        if (wall >= 0) {
+          val share = wall / members.size
+          members.foreach { m => if (times(m) >= 0) times(m) += share }
+        }
       }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (!bundled.contains(name)) times(name) = timeOne(name, fn)
+      }
+      (times.toMap, bundleTimes.toMap)
     }
-    val run1 = timeAll()
-    val run2 = timeAll()
-    val results = run1.map { case (k, v) =>
-      val w = run2(k)
-      k -> (if (v < 0 || w < 0) -1.0 else math.min(v, w))
-    }
+    val (run1, bundles1) = timeAll()
+    val (run2, bundles2) = timeAll()
+    def minMerge(a: Map[String, Double], b: Map[String, Double]): Map[String, Double] =
+      a.map { case (k, v) =>
+        val w = b(k)
+        k -> (if (v < 0 || w < 0) -1.0 else math.min(v, w))
+      }
+    val results = minMerge(run1, run2)
+    val bundleResults = minMerge(bundles1, bundles2)
     // millisecond-rounded timings: a full-precision double is ~18
     // chars and 158 of them pushed the stdout JSON line past the
     // driver's capture truncation in round 6 (only 60 timings
@@ -96,8 +136,11 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = ok.sum
     val nFailed = results.values.count(_ < 0)
+    val bs = bundleResults.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"bundles":$bs,"sf":"$sfDir"}"""
     println(line)
     // belt and braces against any stdout capture limit: persist the
     // identical JSON where the round-end auto-commit will pick it up,
