@@ -2504,14 +2504,28 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
         |FROM documents,
         |LATERAL (SELECT unnest(generate_series(0, octet_length(encode(text)) % 24)) AS i) g""".stripMargin,
+    // analytic twin of the REAL container-header decode: the Spark
+    // side builds byte-valid PNG/WAV/JPEG files and parses them back;
+    // the oracle recomputes every header field from the synthesis
+    // contract (Multimodal.MediaPayload.synthesize), so a parser that
+    // reads the wrong offset/endianness hash-mismatches here
     "multimodal_features" ->
-      """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  substr(md5(text), 1, 8) AS content_magic,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST((octet_length(encode(text)) // 7) % 480 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
-        |FROM documents""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS k,
+        |         octet_length(encode(text)) AS len,
+        |         2 * (CAST(doc_id % 2 AS INT) + 1) AS block_align
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS media_type,
+        |  CAST(CASE k WHEN 0 THEN 57 + len
+        |              WHEN 1 THEN 44 + len - (len % block_align)
+        |              ELSE 35 + len END AS BIGINT) AS n_bytes,
+        |  CASE k WHEN 0 THEN '89504e47' WHEN 1 THEN '52494646' ELSE 'ffd8ffe0' END AS magic,
+        |  CAST(CASE k WHEN 0 THEN doc_id % 637 + 1 WHEN 1 THEN 0 ELSE doc_id % 641 + 1 END AS INT) AS width,
+        |  CAST(CASE k WHEN 0 THEN doc_id % 479 + 1 WHEN 1 THEN 0 ELSE doc_id % 443 + 1 END AS INT) AS height,
+        |  CAST(CASE k WHEN 1 THEN 8000 + (doc_id % 5) * 2000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE k WHEN 1 THEN doc_id % 2 + 1 ELSE 0 END AS INT) AS n_channels,
+        |  CAST(CASE k WHEN 1 THEN len // block_align ELSE 0 END AS BIGINT) AS n_samples
+        |FROM m""".stripMargin,
   )
 }

@@ -5,25 +5,37 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Multimodal-column plumbing: image/audio/video payloads as opaque
+/** Multimodal-column plumbing: image/audio payloads as opaque
   * BinaryType columns with typed metadata, processed by per-partition
   * batch operators (the Scala analogue of mapInPandas: one iterator
   * of rows per partition, amortized decoder setup per partition, no
   * driver involvement).
   *
-  * The actual codec step is STUBBED (this container has no
-  * image/audio libraries): [[DecodeStub.decode]] derives
-  * deterministic fake features from the bytes. Everything around the
-  * stub — binary schema, partitioning, batch iteration, feature
-  * schema — is real and tested, so swapping in a real decoder is a
-  * one-function change.
+  * The decode step is a REAL pure-JVM container-header parser
+  * ([[HeaderDecode]]): PNG IHDR dimensions, JPEG SOF dimensions, and
+  * WAV fmt/data chunk walking — the public container formats, parsed
+  * from bytes with no native dependencies. The corpus carries no
+  * actual media, so [[asMediaTable]] SYNTHESIZES valid containers
+  * around each document's bytes (dimensions/rates derived from
+  * doc_id, body = the UTF-8 text payload); synthesis and parsing are
+  * independent code paths, and the oracle recomputes every decoded
+  * field analytically from doc_id/text — a wrong parser fails the
+  * gate. A production deployment swaps the synthesis out (payloads
+  * arrive at rest) and extends [[HeaderDecode]] per codec; the Spark
+  * plumbing — binary schema, partitioning, per-partition batch
+  * iteration, feature schema — is unchanged.
   */
 object Multimodal {
 
   /** A media payload row: opaque bytes + typed metadata. */
   final case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte])
 
-  /** Features a decoder would produce (dimensions, frame count…). */
+  /** Header-decoded features: image dimensions (PNG/JPEG), audio
+    * shape (WAV). Fields not applicable to a payload's container are
+    * 0 — the dense-schema convention a mixed-modality feature table
+    * needs (per-modality structs would defeat column pruning on the
+    * shared fields).
+    */
   final case class MediaFeatures(
       doc_id: Long,
       media_type: String,
@@ -31,43 +43,179 @@ object Multimodal {
       magic: String,
       width: Int,
       height: Int,
-      n_frames: Int,
+      sample_rate: Int,
+      n_channels: Int,
+      n_samples: Long,
   )
 
-  object DecodeStub {
-    /** STUB decoder: a real implementation would parse the codec
-      * headers / decode frames here (e.g. via javax.imageio or ffmpeg
-      * bindings). This deterministic fake derives pseudo-metadata
-      * from the payload so the pipeline shape is fully exercised.
+  /** Container synthesis (corpus-side fake): builds byte-exact PNG /
+    * JPEG / WAV files whose header fields are deterministic functions
+    * of doc_id, so the decoded values are oracle-checkable without
+    * shipping real media in the corpus.
+    */
+  object MediaPayload {
+    private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+    private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+      val t = chunkType.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** PNG: signature + IHDR(width, height, 8-bit RGB) + one IDAT
+      * chunk holding the raw payload + IEND. Total = 57 + |payload|.
       */
-    def decode(r: MediaRecord): MediaFeatures = {
-      val n = r.content.length.toLong
-      MediaFeatures(
-        doc_id = r.doc_id,
-        media_type = r.media_type,
-        n_bytes = n,
-        magic = r.content.take(4).map("%02x".format(_)).mkString,
-        width = (n % 640).toInt,
-        height = ((n / 7) % 480).toInt,
-        n_frames = (n % 24).toInt + 1,
-      )
+    def png(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+      val ihdr = be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)
+      PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", payload) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    }
+
+    /** JPEG: SOI + APP0/JFIF + SOF0(8-bit, 1 component, height,
+      * width) + raw payload + EOI. Total = 35 + |payload|.
+      */
+    def jpeg(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+      val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+        be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+      val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+        Array[Byte](8) ++ be16(height) ++ be16(width) ++
+        Array[Byte](1, 1, 0x11, 0)
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++ payload ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+
+    /** WAV (PCM 16-bit): RIFF/WAVE + fmt + data, payload truncated to
+      * a whole number of sample frames. Total = 44 + data_len where
+      * data_len = |payload| − (|payload| mod block_align).
+      */
+    def wav(sampleRate: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+      val blockAlign = 2 * channels
+      val dataLen = payload.length - (payload.length % blockAlign)
+      val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+        le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16)
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmt ++
+        "data".getBytes("US-ASCII") ++ le32(dataLen) ++ payload.take(dataLen)
+    }
+
+    /** The doc_id → header-field contract the oracle mirrors. */
+    def synthesize(docId: Long, text: String): MediaRecord = {
+      val body = text.getBytes("UTF-8")
+      (docId % 3).toInt match {
+        case 0 =>
+          MediaRecord(docId, "png",
+            png((docId % 637).toInt + 1, (docId % 479).toInt + 1, body))
+        case 1 =>
+          MediaRecord(docId, "wav",
+            wav(8000 + (docId % 5).toInt * 2000, (docId % 2).toInt + 1, body))
+        case _ =>
+          MediaRecord(docId, "jpeg",
+            jpeg((docId % 641).toInt + 1, (docId % 443).toInt + 1, body))
+      }
     }
   }
 
-  /** Wrap the documents table as a media table: the text payload
-    * plays an opaque binary blob (UTF-8 bytes), typed by a fake
-    * media_type derived from the doc id.
+  /** Pure-JVM container-header parser. Dispatches on the payload's
+    * MAGIC BYTES (never the metadata column — a decoder must not
+    * trust upstream typing); unknown containers yield a zeroed
+    * feature row with the observed magic, so one corrupt payload
+    * degrades to an inspectable row instead of failing the batch.
+    */
+  object HeaderDecode {
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def ascii(b: Array[Byte], i: Int, n: Int): String =
+      new String(b, i, n, "US-ASCII")
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 24 && be32(b, 0) == 0x89504e47 && be32(b, 4) == 0x0d0a1a0a
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    private def isWav(b: Array[Byte]): Boolean =
+      b.length >= 44 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"
+
+    /** PNG: the spec requires IHDR as the first chunk — width/height
+      * are the two big-endian ints of its data.
+      */
+    private def pngDims(b: Array[Byte]): (Int, Int) =
+      if (ascii(b, 12, 4) == "IHDR") (be32(b, 16), be32(b, 20)) else (0, 0)
+
+    /** JPEG: walk the marker segments to the first SOF frame header
+      * (C0–CF minus the non-frame C4/C8/CC); height/width are the two
+      * big-endian shorts after the precision byte.
+      */
+    private def jpegDims(b: Array[Byte]): (Int, Int) = {
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return (be16(b, i + 7), be16(b, i + 5))
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2
+        else i += 2 + be16(b, i + 2)
+      }
+      (0, 0)
+    }
+
+    /** WAV: chunk walk from offset 12 collecting fmt (channels, rate,
+      * block align) and data (byte size); frames = data / block_align.
+      */
+    private def wavShape(b: Array[Byte]): (Int, Int, Long) = {
+      var i = 12
+      var rate = 0; var channels = 0; var blockAlign = 0; var dataLen = -1L
+      while (i + 8 <= b.length && (rate == 0 || dataLen < 0)) {
+        val id = ascii(b, i, 4)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          blockAlign = le16(b, i + 20)
+        } else if (id == "data") dataLen = size.toLong
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      val samples = if (blockAlign > 0 && dataLen > 0) dataLen / blockAlign else 0L
+      (rate, channels, samples)
+    }
+
+    def decode(r: MediaRecord): MediaFeatures = {
+      val b = r.content
+      val magic = b.take(4).map("%02x".format(_)).mkString
+      val base = MediaFeatures(r.doc_id, r.media_type, b.length.toLong, magic, 0, 0, 0, 0, 0L)
+      if (isPng(b)) {
+        val (w, h) = pngDims(b); base.copy(width = w, height = h)
+      } else if (isWav(b)) {
+        val (rate, ch, n) = wavShape(b)
+        base.copy(sample_rate = rate, n_channels = ch, n_samples = n)
+      } else if (isJpeg(b)) {
+        val (w, h) = jpegDims(b); base.copy(width = w, height = h)
+      } else base
+    }
+  }
+
+  /** Wrap the documents table as a media table: each document's bytes
+    * wrapped in a synthesized (byte-valid) container whose header
+    * fields are deterministic in doc_id — see [[MediaPayload]].
     */
   def asMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
-          .as("media_type"),
-        encode(col("text"), "UTF-8").as("content"),
-      )
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => MediaPayload.synthesize(id, text) }
   }
 
   /** Per-partition batch decode: the decoder is instantiated once per
@@ -79,15 +227,24 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder setup would go here (open codec once)
-      it.map(DecodeStub.decode)
+      it.map(HeaderDecode.decode)
     }
   }
 
+  /** The multimodal_features gate: synthesize → parse, end to end on
+    * executors; every emitted field is recomputed analytically by the
+    * DuckDB oracle from doc_id/text, so the byte-level parser is
+    * oracle-checked, not just spec-checked.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(asMediaTable(spark, dir)).toDF()
+
   /** Frame sampling: explode each media payload into one row per
-    * (stub-decoded) frame — the generator/explode shape of
-    * per-frame feature extraction. Frame count is the deterministic
-    * fake from the decode stub, so the expansion is oracle-checkable;
-    * a real decoder swaps the count source only.
+    * sampled frame — the generator/explode shape of per-frame feature
+    * extraction. The frame count is a deterministic function of the
+    * payload size (a pseudo-duration), so the expansion is
+    * oracle-checkable; a real video decoder swaps the count source
+    * only.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     val nBytes = octet_length(col("text")).cast("long")
@@ -95,25 +252,6 @@ object Multimodal {
       .select(
         col("doc_id"),
         explode(sequence(lit(0L), nBytes % 24)).as("frame_idx"),
-      )
-  }
-
-  /** Oracle-checkable twin of the decode pipeline: the same feature
-    * derivation expressed as column expressions (bytes length, md5
-    * prefix magic, modular pseudo-dimensions), verifiable in DuckDB.
-    */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val nBytes = octet_length(col("text")).cast("long")
-    Tables(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
-          .as("media_type"),
-        nBytes.as("n_bytes"),
-        substring(md5(col("text")), 1, 8).as("content_magic"),
-        (nBytes % 640).cast("int").as("width"),
-        expr("CAST((octet_length(text) div 7) % 480 AS INT)").as("height"),
-        ((nBytes % 24) + 1).cast("int").as("n_frames"),
       )
   }
 }

@@ -210,16 +210,61 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "unknown"))
   }
 
-  test("multimodal decode plumbing: mapPartitions batch path produces the declared schema") {
+  test("multimodal decode: mapPartitions batch path round-trips synthesized containers") {
     val media = Multimodal.asMediaTable(spark, sf)
-    val feats = Multimodal.decodeFeatures(media)
-    val rows = feats.limit(10).collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(f => f.n_bytes > 0 && f.magic.length == 8 && f.n_frames >= 1))
-    // expression twin agrees with the mapPartitions stub on shared fields
-    val viaExpr = Multimodal.mediaFeatures(spark, sf)
-      .select("doc_id", "n_bytes", "width", "height", "n_frames")
-    val viaStub = feats.toDF().select("doc_id", "n_bytes", "width", "height", "n_frames")
-    assert(viaExpr.except(viaStub).count() == 0)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0 && f.magic.length == 8)
+      f.media_type match {
+        case "png" =>
+          assert(f.magic == "89504e47")
+          assert(f.width == (f.doc_id % 637).toInt + 1 && f.height == (f.doc_id % 479).toInt + 1)
+        case "jpeg" =>
+          assert(f.magic == "ffd8ffe0")
+          assert(f.width == (f.doc_id % 641).toInt + 1 && f.height == (f.doc_id % 443).toInt + 1)
+        case "wav" =>
+          assert(f.magic == "52494646")
+          assert(f.sample_rate == 8000 + (f.doc_id % 5).toInt * 2000)
+          assert(f.n_channels == (f.doc_id % 2).toInt + 1)
+        case other => fail(s"unexpected media_type $other")
+      }
+    }
+  }
+
+  test("header parser reads hand-written container bytes, not just its own synthesis") {
+    import Multimodal.{HeaderDecode, MediaRecord}
+    // hand-assembled fixtures with dims/rates NOT reachable from the
+    // doc_id synthesis formulas — a mirrored offset/endianness bug in
+    // synthesize+parse would pass the round-trip test but fail here
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(1920) ++ be32(1080) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) // CRC unchecked by a header reader
+    val pngF = HeaderDecode.decode(MediaRecord(1L, "png", png))
+    assert(pngF.width == 1920 && pngF.height == 1080)
+    // JPEG with a COM segment BEFORE the SOF2 (progressive) frame:
+    // exercises the marker walk, not just SOF-first layouts
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++ be16(5) ++ "abc".getBytes("US-ASCII") ++
+      Array[Byte](0xff.toByte, 0xc2.toByte) ++ be16(11) ++ Array[Byte](8) ++
+      be16(333) ++ be16(777) ++ Array[Byte](1, 1, 0x11, 0) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val jpegF = HeaderDecode.decode(MediaRecord(2L, "jpeg", jpeg))
+    assert(jpegF.width == 777 && jpegF.height == 333)
+    // WAV with an extra LIST chunk before fmt/data: exercises chunk walking
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(58) ++ "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(8) ++ Array.fill[Byte](8)(0)
+    val wavF = HeaderDecode.decode(MediaRecord(3L, "wav", wav))
+    assert(wavF.sample_rate == 44100 && wavF.n_channels == 2 && wavF.n_samples == 2L)
+    // unknown container: zeroed features + observed magic, no throw
+    val junk = HeaderDecode.decode(MediaRecord(4L, "bin", Array[Byte](1, 2, 3, 4, 5)))
+    assert(junk.width == 0 && junk.sample_rate == 0 && junk.magic == "01020304")
   }
 }
