@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DateType, FloatType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 import graft.util.SessionCache
 
@@ -102,19 +102,75 @@ object Tables {
     "lineitem" -> Seq("l_shipdate" -> TimestampNTZType),
   )
 
-  /** Plain cast-to-contract columns (no time semantics). The typed
-    * Catalyst expressions ([[graft.functions.CosineSimilarity]] and
-    * friends) require `array<float>` exactly; a corpus regeneration
-    * that re-encodes embeddings as `list<double>` would otherwise
-    * fail type-check across the whole similarity/embedding gate
-    * family at analysis time. A double re-encoding of the same f32
-    * values casts back exactly; genuinely different values still fail
-    * the oracle compare loudly — the cast widens survival, never
-    * hides drift.
+  /** Plain cast-to-contract columns (no time semantics) — EVERY
+    * column any gate reads, pinned to the type the queries and their
+    * committed oracle rows were built against. The events.ts incident
+    * (round 6: 16 gates lost to a silent nanos→micros re-encode)
+    * proved corpus regeneration can re-encode anything; this matrix
+    * makes the blast radius of the NEXT re-encoding zero for:
+    *
+    *   - strings shipped as un-annotated BYTE_ARRAY (Spark reads
+    *     BinaryType; the cast is the exact UTF-8 decode),
+    *   - integral width flips (int32 ↔ int64 — a widened re-encode of
+    *     the same values casts back exactly; output schemas must not
+    *     shift or every emitting gate schema-mismatches),
+    *   - floats/decimals re-encoded for double columns,
+    *   - `embeddings.embedding` as `list<double>` (the typed Catalyst
+    *     expressions require `array<float>` exactly; a double
+    *     re-encoding of the same f32 values casts back bit-exactly).
+    *
+    * Same-type columns are untouched (today's corpus hits the
+    * identity arm everywhere). Genuinely different VALUES still fail
+    * the oracle compare loudly — the casts widen survival across
+    * encodings, never hide drift. FormatsSpec pins the matrix.
     */
-  private val castContracts: Map[String, Seq[(String, DataType)]] = Map(
-    "embeddings" -> Seq("embedding" -> ArrayType(FloatType)),
+  private val columnContracts: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq(
+      "n_nationkey" -> IntegerType, "n_name" -> StringType, "n_regionkey" -> IntegerType),
+    "customer" -> Seq(
+      "c_custkey" -> LongType, "c_name" -> StringType, "c_nationkey" -> IntegerType,
+      "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType),
+    "supplier" -> Seq(
+      "s_suppkey" -> LongType, "s_name" -> StringType, "s_nationkey" -> IntegerType,
+      "s_acctbal" -> DoubleType),
+    "part" -> Seq(
+      "p_partkey" -> LongType, "p_name" -> StringType, "p_brand" -> StringType,
+      "p_type" -> StringType, "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType, "o_orderstatus" -> StringType,
+      "o_totalprice" -> DoubleType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
+      "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+      "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType),
+    "events" -> Seq(
+      "event_id" -> LongType, "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
   )
+
+  /** Apply `name`'s full column contract (time canonicalizers + type
+    * casts) to an already-loaded frame. Shared by the batch loader
+    * below and the declared-schema STREAMING sources — the round-6
+    * lesson generalized: every read path must see one stable schema,
+    * from one shared dispatcher.
+    */
+  def applyContracts(df: DataFrame, name: String): DataFrame = {
+    val timed = timeContracts.getOrElse(name, Nil).foldLeft(df) { case (d, (c, t)) =>
+      canonicalizeTimeCol(d, c, t)
+    }
+    columnContracts.getOrElse(name, Nil).foldLeft(timed) { case (d, (c, t)) =>
+      if (d.schema.fields.exists(f => f.name == c && f.dataType != t))
+        d.withColumn(c, col(c).cast(t))
+      else d
+    }
+  }
 
   /** The `nanosAsLong` conf only matters for the TIMESTAMP(NANOS)
     * encoding (without it that footer type fails to load at all); it
@@ -124,15 +180,7 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate(spark, (dir, name, false)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      val timed = timeContracts.getOrElse(name, Nil).foldLeft(df) { case (d, (c, t)) =>
-        canonicalizeTimeCol(d, c, t)
-      }
-      castContracts.getOrElse(name, Nil).foldLeft(timed) { case (d, (c, t)) =>
-        if (d.schema.fields.exists(f => f.name == c && f.dataType != t))
-          d.withColumn(c, col(c).cast(t))
-        else d
-      }
+      applyContracts(spark.read.parquet(s"$dir/$name.parquet"), name)
     }
 
   /** Like apply, but with full-cluster parallelism GUARANTEED for the

@@ -59,18 +59,23 @@ object StreamingQueries {
     dirs
   }
 
-  /** Footer-only type probe for a declared-schema streaming source.
-    * Falls back to `fallback` ONLY for the legal empty-source start
-    * states (path absent, or present with no parquet footer to
-    * infer from — both surface as AnalysisException); any other probe
-    * failure (permissions, corrupt footer, missing column) propagates
-    * loudly instead of silently declaring a schema the later stream
-    * read will fail against with a confusing mismatch error.
+  /** Footer-only schema probe for a declared-schema streaming source:
+    * declare what is ACTUALLY at rest, then let
+    * [[graft.sources.Tables.applyContracts]] canonicalize to the
+    * engine's per-column contracts — the same dispatcher as the batch
+    * path, so the two read paths can never disagree (the round-6
+    * lesson). Falls back to `fallback` ONLY for the legal
+    * empty-source start states (path absent, or present with no
+    * parquet footer to infer from — both surface as
+    * AnalysisException; rows that later arrive there are written by
+    * THIS engine's sinks in canonical types); any other probe failure
+    * (permissions, corrupt footer) propagates loudly instead of
+    * silently declaring a schema the later stream read will fail
+    * against with a confusing mismatch error.
     */
-  private def probeColumnType(
-      spark: SparkSession, path: String, column: String,
-      fallback: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
-    try spark.read.parquet(path).schema(column).dataType
+  private def probeFileSchema(
+      spark: SparkSession, path: String, fallback: StructType): StructType =
+    try spark.read.parquet(path).schema
     catch { case _: org.apache.spark.sql.AnalysisException => fallback }
 
   private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
@@ -94,25 +99,22 @@ object StreamingQueries {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // footer-only schema probe; an empty/not-yet-written source dir
-    // (a legal streaming start state) has no footer to probe, and any
-    // rows that later arrive there are written by THIS engine's sinks
-    // as canonical TimestampType — so that is the fallback
-    val tsType = probeColumnType(spark, s"$dir/events.parquet", "ts", TimestampType)
-    val schema = new StructType()
+    val fallback = new StructType()
       .add("event_id", LongType)
-      .add("ts", tsType)
+      .add("ts", TimestampType)
       .add("user_id", LongType)
       .add("event_type", StringType)
       .add("value", DoubleType)
       .add("props", StringType)
+    val schema = probeFileSchema(spark, s"$dir/events.parquet", fallback)
     // the file streaming source requires a directory path; select just
     // the events table out of the corpus dir via glob filter
-    Tables.canonicalizeEventTs(
+    Tables.applyContracts(
       spark.readStream
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+        .parquet(dir),
+      "events")
   }
 
   /** Run one update-mode streaming aggregation to completion
@@ -218,24 +220,25 @@ object StreamingQueries {
     */
   def similarityScoredStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosine
-    // footer-probed element type, the eventsStream rule: a declared
-    // array<float> over a re-encoded list<double> corpus fails at
-    // read; declare what is actually at rest and cast to the
-    // array<float> contract the typed cosine expression requires
-    // (exact for double re-encodings of the same f32 values)
-    val embType =
-      probeColumnType(spark, s"$dir/embeddings.parquet", "embedding", ArrayType(FloatType))
-    val schema = new StructType()
+    // footer-probed at-rest schema canonicalized by the shared
+    // contract dispatcher: a re-encoded list<double> corpus reads and
+    // casts back to the array<float> contract the typed cosine
+    // expression requires (exact for double re-encodings of the same
+    // f32 values)
+    val fallback = new StructType()
       .add("vec_id", LongType)
-      .add("embedding", embType)
+      .add("embedding", ArrayType(FloatType))
       .add("label", IntegerType)
-    val corpus = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    val schema = probeFileSchema(spark, s"$dir/embeddings.parquet", fallback)
+    val corpus = Tables.applyContracts(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir),
+      "embeddings")
       .select(
         col("vec_id").as("neighbor_id"),
-        col("embedding").cast(ArrayType(FloatType)).as("ce"))
+        col("embedding").as("ce"))
     val queries = graft.sources.Tables(spark, dir, "embeddings")
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -391,16 +394,19 @@ object StreamingQueries {
     * streaming file sources require).
     */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = new StructType()
+    val fallback = new StructType()
       .add("doc_id", LongType)
       .add("text", StringType)
       .add("lang", StringType)
       .add("source", StringType)
       .add("n_chars", LongType)
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val schema = probeFileSchema(spark, s"$dir/documents.parquet", fallback)
+    Tables.applyContracts(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir),
+      "documents")
   }
 
   /** Streaming quality ROUTER — one stream, two sinks, one pass: each

@@ -189,4 +189,71 @@ class FormatsSpec extends AnyFunSuite {
     assert(st.schema("cos").dataType.typeName == "double",
       "typed cosine must type-check over the double-encoded corpus stream")
   }
+
+  test("string/binary and integral-width re-encodings canonicalize on batch and streaming reads") {
+    import org.apache.spark.sql.types.{BinaryType, FloatType, IntegerType, LongType, StringType}
+    // the contract matrix generalized to NON-time columns: a corpus
+    // regeneration may ship strings as un-annotated BYTE_ARRAY (reads
+    // as binary), widen int32 ids to int64 (or vice versa), or ship
+    // doubles as float. Pin that the drifted encodings of the SAME
+    // values read back with the contract schema and identical values.
+    def fingerprint(df: org.apache.spark.sql.DataFrame, order: String): Seq[String] =
+      df.orderBy(order).collect().map(_.mkString("|")).toSeq
+
+    // documents: strings → binary, int64 ids → int32
+    val docBase = Tables(spark, sf, "documents").limit(200).cache()
+    val docDir = Files.createTempDirectory("graft-doc-drift").toString
+    docBase
+      .withColumn("text", col("text").cast(BinaryType))
+      .withColumn("lang", col("lang").cast(BinaryType))
+      .withColumn("source", col("source").cast(BinaryType))
+      .withColumn("doc_id", col("doc_id").cast(IntegerType))
+      .withColumn("n_chars", col("n_chars").cast(IntegerType))
+      .write.parquet(s"$docDir/documents.parquet")
+    val docBack = Tables(spark, docDir, "documents")
+    assert(docBack.schema("text").dataType == StringType)
+    assert(docBack.schema("doc_id").dataType == LongType)
+    assert(docBack.schema("n_chars").dataType == LongType)
+    assert(fingerprint(docBack, "doc_id") == fingerprint(docBase, "doc_id"),
+      "binary/int32 re-encoding of documents must read back identically")
+    val docStream = graft.streaming.StreamingQueries.documentsStream(spark, docDir)
+    assert(docStream.isStreaming)
+    assert(docStream.schema("text").dataType == StringType &&
+      docStream.schema("doc_id").dataType == LongType,
+      "documents stream must canonicalize the drifted encoding")
+
+    // events: props → binary, value → float, user_id → int32 (with ts untouched)
+    val evBase = Tables(spark, sf, "events").limit(200).cache()
+    val evDir = Files.createTempDirectory("graft-ev-drift").toString
+    evBase
+      .withColumn("props", col("props").cast(BinaryType))
+      .withColumn("value", col("value").cast(FloatType))
+      .withColumn("user_id", col("user_id").cast(IntegerType))
+      .write.parquet(s"$evDir/events.parquet")
+    val evBack = Tables(spark, evDir, "events")
+    assert(evBack.schema("props").dataType == StringType)
+    assert(evBack.schema("value").dataType.typeName == "double")
+    assert(evBack.schema("user_id").dataType == LongType)
+    // value survives only if the drifted encoding held the same
+    // float-representable values; compare through the float gate
+    val evRef = evBase.withColumn("value", col("value").cast(FloatType).cast("double"))
+    assert(fingerprint(evBack, "event_id") == fingerprint(evRef, "event_id"),
+      "binary/float/int32 re-encoding of events must read back identically")
+    val evStream = graft.streaming.StreamingQueries.eventsStream(spark, evDir)
+    assert(evStream.isStreaming && evStream.schema("props").dataType == StringType &&
+      evStream.schema("user_id").dataType == LongType)
+
+    // nation: int32 keys widened to int64 must cast back (the
+    // downward direction — exact for a re-encode of the same values)
+    val natBase = Tables(spark, sf, "nation").cache()
+    val natDir = Files.createTempDirectory("graft-nat-drift").toString
+    natBase
+      .withColumn("n_nationkey", col("n_nationkey").cast(LongType))
+      .withColumn("n_regionkey", col("n_regionkey").cast(LongType))
+      .write.parquet(s"$natDir/nation.parquet")
+    val natBack = Tables(spark, natDir, "nation")
+    assert(natBack.schema("n_nationkey").dataType == IntegerType)
+    assert(fingerprint(natBack, "n_nationkey") == fingerprint(natBase, "n_nationkey"),
+      "int64 re-encoding of nation keys must read back identically")
+  }
 }
