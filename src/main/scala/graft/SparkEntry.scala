@@ -273,6 +273,11 @@ object SparkEntry {
     // per-source duplicated-shingle fraction (with multiplicity) —
     // the scan-level "does this source need pairwise dedup" audit
     "dedup_shingle_mass" -> ((s, d) => Dedup.shingleDupMass(s, d)),
+    // shingle-df histogram vs the stop-shingle cutoff — the recall
+    // audit of the exact-Jaccard family (round-8 scale rehearsal:
+    // past cutoff saturation the pair gates return zero rows at
+    // their usual speed; this gate is how you see it)
+    "dedup_shingle_df_stats" -> ((s, d) => Dedup.shingleDfStats(s, d)),
     // shared 5-token-prefix families (boilerplate-header detector)
     "dedup_prefix_families" -> ((s, d) => Dedup.prefixFamilies(s, d)),
     // cumulative content-novelty per ingest-order bucket
@@ -2040,6 +2045,17 @@ object SparkEntry {
          |       CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
          |FROM comm JOIN nsh na ON na.doc_id = doc_a JOIN nsh nb ON nb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3""".stripMargin,
+    // shingle-df histogram vs the maxDf=50 cutoff; ≤ 51 bins, the
+    // overflow bin (51) carries the dropped posting mass
+    "dedup_shingle_df_stats" ->
+      s"""WITH $shingleCtes,
+         |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |b AS (SELECT CASE WHEN df <= 50 THEN df ELSE 51 END AS df_bin,
+         |        count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS posting_mass
+         |      FROM dfq GROUP BY 1)
+         |SELECT df_bin, n_shingles, posting_mass,
+         |       (df_bin BETWEEN 2 AND 50) AS kept
+         |FROM b""".stripMargin,
     // same inverted-index CTEs; only the score differs (exact
     // scaled-integer floor division, min set size in the denominator)
     // first-occurrence via the same min-over-hash window; cumulative

@@ -601,9 +601,36 @@ object Dedup {
 
   /** SimHash near-dup pairs at production width (64-bit): hamming
     * distance via bit_count(a XOR b) — two integer ops per pair.
-    * Pairing is blocked by source (at 100 TB the block key comes from
-    * a cheap partitioner — same role as the IVF label in embedding
-    * dedup), so the pairwise work is |block|² not N².
+    *
+    * Candidate generation is the PIGEONHOLE MULTI-INDEX (the Manku/
+    * Jain/Sarma WWW'07 design for exactly this query): the 64-bit
+    * fingerprint splits into maxHamming+1 disjoint bands, and any
+    * pair within hamming ≤ maxHamming differs in at most maxHamming
+    * bands, so it must agree EXACTLY on at least one band — blocking
+    * on (source, band index, band value) therefore has no false
+    * negatives, and the hamming filter kills the false positives,
+    * making the result row-identical to the all-pairs-within-source
+    * formulation (the 16-bit twin below keeps that shape as the
+    * executable spec; equality is pinned in DedupClustersSpec).
+    *
+    * This replaces the round-7 source-blocked all-pairs design,
+    * whose comparison count was Σ|source block|² — quadratic in
+    * corpus size when the number of sources is a constant, which the
+    * round-8 scale rehearsal measured directly (1e9 comparisons and
+    * 13.4 s at the 200k-doc rehearsal corpus vs ~6 s of pure
+    * output-pair growth). The multi-index's comparison count is
+    * Σ|band bucket|² — driven by how many documents genuinely share
+    * 8 exact fingerprint bits, i.e. by near-dup density, not by
+    * corpus size.
+    *
+    * The hot-bucket guard stays (Skew.saltedBlockJoin on the band
+    * bucket): a boilerplate family collapsing onto one band value
+    * must spread over bounded sub-tasks, not serialize one reducer.
+    * The block key is the string concat of (source, band, value) —
+    * collision-free, so cross-source pairs cannot leak in. (A struct
+    * key was measured 20× slower at the sf4 rehearsal point: the
+    * struct-keyed exchanges/sorts fall off the fast hash/codegen
+    * paths the string key keeps.)
     *
     * maxHamming=7 of 64 is the selective near-dup band for this
     * corpus (hamming≤3 of 16 was the saturating one the 16-bit twin
@@ -615,25 +642,38 @@ object Dedup {
       maxHamming: Int = 7,
       targetRows: Long = 1L << 16,
   ): DataFrame = {
+    val nBands = maxHamming + 1
+    val w = 64 / nBands // last band also takes the 64 % nBands remainder bits
+    def bandVal(sh: Column, i: Int): Column = {
+      val width = if (i == nBands - 1) 64 - w * i else w
+      val shifted = shiftrightunsigned(sh, w * i)
+      if (width >= 64) shifted else shifted.bitwiseAND(lit((1L << width) - 1))
+    }
     // no persist: the native simhash is cheap enough that recomputing
     // for the self-join's two sides beats holding a session-lifetime
-    // cache entry (persist here previously leaked across bench runs).
-    // The b side reads the PLAIN relation: its per-(block, salt)
-    // slices are join-build-side-sized, so the local parallelism
-    // rebalance would be a wasted exchange
-    val a = docs(spark, dir)
-      .select(col("source"), col("doc_id").as("doc_a"), simhash64(col("text")).as("sh_a"))
-    val b = Tables(spark, dir, "documents")
-      .select(col("source"), col("doc_id").as("doc_b"), simhash64(col("text")).as("sh_b"))
-    // hot-block guard: one dominant source must not serialize its
-    // |block|² pairing into a single task (Skew.saltedBlockJoin —
-    // blocks ≤ targetRows degenerate to the plain join)
+    // cache entry (persist here previously leaked across bench runs)
+    def banded(base: DataFrame, docCol: String, shCol: String): DataFrame =
+      base
+        .select(col("source"), col("doc_id").as(docCol), simhash64(col("text")).as(shCol))
+        .select(
+          col(docCol),
+          col(shCol),
+          explode(bindArray(col(shCol)) { s =>
+            array((0 until nBands).map(i =>
+              concat_ws("|", col("source"), lit(i), bandVal(s, i))): _*)
+          }).as("__bucket"),
+          col("source"),
+        )
+    val a = banded(docs(spark, dir), "doc_a", "sh_a")
+    val b = banded(Tables(spark, dir, "documents"), "doc_b", "sh_b").drop("source")
     Skew
-      .saltedBlockJoin(a, b, "source", "doc_a", targetRows)
+      .saltedBlockJoin(a, b, "__bucket", "doc_a", targetRows)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      // a pair agreeing on several bands met once per such band
       .select(col("source"), col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** 16-bit variant of [[simhashHammingPairs]] — kept as the
@@ -785,6 +825,59 @@ object Dedup {
         expr("(1000000 * n_common) div least(n_a, n_b)").cast("long").as("containment_x1e6"),
       )
       .filter(col("containment_x1e6") >= minContainmentX1e6)
+
+  /** Shingle document-frequency histogram against the stop-shingle
+    * cutoff — the recall audit of the exact-Jaccard inverted-index
+    * family ([[ngramJaccardPairs]] / [[ngramContainmentPairs]]).
+    *
+    * The absolute `maxDf` guard is what bounds per-shingle pair work
+    * (≤ maxDf² regardless of corpus size) and it is the right guard
+    * at 100 TB, where the shingle space is effectively unbounded and
+    * a shingle's chance df stays flat as the corpus grows. But the
+    * guard trades recall silently: every pair whose overlap lives
+    * only in >maxDf shingles is simply never emitted. The round-8
+    * scale rehearsal measured the failure mode end-to-end on the
+    * synthetic corpus, whose 30-word vocabulary BOUNDS the 3-gram
+    * space (~27k shingles): mean df grows linearly with corpus size
+    * (~9.6 at 5k docs → ~96 at 50k docs), pair work peaks as the df
+    * distribution straddles the cutoff, and past it the pair gates
+    * return ZERO rows at their usual speed — indistinguishable from
+    * "no duplicates" without this audit.
+    *
+    * Output is bounded by config, not data: one row per df value up
+    * to maxDf, plus a single overflow bin (maxDf+1) carrying the
+    * dropped posting mass. `kept` marks the df range the pair
+    * pipeline actually consumes (2..maxDf; df=1 shingles cannot form
+    * a pair). Read it like lshBandStats: overflow-bin mass ≫ kept
+    * mass means the corpus (or a boilerplate family) has saturated
+    * the cutoff and the exact-Jaccard path is blind — switch to
+    * MinHash-LSH banding, whose hot buckets the salted skew guard
+    * absorbs, or raise maxDf deliberately, paying its pair bound.
+    *
+    * Scale: one combine-shuffle to shingle df (map-side partials),
+    * one to the ≤ maxDf+1 histogram bins. Never expands a pair.
+    */
+  def shingleDfStats(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      maxDf: Int = 50,
+  ): DataFrame =
+    docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(explode(shingles(col("text"), k)).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .groupBy(
+        when(col("df") <= maxDf, col("df")).otherwise(lit(maxDf + 1).cast("long"))
+          .as("df_bin"))
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("posting_mass"))
+      .select(
+        col("df_bin"),
+        col("n_shingles"),
+        col("posting_mass"),
+        col("df_bin").between(2, maxDf).as("kept"),
+      )
 
   /** Degree histogram of the MinHash-LSH near-dup graph: how many
     * documents have exactly d verified near-duplicates — the

@@ -141,4 +141,35 @@ class DedupClustersSpec extends AnyFunSuite {
     // has >= 2 members (sf0.001 does have near-dup pairs)
     assert(rows.count(_.getInt(2) == 1) < nDocs.toInt)
   }
+
+  test("simhash multi-index pairs equal the all-pairs-within-source formulation") {
+    import org.apache.spark.sql.functions._
+    // the pigeonhole index must be row-identical to brute force: no
+    // false negatives (any hamming<=7 pair agrees on >=1 of 8 bands)
+    // and no duplicates (a pair meeting in several bands emits once)
+    val got = Dedup
+      .simhashHammingPairs(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val a = d.select(col("source"), col("doc_id").as("doc_a"),
+      Dedup.simhash64(col("text")).as("sh_a"))
+    val b = d.select(col("source"), col("doc_id").as("doc_b"),
+      Dedup.simhash64(col("text")).as("sh_b"))
+    val brute = a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= 7)
+      .select(col("source"), col("doc_a"), col("doc_b"), col("hamming"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(brute.nonEmpty, "spec corpus must produce at least one near-dup pair")
+    assert(got == brute,
+      s"multi-index != brute force: missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // and the multi-index result carries no duplicate pair rows
+    val n = Dedup.simhashHammingPairs(spark, sf).count()
+    assert(n == got.size.toLong, "duplicate pair rows in multi-index output")
+  }
 }

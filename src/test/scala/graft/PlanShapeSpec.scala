@@ -169,24 +169,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sortMergeJoins(df) == 0, "size lookups must ride the posting lists, not joins")
   }
 
-  test("simhash pairs hash-shuffle only the block-size count partials") {
+  test("simhash pairs hash-shuffle only bucket-size partials and the pair distinct") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     val df = graft.operators.Dedup.simhashHammingPairs(spark, sf)
-    // source-blocked pairing with the hot-block guard: the only
-    // hash-partitioned exchanges are the block-size COUNT partials
-    // (|blocks| rows after map-side combine; the static plan carries
-    // one per join side until runtime exchange reuse). Everything
-    // else must be Tables.parallel's local round-robin rebalance —
-    // absent on a real many-split deployment — i.e. the pair
-    // expansion itself stays a broadcast join at this scale, never a
-    // corpus shuffle.
+    // pigeonhole multi-index pairing with the hot-bucket guard: the
+    // only hash-partitioned exchanges are (a) the bucket-size COUNT
+    // partials (|buckets| rows after map-side combine; the static
+    // plan carries one per join side until runtime exchange reuse),
+    // each on the single bucket-key expression, and (b) the final
+    // pair DISTINCT, which runs on the hamming-filtered SURVIVORS —
+    // never on the candidate expansion. Everything else must be
+    // Tables.parallel's local round-robin rebalance — absent on a
+    // real many-split deployment — i.e. the candidate expansion
+    // itself stays a broadcast join at this scale, never a corpus
+    // shuffle.
     val hashed = collectPlan(df)
       .collect { case s: ShuffleExchangeLike => s.outputPartitioning }
       .collect { case h: HashPartitioning => h }
-    assert(hashed.size <= 2, s"unexpected hash shuffles: $hashed")
+    assert(hashed.size <= 3, s"unexpected hash shuffles: $hashed")
     assert(
-      hashed.forall(h => h.expressions.length == 1),
-      s"a hash shuffle carries more than the block key: $hashed",
+      hashed.forall(h => h.expressions.length == 1 || h.expressions.length == 4),
+      s"a hash shuffle carries neither the bucket key nor the pair-distinct key: $hashed",
+    )
+    assert(
+      hashed.count(_.expressions.length == 4) <= 1,
+      s"more than one pair-wide shuffle: $hashed",
     )
   }
 
