@@ -278,6 +278,7 @@ object SparkEntry {
     // past cutoff saturation the pair gates return zero rows at
     // their usual speed; this gate is how you see it)
     "dedup_shingle_df_stats" -> ((s, d) => Dedup.shingleDfStats(s, d)),
+    "dedup_char_shingle_df_stats" -> ((s, d) => Dedup.charShingleDfStats(s, d)),
     // shared 5-token-prefix families (boilerplate-header detector)
     "dedup_prefix_families" -> ((s, d) => Dedup.prefixFamilies(s, d)),
     // cumulative content-novelty per ingest-order bucket
@@ -2056,6 +2057,20 @@ object SparkEntry {
          |SELECT df_bin, n_shingles, posting_mass,
          |       (df_bin BETWEEN 2 AND 50) AS kept
          |FROM b""".stripMargin,
+    // the char-5-gram twin of the df audit (the char family's own
+    // cutoff; same bounded-bin shape)
+    "dedup_char_shingle_df_stats" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS i) g
+        |  WHERE length(text) >= 5),
+        |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |b AS (SELECT CASE WHEN df <= 50 THEN df ELSE 51 END AS df_bin,
+        |        count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS posting_mass
+        |      FROM dfq GROUP BY 1)
+        |SELECT df_bin, n_shingles, posting_mass,
+        |       (df_bin BETWEEN 2 AND 50) AS kept
+        |FROM b""".stripMargin,
     // same inverted-index CTEs; only the score differs (exact
     // scaled-integer floor division, min set size in the denominator)
     // first-occurrence via the same min-over-hash window; cumulative

@@ -863,9 +863,35 @@ object Dedup {
       k: Int = 3,
       maxDf: Int = 50,
   ): DataFrame =
-    docs(spark, dir)
-      .filter(size(split(col("text"), " ")) >= k)
-      .select(explode(shingles(col("text"), k)).as("shingle"))
+    dfStatsOf(
+      docs(spark, dir)
+        .filter(size(split(col("text"), " ")) >= k)
+        .select(explode(shingles(col("text"), k)).as("shingle")),
+      maxDf,
+    )
+
+  /** [[shingleDfStats]] over character shingles — the audit for the
+    * [[charNgramJaccardPairs]] family, whose (larger but still
+    * finite) shingle space saturates its own cutoff later than the
+    * word family's: the round-8 rehearsal measured the word gates
+    * already past saturation (zero rows) at a corpus size where the
+    * char gate was still in the pre-saturation pair-work peak.
+    */
+  def charShingleDfStats(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      maxDf: Int = 50,
+  ): DataFrame =
+    dfStatsOf(
+      docs(spark, dir)
+        .filter(length(col("text")) >= k)
+        .select(explode(charShingles(col("text"), k)).as("shingle")),
+      maxDf,
+    )
+
+  private def dfStatsOf(exploded: DataFrame, maxDf: Int): DataFrame =
+    exploded
       .groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .groupBy(
