@@ -262,7 +262,31 @@ object Sampling {
     *     (shuffle join on the already-decimated volume) — Bloom
     *     false positives die here, making the result bit-identical
     *     to the broadcast-exact formulation (same oracle gates both).
+    *
+    * The filter is SIZED FROM THE DATA, not a constant: capacity
+    * comes from a count of the distinct held-out shingles and the
+    * bit width from the standard n·ln(1/fpp)/ln²2 formula at 1% fpp
+    * ([[bloomBits]]). A fixed capacity is the same
+    * absolute-parameter-at-scale defect class the round-8 rehearsal
+    * measured for the stop-shingle cutoff: correctness survives (the
+    * confirm join is exact) but past the assumed size the fpp drifts
+    * toward 1 and the prefilter silently stops filtering — the
+    * 100-TB cliff is performance, and invisible. The count is one
+    * cheap aggregate on a frame this operator materializes anyway
+    * (the filter build runs `.head` on the same lineage).
     */
+  /** Bloom width for `n` items at `fpp`: ceil(n·ln(1/fpp)/ln²2),
+    * floored at 1 KiB (degenerate tiny filters) and capped at 2²⁶
+    * bits = 8 MiB (Spark's own runtime-row-filter default ceiling —
+    * past it, trade fpp for broadcast size like the injected filters
+    * do). At 1% fpp this is ~9.6 bits/item.
+    */
+  private[graft] def bloomBits(n: Long, fpp: Double = 0.01): Long = {
+    val ln2sq = math.log(2.0) * math.log(2.0)
+    val bits = math.ceil(math.max(n, 1L).toDouble * math.log(1.0 / fpp) / ln2sq).toLong
+    math.min(math.max(bits, 1L << 13), 1L << 26)
+  }
+
   def trainTestShingleOverlapBloom(
       spark: SparkSession,
       dir: String,
@@ -285,14 +309,17 @@ object Sampling {
       .select(explode(col("sh")).as("shingle"))
       .distinct()
 
+    val nTest = testShingles.count()
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col("shingle"))),
-        Literal(200000L),         // estimated distinct items
-        Literal(8L * 1024 * 1024) // bits → ~1 MB filter
+        Literal(math.max(nTest, 1L)),
+        Literal(bloomBits(nTest))
       ).toAggregateExpression()
     )
-    val bloomBytes = testShingles.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val bloomBytes =
+      if (nTest == 0) null
+      else testShingles.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
 
     val trainIndex = withSplit
       .filter(col("split") === "train")

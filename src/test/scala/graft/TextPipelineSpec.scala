@@ -206,4 +206,17 @@ class TextPipelineSpec extends AnyFunSuite {
       if (r.getString(1) == "ff") assert(r.getLong(3) == r.getLong(2))
     }
   }
+
+  test("bloom sizing scales with the held-out cardinality, floored and capped") {
+    // ~9.6 bits/item at 1% fpp: a fixed-width filter silently stops
+    // filtering past its assumed size (the absolute-parameter-at-
+    // scale class the round-8 rehearsal measured); width must grow
+    // with n until the 8 MiB broadcast ceiling
+    val b1m = Sampling.bloomBits(1000000L)
+    assert(b1m >= 9L * 1000000 && b1m <= 10L * 1000000, s"1M items -> $b1m bits")
+    assert(Sampling.bloomBits(0L) == (1L << 13), "empty set floors at 1 KiB")
+    assert(Sampling.bloomBits(10L) == (1L << 13), "tiny sets floor at 1 KiB")
+    assert(Sampling.bloomBits(Long.MaxValue / 16) == (1L << 26), "capped at 8 MiB")
+    assert(Sampling.bloomBits(100000000L) == (1L << 26), "100M items hits the cap")
+  }
 }
