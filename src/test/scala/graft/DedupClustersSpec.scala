@@ -172,4 +172,60 @@ class DedupClustersSpec extends AnyFunSuite {
     val n = Dedup.simhashHammingPairs(spark, sf).count()
     assert(n == got.size.toLong, "duplicate pair rows in multi-index output")
   }
+
+  test("simhash multi-index holds at the band-partition boundary cases") {
+    import org.apache.spark.sql.functions._
+    // maxHamming=0 -> ONE band of all 64 bits: candidates are exact
+    // fingerprint collisions only, and the pigeonhole argument is
+    // vacuous-tight (0 differing bits must leave the single band
+    // untouched). maxHamming=9 -> 10 bands of 6 bits + a 10-bit tail
+    // band (64 % 10 != 0): the remainder bits must land in SOME
+    // band or a pair differing only in the top bits would slip
+    // every bucket and break the no-false-negatives contract.
+    for (mh <- Seq(0, 9)) {
+      val got = Dedup
+        .simhashHammingPairs(spark, sf, maxHamming = mh)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val d = graft.sources.Tables(spark, sf, "documents")
+      val a = d.select(col("source"), col("doc_id").as("doc_a"),
+        Dedup.simhash64(col("text")).as("sh_a"))
+      val b = d.select(col("source"), col("doc_id").as("doc_b"),
+        Dedup.simhash64(col("text")).as("sh_b"))
+      val brute = a.join(b, Seq("source"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+        .filter(col("hamming") <= mh)
+        .select(col("source"), col("doc_a"), col("doc_b"), col("hamming"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(got == brute, s"maxHamming=$mh: multi-index != brute force " +
+        s"(missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)})")
+    }
+  }
+
+  test("shingle df stats: bins are config-bounded and masses reconcile") {
+    val rows = Dedup.shingleDfStats(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 51, s"${rows.length} bins for maxDf=50")
+    rows.foreach { r =>
+      val (bin, kept) = (r.getLong(0), r.getBoolean(3))
+      assert(bin >= 1 && bin <= 51)
+      assert(kept == (bin >= 2 && bin <= 50), s"kept flag wrong at df_bin=$bin")
+      // per-bin mass = bin * count for real bins (overflow bin aggregates)
+      if (bin <= 50) assert(r.getLong(2) == bin * r.getLong(1))
+    }
+    // total posting mass equals the exploded distinct-shingle count
+    import org.apache.spark.sql.functions._
+    val direct = graft.sources.Tables(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .count()
+    assert(rows.map(_.getLong(2)).sum == direct, "posting mass does not reconcile")
+    // a degenerate cutoff drops everything into the overflow bin
+    // except singletons: nothing is ever flagged kept
+    val degenerate = Dedup.shingleDfStats(spark, sf, maxDf = 1).collect()
+    assert(degenerate.forall(!_.getBoolean(3)), "maxDf=1 must keep nothing")
+  }
 }
