@@ -52,22 +52,27 @@ def main():
     for q, per in sorted(data["queries"].items()):
         secs = [per.get(s, {}).get("sec", -1.0) for s in data["sfs"]]
         cards = [per.get(s, {}).get("rows", -1) for s in data["sfs"]]
+        sbytes = [per.get(s, {}).get("shuffleBytes", -1) for s in data["sfs"]]
         b_time = fit(sfs, secs)
         b_rows = fit(sfs, [float(c) for c in cards])
+        b_bytes = fit(sfs, [float(b) for b in sbytes])
         b_tail = (fit(sfs[-2:], secs[-2:])
                   if len(sfs) >= 2 and min(secs[-2:]) > 0 else None)
-        rows_out.append((q, secs, cards, b_time, b_tail, b_rows))
+        rows_out.append((q, secs, cards, sbytes, b_time, b_tail, b_rows, b_bytes))
 
     def f(v):
         return "n/a" if v is None else f"{v:.2f}"
 
     hdr_sfs = " | ".join(f"t(sf{s:g})" for s in sfs)
-    print(f"| query | {hdr_sfs} | time exp | tail exp | rows exp | rows(sf{sfs[-1]:g}) |")
-    print("|---" * (len(sfs) + 5) + "|")
-    for q, secs, cards, b_time, b_tail, b_rows in sorted(
-            rows_out, key=lambda r: -(r[4] if r[4] is not None else -9)):
+    print(f"| query | {hdr_sfs} | time exp | tail exp | rows exp "
+          f"| bytes exp | shufMB(sf{sfs[-1]:g}) | rows(sf{sfs[-1]:g}) |")
+    print("|---" * (len(sfs) + 7) + "|")
+    for q, secs, cards, sbytes, b_time, b_tail, b_rows, b_bytes in sorted(
+            rows_out, key=lambda r: -(r[5] if r[5] is not None else -9)):
         ts = " | ".join(f"{s:.2f}" for s in secs)
-        print(f"| {q} | {ts} | {f(b_time)} | {f(b_tail)} | {f(b_rows)} | {cards[-1]} |")
+        mb = "n/a" if sbytes[-1] < 0 else f"{sbytes[-1] / 1e6:.1f}"
+        print(f"| {q} | {ts} | {f(b_time)} | {f(b_tail)} | {f(b_rows)} "
+              f"| {f(b_bytes)} | {mb} | {cards[-1]} |")
 
 
 if __name__ == "__main__":
