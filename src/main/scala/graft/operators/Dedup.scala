@@ -933,26 +933,42 @@ object Dedup {
     * feeding the mix the same content (and the source-level
     * counterpart of the per-document Jaccard pairs).
     *
-    * Scale shape (100 TB): one distinct pass over (source, shingle),
-    * then posting lists of SOURCES per shingle — bounded by
-    * |sources|, so the pair expansion is map-side array math with no
-    * stop-shingle skew risk (unlike document posting lists, which
-    * need the maxDf cutoff). Holds while |sources| is a curated
-    * mix-table cardinality (tens to thousands); for web-scale
-    * domain counts, sample shingles or sketch the sets instead.
+    * Scale shape (100 TB): ONE corpus pass — explode straight into
+    * `groupBy(shingle).collect_set(source)` (the partial collect_set
+    * dedups map-side, so the single wide shuffle carries ≤
+    * |sources|-bounded sets, and a separate distinct pre-shuffle
+    * would only add a second corpus-wide exchange). Every downstream
+    * frame — the per-source distinct-shingle counts AND the pair
+    * expansion — derives from that one |shingles|-row posting-list
+    * frame, so the identical exchange subtree is planned once and
+    * reused (pre-rewrite this gate scanned + exploded the corpus
+    * three times: pairs once, the `n` side of each join again). The
+    * posting lists are bounded by |sources|, so the pair expansion is
+    * map-side array math with no stop-shingle skew risk (unlike
+    * document posting lists, which need the maxDf cutoff). Holds
+    * while |sources| is a curated mix-table cardinality (tens to
+    * thousands); for web-scale domain counts, sample shingles or
+    * sketch the sets instead.
     */
   def sourceShingleOverlap(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val sh = docs(spark, dir)
+    // |shingles| rows × |sources|-bounded source sets, from one
+    // corpus-wide combine shuffle; serves every consumer below
+    val bySh = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= k)
       .select(col("source"), explode(shingles(col("text"), k)).as("shingle"))
-      .distinct()
-    val ns = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    // per-source distinct-shingle counts from the posting lists (each
+    // shingle contributes 1 to every member source) — |shingles| rows
+    // in, |sources| rows out, no second corpus pass
+    val ns = bySh
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"))
     // sorted source list per shingle → ordered pairs via slice/transform
     // (composed builtins: the list is |sources|-bounded, so the one-pass
     // native expression the doc pipeline needs is unnecessary here)
-    val pairs = sh
-      .groupBy("shingle")
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val pairs = bySh
       .filter(size(col("srcs")) >= 2)
       .select(
         explode(bindArray(col("srcs")) { a =>

@@ -1918,43 +1918,48 @@ object RelationalQueries {
     * [[TextAnalysis.lengthPercentiles]] on integer cents, so every
     * compared quantity is exact — flags dev > 3·MAD in integers.
     *
-    * Scale shape: SORT-FREE medians (the quantile_histogram /
-    * gkBoundsGate rule) — a per-type rank window would sort a
-    * corpus-sized partition per task at this key domain (~5 types).
-    * Each median aggregates to the per-(type, value) histogram first
-    * (map-side combine), reads the rank off the cumulative count
-    * over that bounded frame, and reduces to a |types|-row frame
-    * that joins back WITHOUT a static hint: AQE broadcasts the
-    * measured handful of rows (same de-pin rule as the turnout
-    * family). The production path at 100 TB swaps in the GK sketch,
-    * validated against this exact twin.
+    * Scale shape: ONE corpus pass, then pure histogram math.
+    * SORT-FREE medians (the quantile_histogram / gkBoundsGate rule) —
+    * a per-type rank window would sort a corpus-sized partition per
+    * task at this key domain (~5 types). The per-(type, value) count
+    * histogram is built once (map-side combine, the only corpus-wide
+    * shuffle); the deviation distribution is then derived FROM the
+    * histogram (each value bin maps to the |value − median| bin with
+    * its count — no second corpus pass, where the previous shape
+    * re-joined every event row against the median and re-aggregated
+    * the corpus for the MAD), and the outlier census reads off the
+    * deviation histogram the same way. The |types|-row median frames
+    * join back un-hinted (AQE broadcasts the measured rows). The production path at 100 TB
+    * swaps in the GK sketch, validated against this exact twin.
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val wAll = Window.partitionBy("event_type")
-    def p50(frame: DataFrame, v: String, out: String): DataFrame = {
+    def histMedian(h: DataFrame, v: String, out: String): DataFrame = {
       val wCum = Window.partitionBy("event_type").orderBy(col(v))
         .rowsBetween(Window.unboundedPreceding, 0)
-      frame
-        .groupBy(col("event_type"), col(v))
-        .agg(count(lit(1)).as("__cnt"))
-        .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      val wAll = Window.partitionBy("event_type")
+      h.withColumn("__cum", sum(col("__cnt")).over(wCum))
         .withColumn("__n", sum(col("__cnt")).over(wAll))
         .groupBy("event_type")
         .agg(min(when(col("__cum") >= expr("((__n - 1) * 50) div 100") + 1, col(v))).as(out))
     }
-    val typed = t(spark, dir, "events")
-      .select(col("event_type"), col("event_id"), cents(col("value")).as("vc"))
-    val dev = typed
-      .join(p50(typed, "vc", "med_c"), "event_type")
-      .withColumn("dev", abs(col("vc") - col("med_c")))
-    dev
-      .join(p50(dev, "dev", "mad_c"), "event_type")
+    val hist = t(spark, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("vc"))
+      .groupBy("event_type", "vc")
+      .agg(count(lit(1)).as("__cnt"))
+    // value histogram → deviation histogram: bin-level |v − median|
+    // re-bin (multiple value bins can land on one deviation bin)
+    val devHist = hist
+      .join(histMedian(hist, "vc", "med_c"), "event_type")
+      .groupBy(col("event_type"), abs(col("vc") - col("med_c")).as("dev"))
+      .agg(sum(col("__cnt")).as("__cnt"), max(col("med_c")).as("med_c"))
+    devHist
+      .join(histMedian(devHist, "dev", "mad_c"), "event_type")
       .groupBy("event_type")
       .agg(
-        count(lit(1)).as("n_events"),
+        sum(col("__cnt")).as("n_events"),
         moneyFromCents(max(col("med_c"))).as("median_value"),
         moneyFromCents(max(col("mad_c"))).as("mad_value"),
-        sum(when(col("dev") > lit(3L) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("dev") > lit(3L) * col("mad_c"), col("__cnt")).otherwise(0L)).as("n_outliers"),
       )
   }
 }

@@ -416,27 +416,50 @@ object Similarity {
     * an iteration sweep needs (PCA whitening decides off the RATIO
     * of components, which raw integers preserve exactly).
     *
-    * Scale shape: the Aᵀ(A·v) factored form — each step is one pass
-    * over the exploded (vec, dim, q) frame joining the |dims|-row v
-    * (AQE-broadcast), a per-vec dot combine, then a per-dim weighted
-    * combine; never the dim×dim Gram materialization and never a
-    * corpus×corpus product. Seed + two steps = five bounded-key hash
-    * aggregations over the same exploded lineage.
+    * Scale shape: the Aᵀ(A·v) factored form in ROW-ARRAY shape —
+    * each step keeps the quantized embedding as an array column, so
+    * the per-vec dot A·v is map-side array math against the
+    * broadcast 1-row v array (zip_with product + decimal aggregate;
+    * no per-(vec, dim) explode feeding a corpus-wide vec_id shuffle,
+    * and no corpus-cardinality join carrying the dots back to the
+    * rows — the dot lands in the same row it came from). Only the
+    * per-dim weighted combine Aᵀ·(dots) explodes, and that shuffle
+    * carries |dims|-key count partials. Never the dim×dim Gram
+    * materialization and never a corpus×corpus product. Seed + two
+    * steps = three corpus scans, zero corpus-wide shuffles.
     */
   def powerIteration(spark: SparkSession, dir: String): DataFrame = {
     val q = embPlain(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(
         col("vec_id"),
-        col("dim"),
-        floor(col("x").cast("double") * 1000.0).cast("decimal(38,0)").as("qv"),
+        transform(
+          col("embedding"),
+          x => floor(x.cast("double") * 1000.0).cast("decimal(38,0)"),
+        ).as("q"),
       )
-    def step(v: DataFrame): DataFrame = {
-      val dots = q
-        .join(v, Seq("dim"))
-        .groupBy("vec_id")
-        .agg(sum(col("qv") * col("v")).as("dot"))
-      q.join(dots, Seq("vec_id"))
+    // (dim, v) → one broadcast-able row holding v ordered by dim, so
+    // the next step's dot is position-aligned array math
+    def asRow(v: DataFrame): DataFrame =
+      v.groupBy()
+        .agg(
+          transform(
+            sort_array(collect_list(struct(col("dim"), col("v")))),
+            s => s.getField("v"),
+          ).as("varr"),
+        )
+    // no static broadcast hint: the build side is one row, so every
+    // planner picks the broadcast nested-loop join on its own, and
+    // AQE's runtime plan measures faster than the pinned hint here
+    def step(v: DataFrame): DataFrame =
+      q.crossJoin(asRow(v))
+        .select(
+          aggregate(
+            zip_with(col("q"), col("varr"), (a, b) => a * b),
+            lit(0).cast("decimal(38,0)"),
+            (acc, x) => acc + x,
+          ).as("dot"),
+          posexplode(col("q")).as(Seq("dim", "qv")),
+        )
         .groupBy("dim")
         .agg(sum(col("qv") * col("dot")).as("raw"))
         // exact toward-zero 10³ rescale (see scaladoc): keeps the
@@ -445,8 +468,10 @@ object Similarity {
           col("dim"),
           expr("CAST((raw - (raw % 1000)) / 1000 AS DECIMAL(38,0))").as("v"),
         )
-    }
-    val v1 = q.groupBy("dim").agg(sum(col("qv")).as("v")) // seed Aᵀ·1
+    val v1 = q // seed Aᵀ·1
+      .select(posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy("dim")
+      .agg(sum(col("qv")).as("v"))
     // every ACCUMULATION above is 128-bit; the per-step rescale keeps
     // the emitted components 64-bit, so both engines hand the
     // comparator a BIGINT
