@@ -65,31 +65,41 @@ object IvfIndex {
       graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_ivf_round1", dir))
     }
 
-  /** One nearest-centroid (max-cosine) Lloyd reassignment that
-    * carries the embedding through the combine-shuffle: the scored
-    * rows partial-aggregate map-side and the exchange carries one row
-    * per vector, never |cells| rows. Tie-break: max sim, then
-    * SMALLEST cell (negated in the ordering struct) — identical to
-    * [[assign]]'s (sim desc, cell asc) window order.
+  /** One nearest-centroid (max-cosine) Lloyd reassignment, fully
+    * row-wise: the |cells| centroids collapse to a single array row
+    * (1-row aggregate, nested-loop-broadcast by every planner), and
+    * each vector takes its argmax over that array in the same row it
+    * arrived in — the corpus is neither expanded by |cells| nor
+    * shuffled (the previous shape exploded to |cells| scored rows and
+    * pushed one-row-per-vector — embedding included — through a
+    * corpus-wide vec_id combine-exchange every round). Tie-break: max
+    * sim, then SMALLEST cell (negated in the max struct) — identical
+    * to [[assign]]'s (sim desc, cell asc) window order; `array_max`'s
+    * field-by-field struct comparison reproduces max_by over the same
+    * struct because every sim is non-null (cosine of the corpus
+    * vectors against float-mean centroids).
     */
-  private def reassign(emb: DataFrame, cents: DataFrame): DataFrame =
+  private def reassign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents
+      .groupBy()
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
     emb
-      .join(broadcast(cents))
+      .crossJoin(centsRow)
       .select(
         col("vec_id"),
         col("embedding"),
-        col("cell"),
-        cosine(col("embedding"), col("centroid")).as("sim"),
+        (-array_max(
+          transform(
+            col("cents"),
+            c =>
+              struct(
+                cosine(col("embedding"), c.getField("centroid")).as("sim"),
+                (-c.getField("cell")).as("nc"),
+              ),
+          )
+        ).getField("nc")).cast("int").as("cell"),
       )
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("cell"), struct(col("sim"), (-col("cell")).as("nc"))).as("cell"),
-        // all rows of a vec_id group carry the identical array, so
-        // the embedding rides the one combine-shuffle and the next
-        // round needs no second join against the corpus
-        first(col("embedding")).as("embedding"),
-      )
-      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
 
   /** Per-cell mean vectors from the current assignment column.
     * Typed-aggregator formulation (VectorMeanAggregator): partial
