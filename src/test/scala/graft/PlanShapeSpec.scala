@@ -284,6 +284,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sourceScans(graft.operators.Bucketing.zorderLocality(spark, sf), "l_partkey") == 1)
   }
 
+  test("iterative vector gates never shuffle or join on vec_id") {
+    // power iteration computes each step's dot in the row the vector
+    // arrived in (broadcast 1-row v array); Lloyd reassignment takes
+    // its argmax in place against the collected centroid array — in
+    // both, the only shuffles are |dims|- or |cells|-key aggregates
+    // and the 1-row collapse. A hashpartitioning on vec_id means the
+    // corpus (embeddings included) is being exchanged again.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def vecIdShuffles(df: DataFrame): Seq[SparkPlan] =
+      collectPlan(df).filter {
+        case s: ShuffleExchangeLike =>
+          s.outputPartitioning match {
+            case h: HashPartitioning => h.expressions.exists(_.references.exists(_.name == "vec_id"))
+            case _ => false
+          }
+        case _ => false
+      }
+    val pit = graft.operators.Similarity.powerIteration(spark, sf)
+    assert(vecIdShuffles(pit).isEmpty, "power iteration must not exchange on vec_id")
+    graft.operators.IvfIndex.invalidate()
+    val km = graft.operators.IvfIndex.kmeansIterated(spark, sf)
+    assert(vecIdShuffles(km).isEmpty, "Lloyd rounds must not exchange on vec_id")
+  }
+
   test("continuation-pass gates keep their declared shuffle/join shape") {
     import graft.operators.{RelationalQueries, Similarity, TextAnalysis}
     // RAG chunking is pure map-side explode — zero exchanges
