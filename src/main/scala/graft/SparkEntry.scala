@@ -243,7 +243,7 @@ object SparkEntry {
     "lsh_band_stats" -> ((s, d) => Dedup.lshBandStats(s, d)),
     // exact-integer power iteration: dominant principal direction of
     // the embedding corpus, raw unnormalized v3 components
-    "embedding_power_iteration" -> (Similarity.powerIteration _),
+    "embedding_power_iteration" -> ((s, d) => Similarity.powerIteration(s, d)),
     // are the low-quality docs also the duplicated ones? fixed-bin
     // stopword-score buckets × exact-dup fraction
     "quality_dup_calibration" -> (Dedup.qualityDupCalibration _),

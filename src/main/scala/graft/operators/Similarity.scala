@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Scored, TopKAggregator}
@@ -419,16 +419,26 @@ object Similarity {
     * Scale shape: the Aᵀ(A·v) factored form in ROW-ARRAY shape —
     * each step keeps the quantized embedding as an array column, so
     * the per-vec dot A·v is map-side array math against the
-    * broadcast 1-row v array (zip_with product + decimal aggregate;
-    * no per-(vec, dim) explode feeding a corpus-wide vec_id shuffle,
-    * and no corpus-cardinality join carrying the dots back to the
-    * rows — the dot lands in the same row it came from). Only the
-    * per-dim weighted combine Aᵀ·(dots) explodes, and that shuffle
-    * carries |dims|-key count partials. Never the dim×dim Gram
-    * materialization and never a corpus×corpus product. Seed + two
-    * steps = three corpus scans, zero corpus-wide shuffles.
+    * broadcast 1-row v array (no per-(vec, dim) explode feeding a
+    * corpus-wide vec_id shuffle, and no corpus-cardinality join
+    * carrying the dots back to the rows — the dot lands in the same
+    * row it came from). Only the per-dim weighted combine Aᵀ·(dots)
+    * explodes, and that shuffle carries |dims|-key count partials.
+    * Never the dim×dim Gram materialization and never a
+    * corpus×corpus product. Seed + two steps = three corpus scans,
+    * zero corpus-wide shuffles.
+    *
+    * The dot is an UNROLLED `dims`-term element_at product chain,
+    * not a zip_with + aggregate: higher-order functions evaluate
+    * interpreted (CodegenFallback), and measured ~60 µs/row for the
+    * 64-element decimal fold — the unrolled tree stays inside
+    * whole-stage codegen at ~1 µs/row. Fold order (left, from a
+    * decimal(38,0) zero) and the *, + precision caps are exactly the
+    * HOF chain's, so the emitted integers are unchanged. `dims` is a
+    * data-model constant of the embeddings table (64, pinned by the
+    * corpus contract); element_at is 1-based.
     */
-  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+  def powerIteration(spark: SparkSession, dir: String, dims: Int = 64): DataFrame = {
     val q = embPlain(spark, dir)
       .select(
         col("vec_id"),
@@ -450,24 +460,32 @@ object Similarity {
     // no static broadcast hint: the build side is one row, so every
     // planner picks the broadcast nested-loop join on its own, and
     // AQE's runtime plan measures faster than the pinned hint here
-    def step(v: DataFrame): DataFrame =
+    // The per-row dot MUST be let-bound inside the generator:
+    // Catalyst collapses a dot projection above the Generate, which
+    // re-evaluates the 64-term fold once per EXPLODED row — a d²
+    // blowup per vector (measured 3-8× on this gate before binding;
+    // the winnowing/pairCommonCounts lesson again). bindArray
+    // evaluates the fold once per row and the generator emits the
+    // finished (dim, qv·dot) terms.
+    def step(v: DataFrame): DataFrame = {
+      val dot = (1 to dims).foldLeft(lit(0).cast("decimal(38,0)"): Column) { (acc, i) =>
+        acc + element_at(col("q"), i) * element_at(col("varr"), i)
+      }
       q.crossJoin(asRow(v))
         .select(
-          aggregate(
-            zip_with(col("q"), col("varr"), (a, b) => a * b),
-            lit(0).cast("decimal(38,0)"),
-            (acc, x) => acc + x,
-          ).as("dot"),
-          posexplode(col("q")).as(Seq("dim", "qv")),
+          explode(graft.functions.Let.bindArray(dot) { d =>
+            transform(col("q"), (qv, i) => struct(i.as("dim"), (qv * d).as("term")))
+          }).as("z"),
         )
-        .groupBy("dim")
-        .agg(sum(col("qv") * col("dot")).as("raw"))
+        .groupBy(col("z.dim").as("dim"))
+        .agg(sum(col("z.term")).as("raw"))
         // exact toward-zero 10³ rescale (see scaladoc): keeps the
         // emitted components inside BIGINT at every corpus SF
         .select(
           col("dim"),
           expr("CAST((raw - (raw % 1000)) / 1000 AS DECIMAL(38,0))").as("v"),
         )
+    }
     val v1 = q // seed Aᵀ·1
       .select(posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy("dim")
