@@ -303,6 +303,16 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     val pit = graft.operators.Similarity.powerIteration(spark, sf)
     assert(vecIdShuffles(pit).isEmpty, "power iteration must not exchange on vec_id")
+    // the per-row dot must live INSIDE the generator (let-bound):
+    // Catalyst collapses a dot projection above the Generate, which
+    // re-evaluates the dims-term fold once per exploded row — a d²
+    // blowup. A ProjectExec referencing the broadcast v array means
+    // the collapse came back.
+    val collapsed = collectPlan(pit).collect {
+      case p: org.apache.spark.sql.execution.ProjectExec
+          if p.projectList.exists(_.references.exists(_.name == "varr")) => p
+    }
+    assert(collapsed.isEmpty, "power-iteration dot collapsed above the Generate (d² re-evaluation)")
     graft.operators.IvfIndex.invalidate()
     val km = graft.operators.IvfIndex.kmeansIterated(spark, sf)
     assert(vecIdShuffles(km).isEmpty, "Lloyd rounds must not exchange on vec_id")
