@@ -281,6 +281,10 @@ object SparkEntry {
     "dedup_char_shingle_df_stats" -> ((s, d) => Dedup.charShingleDfStats(s, d)),
     // shared 5-token-prefix families (boilerplate-header detector)
     "dedup_prefix_families" -> ((s, d) => Dedup.prefixFamilies(s, d)),
+    // span-level duplicate coverage (fraction of each doc's tokens
+    // inside a cross-doc repeated k-token span) — the remove-the-span
+    // dedup criterion set-similarity scores miss
+    "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     // cumulative content-novelty per ingest-order bucket
     "dedup_yield_curve" -> ((s, d) => Dedup.dedupYieldCurve(s, d)),
     // the same novelty curve per SOURCE (which feed still pays),
@@ -2120,6 +2124,30 @@ object SparkEntry {
         |FROM f GROUP BY 1""".stripMargin,
     // shingles WITH multiplicity (no DISTINCT — unlike shingleCtes):
     // total vs distinct per source gives the duplicated mass
+    // covered-length rule: hot-span starts are strictly increasing,
+    // so union length is sum(least(k, pos - prev_pos)), first span
+    // contributing k via the lag default
+    "dedup_span_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |p AS (
+        |  SELECT doc_id, len(ts) AS n_tokens, i - 1 AS pos,
+        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+        |hot AS (
+        |  SELECT shingle FROM p GROUP BY shingle
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |hp AS (
+        |  SELECT p.doc_id, p.n_tokens, p.pos,
+        |         LEAST(3, p.pos - LAG(p.pos, 1, p.pos - 3)
+        |           OVER (PARTITION BY p.doc_id ORDER BY p.pos)) AS covered
+        |  FROM p JOIN hot USING (shingle))
+        |SELECT doc_id, max(n_tokens) AS n_tokens, count(*) AS n_hot_spans,
+        |       CAST(sum(covered) AS BIGINT) AS covered_tokens,
+        |       CAST((1000000 * CAST(sum(covered) AS BIGINT)) // max(n_tokens) AS BIGINT)
+        |         AS covered_x1e6
+        |FROM hp GROUP BY doc_id""".stripMargin,
     "dedup_shingle_mass" ->
       """WITH tok AS (
         |  SELECT source, string_split(text, ' ') AS ts FROM documents

@@ -1036,6 +1036,85 @@ object Dedup {
       )
   }
 
+  /** Span-level duplicate coverage per document: how many of a
+    * document's token positions sit inside at least one k-token span
+    * whose exact text also appears in ≥ minDf OTHER-or-same distinct
+    * documents — the span-granularity dedup criterion (remove or
+    * down-weight the repeated SPAN, not the whole document) that
+    * set-similarity scores miss: a document can be 30% boilerplate
+    * yet Jaccard-dissimilar to everything. Emits, per document with
+    * at least one such span: total tokens, hot-span starts, covered
+    * token count, and the 10⁶-scaled covered fraction (exact integer
+    * floor division, oracle-hashable).
+    *
+    * Covered-length rule: hot span starts are strictly increasing
+    * positions, each covering [pos, pos+k-1]; the union length is
+    * Σ least(k, pos − prev_pos) (first span contributes k), computed
+    * with ONE lag window partitioned by doc_id over the HOT postings
+    * only — per-doc row counts are bounded by document length, the
+    * user-session window discipline.
+    *
+    * Scale shape: positional postings explode map-side (let-bound
+    * token array, no per-row re-tokenize); shingle df is one
+    * (shingle, doc) combine shuffle + count; hot postings join on
+    * the shingle hash; the lag window shuffles only postings that
+    * survived the df filter. The df threshold bounds nothing here
+    * (unlike the pair gates there is no quadratic to guard — the
+    * output is per-position, linear); it is purely the duplication
+    * criterion.
+    */
+  def spanCoverage(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      minDf: Int = 3,
+  ): DataFrame = {
+    val toks = split(col("text"), " ")
+    // positional (NON-distinct) k-shingles: (pos, shingle) pairs with
+    // the doc's token count carried map-side
+    val postings = docs(spark, dir)
+      .filter(size(toks) >= k)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        explode(bindArray(toks) { ts =>
+          transform(
+            sequence(lit(0), size(ts) - k),
+            i =>
+              struct(
+                i.as("pos"),
+                concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*).as("shingle"),
+              ),
+          )
+        }).as("z"),
+      )
+      .select(col("doc_id"), col("n_tokens"), col("z.pos"), col("z.shingle"))
+    val hot = postings
+      .groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("shingle")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("pos"))
+    postings
+      .join(hot, Seq("shingle"))
+      .withColumn(
+        "covered",
+        least(lit(k), col("pos") - lag(col("pos"), 1, -k).over(w)),
+      )
+      .groupBy("doc_id")
+      .agg(
+        // BIGINT like the oracle's len() (size() is int32)
+        max(col("n_tokens")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_hot_spans"),
+        sum(col("covered")).cast("long").as("covered_tokens"),
+      )
+      .withColumn(
+        "covered_x1e6",
+        expr("CAST((1000000 * covered_tokens) div n_tokens AS BIGINT)"),
+      )
+  }
+
   /** Shared-prefix families: documents opening with the SAME first
     * five tokens — the boilerplate-header / template detector (crawl
     * corpora are full of "terms of service" and scraper-injected

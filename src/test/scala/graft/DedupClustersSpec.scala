@@ -99,6 +99,22 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("span coverage: union length bounds and the full-coverage identity hold") {
+    val k = 3
+    val rows = graft.operators.Dedup.spanCoverage(spark, sf, k = k).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, spans, covered, fracX1e6) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(spans >= 1 && spans <= n - k + 1, s"span count $spans out of range for $n tokens")
+      // first span contributes k; union length can never exceed the doc
+      assert(covered >= k && covered <= n, s"covered $covered outside [$k, $n]")
+      // spans at every position ⇒ the whole document is covered
+      if (spans == n - k + 1) assert(covered == n, s"full span set must cover all $n tokens")
+      assert(fracX1e6 == 1000000L * covered / n)
+    }
+  }
+
   test("curation pipeline totals equal the quality ∩ keep-best recount") {
     import org.apache.spark.sql.functions._
     val summary = graft.operators.Curation.curationSummary(spark, sf).collect()
