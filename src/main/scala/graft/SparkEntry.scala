@@ -1798,8 +1798,9 @@ object SparkEntry {
     // stands in for DECIMAL(38,0) at every accumulation, and each
     // step's output takes the same exact toward-zero 10³ rescale as
     // the Spark side (DuckDB `//` truncates toward zero, matching
-    // Spark's `(v - v % 1000) / 1000`) so the final components fit
-    // BIGINT at every SF
+    // Spark's `(v - v % 1000) / 1000`), and the emission takes one
+    // more — raw v3 crossed ±9.2e18 at the sf10e rehearsal point —
+    // so the final components fit BIGINT at every SF
     "embedding_power_iteration" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
@@ -1815,7 +1816,7 @@ object SparkEntry {
         |       FROM q JOIN v2 USING (dim) GROUP BY 1),
         |v3 AS (SELECT dim, sum(q.qv * s3.dot) // 1000 AS v
         |       FROM q JOIN s3 USING (vec_id) GROUP BY 1)
-        |SELECT dim, CAST(v AS BIGINT) AS pc1_raw FROM v3""".stripMargin,
+        |SELECT dim, CAST(v // 1000 AS BIGINT) AS pc1_raw FROM v3""".stripMargin,
     // the sig CTE's per-seed minhashes joined per verified pair;
     // every matrix coordinate is an integer (agreement count, integer
     // Jaccard bucket)

@@ -490,9 +490,16 @@ object Similarity {
       .select(posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy("dim")
       .agg(sum(col("qv")).as("v"))
-    // every ACCUMULATION above is 128-bit; the per-step rescale keeps
-    // the emitted components 64-bit, so both engines hand the
-    // comparator a BIGINT
-    step(step(v1)).select(col("dim"), col("v").cast("long").as("pc1_raw"))
+    // every ACCUMULATION above is 128-bit; the per-step rescale plus
+    // one more exact toward-zero 10³ truncation at emission keep the
+    // emitted components 64-bit so both engines hand the comparator a
+    // BIGINT — the emission truncation bought the headroom the sf10e
+    // rehearsal point demanded (raw v3 crossed ±9.2e18 at 200k
+    // vectors; driver-SF components stay ≥ ~1e7, so direction ratios
+    // keep ≥7 significant digits)
+    step(step(v1)).select(
+      col("dim"),
+      expr("CAST((v - (v % 1000)) / 1000 AS DECIMAL(38,0))").cast("long").as("pc1_raw"),
+    )
   }
 }
