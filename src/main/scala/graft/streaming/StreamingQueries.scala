@@ -78,6 +78,34 @@ object StreamingQueries {
     try spark.read.parquet(path).schema
     catch { case _: org.apache.spark.sql.AnalysisException => fallback }
 
+  /** Streaming parquet reader for one corpus table that accepts BOTH
+    * at-rest layouts: a single file `<dir>/<name>.parquet` (the
+    * driver test corpus) and a directory of part files
+    * `<dir>/<name>.parquet/part-*.parquet` (every Spark-written
+    * corpus, including the scale-rehearsal family — and the shape of
+    * any real deployment, where a table is always a directory of
+    * splits). The glob-filter-on-the-parent form silently matches
+    * ZERO files in the directory layout (pathGlobFilter tests file
+    * NAMES, and part files are not named `<name>.parquet`) — the
+    * scale rehearsal's all-gate sweep caught every stream gate
+    * returning empty on rehearsal corpora. One driver-side metadata
+    * call dispatches the layout.
+    */
+  private def tableStream(
+      spark: SparkSession, dir: String, name: String, fallback: StructType): DataFrame = {
+    val tablePath = s"$dir/$name.parquet"
+    val schema = probeFileSchema(spark, tablePath, fallback)
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val isDir =
+      try hPath.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(hPath).isDirectory
+      catch { case _: java.io.IOException => false }
+    val reader = spark.readStream.schema(schema)
+    Tables.applyContracts(
+      if (isDir) reader.parquet(tablePath)
+      else reader.option("pathGlobFilter", s"$name.parquet").parquet(dir),
+      name)
+  }
+
   private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
@@ -106,15 +134,7 @@ object StreamingQueries {
       .add("event_type", StringType)
       .add("value", DoubleType)
       .add("props", StringType)
-    val schema = probeFileSchema(spark, s"$dir/events.parquet", fallback)
-    // the file streaming source requires a directory path; select just
-    // the events table out of the corpus dir via glob filter
-    Tables.applyContracts(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir),
-      "events")
+    tableStream(spark, dir, "events", fallback)
   }
 
   /** Run one update-mode streaming aggregation to completion
@@ -229,13 +249,7 @@ object StreamingQueries {
       .add("vec_id", LongType)
       .add("embedding", ArrayType(FloatType))
       .add("label", IntegerType)
-    val schema = probeFileSchema(spark, s"$dir/embeddings.parquet", fallback)
-    val corpus = Tables.applyContracts(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(dir),
-      "embeddings")
+    val corpus = tableStream(spark, dir, "embeddings", fallback)
       .select(
         col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"))
@@ -400,13 +414,7 @@ object StreamingQueries {
       .add("lang", StringType)
       .add("source", StringType)
       .add("n_chars", LongType)
-    val schema = probeFileSchema(spark, s"$dir/documents.parquet", fallback)
-    Tables.applyContracts(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir),
-      "documents")
+    tableStream(spark, dir, "documents", fallback)
   }
 
   /** Streaming quality ROUTER — one stream, two sinks, one pass: each
