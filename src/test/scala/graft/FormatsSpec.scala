@@ -243,6 +243,17 @@ class FormatsSpec extends AnyFunSuite {
     assert(evStream.isStreaming && evStream.schema("props").dataType == StringType &&
       evStream.schema("user_id").dataType == LongType)
 
+    // the schema assertions above are NOT enough for the streaming
+    // path: the pre-fix glob-filter reader produced the right schema
+    // and ZERO rows against a directory-layout table (part files do
+    // not match the `<name>.parquet` name glob). Run the stream to
+    // completion and count.
+    val evQ = evStream.writeStream.format("memory").queryName("fmt_dirlayout_ev")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    evQ.awaitTermination()
+    assert(spark.table("fmt_dirlayout_ev").count() == 200,
+      "directory-layout events table must stream every row, not match zero files")
+
     // nation: int32 keys widened to int64 must cast back (the
     // downward direction — exact for a re-encode of the same values)
     val natBase = Tables(spark, sf, "nation").cache()
