@@ -115,6 +115,35 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("span coverage equals an independent in-memory recompute") {
+    // third implementation (plain Scala over collected rows) — the
+    // truth twin that is independent of BOTH the Spark plan and the
+    // DuckDB oracle SQL
+    val k = 3; val minDf = 3
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val postings = docs.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < k) Nil
+      else (0 to ts.length - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+    }
+    val hot = postings.groupBy(_._3).collect {
+      case (sh, ps) if ps.map(_._1).distinct.size >= minDf => sh
+    }.toSet
+    val expected = postings
+      .filter(p => hot(p._3))
+      .groupBy(_._1)
+      .map { case (id, ps) =>
+        val starts = ps.map(_._2).sorted
+        val covered = starts.zip((starts.head - k) +: starts.init)
+          .map { case (s, prev) => math.min(k, s - prev) }.sum
+        id -> (docs(id).length.toLong, ps.size.toLong, covered.toLong)
+      }
+    val got = graft.operators.Dedup.spanCoverage(spark, sf, k, minDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"span coverage disagrees with the in-memory recompute")
+  }
+
   test("curation pipeline totals equal the quality ∩ keep-best recount") {
     import org.apache.spark.sql.functions._
     val summary = graft.operators.Curation.curationSummary(spark, sf).collect()
