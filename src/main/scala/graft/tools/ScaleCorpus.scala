@@ -170,7 +170,7 @@ object ScaleCorpus {
     * deriving all content hashes from a `content_id` that points at
     * `doc_id - 1` for the duplicate docs.
     */
-  def documents(spark: SparkSession, n: Long): DataFrame = {
+  def documents(spark: SparkSession, n: Long, vocabSize: Long = 30): DataFrame = {
     val vocab = Seq(
       "spark", "window", "merge", "table", "column", "vector", "stream", "value", "data",
       "small", "join", "filter", "big", "group", "hash", "customer", "sort", "order",
@@ -190,10 +190,17 @@ object ScaleCorpus {
         array_join(
           transform(sequence(lit(1), col("k")), j =>
             when(col("has_dup") && j === col("dup_pos"), lit("dup"))
-              .otherwise(element_at(
-                vocabArr,
-                (pmod(xxhash64(col("content_id"), lit(85), j), lit(30L)) + 1)
-                  .cast(IntegerType)))),
+              .otherwise {
+                val widx = pmod(xxhash64(col("content_id"), lit(85), j), lit(vocabSize))
+                // default vocab-30 keeps driver-corpus fidelity
+                // (ScaleCorpusSpec contracts); a larger vocab swaps
+                // in synthetic tokens so the shingle SPACE grows with
+                // the corpus — the realistic-web regime where the
+                // ngram inverted index never saturates its df cutoff
+                if (vocabSize == 30L)
+                  element_at(vocabArr, (widx + 1).cast(IntegerType))
+                else concat(lit("w"), widx)
+              }),
           " ").as("text"),
         when(uc(col("content_id"), 86) < 0.4, "en")
           .when(uc(col("content_id"), 86) < 0.55, "zh")
@@ -228,7 +235,7 @@ object ScaleCorpus {
   /** Row counts at scale factor 1 (10× the driver's sf0.1 corpus). */
   private def rows(base: Long, sf: Double): Long = math.max(1L, math.round(base * sf))
 
-  def writeAll(spark: SparkSession, sf: Double, out: String): Unit = {
+  def writeAll(spark: SparkSession, sf: Double, out: String, vocabSize: Long = 30): Unit = {
     val custN = rows(150000, sf)
     val suppN = rows(10000, sf)
     val partN = rows(200000, sf)
@@ -242,7 +249,7 @@ object ScaleCorpus {
       "orders" -> orders(spark, orderN, custN),
       "lineitem" -> lineitem(spark, orderN, partN, suppN),
       "events" -> events(spark, rows(1000000, sf), rows(15000, sf)),
-      "documents" -> documents(spark, rows(50000, sf)),
+      "documents" -> documents(spark, rows(50000, sf), vocabSize),
       "embeddings" -> embeddings(spark, rows(20000, sf)),
     )
     tables.foreach { case (name, df) =>
@@ -255,8 +262,12 @@ object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val sf = args(0).toDouble
     val out = args(1)
+    // optional 3rd arg: vocabulary size (default 30 = driver-corpus
+    // fidelity; scale it with sf to rehearse the unsaturated-shingle
+    // regime of a real web corpus)
+    val vocabSize = if (args.length > 2) args(2).toLong else 30L
     val spark = GraftSession.getOrCreate()
-    writeAll(spark, sf, out)
+    writeAll(spark, sf, out, vocabSize)
     spark.stop()
   }
 }

@@ -74,6 +74,25 @@ class ScaleCorpusSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("vocab-scaled documents: token space is exactly the requested vocab, default unchanged") {
+    // vocabSize > 30 swaps in synthetic tokens (w0..w{V-1}) so the
+    // shingle space grows with the corpus — the unsaturated regime
+    // of BENCH_SCALING.md's vocab rehearsal. Contract: the token
+    // universe is exactly {w0..w{V-1}} ∪ {"dup"}, and the default
+    // (vocabSize = 30) stays bit-identical to the driver-fidelity
+    // corpus the other contracts pin.
+    val scaled = ScaleCorpus.documents(spark, 2000, vocabSize = 65)
+    val toks = scaled.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(toks.contains("dup"))
+    val nonDup = toks - "dup"
+    assert(nonDup.forall(t => t.matches("w\\d+") && t.drop(1).toInt < 65), s"alien tokens: ${nonDup.filterNot(_.matches("w\\d+"))}")
+    assert(nonDup.size > 55, s"vocab underused: ${nonDup.size}")  // 2000 docs × ~40 tokens: all 65 should appear
+    val default = ScaleCorpus.documents(spark, 500)
+    val explicit = ScaleCorpus.documents(spark, 500, vocabSize = 30)
+    assert(default.exceptAll(explicit).count() == 0 && explicit.exceptAll(default).count() == 0)
+  }
+
   test("lineitem: 1-7 lines per order, contract-compatible schema") {
     val li = ScaleCorpus.lineitem(spark, 1000, 2000, 100)
     val perOrder = li.groupBy("l_orderkey").count()
