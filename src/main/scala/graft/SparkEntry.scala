@@ -238,6 +238,10 @@ object SparkEntry {
     // sketch-quality audit: signature agreement vs bucketed true
     // Jaccard over the verified pairs ("is 12 hashes enough")
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    // banding-recall audit vs the exact-Jaccard truth, per jaccard
+    // decile — calibration sees only surfaced candidates; this
+    // measures the pairs banding never surfaced (the S-curve)
+    "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecallVsExact(s, d)),
     // band-occupancy histogram: the hot-bucket audit run before a
     // 100× scale-up (pair expansion is quadratic per bucket)
     "lsh_band_stats" -> ((s, d) => Dedup.lshBandStats(s, d)),
@@ -1743,6 +1747,39 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH ${minhashPairCtes()}
          |SELECT doc_a, doc_b, n_common, n_union, jaccard FROM lshpairs""".stripMargin,
+    // LSH banding recall vs the exact inverted-index truth, per
+    // jaccard decile + a -1 total row; recall as integer permille
+    // (integer division — a rounded double ratio is not portable).
+    // `rare`/`f`/`commx` rebuild the dedup_ngram_jaccard truth side
+    // on the shared `sh`/`nsh` CTEs minhashPairCtes provides.
+    "dedup_minhash_recall" ->
+      s"""WITH ${minhashPairCtes()},
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 50),
+         |f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |commx AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truthp AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+         |  FROM commx JOIN nsh na ON na.doc_id = doc_a JOIN nsh nb ON nb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.3),
+         |j AS (
+         |  SELECT LEAST(CAST(floor(t.jaccard * 10) AS BIGINT), 9) AS jaccard_decile,
+         |         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM truthp t LEFT JOIN lshpairs l USING (doc_a, doc_b)),
+         |perdec AS MATERIALIZED (
+         |  SELECT jaccard_decile, count(*) AS n_truth_pairs,
+         |         CAST(sum(hit) AS BIGINT) AS n_lsh_found
+         |  FROM j GROUP BY 1),
+         |withtot AS (
+         |  SELECT * FROM perdec
+         |  UNION ALL
+         |  SELECT -1, CAST(sum(n_truth_pairs) AS BIGINT), CAST(sum(n_lsh_found) AS BIGINT) FROM perdec)
+         |SELECT jaccard_decile, n_truth_pairs, n_lsh_found,
+         |       (1000 * n_lsh_found) // n_truth_pairs AS recall_permille
+         |FROM withtot""".stripMargin,
     // fixed-iteration PageRank on the verified pair graph, ALL in
     // scaled-integer arithmetic (rank × 1e6, floor division): integer
     // sums are order-independent, so three chained CTE rounds here

@@ -266,6 +266,71 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Measured MinHash-LSH recall against the exact-Jaccard truth —
+    * the banding analogue of `Similarity.annRecallAtK`: the claim
+    * "when the exact inverted-index path saturates its cutoff,
+    * trust the MinHash banding path" (BENCH_SCALING.md finding 2)
+    * needs a NUMBER, not an assertion, and the 4×3 banding S-curve
+    * (P[collision] = 1−(1−s³)⁴) predicts recall rising from ~0.1 at
+    * jaccard 0.3 to ~1 at 0.9 — this gate measures that curve on
+    * the actual corpus.
+    *
+    * Truth = [[ngramJaccardPairs]] at the same threshold (its own
+    * caveat — the maxDf stop-shingle cutoff — is audited by
+    * [[shingleDfStats]]; where the cutoff drops mass the "truth"
+    * side undercounts and this gate's recall reads HIGH, which is
+    * exactly when the df audit tells you to stop trusting the
+    * exact path at all). Found = the memoized
+    * [[minhashLshPairsShared]] artifact the graph/cluster family
+    * rides. Output is bounded: one row per jaccard decile (3..9,
+    * capped — threshold 0.3 floors the range) plus a −1 total row,
+    * with recall in integer permille (`1000·found DIV truth` —
+    * integer division, bit-portable across engines, unlike a
+    * rounded double ratio).
+    *
+    * Scale: both inputs are pair tables (collision-bounded, orders
+    * of magnitude smaller than the corpus); one pair-key equi-join
+    * + one ≤8-group rollup. Never touches the corpus beyond the two
+    * pipelines' own audited passes.
+    */
+  def minhashRecallVsExact(spark: SparkSession, dir: String): DataFrame = {
+    // union-tag instead of joining: both pair sets descend from the
+    // same corpus scan (a join trips DetectAmbiguousSelfJoin), and a
+    // tag-union + one pair-key aggregation is the better shuffle
+    // shape anyway — one exchange, no join build side
+    val truth = ngramJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), lit(0L).as("hit"))
+    val found = minhashLshPairsShared(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(null).cast("double").as("jaccard"), lit(1L).as("hit"))
+    val perPair = truth
+      .unionByName(found)
+      .groupBy("doc_a", "doc_b")
+      // truth-side jaccard (max over the ≤1 non-null) picks the
+      // decile; LSH-only pairs have no truth jaccard and drop out of
+      // the recall denominator
+      .agg(max(col("jaccard")).as("tj"), max("hit").as("hit"))
+      .filter(col("tj").isNotNull)
+      .select(
+        least(floor(col("tj") * 10), lit(9L)).as("jaccard_decile"),
+        col("hit"),
+      )
+    val perDecile = perPair
+      .groupBy("jaccard_decile")
+      .agg(count(lit(1)).as("n_truth_pairs"), sum("hit").as("n_lsh_found"))
+    // total row re-aggregates the ≤8-row decile table, not the pairs
+    val total = perDecile
+      .agg(sum("n_truth_pairs").as("n_truth_pairs"), sum("n_lsh_found").as("n_lsh_found"))
+      .select(lit(-1L).as("jaccard_decile"), col("n_truth_pairs"), col("n_lsh_found"))
+    perDecile
+      .unionByName(total)
+      .select(
+        col("jaccard_decile"),
+        col("n_truth_pairs"),
+        col("n_lsh_found"),
+        expr("1000 * n_lsh_found DIV n_truth_pairs").as("recall_permille"),
+      )
+  }
+
   /** Connected components over an undirected near-dup pair graph —
     * the canonical-document step every production dedup pipeline
     * needs: LSH emits PAIRS, but "keep one doc per duplicate GROUP"

@@ -273,4 +273,46 @@ class DedupClustersSpec extends AnyFunSuite {
     val degenerate = Dedup.shingleDfStats(spark, sf, maxDf = 1).collect()
     assert(degenerate.forall(!_.getBoolean(3)), "maxDf=1 must keep nothing")
   }
+
+  test("minhash recall: decile attribution and invariants on a constructed corpus") {
+    import spark.implicits._
+    // Two controlled truth pairs: an identical pair (jaccard 1.0 →
+    // decile 9; identical signatures collide in every band, so the
+    // LSH side MUST find it) and a 10-shingle/10-shingle pair with
+    // exactly 5 common shingles (jaccard 5/15 = 0.333 → decile 3,
+    // where the 4×3 banding S-curve is far below 1 — its hit is
+    // whatever the deterministic banding yields, so only invariants
+    // are asserted for it). Filler docs share nothing.
+    // a1: 12 tokens → 10 word-3-shingles. b1 shares a1's first 7
+    // tokens (5 common shingles) and contributes 5 of its own →
+    // |a∩b| = 5, |a∪b| = 15, jaccard 0.333. With two a1 copies the
+    // corpus yields one decile-9 pair (1,2) and two decile-3 pairs
+    // (1,4)(2,4); doc 7 shares nothing.
+    val a1 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val b1 = ((1 to 7).map(i => s"a$i") ++ (1 to 5).map(i => s"x$i")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-recall").toString
+    Seq((1L, a1), (2L, a1), (4L, b1), (7L, (1 to 9).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Dedup.invalidate()
+    val rows = Dedup.minhashRecallVsExact(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDecile = rows.map(r => r._1 -> r).toMap
+    assert(byDecile.keySet == Set(-1L, 3L, 9L), s"deciles: ${byDecile.keySet}")
+    val d9 = byDecile(9L)
+    assert(d9._2 == 1 && d9._3 == 1 && d9._4 == 1000,
+      s"identical pair must be fully recalled: $d9")
+    val d3 = byDecile(3L)
+    assert(d3._2 == 2, s"two 0.333-jaccard truth pairs expected: $d3")
+    val tot = byDecile(-1L)
+    assert(tot._2 == rows.filter(_._1 >= 0).map(_._2).sum)
+    assert(tot._3 == rows.filter(_._1 >= 0).map(_._3).sum)
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._4 >= 0 && r._4 <= 1000, s"invariant broken: $r")
+      assert(r._4 == 1000 * r._3 / r._2, s"permille arithmetic: $r")
+    }
+    Dedup.invalidate()
+  }
 }
