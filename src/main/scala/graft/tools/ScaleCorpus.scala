@@ -170,37 +170,61 @@ object ScaleCorpus {
     * deriving all content hashes from a `content_id` that points at
     * `doc_id - 1` for the duplicate docs.
     */
-  def documents(spark: SparkSession, n: Long, vocabSize: Long = 30): DataFrame = {
+  def documents(
+      spark: SparkSession,
+      n: Long,
+      vocabSize: Long = 30,
+      nearDupRate: Double = 0.0,
+  ): DataFrame = {
     val vocab = Seq(
       "spark", "window", "merge", "table", "column", "vector", "stream", "value", "data",
       "small", "join", "filter", "big", "group", "hash", "customer", "sort", "order",
       "slow", "line", "part", "fast", "the", "row", "agg", "key", "query", "a", "scan",
       "batch")
     val vocabArr = array(vocab.map(lit): _*)
+    // base token of content stream `c` at position j (1-based)
+    def tokenAt(c: Column, j: Column): Column = {
+      val widx = pmod(xxhash64(c, lit(85), j), lit(vocabSize))
+      // default vocab-30 keeps driver-corpus fidelity
+      // (ScaleCorpusSpec contracts); a larger vocab swaps in
+      // synthetic tokens so the shingle SPACE grows with the
+      // corpus — the realistic-web regime where the ngram inverted
+      // index never saturates its df cutoff
+      if (vocabSize == 30L) element_at(vocabArr, (widx + 1).cast(IntegerType))
+      else concat(lit("w"), widx)
+    }
+    def kOf(c: Column): Column = (pmod(xxhash64(c, lit(82)), lit(91L)) + 10).cast(IntegerType)
     val isExactDup = pmod(xxhash64(col("id"), lit(81)), lit(625L)) === 0 && col("id") > 0
+    // opt-in mid-jaccard near-dup family (nearDupRate > 0): the doc
+    // copies the first `cut` tokens of doc_id-1's base stream and
+    // fills the rest with its own — prefix fraction f uniform in
+    // [0.45, 0.98) realizes word-3-shingle jaccard ≈ f/(2−f) spread
+    // over ~[0.3, 0.95], the decile range the banding S-curve audit
+    // (dedup_minhash_recall) needs populated. rate 0 (default) is
+    // bit-identical to the driver-fidelity corpus: the flag folds to
+    // literal false.
+    val isNearDup =
+      if (nearDupRate == 0.0) lit(false)
+      else uc(col("id"), 87) < nearDupRate && col("id") > 0 && !isExactDup
     val cid = when(isExactDup, col("id") - 1).otherwise(col("id"))
-    val k = (pmod(xxhash64(cid, lit(82)), lit(91L)) + 10).cast(IntegerType)
-    val hasDupTok = pmod(xxhash64(cid, lit(83)), lit(20L)) === 0
+    val k = when(isNearDup, kOf(col("id") - 1)).otherwise(kOf(cid))
+    val hasDupTok = pmod(xxhash64(cid, lit(83)), lit(20L)) === 0 && !isNearDup
     val dupPos = (pmod(xxhash64(cid, lit(84)), k.cast(LongType)) + 1).cast(IntegerType)
+    val cut = when(isNearDup,
+      floor((lit(0.45) + uc(col("id"), 88) * 0.53) * k).cast(IntegerType))
+      .otherwise(lit(0))
     val contentId = cid.as("content_id")
     spark.range(n)
-      .select(col("id"), contentId, k.as("k"), hasDupTok.as("has_dup"), dupPos.as("dup_pos"))
+      .select(col("id"), contentId, k.as("k"), hasDupTok.as("has_dup"), dupPos.as("dup_pos"),
+        isNearDup.as("is_near"), cut.as("cut"))
       .select(
         col("id").as("doc_id"),
         array_join(
           transform(sequence(lit(1), col("k")), j =>
-            when(col("has_dup") && j === col("dup_pos"), lit("dup"))
-              .otherwise {
-                val widx = pmod(xxhash64(col("content_id"), lit(85), j), lit(vocabSize))
-                // default vocab-30 keeps driver-corpus fidelity
-                // (ScaleCorpusSpec contracts); a larger vocab swaps
-                // in synthetic tokens so the shingle SPACE grows with
-                // the corpus — the realistic-web regime where the
-                // ngram inverted index never saturates its df cutoff
-                if (vocabSize == 30L)
-                  element_at(vocabArr, (widx + 1).cast(IntegerType))
-                else concat(lit("w"), widx)
-              }),
+            when(col("is_near") && j <= col("cut"), tokenAt(col("id") - 1, j))
+              .when(col("is_near"), tokenAt(xxhash64(col("id"), lit(89)), j))
+              .when(col("has_dup") && j === col("dup_pos"), lit("dup"))
+              .otherwise(tokenAt(col("content_id"), j))),
           " ").as("text"),
         when(uc(col("content_id"), 86) < 0.4, "en")
           .when(uc(col("content_id"), 86) < 0.55, "zh")
@@ -235,7 +259,13 @@ object ScaleCorpus {
   /** Row counts at scale factor 1 (10× the driver's sf0.1 corpus). */
   private def rows(base: Long, sf: Double): Long = math.max(1L, math.round(base * sf))
 
-  def writeAll(spark: SparkSession, sf: Double, out: String, vocabSize: Long = 30): Unit = {
+  def writeAll(
+      spark: SparkSession,
+      sf: Double,
+      out: String,
+      vocabSize: Long = 30,
+      nearDupRate: Double = 0.0,
+  ): Unit = {
     val custN = rows(150000, sf)
     val suppN = rows(10000, sf)
     val partN = rows(200000, sf)
@@ -249,7 +279,7 @@ object ScaleCorpus {
       "orders" -> orders(spark, orderN, custN),
       "lineitem" -> lineitem(spark, orderN, partN, suppN),
       "events" -> events(spark, rows(1000000, sf), rows(15000, sf)),
-      "documents" -> documents(spark, rows(50000, sf), vocabSize),
+      "documents" -> documents(spark, rows(50000, sf), vocabSize, nearDupRate),
       "embeddings" -> embeddings(spark, rows(20000, sf)),
     )
     tables.foreach { case (name, df) =>
@@ -266,8 +296,12 @@ object ScaleCorpus {
     // fidelity; scale it with sf to rehearse the unsaturated-shingle
     // regime of a real web corpus)
     val vocabSize = if (args.length > 2) args(2).toLong else 30L
+    // optional 4th arg: mid-jaccard near-dup rate (default 0 =
+    // driver-corpus fidelity; >0 populates every jaccard decile for
+    // the banding S-curve audit)
+    val nearDupRate = if (args.length > 3) args(3).toDouble else 0.0
     val spark = GraftSession.getOrCreate()
-    writeAll(spark, sf, out, vocabSize)
+    writeAll(spark, sf, out, vocabSize, nearDupRate)
     spark.stop()
   }
 }

@@ -315,4 +315,34 @@ class DedupClustersSpec extends AnyFunSuite {
     }
     Dedup.invalidate()
   }
+
+  test("banding recall follows the 4x3 S-curve on a generated near-dup corpus") {
+    // ScaleCorpus's near-dup family (prefix-copy, f ∈ [0.45, 0.98))
+    // populates every jaccard decile; 4 bands × 3 rows predicts
+    // P[find] = 1 − (1 − s³)⁴ at jaccard s. The measurement is
+    // deterministic (hash-derived corpus + md5 signatures), so a
+    // tolerance band vs theory at each populated decile is a stable
+    // pin — and the strongest correctness evidence the banding
+    // pipeline has: a transposed band/row or a broken bucket key
+    // flattens the curve and fails this spec long before it shows
+    // in pair counts.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scurve").toString
+    graft.tools.ScaleCorpus.documents(spark, 8000, vocabSize = 200, nearDupRate = 0.05)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Dedup.invalidate()
+    val rows = Dedup.minhashRecallVsExact(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val deciles = rows.filter(_._1 >= 0)
+    assert(deciles.count(_._2 >= 20) >= 5, s"expected ≥5 well-populated deciles: ${deciles.toSeq}")
+    deciles.filter(_._2 >= 20).foreach { case (d, truth, _, recall) =>
+      val s = d / 10.0 + 0.05
+      val theory = (1000 * (1.0 - math.pow(1.0 - math.pow(s, 3), 4))).toLong
+      assert(math.abs(recall - theory) <= 250,
+        s"decile $d (n=$truth): recall $recall vs theory $theory drifted >250 permille")
+    }
+    // plateau and tail of the curve
+    deciles.find(_._1 == 9).foreach { case (_, _, _, r) => assert(r >= 950, s"decile-9 recall $r") }
+    deciles.find(_._1 == 3).foreach { case (_, _, _, r) => assert(r <= 450, s"decile-3 recall $r") }
+    Dedup.invalidate()
+  }
 }
