@@ -242,6 +242,9 @@ object SparkEntry {
     // decile — calibration sees only surfaced candidates; this
     // measures the pairs banding never surfaced (the S-curve)
     "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecallVsExact(s, d)),
+    // increment-probes-index incremental dedup; result == full
+    // pairs touching the increment (order-independent banding)
+    "dedup_incremental_lsh" -> ((s, d) => Dedup.minhashIncrementalPairs(s, d)),
     // band-occupancy histogram: the hot-bucket audit run before a
     // 100× scale-up (pair expansion is quadratic per bucket)
     "lsh_band_stats" -> ((s, d) => Dedup.lshBandStats(s, d)),
@@ -1747,6 +1750,15 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH ${minhashPairCtes()}
          |SELECT doc_a, doc_b, n_common, n_union, jaccard FROM lshpairs""".stripMargin,
+    // incremental dedup == full-corpus pairs touching the id-suffix
+    // increment (banding is order-independent, so the oracle is the
+    // full pair table filtered at the same 90%-of-max cutoff;
+    // doc_a < doc_b makes "touches the increment" ⟺ doc_b > cutoff)
+    "dedup_incremental_lsh" ->
+      s"""WITH ${minhashPairCtes()},
+         |t AS (SELECT (9 * max(doc_id)) // 10 AS cutoff FROM documents)
+         |SELECT p.doc_a, p.doc_b, p.n_common, p.n_union, p.jaccard
+         |FROM lshpairs p, t WHERE p.doc_b > t.cutoff""".stripMargin,
     // LSH banding recall vs the exact inverted-index truth, per
     // jaccard decile + a -1 total row; recall as integer permille
     // (integer division — a rounded double ratio is not portable).

@@ -316,6 +316,41 @@ class DedupClustersSpec extends AnyFunSuite {
     Dedup.invalidate()
   }
 
+  test("incremental LSH equals the full pair table restricted to the increment") {
+    import org.apache.spark.sql.functions._
+    // the contract the incremental plan must keep: banding is
+    // order-independent, so increment-probes-index == full-corpus
+    // pairs touching the increment. Checked on the driver corpus
+    // AND on a generated near-dup corpus where the increment also
+    // has internal (new,new) pairs — both candidate paths must fire.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val gen = graft.tools.ScaleCorpus.documents(spark, 6000, vocabSize = 200, nearDupRate = 0.05)
+    // the generator's near dups are ADJACENT ids, so no pair
+    // straddles a 90% cutoff — plant three cross-increment exact
+    // dups (old text, new id) so the index-probe path must fire
+    val planted = gen.filter(col("doc_id").isin(100L, 200L, 300L))
+      .withColumn("doc_id", col("doc_id") + 5900L)
+    gen.unionByName(planted).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    for (d <- Seq(sf, tmp)) {
+      Dedup.invalidate()
+      val cutoff = graft.sources.Tables(spark, d, "documents")
+        .agg(expr("9 * max(doc_id) DIV 10")).head.getLong(0)
+      val expected = Dedup.minhashLshPairs(spark, d).filter(col("doc_b") > cutoff)
+      val got = Dedup.minhashIncrementalPairs(spark, d)
+      val diffs = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+      assert(diffs == 0, s"$d: incremental != filtered full ($diffs row diffs)")
+      assert(got.count() > 0, s"$d: increment has no pairs — contract untested")
+      // the near-dup corpus must exercise BOTH candidate paths
+      if (d == tmp) {
+        val newNew = got.filter(col("doc_a") > cutoff).count()
+        val newOld = got.filter(col("doc_a") <= cutoff).count()
+        assert(newNew > 0 && newOld > 0,
+          s"want both probe paths fired: newNew=$newNew newOld=$newOld")
+      }
+    }
+    Dedup.invalidate()
+  }
+
   test("banding recall follows the 4x3 S-curve on a generated near-dup corpus") {
     // ScaleCorpus's near-dup family (prefix-copy, f ∈ [0.45, 0.98))
     // populates every jaccard decile; 4 bands × 3 rows predicts
