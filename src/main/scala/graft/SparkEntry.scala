@@ -245,6 +245,9 @@ object SparkEntry {
     // increment-probes-index incremental dedup; result == full
     // pairs touching the increment (order-independent banding)
     "dedup_incremental_lsh" -> ((s, d) => Dedup.minhashIncrementalPairs(s, d)),
+    // incremental cluster maintenance via contraction; result ==
+    // the full-corpus transitive closure
+    "dedup_clusters_incremental" -> ((s, d) => Dedup.lshClustersIncremental(s, d)),
     // band-occupancy histogram: the hot-bucket audit run before a
     // 100× scale-up (pair expansion is quadratic per bucket)
     "lsh_band_stats" -> ((s, d) => Dedup.lshBandStats(s, d)),
@@ -1750,6 +1753,18 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH ${minhashPairCtes()}
          |SELECT doc_a, doc_b, n_common, n_union, jaccard FROM lshpairs""".stripMargin,
+    // incremental cluster maintenance must land on the SAME labels a
+    // full recompute yields — the oracle is the full-corpus closure
+    // (dedup_clusters' reach CTE, assignments only)
+    "dedup_clusters_incremental" ->
+      s"""WITH RECURSIVE ${minhashPairCtes()},
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     // incremental dedup == full-corpus pairs touching the id-suffix
     // increment (banding is order-independent, so the oracle is the
     // full pair table filtered at the same 90%-of-max cutoff;

@@ -410,6 +410,81 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Incremental connected components — cluster maintenance for the
+    * [[minhashIncrementalPairs]] flow: fold an increment's new
+    * pairs into an existing (doc_id, cluster_id) labeling without
+    * recomputing components over the full pair graph.
+    *
+    * Algorithm: contract. Each endpoint of a new pair maps to its
+    * existing cluster label (or to itself if previously unseen);
+    * [[connectedComponents]] runs on that CONTRACTED graph — one
+    * node per touched cluster plus the genuinely-new docs, orders
+    * of magnitude smaller than the corpus pair graph — and the old
+    * assignments relabel through the contraction with one join.
+    *
+    * Exactness (pinned in DedupClustersSpec): edges are only ever
+    * added, so existing components can merge but never split, and
+    * because every existing label IS its cluster's minimum doc id,
+    * the contracted min-label equals the merged component's global
+    * minimum — the incremental result is row-identical to a full
+    * recompute over old ∪ new pairs.
+    *
+    * Scale shape: the per-increment cost is the contracted CC
+    * (|touched clusters + new docs| nodes) plus one broadcast-sized
+    * relabel join against the stored assignment table; the full
+    * graph is never re-read. Precondition: a node id appearing in
+    * both inputs is the same document (true for any id-stable
+    * corpus).
+    */
+  def connectedComponentsIncremental(oldLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val old = oldLabels
+      .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
+      .localCheckpoint()
+    val e = newPairs
+      .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
+      .localCheckpoint()
+    val contractedEdges = e
+      .join(old.select(col("doc_id").as("doc_a"), col("cluster_id").as("la")), Seq("doc_a"), "left")
+      .join(old.select(col("doc_id").as("doc_b"), col("cluster_id").as("lb")), Seq("doc_b"), "left")
+      .select(
+        coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"),
+      )
+    // (node, merged) over touched labels + new docs — the tiny graph
+    val contracted = connectedComponents(contractedEdges)
+    val relabeledOld = old
+      .join(
+        contracted.select(col("doc_id").as("cluster_id"), col("cluster_id").as("merged")),
+        Seq("cluster_id"),
+        "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+    val newDocs = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(old.select("doc_id"), Seq("doc_id"), "left_anti")
+    val newAssign = newDocs
+      .join(contracted.withColumnRenamed("cluster_id", "merged"), Seq("doc_id"))
+      .select(col("doc_id"), col("merged").as("cluster_id"))
+    relabeledOld.unionByName(newAssign)
+  }
+
+  /** The incremental-dedup cluster view as a gate: existing labels
+    * come from the old slice's pairs, the increment's pairs come
+    * from [[minhashIncrementalPairs]], and the merged labeling must
+    * equal (and is oracle-checked against) the full-corpus
+    * transitive closure.
+    */
+  def lshClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff: Long = docs(spark, dir)
+      .agg(expr("9 * max(doc_id) DIV 10")).head.getLong(0)
+    // doc_a < doc_b, so doc_b <= cutoff ⟺ both endpoints are old
+    val oldLabels = connectedComponents(
+      minhashLshPairsShared(spark, dir).filter(col("doc_b") <= cutoff).select("doc_a", "doc_b"))
+    connectedComponentsIncremental(
+      oldLabels,
+      minhashIncrementalPairs(spark, dir).select("doc_a", "doc_b"))
+  }
+
   /** Alternating large-star/small-star connected components (Kiveris
     * et al., "Connected Components in MapReduce and Beyond") — the
     * O(log n)-round variant for graphs whose diameter is unknown or

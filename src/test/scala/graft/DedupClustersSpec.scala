@@ -347,8 +347,31 @@ class DedupClustersSpec extends AnyFunSuite {
         assert(newNew > 0 && newOld > 0,
           s"want both probe paths fired: newNew=$newNew newOld=$newOld")
       }
+      // incremental cluster maintenance lands on the full closure
+      val ccIncr = Dedup.lshClustersIncremental(spark, d)
+      val ccFull = Dedup.connectedComponents(
+        Dedup.minhashLshPairsShared(spark, d).select("doc_a", "doc_b"))
+      val ccDiffs = ccIncr.exceptAll(ccFull).count() + ccFull.exceptAll(ccIncr).count()
+      assert(ccDiffs == 0, s"$d: incremental clusters != full recompute ($ccDiffs)")
     }
     Dedup.invalidate()
+  }
+
+  test("incremental CC merges two existing clusters through one bridge pair") {
+    import spark.implicits._
+    // old world: {1,2} labeled 1 and {5,6} labeled 5; the increment
+    // brings doc 9 with edges to both clusters — everything must
+    // collapse to label 1, and the untouched cluster {20,21} must
+    // keep its label. This is the case the relabel join exists for:
+    // an EXISTING assignment's label changes without its own rows
+    // appearing in any new pair.
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val newPairs = Seq((2L, 9L), (5L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsIncremental(oldLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L, 20L -> 20L, 21L -> 20L),
+      s"got $got")
   }
 
   test("banding recall follows the 4x3 S-curve on a generated near-dup corpus") {
