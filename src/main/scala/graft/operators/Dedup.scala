@@ -293,14 +293,25 @@ object Dedup {
     * + one ≤8-group rollup. Never touches the corpus beyond the two
     * pipelines' own audited passes.
     */
-  def minhashRecallVsExact(spark: SparkSession, dir: String): DataFrame = {
+  def minhashRecallVsExact(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+  ): DataFrame = {
     // union-tag instead of joining: both pair sets descend from the
     // same corpus scan (a join trips DetectAmbiguousSelfJoin), and a
     // tag-union + one pair-key aggregation is the better shuffle
-    // shape anyway — one exchange, no join build side
+    // shape anyway — one exchange, no join build side. The default
+    // banding rides the shared memoized pair artifact; a non-default
+    // (numHashes, bands) — the knob the S-curve prices — derives its
+    // own pairs.
     val truth = ngramJaccardPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"), lit(0L).as("hit"))
-    val found = minhashLshPairsShared(spark, dir)
+    val pairs =
+      if (numHashes == 12 && bands == 4) minhashLshPairsShared(spark, dir)
+      else minhashLshPairs(spark, dir, numHashes, bands)
+    val found = pairs
       .select(col("doc_a"), col("doc_b"), lit(null).cast("double").as("jaccard"), lit(1L).as("hit"))
     val perPair = truth
       .unionByName(found)

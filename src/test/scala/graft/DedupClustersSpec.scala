@@ -401,6 +401,24 @@ class DedupClustersSpec extends AnyFunSuite {
     // plateau and tail of the curve
     deciles.find(_._1 == 9).foreach { case (_, _, _, r) => assert(r >= 950, s"decile-9 recall $r") }
     deciles.find(_._1 == 3).foreach { case (_, _, _, r) => assert(r <= 450, s"decile-3 recall $r") }
+
+    // the banding knob: 6 bands × 2 rows moves the S-curve LEFT
+    // (1−(1−s²)⁶ > 1−(1−s³)⁴ for s < ~0.85) — more low-jaccard
+    // pairs recovered, paying more candidate verification. Pin the
+    // direction on the aggregate low range (deciles 3-5 pooled —
+    // per-decile counts are small enough for ties).
+    Dedup.invalidate()
+    val wide = Dedup.minhashRecallVsExact(spark, tmp, numHashes = 12, bands = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def lowFound(rs: Array[(Long, Long, Long)]) =
+      rs.filter(r => r._1 >= 3 && r._1 <= 5).map(_._3).sum
+    def lowTruth(rs: Array[(Long, Long, Long)]) =
+      rs.filter(r => r._1 >= 3 && r._1 <= 5).map(_._2).sum
+    val narrowLow = deciles.filter(r => r._1 >= 3 && r._1 <= 5)
+    assert(lowTruth(wide) == narrowLow.map(_._2).sum, "truth side must not depend on banding")
+    assert(lowFound(wide) > narrowLow.map(_._3).sum,
+      s"6x2 banding must recover more low-jaccard pairs than 4x3: " +
+        s"${lowFound(wide)} vs ${narrowLow.map(_._3).sum}")
     Dedup.invalidate()
   }
 }
