@@ -98,6 +98,9 @@ object SparkEntry {
     // LLM-data-pipeline extensions (SURVEY §7 north star)
     "text_token_stats" -> (TextAnalysis.tokenStats _),
     "text_quality" -> (TextAnalysis.qualityScores _),
+    // hashed-feature linear model scoring (fasttext-shaped), all
+    // integer — the classifier stage of a curation pipeline
+    "text_classifier_score" -> (TextAnalysis.classifierScores _),
     "text_normalize" -> (TextAnalysis.normalizeStats _),
     "text_repetition" -> (TextAnalysis.repetitionStats _),
     "text_quality_filter" -> (TextAnalysis.gopherQualityFilter _),
@@ -1328,6 +1331,27 @@ object SparkEntry {
         |sel AS (SELECT DISTINCT doc_id, m FROM wins WHERE i <= ng - 3)
         |SELECT doc_id, count(*) AS n_fingerprints, min(m) AS min_fp
         |FROM sel GROUP BY doc_id""".stripMargin,
+    // hashed-feature linear scoring: md5 hex nibbles → integer
+    // weights (strpos idiom, the simhash oracle's hex→int path);
+    // all-integer so the score is bit-portable
+    "text_classifier_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |uni AS (SELECT doc_id, unnest(ts) AS feature FROM tok),
+        |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS feature
+        |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        |       WHERE len(ts) >= 2),
+        |f AS (SELECT doc_id, feature FROM uni WHERE feature <> ''
+        |      UNION ALL SELECT doc_id, feature FROM bi WHERE feature <> ''),
+        |b AS (SELECT doc_id, md5('w|' || substr(md5('clf|' || feature), 1, 3)) AS wh FROM f),
+        |w AS (SELECT doc_id,
+        |        (((strpos('0123456789abcdef', substr(wh, 1, 1)) - 1) * 4096 +
+        |          (strpos('0123456789abcdef', substr(wh, 2, 1)) - 1) * 256 +
+        |          (strpos('0123456789abcdef', substr(wh, 3, 1)) - 1) * 16 +
+        |          (strpos('0123456789abcdef', substr(wh, 4, 1)) - 1)) % 2001) - 1000 AS w
+        |      FROM b)
+        |SELECT doc_id, count(*) AS n_features, CAST(sum(w) AS BIGINT) AS score,
+        |       CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS INT) AS accepted
+        |FROM w GROUP BY doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

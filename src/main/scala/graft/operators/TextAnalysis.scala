@@ -149,6 +149,56 @@ object TextAnalysis {
     * ratios divide identical integers → identical doubles in both
     * engines.
     */
+  /** Linear-model scoring at corpus scale — the fasttext-shaped
+    * classifier stage (quality filters, language filters, domain
+    * routers) every production curation pipeline runs over every
+    * document. Features are hashed bag-of-words ∪ adjacent word
+    * bigrams (the fasttext wordNgrams=2 shape): feature →
+    * 4096-bucket md5 hash → per-bucket integer weight in
+    * [−1000, 1000], score = Σ weights, decision = score ≥ 0.
+    *
+    * The "model" here is md5-derived (deterministic, so the gate
+    * oracle-checks end-to-end); swapping in trained weights is a
+    * broadcast join against a 4096-row weight table — the score
+    * plan is unchanged. All-integer scoring: bit-portable across
+    * engines, no float accumulation order to disagree on.
+    *
+    * Scale shape: one generate (features let-bound — the
+    * Project-above-Generate rule), per-row hashing inside codegen,
+    * ONE map-side-combinable aggregation keyed by doc_id. No joins,
+    * no windows; the weight table never materializes.
+    */
+  def classifierScores(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+      concat(
+        toks,
+        when(
+          size(toks) >= 2,
+          transform(
+            sequence(lit(0), size(toks) - 2),
+            i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>")),
+      )
+    }
+    val bucket = substring(md5(concat(lit("clf|"), col("feature"))), 1, 3)
+    val weight =
+      conv(substring(md5(concat(lit("w|"), col("bucket"))), 1, 4), 16, 10)
+        .cast("long") % 2001L - 1000L
+    docs(spark, dir)
+      .select(col("doc_id"), explode(feats).as("feature"))
+      .filter(col("feature") =!= "")
+      .select(col("doc_id"), bucket.as("bucket"))
+      .select(col("doc_id"), weight.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum("w").as("score"))
+      .select(
+        col("doc_id"),
+        col("n_features"),
+        col("score"),
+        (col("score") >= 0).cast("int").as("accepted"),
+      )
+  }
+
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       // the token array is let-bound: five naive references would run

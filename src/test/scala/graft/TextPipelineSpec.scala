@@ -219,4 +219,50 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(Sampling.bloomBits(Long.MaxValue / 16) == (1L << 26), "capped at 8 MiB")
     assert(Sampling.bloomBits(100000000L) == (1L << 26), "100M items hits the cap")
   }
+
+  test("classifier scoring: feature identity, bounds, and the trained-weight-table twin") {
+    val scores = TextAnalysis.classifierScores(spark, sf).cache()
+    try {
+      // unigrams + adjacent bigrams of an n-token doc = 2n − 1 features
+      val toks = graft.sources.Tables(spark, sf, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val badCount = scores.join(toks, Seq("doc_id"))
+        .filter(col("n_features") =!= lit(2) * col("n_tok") - 1)
+        .count()
+      assert(badCount == 0, "n_features != 2n-1 somewhere")
+      // every per-feature weight is in [-1000, 1000]
+      assert(scores.filter(abs(col("score")) > col("n_features") * 1000).count() == 0)
+      // a non-degenerate decision boundary (both classes occur)
+      val accepted = scores.filter(col("accepted") === 1).count()
+      assert(accepted > 0 && accepted < scores.count())
+
+      // the trained-weights deployment path: the SAME score via a
+      // broadcast join against an explicit 4096-row weight table —
+      // pins the md5 weight derivation and proves weights are
+      // swappable without touching the scoring plan
+      val weightTable = spark.range(4096).select(
+        format_string("%03x", col("id")).as("bucket"),
+        (conv(substring(md5(concat(lit("w|"), format_string("%03x", col("id")))), 1, 4), 16, 10)
+          .cast("long") % 2001L - 1000L).as("w"),
+      )
+      val feats = graft.functions.Let.bindArray(split(col("text"), " ")) { t =>
+        concat(
+          t,
+          transform(sequence(lit(0), size(t) - 2),
+            i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))),
+        )
+      }
+      val viaJoin = graft.sources.Tables(spark, sf, "documents")
+        .select(col("doc_id"), explode(feats).as("feature"))
+        .filter(col("feature") =!= "")
+        .select(col("doc_id"), substring(md5(concat(lit("clf|"), col("feature"))), 1, 3).as("bucket"))
+        .join(broadcast(weightTable), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_features"), sum("w").as("score"))
+        .select(col("doc_id"), col("n_features"), col("score"),
+          (col("score") >= 0).cast("int").as("accepted"))
+      val diffs = scores.exceptAll(viaJoin).count() + viaJoin.exceptAll(scores).count()
+      assert(diffs == 0, s"weight-table twin disagrees: $diffs row diffs")
+    } finally scores.unpersist()
+  }
 }
