@@ -474,4 +474,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(kinds.exists(_.startsWith("HashAggregate")), kinds.mkString(","))
     assert(!kinds.exists(_.startsWith("ObjectHashAggregate")), kinds.mkString(","))
   }
+
+  test("classifier scoring is one doc_id exchange, no joins") {
+    // the scale contract of the inline-hash weight path: feature
+    // hashing and weighting are per-row codegen, so the whole score
+    // is ONE map-side-combinable aggregation — a join or a second
+    // exchange appearing here means the weight table materialized
+    val df = graft.operators.TextAnalysis.classifierScores(spark, sf)
+    assert(shuffles(df) == 1, df.queryExecution.executedPlan.toString.take(500))
+    assert(broadcasts(df) == 0)
+    val kinds = collectPlan(df).map(_.getClass.getSimpleName)
+    assert(!kinds.exists(_.contains("Join")), kinds.mkString(","))
+  }
 }
