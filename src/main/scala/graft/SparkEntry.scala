@@ -332,6 +332,10 @@ object SparkEntry {
     // EXACTLY to the budget (per-source rounding can't)
     "token_budget_allocation" -> ((s, d) => graft.operators.Sampling.tokenBudgetAllocation(s, d)),
     "decontamination_overlap" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlap(s, d)),
+    // near-dup (paraphrase-level) contamination across the hash
+    // split boundary — only NEAR dups can cross it (exact dups
+    // hash to the same split by construction)
+    "decontamination_fuzzy" -> ((s, d) => graft.operators.Sampling.fuzzyDecontamination(s, d)),
     "decontamination_bloom" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlapBloom(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
     // capstone composition: quality filter + keep-best dedup + split
@@ -2620,6 +2624,24 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN b <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
         |FROM f GROUP BY source, thr""".stripMargin,
     "decontamination_overlap" -> decontaminationSql,
+    // near-dup contamination: the banding pair table joined to the
+    // md5 content-hash split rule (decontaminationSql's CASE)
+    "decontamination_fuzzy" ->
+      s"""WITH ${minhashPairCtes()},
+         |sp AS (SELECT doc_id,
+         |   CASE WHEN substr(md5(text || '|split'), 1, 2) < 'cc' THEN 'train'
+         |        WHEN substr(md5(text || '|split'), 1, 2) < 'e6' THEN 'val'
+         |        ELSE 'test' END AS split
+         |  FROM documents),
+         |x AS (SELECT p.doc_a, p.doc_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+         |      FROM lshpairs p JOIN sp sa ON sa.doc_id = p.doc_a
+         |      JOIN sp sb ON sb.doc_id = p.doc_b),
+         |c AS (SELECT CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_doc_id,
+         |             jaccard
+         |      FROM x WHERE (split_a = 'train' AND split_b = 'test')
+         |         OR (split_a = 'test' AND split_b = 'train'))
+         |SELECT train_doc_id, count(*) AS n_test_near_dups, max(jaccard) AS max_jaccard
+         |FROM c GROUP BY 1""".stripMargin,
     // the Bloom-prefiltered path must produce the IDENTICAL result
     // (no false negatives; false positives die in the exact confirm
     // join) — so it gates against the same SQL

@@ -210,6 +210,44 @@ object Sampling {
       .select(col("shard"), col("position"), col("doc_id"))
   }
 
+  /** Fuzzy decontamination: train-split documents that are MinHash
+    * NEAR-duplicates of a test-split document — the companion of
+    * the exact n-gram checks below, because a paraphrased or
+    * lightly-edited benchmark item shares few exact shingles but
+    * sits squarely in the near-dup pair graph. Per contaminated
+    * train doc: how many test docs it collides with and the worst
+    * (max) verified jaccard.
+    *
+    * Semantics worth knowing: content-hash splits ([[assignSplit]])
+    * send EXACT duplicates to the same split by construction (same
+    * text ⇒ same hash bucket), so exact dups can never leak across
+    * the boundary — only near dups can, and this gate is exactly
+    * the audit for them. An empty result at small corpus sizes is
+    * therefore correct, not a bug.
+    *
+    * Scale shape: rides the memoized banding pair artifact (no new
+    * corpus pass) + two id-keyed split lookups + a per-train-doc
+    * aggregate over PAIRS. The corpus text is read only by the
+    * pipelines' own audited passes.
+    */
+  def fuzzyDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val splits = docs(spark, dir)
+      .select(col("doc_id"), assignSplit(col("text")).as("split"))
+    graft.operators.Dedup.minhashLshPairsShared(spark, dir)
+      .select("doc_a", "doc_b", "jaccard")
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(
+        (col("split_a") === "train" && col("split_b") === "test") ||
+          (col("split_a") === "test" && col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("doc_a")).otherwise(col("doc_b")).as("train_doc_id"),
+        col("jaccard"),
+      )
+      .groupBy("train_doc_id")
+      .agg(count(lit(1)).as("n_test_near_dups"), max("jaccard").as("max_jaccard"))
+  }
+
   /** Benchmark decontamination: training documents that share word
     * shingles with any held-out (test-split) document, with the count
     * of distinct shared shingles — the standard n-gram-overlap

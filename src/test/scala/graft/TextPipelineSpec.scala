@@ -220,6 +220,35 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(Sampling.bloomBits(100000000L) == (1L << 26), "100M items hits the cap")
   }
 
+  test("fuzzy decontamination: train-side ids, jaccard bounds, exact-dup split immunity") {
+    import org.apache.spark.sql.functions._
+    val rows = Sampling.fuzzyDecontamination(spark, sf).cache()
+    try {
+      assert(rows.count() > 0, "driver corpus has cross-split near dups")
+      // every flagged id really is a train-split doc
+      val splits = graft.sources.Tables(spark, sf, "documents")
+        .select(col("doc_id").as("train_doc_id"), Sampling.assignSplit(col("text")).as("split"))
+      assert(rows.join(splits, Seq("train_doc_id")).filter(col("split") =!= "train").count() == 0)
+      assert(rows.filter(col("max_jaccard") < 0.3 || col("max_jaccard") > 1.0).count() == 0)
+      assert(rows.filter(col("n_test_near_dups") < 1).count() == 0)
+      // content-hash splits send exact duplicates to the SAME split:
+      // a jaccard-1.0 identical-text pair can never cross the
+      // boundary, so every contamination hit is a genuine NEAR dup.
+      // (jaccard 1.0 with different text — same shingle SET — can
+      // legitimately cross; check against texts, not jaccard.)
+      val texts = graft.sources.Tables(spark, sf, "documents").select("doc_id", "text")
+      val sp = texts.select(col("doc_id"), col("text"), Sampling.assignSplit(col("text")).as("split"))
+      val pairs = graft.operators.Dedup.minhashLshPairsShared(spark, sf)
+      val crossIdentical = pairs
+        .join(sp.select(col("doc_id").as("doc_a"), col("text").as("ta"), col("split").as("sa")), Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("text").as("tb"), col("split").as("sb")), Seq("doc_b"))
+        .filter(col("sa") =!= col("sb"))
+        .filter(col("ta") === col("tb"))
+        .count()
+      assert(crossIdentical == 0, "identical-text pair crossed the hash-split boundary")
+    } finally rows.unpersist()
+  }
+
   test("classifier scoring: feature identity, bounds, and the trained-weight-table twin") {
     val scores = TextAnalysis.classifierScores(spark, sf).cache()
     try {
