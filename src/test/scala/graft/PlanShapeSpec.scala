@@ -370,6 +370,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "similarity_ann_lsh" -> (Set("query_id"), "query side is vec_id < nQueries by API contract"),
       "similarity_ann_multiprobe" -> (Set("query_id"), "probe set is (planes+1)·nQueries rows by API contract"),
       "similarity_ann_recall" -> (Set("query_id"), "both compared paths broadcast only the bounded query side"),
+      "similarity_pq_adc" -> (Set("query_id"), "the broadcast is the per-query LUT row set — nQueries rows by API contract"),
+      "similarity_pq_rerank" -> (Set("query_id"), "broadcasts are the query LUTs, the TopK-bounded shortlist (≤ nQueries·shortlist rows), and the query vectors — all query-side"),
+      "similarity_pq_recall" -> (Set("query_id"), "every compared path broadcasts only query-side bounded sets (LUTs, shortlist, query vectors)"),
       "ivf_assign" -> (Set("centroid"), "centroids are one row per cell, |cells| bounded by the label domain"),
       "ivf_kmeans_iterated" -> (Set("centroid"), "per-round centroids, |cells| bounded by the label domain"),
       "vocab_coverage" -> (Set("token"), "vocabulary is top-k limited (TakeOrderedAndProject) before the hint"),

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PqIndex
+import graft.sources.Tables
+
+/** Invariants of the product-quantization family (PqIndex). The
+  * oracle gates pin cross-engine value equality; these pin the
+  * SEMANTIC contracts — codebook shape, encode optimality, the ADC
+  * score decomposition, and the shortlist⊇rerank containment — via
+  * independent recomputations that share no code with the operator.
+  */
+class PqIndexSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("codebook: one row per (subspace, label-cell), subDim-length means, n = label counts") {
+    val cb = PqIndex.codebook(spark, sf).cache()
+    try {
+      val labels = Tables(spark, sf, "embeddings")
+        .groupBy(col("label").cast("int").as("cell"))
+        .agg(count(lit(1)).as("n_label"))
+      val nCells = labels.count()
+      assert(cb.count() == PqIndex.numSub * nCells)
+      assert(cb.select(size(col("mean"))).distinct().head.getInt(0) == PqIndex.subDim)
+      // every subspace sees the full label population
+      val mismatched = cb
+        .join(labels, Seq("cell"))
+        .filter(col("n") =!= col("n_label"))
+        .count()
+      assert(mismatched == 0, "codebook n disagrees with the label population")
+    } finally cb.unpersist()
+  }
+
+  test("codes: every code is the min-L2 cell for its subspace (independent explode recompute)") {
+    val codes = PqIndex.codesTable(spark, sf)
+    // independent formulation: explode to (vec, s, cell) distances
+    // via a plain join + window-min, sharing nothing with the
+    // operator's broadcast-row argmin
+    val q = Tables(spark, sf, "embeddings")
+      .select(
+        col("vec_id"),
+        posexplode(transform(col("embedding"), x => floor(x.cast("double") * 1000000.0).cast("long")))
+          .as(Seq("dim", "qv")),
+      )
+      .select(
+        col("vec_id"),
+        (col("dim") / PqIndex.subDim).cast("int").as("s"),
+        (col("dim") % PqIndex.subDim).as("sd"),
+        col("qv"),
+      )
+    val cb = PqIndex.codebook(spark, sf)
+      .select(col("s"), col("cell"), posexplode(col("mean")).as(Seq("sd0", "m")))
+      .select(col("s").as("cs"), col("cell"), col("sd0").as("sd"), col("m"))
+    val d2 = q
+      .join(cb, q("s") === cb("cs") && q("sd") === cb("sd"))
+      .groupBy(col("vec_id"), q("s"), col("cell"))
+      .agg(sum((col("qv").cast("double") - col("m")) * (col("qv").cast("double") - col("m"))).as("d2"))
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("cell"))
+    val best = d2
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .pivot("s", Seq(0, 1, 2, 3))
+      .agg(first(col("cell")))
+      .toDF("vec_id", "e0", "e1", "e2", "e3")
+    val diff = codes
+      .join(best, Seq("vec_id"))
+      .filter(
+        col("c0") =!= col("e0") || col("c1") =!= col("e1") ||
+          col("c2") =!= col("e2") || col("c3") =!= col("e3"))
+      .count()
+    // NOTE: the independent recompute sums per-(s,cell) partials in
+    // arbitrary order, so its d2 can differ from the operator's
+    // ordered fold by ULPs — but inter-cell margins dwarf that (the
+    // same argument the oracle gate rests on), so argmins agree.
+    assert(diff == 0, s"$diff vectors encoded to a non-optimal cell")
+  }
+
+  test("ADC score equals the dot against the code-selected reconstruction") {
+    import graft.functions.VectorFunctions.dot
+    val codes = PqIndex.codesTable(spark, sf)
+    val cb = PqIndex.codebook(spark, sf)
+    // reconstruction = concat of the 4 selected sub-means, via 4
+    // independent joins (no LUT, no maps)
+    val rec = (0 until PqIndex.numSub)
+      .foldLeft(codes) { (df, s) =>
+        df.join(
+          cb.filter(col("s") === s).select(col("cell").as(s"c$s"), col("mean").as(s"m$s")),
+          Seq(s"c$s"),
+        )
+      }
+      .select(
+        col("vec_id").as("neighbor_id"),
+        concat((0 until PqIndex.numSub).map(s => col(s"m$s")): _*).as("recon"),
+      )
+    val queries = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val expected = rec
+      .crossJoin(queries)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qe"), col("recon")).as("exp"))
+    val scoredViaTopK = PqIndex.adcTopK(spark, sf, nQueries = 8, k = 1000000)
+    // adcTopK keeps every candidate at huge k, so join back and
+    // compare ranks implied by the expected scores
+    val w = Window.partitionBy("query_id").orderBy(col("exp").desc, col("neighbor_id"))
+    val expRanks = expected.withColumn("rank", row_number().over(w).cast("long"))
+    val diff = scoredViaTopK
+      .join(expRanks, Seq("query_id", "neighbor_id"))
+      .filter(scoredViaTopK("rank") =!= expRanks("rank"))
+      .count()
+    // full-array fold vs sum-of-4-subfolds differ in IEEE association,
+    // so equality is pinned on the induced RANKING (ULP-margin rule),
+    // not the raw doubles
+    assert(diff == 0, s"$diff (query, neighbor) pairs rank differently than dot(q, reconstruction)")
+  }
+
+  test("rerank: subset of the shortlist, ranks 1..k, and never fewer brute-force hits than ADC") {
+    val rr = PqIndex.adcRerankTopK(spark, sf).cache()
+    try {
+      assert(rr.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+      assert(rr.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
+      val recall = PqIndex.adcRecallAtK(spark, sf)
+      // a brute-force hit surfaced by pure ADC is by construction in
+      // the shortlist and wins its exact re-rank slot, so the rerank
+      // path can only add hits
+      assert(recall.filter(col("n_hits_rerank") < col("n_hits_adc")).count() == 0)
+      assert(recall.filter(col("k") =!= 5).count() == 0)
+    } finally rr.unpersist()
+  }
+}
