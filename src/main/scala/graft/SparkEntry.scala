@@ -235,6 +235,9 @@ object SparkEntry {
     // appended to the sink, stateless per-hour count on the landed
     // first-sightings (streaming COUNT DISTINCT, the two-stage way)
     "stream_active_users" -> (StreamingQueries.activeUsersStream _),
+    // ingest-time near-dup probe: arriving docs banded map-side and
+    // probed against the stored corpus band index, stream-static
+    "stream_incremental_dedup" -> (StreamingQueries.incrementalDedupViaSink _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -316,6 +319,9 @@ object SparkEntry {
     "similarity_pq_adc" -> ((s, d) => PqIndex.adcTopK(s, d)),
     "similarity_pq_rerank" -> ((s, d) => PqIndex.adcRerankTopK(s, d)),
     "similarity_pq_recall" -> ((s, d) => PqIndex.adcRecallAtK(s, d)),
+    // the composed FAISS-style index: probe nProbe coarse cells,
+    // ADC-score only their codes
+    "similarity_ivf_pq" -> ((s, d) => PqIndex.ivfPqTopK(s, d)),
     "embedding_quantize" -> (Similarity.quantizeInt8 _),
     // per-label centroid alignment to the corpus mean over exact
     // integer sum vectors (cosine is scale-invariant)
@@ -769,16 +775,21 @@ object SparkEntry {
        |  FROM pqr WHERE rn = 1 GROUP BY vec_id)""".stripMargin
   }
 
-  // ADC continuation of pqCtes: per-query LUT over the means, 4-term
-  // left-associated score sum (matching Spark's reduce(_ + _)), top-5
-  private val pqAdcCtes: String = {
+  // per-query ADC lookup table over the codebook means (shared by
+  // the full-corpus ADC chain and the IVF-probed variant)
+  private val pqLutCte: String = {
     val sub = graft.operators.PqIndex.subDim
     s"""pqlut AS MATERIALIZED (
        |  SELECT q.vec_id AS qid, c.s, c.cell,
        |         list_sum(list_transform(list_slice(q.embedding, c.s * $sub + 1, c.s * $sub + $sub),
        |           (x, i) -> CAST(x AS DOUBLE) * c.mean[i])) AS lutv
-       |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < 8),
-       |pqsc AS (
+       |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < 8)""".stripMargin
+  }
+
+  // ADC continuation of pqCtes + pqLutCte: 4-term left-associated
+  // score sum (matching Spark's reduce(_ + _)), top-5
+  private val pqAdcCtes: String = {
+    s"""pqsc AS (
        |  SELECT l0.qid AS query_id, cd.vec_id AS neighbor_id,
        |         l0.lutv + l1.lutv + l2.lutv + l3.lutv AS score
        |  FROM pqcodes cd
@@ -1876,6 +1887,13 @@ object SparkEntry {
          |t AS (SELECT (9 * max(doc_id)) // 10 AS cutoff FROM documents)
          |SELECT p.doc_a, p.doc_b, p.n_common, p.n_union, p.jaccard
          |FROM lshpairs p, t WHERE p.doc_b > t.cutoff""".stripMargin,
+    // the streaming probe lands exactly the old×new slice (banding
+    // is order-independent; new×new is the next index rebuild's job)
+    "stream_incremental_dedup" ->
+      s"""WITH ${minhashPairCtes()},
+         |t AS (SELECT (9 * max(doc_id)) // 10 AS cutoff FROM documents)
+         |SELECT p.doc_a, p.doc_b, p.n_common, p.n_union, p.jaccard
+         |FROM lshpairs p, t WHERE p.doc_a <= t.cutoff AND p.doc_b > t.cutoff""".stripMargin,
     // LSH banding recall vs the exact inverted-index truth, per
     // jaccard decile + a -1 total row; recall as integer permille
     // (integer division — a rounded double ratio is not portable).
@@ -2434,15 +2452,18 @@ object SparkEntry {
          |SELECT vec_id, c0, c1, c2, c3 FROM pqcodes""".stripMargin,
     "similarity_pq_adc" ->
       s"""WITH $pqCtes,
+         |$pqLutCte,
          |$pqAdcCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM pqrk WHERE rnk <= 5""".stripMargin,
     "similarity_pq_rerank" ->
       s"""WITH $pqCtes,
+         |$pqLutCte,
          |$pqAdcCtes,
          |$pqRerankCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM pqrr WHERE rnk <= 5""".stripMargin,
     "similarity_pq_recall" ->
       s"""WITH $pqCtes,
+         |$pqLutCte,
          |$pqAdcCtes,
          |$pqRerankCtes,
          |pqann AS (SELECT query_id, neighbor_id FROM pqrk WHERE rnk <= 5),
@@ -2461,6 +2482,42 @@ object SparkEntry {
          |LEFT JOIN pqannrr
          |  ON bf.query_id = pqannrr.query_id AND bf.neighbor_id = pqannrr.neighbor_id
          |GROUP BY bf.query_id""".stripMargin,
+    // the composed IVF+PQ serving path: the ivf_assign centroids /
+    // assignment (float-quantized means, same ULP-margin argument),
+    // a top-nProbe probe list per query, and the ADC LUT sum
+    // restricted to codes in probed cells
+    "similarity_ivf_pq" ->
+      s"""WITH $pqCtes,
+         |$pqLutCte,
+         |ivfd AS (
+         |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+         |  GROUP BY cell, i),
+         |ivfc AS MATERIALIZED (SELECT cell, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM ivfd GROUP BY cell),
+         |ivfa AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN ivfc c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM embeddings q CROSS JOIN ivfc c WHERE q.vec_id < 8) WHERE rn <= 3),
+         |isc AS (
+         |  SELECT p.query_id, cd.vec_id AS neighbor_id,
+         |         l0.lutv + l1.lutv + l2.lutv + l3.lutv AS score
+         |  FROM pqcodes cd
+         |  JOIN ivfa a ON a.vec_id = cd.vec_id
+         |  JOIN probe p ON p.cell = a.cell
+         |  JOIN pqlut l0 ON l0.qid = p.query_id AND l0.s = 0 AND l0.cell = cd.c0
+         |  JOIN pqlut l1 ON l1.qid = p.query_id AND l1.s = 1 AND l1.cell = cd.c1
+         |  JOIN pqlut l2 ON l2.qid = p.query_id AND l2.s = 2 AND l2.cell = cd.c2
+         |  JOIN pqlut l3 ON l3.qid = p.query_id AND l3.s = 3 AND l3.cell = cd.c3
+         |  WHERE p.query_id <> cd.vec_id),
+         |irk AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM isc)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM irk WHERE rnk <= 5""".stripMargin,
     "ivf_assign" ->
       s"""WITH dims AS (
          |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m

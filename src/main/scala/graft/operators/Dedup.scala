@@ -162,7 +162,7 @@ object Dedup {
     * element_at(sig, ...) references would re-evaluate the full
     * signature per band element (no CSE in interpreted lambdas).
     */
-  private def bandedKeysOf(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandedKeysOf(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     base
       .select(
@@ -179,6 +179,50 @@ object Dedup {
         }).as("bk"),
       ).select(col("doc_id"), col("bk.band"), col("bk.bkey"))
   }
+
+  /** [[bandedKeysOf]] with the shingle set carried through the same
+    * projection: the streaming ingest probe cannot re-join itself to
+    * recover `sh` (a stream-stream self-join would need watermark
+    * state), so its banding explode must keep the verify payload.
+    */
+  private[graft] def bandedKeysWithShingles(
+      base: DataFrame,
+      numHashes: Int = 12,
+      bands: Int = 4,
+  ): DataFrame = {
+    val rows = numHashes / bands
+    base
+      .select(
+        col("doc_id"),
+        col("sh"),
+        explode(bindArray(minhashSignature(col("sh"), numHashes)) { s =>
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b =>
+              struct(
+                b.cast("int").as("band"),
+                md5(concat_ws(",", slice(s, (b * rows + 1).cast("int"), lit(rows)))).as("bkey"),
+              ),
+          )
+        }).as("bk"),
+      ).select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** Shingled docs (doc_id, sh) — the shared base relation of the
+    * pair pipelines and the streaming probe's static index sides.
+    */
+  private[graft] def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** The 90%-of-max incremental cutoff, resolved as ONE bounded
+    * scalar action and spliced in as a literal — an in-plan cutoff
+    * blocks filter pushdown below the signature build and doubles it
+    * (measured 2× at sf4e; see [[minhashIncrementalPairs]]).
+    */
+  def incrementCutoff(spark: SparkSession, dir: String): Long =
+    docs(spark, dir).agg(expr("9 * max(doc_id) DIV 10")).head.getLong(0)
 
   /** LSH band-occupancy histogram: per band, how many buckets exist
     * at each occupancy. THE operational audit of a banding config
@@ -642,11 +686,8 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.3,
   ): DataFrame = {
-    val base = docs(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val cutoff: Long = docs(spark, dir)
-      .agg(expr("9 * max(doc_id) DIV 10")).head.getLong(0)
+    val base = shingledDocs(spark, dir)
+    val cutoff: Long = incrementCutoff(spark, dir)
     // split BEFORE the signature build: index lineage covers the
     // old slice, probe lineage the increment — each signature
     // computed once, and the two lineages keep the (band, bkey)

@@ -155,6 +155,48 @@ object PqIndex {
   /** Oracle surface of [[codes]]. */
   def codesTable(spark: SparkSession, dir: String): DataFrame = codes(spark, dir)
 
+  /** Per-query ADC lookup tables: (query_id, luts) where
+    * luts[s][cell] = dot(query slice s, centroid mean) — the tiny
+    * (|queries|·|cells|·numSub rows) artifact every ADC consumer
+    * broadcasts. Lookups are by MAP KEY, not array position, so a
+    * cell absent at some corpus size can never misalign the table.
+    */
+  private def queryLuts(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    val queries = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    queries
+      .crossJoin(codebook(spark, dir).select(col("s"), col("cell"), col("mean")))
+      .select(
+        col("query_id"),
+        col("s"),
+        col("cell"),
+        dot(slice(col("qe"), col("s") * subDim + 1, lit(subDim)), col("mean")).as("lutv"),
+      )
+      .groupBy("query_id", "s")
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("lutv")))).as("lut"))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(col("s"), col("lut")))).as("luts"))
+  }
+
+  /** The 4-term ADC score at a row carrying c0..c3 and the broadcast
+    * `luts` map — fixed left-to-right sum; the oracle mirrors the
+    * association exactly (l0 + l1 + l2 + l3).
+    */
+  private def adcScore: Column =
+    (0 until numSub)
+      .map(s => element_at(element_at(col("luts"), lit(s)), col(s"c$s")))
+      .reduce(_ + _)
+
+  /** The ADC-scored (query, neighbor) stream over the codes table —
+    * shared by [[adcTopK]] and the re-rank shortlist.
+    */
+  private def adcScored(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
+    codes(spark, dir)
+      .crossJoin(broadcast(queryLuts(spark, dir, nQueries)))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("cos"))
+
   /** Asymmetric-distance (ADC) top-k: each query precomputes one
     * lookup table — lut[s][cell] = dot(query slice s, centroid) —
     * and every corpus vector's approximate score is the 4-term sum
@@ -164,47 +206,62 @@ object PqIndex {
     * broadcast of |queries| LUT rows against the codes table with
     * per-row map lookups (element_at on a map — codegen, no HOF in
     * the hot path); top-k via the bounded [[graft.functions.TopKAggregator]]
-    * (shuffle ≤ k·partitions rows per query). Code lookups are by
-    * KEY, not array position, so a cell absent at some corpus size
-    * can never misalign the table.
+    * (shuffle ≤ k·partitions rows per query).
     */
-  /** The ADC-scored (query, neighbor) stream over the codes table —
-    * shared by [[adcTopK]] and the re-rank shortlist.
-    */
-  private def adcScored(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
-    val queries = Tables(spark, dir, "embeddings")
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val lutRows = queries
-      .crossJoin(codebook(spark, dir).select(col("s"), col("cell"), col("mean")))
-      .select(
-        col("query_id"),
-        col("s"),
-        col("cell"),
-        dot(slice(col("qe"), col("s") * subDim + 1, lit(subDim)), col("mean")).as("lutv"),
-      )
-    val qlut = lutRows
-      .groupBy("query_id", "s")
-      .agg(map_from_entries(collect_list(struct(col("cell"), col("lutv")))).as("lut"))
-      .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(col("s"), col("lut")))).as("luts"))
-    codes(spark, dir)
-      .crossJoin(broadcast(qlut))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(
-        col("query_id"),
-        col("vec_id").as("neighbor_id"),
-        // fixed left-to-right 4-term sum — the oracle mirrors the
-        // association exactly (l0 + l1 + l2 + l3)
-        (0 until numSub)
-          .map(s => element_at(element_at(col("luts"), lit(s)), col(s"c$s")))
-          .reduce(_ + _)
-          .as("cos"),
-      )
-  }
-
   def adcTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
     Similarity.topKPerQuery(adcScored(spark, dir, nQueries), k)
+
+  /** The fully composed IVF+PQ search (the FAISS `IVFx,PQy` shape):
+    * each query probes its `nProbe` nearest coarse cells (by cosine
+    * to the IVF label-seeded centroids — the SAME centroids that
+    * produced the stored [[IvfIndex.assignments]]), and only the
+    * vectors ASSIGNED to a probed cell are ADC-scored. At 100 TB
+    * this is the serving architecture: the codes table is written
+    * clustered by cell, so the probe filter is partition pruning
+    * and a query touches nProbe/|cells| of the compressed corpus —
+    * here the cell column arrives by the vec_id equi-join of the
+    * two memoized index artifacts (co-partitionable: both are
+    * id-keyed corpus tables), the probe list is a broadcast
+    * map-side filter, and the LUTs broadcast as usual. Candidate
+    * membership (every emitted neighbor's assigned cell is in its
+    * query's probe list) is pinned in PqIndexSpec.
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 5,
+      nProbe: Int = 3,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = IvfIndex.centroids(emb.select(col("label"), col("embedding")), "label")
+    val queries = emb
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy("query_id").orderBy(col("psim").desc, col("cell"))
+    val probes = queries
+      .crossJoin(cents)
+      .select(
+        col("query_id"),
+        col("cell"),
+        graft.functions.VectorFunctions.cosine(col("qe"), col("centroid")).as("psim"),
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell").as("assigned_cell"))
+    // the only broadcasts are bounded: the nQueries·nProbe probe
+    // list and the per-query LUTs — the candidate set itself scales
+    // with the corpus and flows through the id-keyed equi-join of
+    // the two index artifacts, never a broadcast
+    val scored = codes(spark, dir)
+      .join(IvfIndex.assignments(spark, dir), Seq("vec_id"))
+      .join(broadcast(probes), Seq("assigned_cell"))
+      .join(broadcast(queryLuts(spark, dir, nQueries)), Seq("query_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("cos"))
+    Similarity.topKPerQuery(scored, k)
+  }
 
   /** The production serving shape: ADC shortlist → exact re-rank.
     * The compressed scan proposes `shortlist` candidates per query

@@ -630,6 +630,67 @@ object StreamingQueries {
     * batch COUNT(DISTINCT user_id) per hour regardless of micro-batch
     * boundaries.
     */
+  /** Streaming incremental near-dup probe — the INGEST-TIME dedup a
+    * 100 TB pipeline runs: every arriving document is shingled,
+    * MinHash-banded map-side, and probed against the STORED band-key
+    * index of the existing corpus in-flight (stream-static equi-join
+    * on (band, bkey)); band collisions are verified with exact
+    * jaccard against the indexed shingle sets and hits land on the
+    * distributed append sink.
+    *
+    * Semantics: exactly the new×existing slice of
+    * [[graft.operators.Dedup.minhashIncrementalPairs]] — new×new
+    * pairs belong to the next index rebuild (a stream-stream
+    * self-join would hold every arriving shingle set in watermark
+    * state for no deployment value; the batch incremental gate
+    * covers that slice, and the equality of this gate with its
+    * old×new restriction is pinned in StreamingAdvancedSpec).
+    * Banding is order-independent — a pair collides in a band or it
+    * doesn't, regardless of which side streamed — so the landed set
+    * equals the full pair table restricted to old×new, which is the
+    * DuckDB oracle.
+    *
+    * Scale shape: the probe is STATELESS (the only streaming state
+    * is the source offset log); both static sides are the stored
+    * index tables a deployment maintains (re-derived here at fixture
+    * scale from the old slice only). A pair colliding in several
+    * bands lands once per band with identical verified rows; the
+    * read-back dedups them distributedly — cheaper than in-stream
+    * dropDuplicates state at every scale.
+    */
+  def incrementalDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val cutoff = Dedup.incrementCutoff(spark, dir)
+    val existing = Dedup.shingledDocs(spark, dir).filter(col("doc_id") <= cutoff)
+    val idx = Dedup
+      .bandedKeysOf(existing, 12, 4)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val shA = existing.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val probe = documentsStream(spark, dir)
+      .filter(col("doc_id") > cutoff && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val probeKeys = Dedup
+      .bandedKeysWithShingles(probe)
+      .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("bkey"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+    probeKeys
+      .join(idx, Seq("band", "bkey"))
+      .join(shA, Seq("doc_a"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        inter.cast("long").as("n_common"),
+        uni.cast("long").as("n_union"),
+        (inter.cast("double") / uni).as("jaccard"),
+      )
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  def incrementalDedupViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, incrementalDedupStream(spark, dir), scratchSinkDir("incdedup") + "/out")
+      .dropDuplicates("doc_a", "doc_b")
+
   def activeUsersStream(spark: SparkSession, dir: String): DataFrame = {
     val firsts = eventsStream(spark, dir)
       .select(col("ts"), col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))

@@ -122,6 +122,42 @@ class PqIndexSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff (query, neighbor) pairs rank differently than dot(q, reconstruction)")
   }
 
+  test("ivf+pq: every emitted neighbor sits in a cell its query probed") {
+    val out = PqIndex.ivfPqTopK(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+      // recompute the probe lists and the assignment independently
+      // (the oracle formulations: rank-window over centroid cosine)
+      val emb = Tables(spark, sf, "embeddings")
+      val cents = graft.operators.IvfIndex.centroids(emb.select(col("label"), col("embedding")), "label")
+      val pw = Window.partitionBy("qid").orderBy(col("psim").desc, col("cell"))
+      val probes = emb
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(cents)
+        .select(
+          col("qid"),
+          col("cell"),
+          graft.functions.VectorFunctions.cosine(col("qe"), col("centroid")).as("psim"),
+        )
+        .withColumn("rn", row_number().over(pw))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cell"))
+      val assigned = graft.operators.IvfIndex.assignments(spark, sf)
+      val escaped = out
+        .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .join(
+          probes.select(col("qid").as("query_id"), col("cell").as("assigned_cell"), lit(1).as("probed")),
+          Seq("query_id", "assigned_cell"),
+          "left",
+        )
+        .filter(col("probed").isNull)
+        .count()
+      assert(escaped == 0, s"$escaped neighbors came from unprobed cells")
+    } finally out.unpersist()
+  }
+
   test("rerank: subset of the shortlist, ranks 1..k, and never fewer brute-force hits than ADC") {
     val rr = PqIndex.adcRerankTopK(spark, sf).cache()
     try {
