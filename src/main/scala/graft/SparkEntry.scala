@@ -44,6 +44,22 @@ object SparkEntry {
     // Q13 zero-inclusive order-count histogram (outer join + double
     // aggregation)
     "q13_customer_distribution" -> (RelationalQueries.q13CustomerDistribution _),
+    // Q6 pure scan-aggregate (pushdown showcase)
+    "q6_revenue_forecast" -> (RelationalQueries.q6RevenueForecast _),
+    // Q8 two-nation-role market share fraction per year
+    "q8_market_share" -> (RelationalQueries.q8MarketShare _),
+    // Q14 conditional-aggregate promo fraction
+    "q14_promo_revenue" -> (RelationalQueries.q14PromoRevenue _),
+    // Q15 revenue view + scalar-max equality join
+    "q15_top_supplier" -> (RelationalQueries.q15TopSupplier _),
+    // Q17 correlated per-part average, decorrelated form
+    "q17_small_quantity" -> (RelationalQueries.q17SmallQuantityRevenue _),
+    // Q19 disjunctive residual on an equi join
+    "q19_discounted_revenue" -> (RelationalQueries.q19DiscountedRevenue _),
+    // Q21 exists + not-exists double self-join (fault flag adapted)
+    "q21_waiting_supplier" -> (RelationalQueries.q21WaitingSupplier _),
+    // Q22 scalar-subquery threshold + anti join (country set adapted)
+    "q22_global_sales" -> (RelationalQueries.q22GlobalSales _),
     // Morton-tile locality spans vs the linear layout — the
     // measurement behind OPTIMIZE ... ZORDER BY
     "zorder_locality" -> (graft.operators.Bucketing.zorderLocality _),
@@ -514,6 +530,95 @@ object SparkEntry {
         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |  GROUP BY 1)
         |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(round(sum(CASE WHEN n2.n_name = 'NATION_10'
+         |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) ELSE 0 END), 2) AS DOUBLE)
+         |  / $revenue AS mkt_share,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+         |GROUP BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""SELECT 100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) ELSE 0 END), 2) AS DOUBLE)
+         |  / $revenue AS promo_revenue_pct,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS MATERIALIZED (
+         |  SELECT l_suppkey AS supplier_no, $revenue AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON supplier_no = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH aq AS (
+        |  SELECT l_partkey AS aq_partkey,
+        |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / count(*) AS avgq_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN aq ON l_partkey = aq_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS DOUBLE) < CAST(0.2 AS DOUBLE) * avgq_cents""".stripMargin,
+    "q19_discounted_revenue" ->
+      s"""SELECT $revenue AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_7'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q22_global_sales" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+        |         c_acctbal
+        |  FROM customer WHERE c_nationkey IN (3, 7, 13, 17, 19)),
+        |a AS (SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS avg_cents
+        |      FROM c WHERE c_acctbal > CAST(0 AS DOUBLE))
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+        |FROM c, a
+        |WHERE CAST(bal_cents AS DOUBLE) > a.avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
     "q12_ship_priority" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
