@@ -270,6 +270,10 @@ object SparkEntry {
     // incremental cluster maintenance via contraction; result ==
     // the full-corpus transitive closure
     "dedup_clusters_incremental" -> ((s, d) => Dedup.lshClustersIncremental(s, d)),
+    // the index-refresh loop: fold the landed increment into the
+    // band index (append-only, old never rescanned), probe the NEXT
+    // increment; folded ≡ rebuilt pinned in DedupClustersSpec
+    "dedup_index_refresh" -> ((s, d) => Dedup.minhashRefreshFoldedProbe(s, d)),
     // band-occupancy histogram: the hot-bucket audit run before a
     // 100× scale-up (pair expansion is quadratic per bucket)
     "lsh_band_stats" -> ((s, d) => Dedup.lshBandStats(s, d)),
@@ -855,7 +859,10 @@ object SparkEntry {
     val sub = graft.operators.PqIndex.subDim
     s"""pqq AS MATERIALIZED (
        |  SELECT vec_id, CAST(label AS INT) AS cell,
-       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+       |         sqrt(CAST(list_sum(list_transform(
+       |           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+       |           y -> y * y)) AS DOUBLE)) AS nrm
        |  FROM embeddings),
        |pqd AS (
        |  SELECT vec_id, cell, (i - 1) // $sub AS s, (i - 1) % $sub AS sd, q[i] AS qv
@@ -872,36 +879,42 @@ object SparkEntry {
        |pqr AS (SELECT vec_id, s, cell,
        |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rn FROM pqe),
        |pqcodes AS MATERIALIZED (
-       |  SELECT vec_id,
-       |         CAST(max(CASE WHEN s = 0 THEN cell END) AS INT) AS c0,
-       |         CAST(max(CASE WHEN s = 1 THEN cell END) AS INT) AS c1,
-       |         CAST(max(CASE WHEN s = 2 THEN cell END) AS INT) AS c2,
-       |         CAST(max(CASE WHEN s = 3 THEN cell END) AS INT) AS c3
-       |  FROM pqr WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+       |  SELECT r.vec_id,
+       |         CAST(max(CASE WHEN r.s = 0 THEN r.cell END) AS INT) AS c0,
+       |         CAST(max(CASE WHEN r.s = 1 THEN r.cell END) AS INT) AS c1,
+       |         CAST(max(CASE WHEN r.s = 2 THEN r.cell END) AS INT) AS c2,
+       |         CAST(max(CASE WHEN r.s = 3 THEN r.cell END) AS INT) AS c3,
+       |         max(q.nrm) AS nrm
+       |  FROM pqr r JOIN pqq q USING (vec_id) WHERE rn = 1 GROUP BY r.vec_id)""".stripMargin
   }
 
   // per-query ADC lookup table over the codebook means (shared by
-  // the full-corpus ADC chain and the IVF-probed variant)
+  // the full-corpus ADC chain and the IVF-probed variant), plus the
+  // per-query quantized norm — the cosine denominator's query half
   private val pqLutCte: String = {
     val sub = graft.operators.PqIndex.subDim
     s"""pqlut AS MATERIALIZED (
        |  SELECT q.vec_id AS qid, c.s, c.cell,
        |         list_sum(list_transform(list_slice(q.embedding, c.s * $sub + 1, c.s * $sub + $sub),
        |           (x, i) -> CAST(x AS DOUBLE) * c.mean[i])) AS lutv
-       |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < 8)""".stripMargin
+       |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < 8),
+       |pqqn AS (SELECT vec_id AS qid, nrm AS qnrm FROM pqq WHERE vec_id < 8)""".stripMargin
   }
 
   // ADC continuation of pqCtes + pqLutCte: 4-term left-associated
-  // score sum (matching Spark's reduce(_ + _)), top-5
+  // lut sum normalized to a cosine estimate — 1e6·Σluts/(qnrm·nrm),
+  // association matching Spark's (lit(1e6) * reduce(_ + _)) / (q·n)
+  // exactly — then top-5
   private val pqAdcCtes: String = {
     s"""pqsc AS (
        |  SELECT l0.qid AS query_id, cd.vec_id AS neighbor_id,
-       |         l0.lutv + l1.lutv + l2.lutv + l3.lutv AS score
+       |         1000000.0 * (l0.lutv + l1.lutv + l2.lutv + l3.lutv) / (qn.qnrm * cd.nrm) AS score
        |  FROM pqcodes cd
        |  JOIN pqlut l0 ON l0.s = 0 AND l0.cell = cd.c0
        |  JOIN pqlut l1 ON l1.s = 1 AND l1.cell = cd.c1 AND l1.qid = l0.qid
        |  JOIN pqlut l2 ON l2.s = 2 AND l2.cell = cd.c2 AND l2.qid = l0.qid
        |  JOIN pqlut l3 ON l3.s = 3 AND l3.cell = cd.c3 AND l3.qid = l0.qid
+       |  JOIN pqqn qn ON qn.qid = l0.qid
        |  WHERE l0.qid <> cd.vec_id),
        |pqrk AS MATERIALIZED (SELECT query_id, neighbor_id,
        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM pqsc)""".stripMargin
@@ -1992,6 +2005,15 @@ object SparkEntry {
          |t AS (SELECT (9 * max(doc_id)) // 10 AS cutoff FROM documents)
          |SELECT p.doc_a, p.doc_b, p.n_common, p.n_union, p.jaccard
          |FROM lshpairs p, t WHERE p.doc_b > t.cutoff""".stripMargin,
+    // the refreshed-index probe of the NEXT era (> 85% of max):
+    // banding is order-independent, so a folded index probes exactly
+    // like a rebuilt one — the output is the full pair table
+    // restricted to pairs touching that increment
+    "dedup_index_refresh" ->
+      s"""WITH ${minhashPairCtes()},
+         |t AS (SELECT (85 * max(doc_id)) // 100 AS cutoff FROM documents)
+         |SELECT p.doc_a, p.doc_b, p.n_common, p.n_union, p.jaccard
+         |FROM lshpairs p, t WHERE p.doc_b > t.cutoff""".stripMargin,
     // the streaming probe lands exactly the old×new slice (banding
     // is order-independent; new×new is the next index rebuild's job)
     "stream_incremental_dedup" ->
@@ -2554,7 +2576,7 @@ object SparkEntry {
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM r WHERE rnk <= 5""".stripMargin,
     "similarity_pq_codes" ->
       s"""WITH $pqCtes
-         |SELECT vec_id, c0, c1, c2, c3 FROM pqcodes""".stripMargin,
+         |SELECT vec_id, c0, c1, c2, c3, nrm FROM pqcodes""".stripMargin,
     "similarity_pq_adc" ->
       s"""WITH $pqCtes,
          |$pqLutCte,
@@ -2611,7 +2633,7 @@ object SparkEntry {
          |    FROM embeddings q CROSS JOIN ivfc c WHERE q.vec_id < 8) WHERE rn <= 3),
          |isc AS (
          |  SELECT p.query_id, cd.vec_id AS neighbor_id,
-         |         l0.lutv + l1.lutv + l2.lutv + l3.lutv AS score
+         |         1000000.0 * (l0.lutv + l1.lutv + l2.lutv + l3.lutv) / (qn.qnrm * cd.nrm) AS score
          |  FROM pqcodes cd
          |  JOIN ivfa a ON a.vec_id = cd.vec_id
          |  JOIN probe p ON p.cell = a.cell
@@ -2619,6 +2641,7 @@ object SparkEntry {
          |  JOIN pqlut l1 ON l1.qid = p.query_id AND l1.s = 1 AND l1.cell = cd.c1
          |  JOIN pqlut l2 ON l2.qid = p.query_id AND l2.s = 2 AND l2.cell = cd.c2
          |  JOIN pqlut l3 ON l3.qid = p.query_id AND l3.s = 3 AND l3.cell = cd.c3
+         |  JOIN pqqn qn ON qn.qid = p.query_id
          |  WHERE p.query_id <> cd.vec_id),
          |irk AS (SELECT query_id, neighbor_id,
          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM isc)

@@ -191,8 +191,24 @@ object GraphOps {
     * round 7 measured as 15 s of a 1 s job at sf0.1.
     */
   def kCorePeeling(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
     var e = Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")
-    val census = (1 to rounds).map { r =>
+    // Early-exit on fixpoint: peeling is monotone (keep sets and edge
+    // sets only shrink), and every node in the symmetrized edge list
+    // has degree ≥ 1, so a round that removes NO edge also removed no
+    // node — the census of every later round is identical by
+    // induction. Detect it as edge-count stability (counts are sound
+    // here precisely because of monotonicity: same count ⇒ same set)
+    // and emit the remaining census rows as copies. Small/clean
+    // corpora converge in one round, so this cuts the 3-round gate to
+    // one degree pass + two bounded counts; the counts were being
+    // computed per round anyway (the census IS global counts), they
+    // just land on the driver now — 2 longs per round, not data.
+    var prevEdges = e.count()
+    val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
       val sym = e.union(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       val keep = sym
         .groupBy("doc_a")
@@ -205,11 +221,16 @@ object GraphOps {
         .join(keep.select(col("doc_a").as("doc_b")), Seq("doc_b"), "left_semi")
         .select("doc_a", "doc_b")
         .localCheckpoint()
-      keep
-        .agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      val nEdges = e.count()
+      census += ((r, keep.count(), nEdges))
+      converged = nEdges == prevEdges
+      prevEdges = nEdges
+      r += 1
     }
-    census.reduce(_.unionAll(_))
+    while (r <= rounds) {
+      census += ((r, census.last._2, census.last._3))
+      r += 1
+    }
+    census.toSeq.toDF("round", "n_nodes", "n_edges")
   }
 }

@@ -56,12 +56,27 @@ object PqIndex {
   // every ADC consumer — memoized per (session, dir) like the IVF
   // round-1 assignment, as a NAMED catalog artifact so invalidation
   // reaches the storage blocks by name (Bench resets it between
-  // timed runs).
+  // timed runs). The codebook is memoized the same way: it is the
+  // corpus-scan input of BOTH the codes encode and every per-query
+  // LUT build, so without its own artifact one recall-gate call
+  // (adc + rerank paths) would re-run the codebook's corpus
+  // aggregate several times over.
   private val codesCache = new graft.util.SessionCache[String, DataFrame]
+  private val codebookCache = new graft.util.SessionCache[String, DataFrame]
 
   /** ⌊10⁶·x⌋ per component: exact integers, portable to any engine. */
   private def quantize(e: Column): Column =
     transform(e, x => floor(x.cast("double") * 1000000.0).cast("long"))
+
+  /** Quantized-integer L2 norm: sqrt(Σ qv²). The inner sum is an
+    * exact BIGINT on any partitioning and in any engine (qv ≤ ~10⁶,
+    * so Σ over 64 dims ≤ ~6.4e13 — far inside long range); the sqrt
+    * is one IEEE op on that exact integer, so the double is
+    * bit-identical cross-engine. Scale is 10⁶·‖x‖ — the 10⁶ cancels
+    * against the LUT scale in [[adcScore]].
+    */
+  private def quantNorm(q: Column): Column =
+    sqrt(aggregate(q, lit(0L), (acc, v) => acc + v * v).cast("double"))
 
   /** Ordered-fold squared L2 distance between an integer subvector
     * and a double centroid (left-to-right, the dotSql fold order).
@@ -80,6 +95,15 @@ object PqIndex {
     * map-side combine, never the corpus.
     */
   def codebook(spark: SparkSession, dir: String): DataFrame =
+    codebookCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_pq_codebook", dir),
+        codebookPlan(spark, dir),
+      )
+    }
+
+  private def codebookPlan(spark: SparkSession, dir: String): DataFrame =
     Tables
       .parallel(spark, dir, "embeddings")
       .select(
@@ -109,13 +133,17 @@ object PqIndex {
         transform(col("sums"), x => x.cast("double") / col("n").cast("double")).as("mean"),
       )
 
-  /** Memoized encoded corpus: (vec_id, c0..c3) — each code the
+  /** Memoized encoded corpus: (vec_id, c0..c3, nrm) — each code the
     * min-L2 cell for that subspace's slice, ties to the smaller
     * cell (array_min's field-by-field struct order: d2 asc, cell
-    * asc). The codebook collapses to a single broadcast row and
-    * every vector takes its 4 argmins in the row it arrived in —
-    * the [[IvfIndex]] reassign shape: no corpus shuffle, no
-    * |cells|-way row expansion.
+    * asc); `nrm` is the vector's quantized-integer L2 norm
+    * ([[quantNorm]]), stored WITH the codes so cosine-metric ADC
+    * never has to touch the float corpus (the FAISS store-the-norms
+    * convention for IP/cosine indexes — 8 extra bytes per vector).
+    * The codebook collapses to a single broadcast row and every
+    * vector takes its 4 argmins in the row it arrived in — the
+    * [[IvfIndex]] reassign shape: no corpus shuffle, no |cells|-way
+    * row expansion.
     */
   def codes(spark: SparkSession, dir: String): DataFrame =
     codesCache.getOrElseUpdate(spark, dir) {
@@ -127,7 +155,7 @@ object PqIndex {
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .crossJoin(centsRow)
         .select(
-          col("vec_id") +: (0 until numSub).map { s =>
+          (col("vec_id") +: (0 until numSub).map { s =>
             val sub = slice(col("q"), s * subDim + 1, subDim)
             array_min(
               transform(
@@ -135,7 +163,7 @@ object PqIndex {
                 c => struct(l2sq(sub, c.getField("mean")).as("d2"), c.getField("cell").as("cell")),
               )
             ).getField("cell").as(s"c$s")
-          }: _*
+          }) :+ quantNorm(col("q")).as("nrm"): _*
         )
       graft.util.NamedArtifact.cache(
         spark,
@@ -144,49 +172,74 @@ object PqIndex {
       )
     }
 
-  /** Drop the memoized codes artifact and its storage blocks
-    * (benchmark hygiene; by-name, value-liveness-independent).
+  /** Drop the memoized codes + codebook artifacts and their storage
+    * blocks (benchmark hygiene; by-name, value-liveness-independent).
     */
-  def invalidate(): Unit =
+  def invalidate(): Unit = {
     codesCache.invalidateKeys { (spark, dir) =>
       graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_codes", dir))
     }
+    codebookCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_codebook", dir))
+    }
+  }
 
   /** Oracle surface of [[codes]]. */
   def codesTable(spark: SparkSession, dir: String): DataFrame = codes(spark, dir)
 
-  /** Per-query ADC lookup tables: (query_id, luts) where
+  /** Per-query ADC lookup tables: (query_id, luts, qnrm) where
     * luts[s][cell] = dot(query slice s, centroid mean) — the tiny
     * (|queries|·|cells|·numSub rows) artifact every ADC consumer
-    * broadcasts. Lookups are by MAP KEY, not array position, so a
-    * cell absent at some corpus size can never misalign the table.
+    * broadcasts — and `qnrm` is the query's quantized-integer norm
+    * (the cosine denominator's query half). Lookups are by MAP KEY,
+    * not array position, so a cell absent at some corpus size can
+    * never misalign the table.
     */
   private def queryLuts(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
     val queries = Tables(spark, dir, "embeddings")
       .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        quantNorm(quantize(col("embedding"))).as("qnrm"),
+      )
     queries
       .crossJoin(codebook(spark, dir).select(col("s"), col("cell"), col("mean")))
       .select(
         col("query_id"),
+        col("qnrm"),
         col("s"),
         col("cell"),
         dot(slice(col("qe"), col("s") * subDim + 1, lit(subDim)), col("mean")).as("lutv"),
       )
       .groupBy("query_id", "s")
-      .agg(map_from_entries(collect_list(struct(col("cell"), col("lutv")))).as("lut"))
+      .agg(
+        map_from_entries(collect_list(struct(col("cell"), col("lutv")))).as("lut"),
+        max("qnrm").as("qnrm"),
+      )
       .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(col("s"), col("lut")))).as("luts"))
+      .agg(
+        map_from_entries(collect_list(struct(col("s"), col("lut")))).as("luts"),
+        max("qnrm").as("qnrm"),
+      )
   }
 
-  /** The 4-term ADC score at a row carrying c0..c3 and the broadcast
-    * `luts` map — fixed left-to-right sum; the oracle mirrors the
-    * association exactly (l0 + l1 + l2 + l3).
+  /** The 4-term ADC score at a row carrying c0..c3, the broadcast
+    * `luts` map, `qnrm`, and the codes row's `nrm` — a COSINE
+    * estimate, not a bare inner product: the LUT sum approximates
+    * 10⁶·dot(q, recon(c)) (centroid means carry the quantize scale),
+    * and the two quantized norms each carry 10⁶·‖·‖, so
+    * 10⁶·Σluts/(qnrm·nrm) ≈ dot(q, recon(c))/(‖q‖·‖c‖) — the same
+    * metric the brute-force baseline ranks by, which is what makes
+    * [[adcRecallAtK]] measure codebook quantization error alone
+    * rather than conflating it with a dot-vs-cosine mismatch on
+    * non-unit-norm corpora. Association is fixed and mirrored
+    * exactly in the oracle: 10⁶·(l0+l1+l2+l3)/(qnrm·nrm).
     */
   private def adcScore: Column =
-    (0 until numSub)
+    (lit(1000000.0) * (0 until numSub)
       .map(s => element_at(element_at(col("luts"), lit(s)), col(s"c$s")))
-      .reduce(_ + _)
+      .reduce(_ + _)) / (col("qnrm") * col("nrm"))
 
   /** The ADC-scored (query, neighbor) stream over the codes table —
     * shared by [[adcTopK]] and the re-rank shortlist.
@@ -195,7 +248,7 @@ object PqIndex {
     codes(spark, dir)
       .crossJoin(broadcast(queryLuts(spark, dir, nQueries)))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("cos"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("score"))
 
   /** Asymmetric-distance (ADC) top-k: each query precomputes one
     * lookup table — lut[s][cell] = dot(query slice s, centroid) —
@@ -209,7 +262,7 @@ object PqIndex {
     * (shuffle ≤ k·partitions rows per query).
     */
   def adcTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
-    Similarity.topKPerQuery(adcScored(spark, dir, nQueries), k)
+    Similarity.topKPerQuery(adcScored(spark, dir, nQueries), k, scoreCol = "score")
 
   /** The fully composed IVF+PQ search (the FAISS `IVFx,PQy` shape):
     * each query probes its `nProbe` nearest coarse cells (by cosine
@@ -259,8 +312,8 @@ object PqIndex {
       .join(broadcast(probes), Seq("assigned_cell"))
       .join(broadcast(queryLuts(spark, dir, nQueries)), Seq("query_id"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("cos"))
-    Similarity.topKPerQuery(scored, k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("score"))
+    Similarity.topKPerQuery(scored, k, scoreCol = "score")
   }
 
   /** The production serving shape: ADC shortlist → exact re-rank.
@@ -284,7 +337,7 @@ object PqIndex {
       shortlist: Int = 50,
   ): DataFrame = {
     val short = Similarity
-      .topKPerQuery(adcScored(spark, dir, nQueries), shortlist)
+      .topKPerQuery(adcScored(spark, dir, nQueries), shortlist, scoreCol = "score")
       .select(col("query_id"), col("neighbor_id"))
     val withNeighbor = Tables
       .parallel(spark, dir, "embeddings")

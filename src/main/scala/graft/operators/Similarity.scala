@@ -53,12 +53,12 @@ object Similarity {
     * neighbor either way, so filtering is both the correct semantics
     * and what keeps the forms equivalent on degenerate inputs.
     */
-  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int, scoreCol: String = "cos"): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored
-      .filter(col("cos").isNotNull && !isnan(col("cos")))
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+      .select(col("query_id"), col("neighbor_id"), col(scoreCol))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues { case (_, id, score) => Scored(id, score) }

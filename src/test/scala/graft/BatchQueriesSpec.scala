@@ -22,10 +22,21 @@ class BatchQueriesSpec extends AnyFunSuite {
     )
   }
 
+  /** Gates whose TRUE answer is the empty set at sf0.001 — confirmed by
+    * running the oracle SQL directly in DuckDB against /root/testdata/sf0.001.
+    * q21: no NATION_7 supplier survives the EXISTS/NOT-EXISTS pair in the
+    * 60-order corpus (drop the nation filter and rows appear), so an empty
+    * result is correctness, not a broken read.
+    */
+  val emptyAtSf0001: Set[String] = Set("q21_waiting_supplier")
+
   test("all queries run and return rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n > 0, s"$name returned 0 rows")
+      if (emptyAtSf0001(name))
+        assert(n == 0, s"$name expected empty at sf0.001 (DuckDB-confirmed) but returned $n rows")
+      else
+        assert(n > 0, s"$name returned 0 rows")
     }
   }
 

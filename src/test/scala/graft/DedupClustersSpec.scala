@@ -357,6 +357,35 @@ class DedupClustersSpec extends AnyFunSuite {
     Dedup.invalidate()
   }
 
+  test("index refresh: the folded band index probes the next era identically to a rebuild") {
+    import org.apache.spark.sql.functions._
+    // the refresh contract: appending the landed increment's band
+    // keys to the stored index (old slice never rescanned) must
+    // probe the NEXT increment exactly like a from-scratch rebuild
+    // over the same documents — banding is per-doc deterministic,
+    // so this pins that no lineage split/union step perturbs it
+    val folded = Dedup.minhashRefreshFoldedProbe(spark, sf)
+    val rebuilt = Dedup.minhashRefreshRebuiltProbe(spark, sf)
+    val diffs = folded.exceptAll(rebuilt).count() + rebuilt.exceptAll(folded).count()
+    assert(diffs == 0, s"folded-index probe != rebuilt-index probe ($diffs row diffs)")
+    assert(folded.count() > 0, "next-era probe found no pairs — contract untested")
+  }
+
+  test("incremental CC normalizes non-min-id labelings before contracting") {
+    import spark.implicits._
+    // same topology as the bridge test, but the caller's labels are
+    // canonical-doc style (cluster named by its MAX member) — the
+    // contraction's exactness proof needs min-id labels, so the
+    // method must normalize instead of returning divergent output
+    val renumbered = Seq((1L, 2L), (2L, 2L), (5L, 6L), (6L, 6L), (20L, 21L), (21L, 21L))
+      .toDF("doc_id", "cluster_id")
+    val newPairs = Seq((2L, 9L), (5L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsIncremental(renumbered, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L, 20L -> 20L, 21L -> 20L),
+      s"got $got")
+  }
+
   test("incremental CC merges two existing clusters through one bridge pair") {
     import spark.implicits._
     // old world: {1,2} labeled 1 and {5,6} labeled 5; the increment

@@ -83,14 +83,15 @@ class PqIndexSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff vectors encoded to a non-optimal cell")
   }
 
-  test("ADC score equals the dot against the code-selected reconstruction") {
+  test("ADC score ranks as dot(q, code-selected reconstruction) / ‖c‖ (the cosine estimate)") {
     import graft.functions.VectorFunctions.dot
     val codes = PqIndex.codesTable(spark, sf)
     val cb = PqIndex.codebook(spark, sf)
     // reconstruction = concat of the 4 selected sub-means, via 4
-    // independent joins (no LUT, no maps)
+    // independent joins (no LUT, no maps); the neighbor norm is the
+    // quantized-integer norm recomputed independently of the operator
     val rec = (0 until PqIndex.numSub)
-      .foldLeft(codes) { (df, s) =>
+      .foldLeft(codes.drop("nrm")) { (df, s) =>
         df.join(
           cb.filter(col("s") === s).select(col("cell").as(s"c$s"), col("mean").as(s"m$s")),
           Seq(s"c$s"),
@@ -100,13 +101,31 @@ class PqIndexSpec extends AnyFunSuite {
         col("vec_id").as("neighbor_id"),
         concat((0 until PqIndex.numSub).map(s => col(s"m$s")): _*).as("recon"),
       )
+    val nrms = Tables(spark, sf, "embeddings")
+      .select(
+        col("vec_id").as("neighbor_id"),
+        sqrt(
+          aggregate(
+            transform(col("embedding"), x => floor(x.cast("double") * 1000000.0).cast("long")),
+            lit(0L),
+            (acc, v) => acc + v * v,
+          ).cast("double")
+        ).as("nrmc"),
+      )
     val queries = Tables(spark, sf, "embeddings")
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val expected = rec
+      .join(nrms, Seq("neighbor_id"))
       .crossJoin(queries)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), dot(col("qe"), col("recon")).as("exp"))
+      // per-query ranking is invariant to the (constant) query norm,
+      // so the independent formulation only divides by the neighbor's
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (dot(col("qe"), col("recon")) / col("nrmc")).as("exp"),
+      )
     val scoredViaTopK = PqIndex.adcTopK(spark, sf, nQueries = 8, k = 1000000)
     // adcTopK keeps every candidate at huge k, so join back and
     // compare ranks implied by the expected scores
