@@ -1505,6 +1505,13 @@ object Dedup {
         }).as("z"),
       )
       .select(col("doc_id"), col("n_tokens"), col("z.pos"), col("z.shingle"))
+    // NOTE (round-9 measurement): the df pass and the hot-posting
+    // join each evaluate the posting explode — materializing it once
+    // (localCheckpoint) was TRIED and measured SLOWER (2.13 s vs
+    // 1.29 s isolated at sf0.1): writing ~1M string postings costs
+    // more than re-running the codegen'd map-side explode. Keep the
+    // recompute; at 100 TB the postings intermediate becomes a table
+    // write only when more than these two consumers read it.
     val hot = postings
       .groupBy("shingle")
       .agg(countDistinct(col("doc_id")).as("df"))

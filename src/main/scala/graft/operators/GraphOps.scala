@@ -190,9 +190,23 @@ object GraphOps {
     * branch and the edge branch — quadratic recomputation that
     * round 7 measured as 15 s of a 1 s job at sf0.1.
     */
-  def kCorePeeling(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3): DataFrame = {
+  def kCorePeeling(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3): DataFrame =
+    kCorePeelingOf(spark, Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b"), k, rounds)
+
+  /** [[kCorePeeling]] over an arbitrary edge set — the injectable
+    * form the early-exit spec pins (GraphOpsSpec: a path graph that
+    * peels fresh nodes every round exercises the full loop; a
+    * triangle converges in round 1 and the remaining census rows
+    * must be exact copies).
+    */
+  private[graft] def kCorePeelingOf(
+      spark: SparkSession,
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+  ): DataFrame = {
     import spark.implicits._
-    var e = Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")
+    var e = edges
     // Early-exit on fixpoint: peeling is monotone (keep sets and edge
     // sets only shrink), and every node in the symmetrized edge list
     // has degree ≥ 1, so a round that removes NO edge also removed no

@@ -1,45 +1,77 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, GraphOps}
+import graft.operators.GraphOps
 
-/** Structural invariants of the graph operators, checked on the real
-  * pair graph (the oracle gates pin exact values; these pin the
-  * properties that must survive any refactor).
+/** Semantics of the k-core peeling census, against an independent
+  * in-memory reference that peels every round with NO early exit —
+  * the early-exit rewrite (round 9) must be invisible in the output
+  * on every topology, including graphs that keep peeling for more
+  * rounds than the budget and graphs that converge immediately.
   */
 class GraphOpsSpec extends AnyFunSuite {
-  val sf = "/root/testdata/sf0.001"
   lazy val spark: SparkSession = GraftSession
     .builder(master = "local[4]", shufflePartitions = 4)
     .getOrCreate()
 
-  test("pagerank covers every pair-graph node with positive, mass-bounded ranks") {
-    Dedup.invalidate()
-    val pr = GraphOps.pagerank(spark, sf).collect()
-    val nodes = Dedup
-      .minhashLshPairsShared(spark, sf)
-      .selectExpr("doc_a AS d").union(
-        Dedup.minhashLshPairsShared(spark, sf).selectExpr("doc_b AS d")
-      )
-      .distinct()
-      .count()
-    assert(pr.length == nodes, "every node of the pair graph gets a rank")
-    val ranks = pr.map(_.getLong(1))
-    assert(ranks.forall(_ >= 150000L), "rank floor is the damping term")
-    // integer-division PR only LOSES mass (floor at every step), so
-    // total scaled mass never exceeds the initial n × 10^6
-    assert(ranks.sum <= nodes * 1000000L, "PR must not create mass")
+  private def edgesDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("doc_a", "doc_b")
   }
 
-  test("triangle census satisfies the structural bounds of an undirected graph") {
-    val row = GraphOps.triangleCensus(spark, sf).collect().head
-    val (nodes, edges, wedges, tris, clust) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
-    assert(edges <= nodes.toLong * (nodes - 1) / 2, "edge count bounded by complete graph")
-    assert(3 * tris <= wedges, "every triangle closes three wedges")
-    assert(clust >= 0 && clust <= 1000000L, "clustering coefficient is a [0,1] ratio")
-    Dedup.invalidate()
+  /** Reference: literal per-round peel, no early exit, plain Scala. */
+  private def referenceCensus(
+      pairs: Seq[(Long, Long)],
+      k: Int,
+      rounds: Int,
+  ): Seq[(Int, Long, Long)] = {
+    var e = pairs
+    (1 to rounds).map { r =>
+      val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).view.mapValues(_.size)
+      val keep = deg.filter(_._2 >= k).keys.toSet
+      e = e.filter(p => keep(p._1) && keep(p._2))
+      (r, keep.size.toLong, e.size.toLong)
+    }
+  }
+
+  private def check(pairs: Seq[(Long, Long)], k: Int = 2, rounds: Int = 3): Unit = {
+    val got = GraphOps
+      .kCorePeelingOf(spark, edgesDf(pairs), k, rounds)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .toSeq
+    assert(got == referenceCensus(pairs, k, rounds), s"pairs=$pairs k=$k")
+  }
+
+  test("path graph peels a fresh layer every round — the full loop runs") {
+    // degrees 1,2,2,2,2,2,1: round 1 drops the endpoints, round 2
+    // the next layer, round 3 the next — no round is a fixpoint
+    check((1L to 6L).map(i => (i, i + 1)))
+  }
+
+  test("triangle converges in round 1 — later census rows are exact copies") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    check(tri)
+    val rows = GraphOps.kCorePeelingOf(spark, edgesDf(tri), 2, 3).collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).distinct.length == 1)
+  }
+
+  test("hair on a core: leaves peel in round 1, the core is stable after") {
+    // triangle {1,2,3} plus pendant nodes 10..12 hanging off it
+    check(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("empty graph: all-zero census, no failure") {
+    check(Seq.empty)
+  }
+
+  test("k=3 on a 4-clique with a tail") {
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    check(clique ++ Seq((4L, 9L), (9L, 10L)), k = 3)
   }
 }
