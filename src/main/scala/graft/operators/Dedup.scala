@@ -294,12 +294,41 @@ object Dedup {
       .select(explode(graft.functions.IdPairsExpr(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    verifyPairsExact(base, candidates, threshold)
+  }
 
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against the shingled corpus, with ONE corpus-side fetch: the
+    * pair list unions to (doc_a, doc_b, doc_id ∈ {a, b}) rows and a
+    * single doc_id equi-join attaches the shingle arrays for BOTH
+    * roles; a pair-key regroup then splits them back (doc_id = doc_a
+    * identifies the role — exactly one non-null per slot, so `max`
+    * picks it). The two-join formulation it replaces exchanged the
+    * corpus shingle arrays TWICE (once per role — measured ~480 MB
+    * of a refresh probe's shuffle at sf10e, and at sf4+ AQE's
+    * broadcast fallback on a filtered slice was even worse: a
+    * ~100 MB single-threaded broadcast build). Here the corpus side
+    * is exchanged at most once, the regroup moves only
+    * candidate-sized rows, and when the pair list is small AQE still
+    * broadcasts it — then the corpus is never exchanged at all (the
+    * sf1e plan). A pair missing either side in `base` yields a null
+    * shingle slot → null jaccard → filtered, identical to the inner
+    * joins it replaces.
+    */
+  private def verifyPairsExact(base: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val need = pairs
+      .select(col("doc_a"), col("doc_b"), col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_a"), col("doc_b"), col("doc_b").as("doc_id")))
+    val byPair = need
+      .join(base, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("doc_b"), col("sh"))).as("sh_b"),
+      )
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    candidates
+    byPair
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -734,19 +763,7 @@ object Dedup {
     val candidates = newOld
       .unionByName(newNew)
       .dropDuplicates("doc_a", "doc_b")
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    candidates
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        inter.cast("long").as("n_common"),
-        union.cast("long").as("n_union"),
-        (inter.cast("double") / union).as("jaccard"),
-      )
-      .filter(col("jaccard") >= threshold)
+    verifyPairsExact(base, candidates, threshold)
   }
 
   /** The index-refresh loop that closes the streaming ingest story
@@ -834,19 +851,7 @@ object Dedup {
     val candidates = newOld
       .unionByName(newNew)
       .dropDuplicates("doc_a", "doc_b")
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    candidates
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        inter.cast("long").as("n_common"),
-        union.cast("long").as("n_union"),
-        (inter.cast("double") / union).as("jaccard"),
-      )
-      .filter(col("jaccard") >= threshold)
+    verifyPairsExact(base, candidates, threshold)
   }
 
   /** Memoized connected components over the MinHash-LSH pair graph. */

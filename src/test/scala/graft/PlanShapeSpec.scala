@@ -257,6 +257,37 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.operators.Dedup.invalidate()
   }
 
+  test("exact-set scorers share one memoized pair-common-counts artifact") {
+    // jaccard and containment differ only in the final projection —
+    // the corpus explode + posting pair expansion must be paid once
+    // (round-9: family cost 2.84 s -> 1.72 s at sf0.1)
+    graft.operators.Dedup.invalidate()
+    graft.operators.Dedup.ngramJaccardPairs(spark, sf).count()
+    val ccViews = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_ngram_cc"))
+    assert(ccViews.length == 1, s"want exactly one shared artifact view, got ${ccViews.toSeq}")
+    assert(spark.catalog.isCached(ccViews.head), "the shared artifact must be cached")
+    graft.operators.Dedup.ngramContainmentPairs(spark, sf).count()
+    val after = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_ngram_cc"))
+    assert(after.length == 1, "containment must ride the SAME artifact, not register a second")
+    graft.operators.Dedup.invalidate()
+    assert(
+      !spark.catalog.listTables().collect().map(_.name).exists(_.startsWith("graft_ngram_cc")),
+      "invalidate must drop the artifact view")
+  }
+
+  test("pq codebook is memoized alongside the codes artifact") {
+    graft.operators.PqIndex.invalidate()
+    val a = graft.operators.PqIndex.codebook(spark, sf)
+    val b = graft.operators.PqIndex.codebook(spark, sf)
+    assert(a eq b, "second codebook call must reuse the memoized frame")
+    graft.operators.PqIndex.invalidate()
+    assert(
+      !spark.catalog.listTables().collect().map(_.name).exists(_.startsWith("graft_pq_codebook")),
+      "invalidate must drop the codebook view")
+  }
+
   test("derived-frame analytics scan their corpus exactly once") {
     // bounds/margins/user-sets must derive from the first aggregate,
     // not re-scan the source through a duplicated lineage
