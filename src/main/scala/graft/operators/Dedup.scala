@@ -535,11 +535,27 @@ object Dedup {
     // normalize to min-id labels (see scaladoc): the contraction's
     // exactness proof needs label == min(member ids); per-cluster min
     // is a map-side-combinable aggregate over the assignment table
-    val old = rawOld
+    val normalized = rawOld
       .join(
         rawOld.groupBy("cluster_id").agg(min("doc_id").as("min_id")),
         Seq("cluster_id"))
       .select(col("doc_id"), col("min_id").as("cluster_id"))
+    connectedComponentsIncrementalPreNormalized(normalized, newPairs)
+  }
+
+  /** The contraction core, REQUIRING min-id labels (label == minimum
+    * member doc_id). Callers whose labels come straight from
+    * [[connectedComponents]] (which emits minima by construction)
+    * take this entry point and skip the public method's
+    * normalization pass — one assignment-table aggregate + join that
+    * is provably a no-op for them.
+    */
+  private[graft] def connectedComponentsIncrementalPreNormalized(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+  ): DataFrame = {
+    val old = oldLabels
+      .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
       .localCheckpoint()
     val e = newPairs
       .select(col("doc_a").cast("long").as("doc_a"), col("doc_b").cast("long").as("doc_b"))
@@ -580,7 +596,9 @@ object Dedup {
     // doc_a < doc_b, so doc_b <= cutoff ⟺ both endpoints are old
     val oldLabels = connectedComponents(
       minhashLshPairsShared(spark, dir).filter(col("doc_b") <= cutoff).select("doc_a", "doc_b"))
-    connectedComponentsIncremental(
+    // labels come straight from connectedComponents (minima by
+    // construction) — skip the public normalization pass
+    connectedComponentsIncrementalPreNormalized(
       oldLabels,
       minhashIncrementalPairs(spark, dir).select("doc_a", "doc_b"))
   }
