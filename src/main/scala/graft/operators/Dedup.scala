@@ -316,9 +316,12 @@ object Dedup {
     * joins it replaces.
     */
   private def verifyPairsExact(base: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    // explode, not a self-union: unioning `pairs` with itself would
+    // duplicate the whole candidate lineage in the static plan
+    // (runtime exchange reuse papers over it, but the single-lineage
+    // form needs no papering — pinned in PlanShapeSpec)
     val need = pairs
-      .select(col("doc_a"), col("doc_b"), col("doc_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_a"), col("doc_b"), col("doc_b").as("doc_id")))
+      .select(col("doc_a"), col("doc_b"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     val byPair = need
       .join(base, Seq("doc_id"))
       .groupBy("doc_a", "doc_b")

@@ -169,6 +169,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sortMergeJoins(df) == 0, "size lookups must ride the posting lists, not joins")
   }
 
+  test("minhash verify fetches the corpus shingles in ONE scan, not one per pair role") {
+    // verifyPairsExact (round 9): the pair list unions its two doc
+    // ids and a single doc_id join fetches both roles' arrays — the
+    // corpus text lineage must appear exactly twice in the static
+    // plan (the banded-signature build + the one fetch), where the
+    // two-join formulation it replaced carried three
+    def textScans(df: DataFrame): Int =
+      collectPlan(df).count(p =>
+        p.getClass.getSimpleName.startsWith("FileSourceScan") && p.output.exists(_.name == "text"))
+    assert(textScans(graft.operators.Dedup.minhashLshPairs(spark, sf)) <= 2)
+  }
+
   test("simhash pairs hash-shuffle only bucket-size partials and the pair distinct") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     val df = graft.operators.Dedup.simhashHammingPairs(spark, sf)
