@@ -335,10 +335,29 @@ object PqIndex {
       nQueries: Int = 8,
       k: Int = 5,
       shortlist: Int = 50,
+  ): DataFrame =
+    rerankShortlist(
+      spark,
+      dir,
+      Similarity
+        .topKPerQuery(adcScored(spark, dir, nQueries), shortlist, scoreCol = "score")
+        .select(col("query_id"), col("neighbor_id")),
+      nQueries,
+      k,
+    )
+
+  /** The exact-re-rank tier alone, over an ALREADY-COMPUTED ADC
+    * shortlist — so a consumer that needs both the pure-ADC ranking
+    * and the re-ranked one ([[adcRecallAtK]]) scores the codes table
+    * once, not once per tier.
+    */
+  private def rerankShortlist(
+      spark: SparkSession,
+      dir: String,
+      short: DataFrame,
+      nQueries: Int,
+      k: Int,
   ): DataFrame = {
-    val short = Similarity
-      .topKPerQuery(adcScored(spark, dir, nQueries), shortlist, scoreCol = "score")
-      .select(col("query_id"), col("neighbor_id"))
     val withNeighbor = Tables
       .parallel(spark, dir, "embeddings")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
@@ -373,9 +392,16 @@ object PqIndex {
     val bf = Similarity
       .bruteForceTopK(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-    val adc = adcTopK(spark, dir, nQueries, k)
+    // ONE ADC pass over the codes serves both tiers: the pure-ADC
+    // top-k is the rank ≤ k prefix of the shortlist (same score,
+    // same tie order — topKPerQuery's ranking is deterministic), and
+    // the re-rank tier consumes the same shortlist rows
+    val short = Similarity
+      .topKPerQuery(adcScored(spark, dir, nQueries), 50, scoreCol = "score")
+    val adc = short
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_adc"))
-    val rr = adcRerankTopK(spark, dir, nQueries, k)
+    val rr = rerankShortlist(spark, dir, short.select(col("query_id"), col("neighbor_id")), nQueries, k)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_rr"))
     bf.join(adc, Seq("query_id", "neighbor_id"), "left")
       .join(rr, Seq("query_id", "neighbor_id"), "left")
