@@ -60,6 +60,12 @@ object SparkEntry {
     "q21_waiting_supplier" -> (RelationalQueries.q21WaitingSupplier _),
     // Q22 scalar-subquery threshold + anti join (country set adapted)
     "q22_global_sales" -> (RelationalQueries.q22GlobalSales _),
+    // Q2/Q11/Q16/Q20 analogues over the derived partsupp relation
+    // (no partsupp table in the corpus — see derivedPartsupp)
+    "q2_mincost_supplier" -> (RelationalQueries.q2MinCostSupplier _),
+    "q11_important_stock" -> (RelationalQueries.q11ImportantStock _),
+    "q16_part_supplier" -> (RelationalQueries.q16PartSupplierCounts _),
+    "q20_hot_part_suppliers" -> (RelationalQueries.q20HotPartSuppliers _),
     // Morton-tile locality spans vs the linear layout — the
     // measurement behind OPTIMIZE ... ZORDER BY
     "zorder_locality" -> (graft.operators.Bucketing.zorderLocality _),
@@ -386,6 +392,16 @@ object SparkEntry {
   private val revenue =
     "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)"
 
+  // the derived partsupp relation shared by the Q2/Q11/Q16/Q20
+  // analogues (no partsupp table in the corpus): exact integer
+  // quantity-hundredths / price-cents, see RelationalQueries.derivedPartsupp
+  private val psCte =
+    """ps AS MATERIALIZED (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS ps_availqty_c,
+      |         min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS ps_supplycost_c
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
   // the sink-path gates compute the same result through the
   // production parquet-sink plan, so they share their twins' oracles
   def oracleSql: Map[String, String] = {
@@ -623,6 +639,57 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+    "q2_mincost_supplier" ->
+      s"""WITH $psCte,
+         |rps AS MATERIALIZED (
+         |  SELECT ps_partkey, ps_supplycost_c, s_acctbal, s_name, n_name
+         |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'),
+         |w AS (SELECT *, min(ps_supplycost_c) OVER (PARTITION BY ps_partkey) AS m_cost FROM rps)
+         |SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal, s_name, n_name,
+         |       p_partkey, p_brand, ps_supplycost_c AS supplycost_c
+         |FROM w JOIN part ON ps_partkey = p_partkey
+         |WHERE ps_supplycost_c = m_cost AND p_size <= 25 AND p_type = 'LARGE'
+         |ORDER BY acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH $psCte,
+         |nps AS MATERIALIZED (
+         |  SELECT ps_partkey, ps_supplycost_c * ps_availqty_c AS v
+         |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_3', 'NATION_7')),
+         |tot AS (SELECT sum(v) AS total_v, count(DISTINCT ps_partkey) AS npart FROM nps)
+         |SELECT ps_partkey AS partkey, CAST(sum(v) AS BIGINT) AS value_c2
+         |FROM nps, tot
+         |GROUP BY 1, total_v, npart
+         |HAVING sum(v) * npart > 2 * total_v""".stripMargin,
+    "q16_part_supplier" ->
+      s"""WITH $psCte
+         |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_hot_part_suppliers" ->
+      s"""WITH $psCte,
+         |q96 AS MATERIALIZED (
+         |  SELECT l_partkey AS q_partkey, l_suppkey AS q_suppkey,
+         |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS qty96_c
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY 1, 2)
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12') AND s_suppkey IN (
+         |  SELECT ps_suppkey FROM ps
+         |  JOIN part ON ps_partkey = p_partkey
+         |  JOIN q96 ON ps_partkey = q_partkey AND ps_suppkey = q_suppkey
+         |  WHERE p_name LIKE '%bolt%' AND 2 * qty96_c > ps_availqty_c)""".stripMargin,
     "q12_ship_priority" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

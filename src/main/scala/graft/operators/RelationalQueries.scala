@@ -2066,6 +2066,174 @@ object RelationalQueries {
       )
   }
 
+  // ---- derived-partsupp TPC-H analogues (Q2 / Q11 / Q16 / Q20) ------------
+  //
+  // The corpus has no partsupp table, so the four partsupp-centric
+  // TPC-H queries run over a DERIVED part-supplier relation: one
+  // aggregate of lineitem by (l_partkey, l_suppkey) with
+  //   ps_availqty_c   = sum(quantity) in exact hundredths (supply proxy)
+  //   ps_supplycost_c = min(extendedprice) in exact cents  (cost proxy)
+  // Both exact integers, so every downstream comparison/arithmetic is
+  // engine-identical. The relation is session-memoized (NamedArtifact)
+  // because all four queries start from it — at deployment scale it is
+  // a stored derived table, built by one lineitem shuffle on the
+  // composite key and read by each query.
+
+  private val partsuppCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Drop the memoized derived-partsupp artifact (benchmark hygiene —
+    * same eager-unpersist rationale as [[Dedup.invalidate]]).
+    */
+  def invalidate(): Unit =
+    partsuppCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_partsupp", dir))
+    }
+
+  /** The shared derived partsupp relation (see block comment above).
+    * One lineitem scan + one shuffle on (l_partkey, l_suppkey); the
+    * per-pair sums are Long-safe at any corpus size (a pair's row
+    * count is bounded by its order count, and 2⁶³ hundredths ≈ 9·10¹⁶
+    * units per single part-supplier pair is unreachable).
+    */
+  def derivedPartsupp(spark: SparkSession, dir: String): DataFrame =
+    partsuppCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_partsupp", dir),
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+          .agg(
+            sum(cents(col("l_quantity"))).as("ps_availqty_c"),
+            min(cents(col("l_extendedprice"))).as("ps_supplycost_c"),
+          ),
+      )
+    }
+
+  /** TPC-H Q2 analogue (min-cost supplier): for each LARGE small-size
+    * part, the ASIA-region supplier(s) offering it at the regional
+    * minimum cost. The correlated-min subquery decorrelates into a
+    * per-part window min. Plan: the part filter joins BEFORE the
+    * window (min-per-part commutes with dropping whole parts), so the
+    * window shuffle carries only the ~1/12 slice that can reach the
+    * output; nation/region/filtered-part are broadcast dims. The
+    * LIMIT rides a unique total order (acctbal, n_name, s_name,
+    * p_partkey — a supplier appears once per part).
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(spark, dir, "nation")
+      .join(
+        broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val parts = t(spark, dir, "part")
+      .filter(col("p_size") <= 25 && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_brand"))
+    derivedPartsupp(spark, dir)
+      .join(t(spark, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .withColumn("__m_cost", min(col("ps_supplycost_c")).over(Window.partitionBy(col("ps_partkey"))))
+      .filter(col("ps_supplycost_c") === col("__m_cost"))
+      .select(
+        dec2(col("s_acctbal")).cast("double").as("acctbal"),
+        col("s_name"),
+        col("n_name"),
+        col("p_partkey"),
+        col("p_brand"),
+        col("ps_supplycost_c").as("supplycost_c"),
+      )
+      .orderBy(col("acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 analogue (important stock): per-part inventory value
+    * held by suppliers in two nations, keeping parts worth more than
+    * 2× the mean per-part value. The original's fixed 1/10000
+    * fraction is part-count-dependent (it empties as parts scale);
+    * the mean-relative threshold is SF-invariant — `sum(v)·npart >
+    * 2·total` in exact integer/decimal math on both engines. The
+    * per-row value product stays a Long (cost ≤ ~10⁹ cents × per-pair
+    * qty ≤ ~10⁶ hundredths « 2⁶³); group sums accumulate in the
+    * primitive 128-bit [[Num.sumScaled]] buffer, so no magnitude
+    * overflows at any corpus size. The threshold's 1-row aggregate
+    * broadcasts (the q22 scalar-subquery shape).
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val nations = t(spark, dir, "nation").filter(col("n_name").isin("NATION_3", "NATION_7"))
+    val nps = derivedPartsupp(spark, dir)
+      .join(t(spark, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("ps_partkey"), (col("ps_supplycost_c") * col("ps_availqty_c")).as("v"))
+    val tot = nps.agg(
+      sumScaled(col("v")).as("__total_v"),
+      countDistinct(col("ps_partkey")).as("__npart"),
+    )
+    nps
+      .groupBy(col("ps_partkey").as("partkey"))
+      .agg(sumScaled(col("v")).as("__value"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__value") * col("__npart") > lit(2) * col("__total_v"))
+      .select(col("partkey"), col("__value").cast("long").as("value_c2"))
+  }
+
+  /** TPC-H Q16 analogue (part-supplier relationship count): how many
+    * distinct non-excluded suppliers offer each surviving
+    * (brand, type, size) bucket. The complaints exclusion becomes the
+    * negative-balance supplier set — a broadcast anti join (NOT IN on
+    * a non-null key is exactly left-anti). One shuffle: the
+    * countDistinct regroup from (part,supp) grain to the 3-column
+    * bucket.
+    */
+  def q16PartSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("__bad_supp"))
+    val parts = t(spark, dir, "part")
+      .filter(
+        col("p_brand") =!= "Brand#13" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    derivedPartsupp(spark, dir)
+      .join(broadcast(excluded), col("ps_suppkey") === col("__bad_supp"), "left_anti")
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 analogue (suppliers of recently-hot parts): suppliers
+    * in three nations holding a '%bolt%' part whose 1996 shipments
+    * exceed half its all-time movement (the original's
+    * availqty > ½·year-demand excess-stock test, inverted to a
+    * recently-hot test because the derived availqty proxy CONTAINS
+    * the year slice — `2·qty96 > availqty` keeps the comparison
+    * strict, integral, and scale-free). Plan: the year slice is a
+    * second lineitem aggregate on the same composite key; its join to
+    * the derived relation is key-aligned, the part filter prunes
+    * before it, and the supplier side reduces to a left-semi against
+    * the distinct hot-supplier set.
+    */
+  def q20HotPartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val q96 = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(col("l_partkey").as("q_partkey"), col("l_suppkey").as("q_suppkey"))
+      .agg(sum(cents(col("l_quantity"))).as("__qty96_c"))
+    val bolts = t(spark, dir, "part")
+      .filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"))
+    val hotSuppliers = derivedPartsupp(spark, dir)
+      .join(broadcast(bolts), col("ps_partkey") === col("p_partkey"))
+      .join(q96, col("ps_partkey") === col("q_partkey") && col("ps_suppkey") === col("q_suppkey"))
+      .filter(lit(2) * col("__qty96_c") > col("ps_availqty_c"))
+      .select(col("ps_suppkey"))
+      .distinct()
+    val nations = t(spark, dir, "nation")
+      .filter(col("n_name").isin("NATION_3", "NATION_8", "NATION_12"))
+    t(spark, dir, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .join(hotSuppliers, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning gauge
     * ("how many users were on at once"). Sessions are the same
     * 1-hour-gap islands as [[userSessions]]; each contributes a +1

@@ -65,6 +65,52 @@ class BatchQueriesSpec extends AnyFunSuite {
     )
   }
 
+  test("q2 part-filter-before-window equals the oracle's window-then-filter form") {
+    // the shipped plan joins the filtered part dim BEFORE the per-part
+    // window min (so the window shuffle carries ~1/12 of the regional
+    // slice); sound because a per-part min commutes with dropping
+    // whole parts. Pin against the literal oracle formulation: window
+    // over the full regional relation, part filter after.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val q = graft.operators.RelationalQueries
+    val asiaNations = graft.sources.Tables(spark, sf, "nation")
+      .join(
+        graft.sources.Tables(spark, sf, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val literal = q
+      .derivedPartsupp(spark, sf)
+      .join(graft.sources.Tables(spark, sf, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .withColumn("__m_cost", min(col("ps_supplycost_c")).over(Window.partitionBy(col("ps_partkey"))))
+      .filter(col("ps_supplycost_c") === col("__m_cost"))
+      .join(
+        graft.sources.Tables(spark, sf, "part").filter(col("p_size") <= 25 && col("p_type") === "LARGE"),
+        col("ps_partkey") === col("p_partkey"))
+      .select(
+        col("s_acctbal").cast("decimal(12,2)").cast("double").as("acctbal"),
+        col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+        col("ps_supplycost_c").as("supplycost_c"))
+      .orderBy(col("acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+    val shipped = q.q2MinCostSupplier(spark, sf)
+    assert(shipped.collect().toSeq == literal.collect().toSeq)
+  }
+
+  test("derived partsupp is a session-memoized cached artifact") {
+    val q = graft.operators.RelationalQueries
+    q.invalidate()
+    val name = graft.util.NamedArtifact.viewName("graft_partsupp", sf)
+    q.derivedPartsupp(spark, sf).count()
+    assert(spark.catalog.isCached(name), "derived partsupp should be catalog-cached")
+    q.invalidate()
+    assert(
+      !spark.catalog.tableExists(name),
+      "invalidate() must drop the partsupp view so benches re-pay the build",
+    )
+  }
+
   test("votes_per_candidate totals equal whole-table totals") {
     import org.apache.spark.sql.functions._
     val per = graft.operators.RelationalQueries.votesPerCandidate(spark, sf)
