@@ -338,6 +338,9 @@ object SparkEntry {
     "similarity_ann_recall" -> ((s, d) => Similarity.annRecallAtK(s, d)),
     "similarity_ann_multiprobe" -> ((s, d) => Similarity.annLshTopKMultiProbe(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    // SemDeDup policy: cosine pairs → transitive closure → keep the
+    // component-min representative; full-corpus keep/retire verdicts
+    "dedup_semantic_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
     // product-quantization family: codes (16 bytes/vec vs 256 for
     // floats — the 100-TB memory tier), ADC serving over codes only,
     // and the measured recall-vs-exact honesty gate
@@ -2607,6 +2610,21 @@ object SparkEntry {
       s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+    "dedup_semantic_keep" ->
+      s"""WITH RECURSIVE p AS MATERIALIZED (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |edges AS MATERIALIZED (SELECT va AS src, vb AS dst FROM p
+         |          UNION ALL SELECT vb, va FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
+         |cc AS MATERIALIZED (SELECT id, min(lbl) AS cl FROM reach GROUP BY id)
+         |SELECT e.vec_id, COALESCE(cc.cl, e.vec_id) AS semantic_cluster,
+         |       CAST(CASE WHEN COALESCE(cc.cl, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS INT) AS is_kept
+         |FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.id""".stripMargin,
     "similarity_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

@@ -242,6 +242,49 @@ object Similarity {
       .select(col("label"), col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup-style semantic dedup policy: which vector survives when
+    * embedding-space near-duplicates (cosine ≥ threshold within a
+    * coarse cell — [[embeddingNearDupPairs]]) are collapsed to one
+    * representative per SEMANTIC GROUP. Pairs alone under-delete:
+    * a~b, b~c means {a,b,c} is one redundant group even if a~c never
+    * scored, so the pair graph goes through the same transitive
+    * closure the text path uses ([[Dedup.connectedComponents]]) and
+    * the keep rule is the component minimum — deterministic, and
+    * identical in kind to the canonical-doc policy of
+    * `dedup_clusters`.
+    *
+    * Output: (vec_id, semantic_cluster, is_kept) for EVERY corpus
+    * vector — singletons are their own cluster and are kept, so the
+    * frame is directly usable as the pruning side of a training-set
+    * join (`filter(is_kept) ∘ join` = the curated corpus).
+    *
+    * Scale shape: the pair graph is near-dup-density-sized, orders of
+    * magnitude below the corpus; CC touches only the graph
+    * (per-round equi-join + min-agg); the final left join is
+    * corpus ⋈ graph-vertices on vec_id — AQE broadcasts the vertex
+    * side whenever dup density is low, and the corpus is never
+    * shuffled.
+    */
+  def semanticKeep(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+  ): DataFrame = {
+    val pairs = embeddingNearDupPairs(spark, dir, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    emb(spark, dir)
+      .select(col("vec_id"))
+      .join(cc, col("vec_id") === col("doc_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("semantic_cluster"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+          .cast("int")
+          .as("is_kept"),
+      )
+  }
+
   /** Per-label embedding centroid drift: how far each label's mean
     * embedding points away from the corpus-wide mean, as the cosine
     * between the two centroids — the embedding-space analogue of the

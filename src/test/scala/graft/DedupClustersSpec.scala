@@ -11,6 +11,25 @@ class DedupClustersSpec extends AnyFunSuite {
     .builder(master = "local[4]", shufflePartitions = 4)
     .getOrCreate()
 
+  test("semantic keep: pair endpoints share a cluster, kept = component min, full corpus covered") {
+    import org.apache.spark.sql.functions._
+    val keep = graft.operators.Similarity.semanticKeep(spark, sf)
+    val nVecs = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(keep.count() == nVecs, "every corpus vector must get a verdict")
+    // both endpoints of every near-dup pair land in the same cluster
+    val pairs = graft.operators.Similarity.embeddingNearDupPairs(spark, sf)
+    val ca = keep.select(col("vec_id").as("vec_a"), col("semantic_cluster").as("cl_a"))
+    val cb = keep.select(col("vec_id").as("vec_b"), col("semantic_cluster").as("cl_b"))
+    val split = pairs.join(ca, "vec_a").join(cb, "vec_b").filter(col("cl_a") =!= col("cl_b"))
+    assert(split.isEmpty, "a near-dup pair was split across semantic clusters")
+    // exactly the component-min is kept, one keeper per cluster
+    val badKeep = keep
+      .groupBy("semantic_cluster")
+      .agg(min("vec_id").as("mn"), sum("is_kept").as("n_kept"))
+      .filter(col("n_kept") =!= 1 || col("mn") =!= col("semantic_cluster"))
+    assert(badKeep.isEmpty, "keep rule must select exactly the component minimum")
+  }
+
   test("connected components: transitive closure across a chain needs >1 round") {
     import spark.implicits._
     // 1-2-3-4-5 is a diameter-4 chain: label 1 must hop four times,
