@@ -260,6 +260,9 @@ object SparkEntry {
     // ingest-time near-dup probe: arriving docs banded map-side and
     // probed against the stored corpus band index, stream-static
     "stream_incremental_dedup" -> (StreamingQueries.incrementalDedupViaSink _),
+    // ingest-time PQ encode: arriving embeddings → codes appended to
+    // the distributed index sink, row-identical to the batch artifact
+    "stream_pq_encode" -> (StreamingQueries.pqEncodeViaSink _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -412,6 +415,8 @@ object SparkEntry {
     base ++ Map(
       "stream_interval_join_sink" -> base("stream_interval_join"),
       "stream_similarity_topk_sink" -> base("stream_similarity_topk"),
+      // the ingest-time encoded index must equal the batch codes artifact
+      "stream_pq_encode" -> base("similarity_pq_codes"),
       // the incrementally-maintained view must equal the batch compaction
       "stream_cdc_latest" -> base("cdc_latest_per_key"),
       // salted two-phase agg must equal the direct groupBy

@@ -147,30 +147,43 @@ object PqIndex {
     */
   def codes(spark: SparkSession, dir: String): DataFrame =
     codesCache.getOrElseUpdate(spark, dir) {
-      val centsRow = codebook(spark, dir)
-        .groupBy()
-        .agg(collect_list(struct(col("s"), col("cell"), col("mean"))).as("cents"))
-      val enc = Tables
-        .parallel(spark, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        .crossJoin(centsRow)
-        .select(
-          (col("vec_id") +: (0 until numSub).map { s =>
-            val sub = slice(col("q"), s * subDim + 1, subDim)
-            array_min(
-              transform(
-                filter(col("cents"), c => c.getField("s") === s),
-                c => struct(l2sq(sub, c.getField("mean")).as("d2"), c.getField("cell").as("cell")),
-              )
-            ).getField("cell").as(s"c$s")
-          }) :+ quantNorm(col("q")).as("nrm"): _*
-        )
       graft.util.NamedArtifact.cache(
         spark,
         graft.util.NamedArtifact.viewName("graft_pq_codes", dir),
-        enc,
+        encodeAgainst(Tables.parallel(spark, dir, "embeddings"), centroidsRow(spark, dir)),
       )
     }
+
+  /** The whole codebook collapsed to ONE row — the broadcast-destined
+    * artifact every row-wise encoder consumes.
+    */
+  private[graft] def centroidsRow(spark: SparkSession, dir: String): DataFrame =
+    codebook(spark, dir)
+      .groupBy()
+      .agg(collect_list(struct(col("s"), col("cell"), col("mean"))).as("cents"))
+
+  /** Row-wise PQ encode of a (vec_id, embedding) relation against a
+    * 1-row codebook frame: each row takes its 4 per-subspace min-L2
+    * argmins in place — no corpus shuffle, no |cells|-way expansion.
+    * Works unchanged on a STREAMING corpus (stateless stream-static
+    * cross of the single codebook row): that is the ingest-time
+    * index-build path ([[graft.streaming.StreamingQueries.pqEncodeStream]]).
+    */
+  private[graft] def encodeAgainst(corpus: DataFrame, centsRow: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .crossJoin(broadcast(centsRow))
+      .select(
+        (col("vec_id") +: (0 until numSub).map { s =>
+          val sub = slice(col("q"), s * subDim + 1, subDim)
+          array_min(
+            transform(
+              filter(col("cents"), c => c.getField("s") === s),
+              c => struct(l2sq(sub, c.getField("mean")).as("d2"), c.getField("cell").as("cell")),
+            )
+          ).getField("cell").as(s"c$s")
+        }) :+ quantNorm(col("q")).as("nrm"): _*
+      )
 
   /** Drop the memoized codes + codebook artifacts and their storage
     * blocks (benchmark hygiene; by-name, value-liveness-independent).

@@ -691,6 +691,35 @@ object StreamingQueries {
     runAppendToParquet(spark, incrementalDedupStream(spark, dir), scratchSinkDir("incdedup") + "/out")
       .dropDuplicates("doc_a", "doc_b")
 
+  /** Streaming ingest-time PQ encode — the vector-index twin of
+    * [[incrementalDedupStream]]: every arriving embedding is encoded
+    * to its 4 subspace codes + stored norm against the BROADCAST
+    * static codebook, map-side and stateless (the only streaming
+    * state is the source offset log), and the code rows land on the
+    * distributed append sink. At 100 TB this is how the compressed
+    * serving tier is BUILT: the index is an append-only codes table
+    * that grows as data lands, no batch re-encode of the corpus —
+    * and because the encode is row-wise against a fixed codebook,
+    * the landed table is row-identical to the batch
+    * [[graft.operators.PqIndex.codesTable]] artifact (the gate
+    * shares its oracle; equality also pinned in spec). Codebook
+    * refresh (drift) is the batch [[graft.operators.PqIndex.codebook]]
+    * rebuild, exactly like the LSH band-index refresh gate.
+    */
+  def pqEncodeStream(spark: SparkSession, dir: String): DataFrame = {
+    val fallback = new StructType()
+      .add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType))
+      .add("label", IntegerType)
+    graft.operators.PqIndex.encodeAgainst(
+      tableStream(spark, dir, "embeddings", fallback).select(col("vec_id"), col("embedding")),
+      graft.operators.PqIndex.centroidsRow(spark, dir),
+    )
+  }
+
+  def pqEncodeViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, pqEncodeStream(spark, dir), scratchSinkDir("pqencode") + "/out")
+
   def activeUsersStream(spark: SparkSession, dir: String): DataFrame = {
     val firsts = eventsStream(spark, dir)
       .select(col("ts"), col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))

@@ -259,6 +259,23 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(sa == sb, s"streamed probe diverged from the batch old×new slice: ${sa.diff(sb)} / ${sb.diff(sa)}")
   }
 
+  test("ingest-time PQ encode lands the exact batch codes artifact") {
+    // the encode is row-wise against a fixed broadcast codebook, so
+    // micro-batch boundaries and arrival order must be invisible:
+    // the landed index table is row-identical to the batch artifact
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingQueries.pqEncodeViaSink(spark, dir)
+    val batch = graft.operators.PqIndex.codesTable(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Int, Int, Double)] =
+      df.select("vec_id", "c0", "c1", "c2", "c3", "nrm")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))
+        .toSet
+    val sa = rows(streamed)
+    val sb = rows(batch)
+    assert(sa.nonEmpty && sa == sb, s"streamed codes diverged: ${sa.diff(sb).take(3)} / ${sb.diff(sa).take(3)}")
+  }
+
   test("streaming quality router partitions the corpus: keep sink == batch rule, keep ∪ reject = all") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
