@@ -2179,10 +2179,14 @@ object RelationalQueries {
   /** TPC-H Q16 analogue (part-supplier relationship count): how many
     * distinct non-excluded suppliers offer each surviving
     * (brand, type, size) bucket. The complaints exclusion becomes the
-    * negative-balance supplier set — a broadcast anti join (NOT IN on
-    * a non-null key is exactly left-anti). One shuffle: the
-    * countDistinct regroup from (part,supp) grain to the 3-column
-    * bucket.
+    * negative-balance supplier set — an anti join (NOT IN on a
+    * non-null key is exactly left-anti). Both the exclusion set and
+    * the filtered part side SCALE WITH THE CORPUS (supplier sf×10k,
+    * part sf×200k), so neither carries a static broadcast hint — AQE
+    * broadcasts from the measured post-filter size while it fits and
+    * falls back to a shuffle join past that (the supplier/part
+    * doctrine above). One unavoidable shuffle: the countDistinct
+    * regroup from (part,supp) grain to the 3-column bucket.
     */
   def q16PartSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
     val excluded = t(spark, dir, "supplier")
@@ -2194,8 +2198,8 @@ object RelationalQueries {
           col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     derivedPartsupp(spark, dir)
-      .join(broadcast(excluded), col("ps_suppkey") === col("__bad_supp"), "left_anti")
-      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(excluded, col("ps_suppkey") === col("__bad_supp"), "left_anti")
+      .join(parts, col("ps_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
   }
