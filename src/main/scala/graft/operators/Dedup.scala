@@ -435,11 +435,21 @@ object Dedup {
     *    (only banding collisions), and every round touches ONLY the
     *    graph: one equi-join (labels ⋈ edges) + one min-aggregation,
     *    both shuffling on vertex id;
-    *  - rounds = component diameter. Near-dup components are
-    *    star-like (diameter ≲ 4), so this converges in a handful of
-    *    rounds; an adversarially chain-shaped graph would call for
-    *    the alternating large-star/small-star variant (O(log n)
-    *    rounds) — same per-round plan, different message rule;
+    *  - rounds = component diameter, CAPPED: near-dup components are
+    *    usually star-like (diameter ≲ 4) and converge in a handful of
+    *    rounds, but a threshold pair graph near its percolation
+    *    density (average degree ≈ 1 — exactly where a cosine/jaccard
+    *    cutoff can land) grows long thin components whose diameter
+    *    makes round count the dominant cost (measured: the sf1
+    *    semantic-keep graph, 20k vertices / ~11k edges, needed 10×
+    *    the rounds of its 4× denser sf4 twin and inverted the scale
+    *    curve). So after `escalateAfter` rounds the remaining graph
+    *    is CONTRACTED through the current labels (each label class is
+    *    provably inside one component) and the O(log n)
+    *    large-star/small-star variant ([[connectedComponentsStar]])
+    *    finishes it — the fast path is untouched, and pathological
+    *    diameters cost log rounds on an already-collapsed graph
+    *    instead of diameter rounds on the full one;
     *  - lineage is truncated every round (localCheckpoint — on a
     *    cluster, a checkpoint dir / table write): without it the plan
     *    doubles per round and re-derives the LSH pipeline each time;
@@ -450,7 +460,8 @@ object Dedup {
     * every doc appearing in a pair (singletons are their own implicit
     * cluster and are not materialized).
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, escalateAfter: Int = 8): DataFrame = {
+    require(escalateAfter >= 1, "escalateAfter must be >= 1")
     // materialize the pair set once: edges are re-read every round,
     // and an unmaterialized lineage would re-run the whole candidate
     // pipeline per round
@@ -466,11 +477,7 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    val maxRounds = 64 // diameter bound; propagation is monotone, so
-    //                    hitting it means a pathological graph, not an
-    //                    infinite loop — fail loudly rather than emit
-    //                    a partially-propagated (wrong) clustering
-    while (!converged && rounds < maxRounds) {
+    while (!converged && rounds < escalateAfter) {
       // neighbor messages carry is_self=false; the vertex's own label
       // is_self=true — ONE aggregation then yields both the new label
       // (min over all) and the previous one (min over self rows), so
@@ -493,8 +500,43 @@ object Dedup {
       converged = shrunk == 0
       rounds += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+      println(s"[cc] min-label ran $rounds rounds (converged=$converged)")
+    if (converged)
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    else {
+      // Escalate: the graph still has a label strictly shrinking after
+      // `escalateAfter` rounds of propagation, i.e. some component's
+      // diameter exceeds the cap. Contract each edge through the
+      // current labels — label(v) = min of v's escalateAfter-hop
+      // neighborhood, so every label class lies inside one component
+      // and the contracted graph's components are exactly the images
+      // of the original ones — and let the star variant finish in
+      // O(log n) rounds. Composition is exact: the component's true
+      // minimum vertex m has label(m) = m (nothing in its
+      // neighborhood is smaller), so the contracted component's
+      // minimum LABEL is m itself, and star emits it as every
+      // contracted node's cluster id; final(v) = star(label(v)) = m.
+      // A label whose class swallowed its whole component has no
+      // surviving inter-label edge, never reaches star, and is
+      // already the component minimum — the left-join coalesce keeps
+      // it.
+      val la = labels.select(col("id").as("src"), col("lbl").as("la"))
+      val lb = labels.select(col("id").as("dst"), col("lbl").as("lb"))
+      val contracted = once
+        .join(la, "src")
+        .join(lb, "dst")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      val star = connectedComponentsStar(contracted)
+        .select(col("doc_id").as("lbl"), col("cluster_id").as("root"))
+      labels
+        .join(star, Seq("lbl"), "left")
+        .select(
+          col("id").as("doc_id"),
+          coalesce(col("root"), col("lbl")).as("cluster_id"),
+        )
+    }
   }
 
   /** Incremental connected components — cluster maintenance for the

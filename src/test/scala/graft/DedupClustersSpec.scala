@@ -71,6 +71,27 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(viaStar(301L) == 300L)
   }
 
+  test("propagation CC escalates to star on a diameter-120 chain") {
+    import spark.implicits._
+    // A percolation-critical pair graph grows long thin components;
+    // 120 hops of pure min-label propagation would need 120 rounds
+    // (the pre-escalation implementation failed loudly at its
+    // 64-round cap). The hybrid must collapse it: 8 propagation
+    // rounds, then the contracted graph goes through star CC.
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 121 && got.values.forall(_ == 0L),
+      "chain must collapse to a single component labeled by its minimum")
+    // forcing escalation on a NORMAL graph must not change the answer
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (4L, 1L)).toDF("doc_a", "doc_b")
+    val eager = Dedup.connectedComponents(pairs, escalateAfter = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lazy_ = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eager == lazy_ && eager == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("near-dup clusters carry sizes and exactly one canonical doc each") {
     val rows = Dedup.nearDupClusters(spark, sf).collect()
     assert(rows.nonEmpty, "sf0.001 corpus has LSH near-dup pairs")
