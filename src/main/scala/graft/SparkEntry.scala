@@ -170,6 +170,9 @@ object SparkEntry {
     // pair-merge frequencies and content-defined chunking stats
     "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "cdc_chunk_stats" -> (TextAnalysis.cdcChunkStats _),
+    // chunk-level cross-doc exact dedup: the sub-document granularity
+    // whole-doc hashing misses and set-similarity only scores
+    "cdc_chunk_dedup" -> (TextAnalysis.cdcChunkDedup _),
     // RAG retrieval chunking: overlapping token windows, one row per
     // chunk with its content hash (the retrieval index key)
     "rag_chunks" -> ((s, d) => TextAnalysis.ragChunks(s, d)),
@@ -354,6 +357,9 @@ object SparkEntry {
     // the composed FAISS-style index: probe nProbe coarse cells,
     // ADC-score only their codes
     "similarity_ivf_pq" -> ((s, d) => PqIndex.ivfPqTopK(s, d)),
+    // hybrid BM25+vector retrieval fused by integer reciprocal-rank
+    // fusion (k0=60) — the two-tower RAG serving shape
+    "hybrid_rrf_topk" -> ((s, d) => Similarity.hybridRrfTopK(s, d)),
     "embedding_quantize" -> (Similarity.quantizeInt8 _),
     // per-label centroid alignment to the corpus mean over exact
     // integer sum vectors (cosine is scale-invariant)
@@ -373,6 +379,9 @@ object SparkEntry {
     "sample_top_quality" -> ((s, d) => graft.operators.Sampling.topQualityPerSource(s, d)),
     "sample_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
     "sample_stratified" -> (graft.operators.Sampling.stratifiedQualityMix _),
+    // DSIR-shaped hashed-unigram importance weights vs the lang='en'
+    // target domain (log-free monotone ratio, add-one smoothed)
+    "sample_importance_weights" -> ((s, d) => graft.operators.Sampling.importanceWeights(s, d)),
     // largest-remainder token-budget apportionment: quotas sum
     // EXACTLY to the budget (per-source rounding can't)
     "token_budget_allocation" -> ((s, d) => graft.operators.Sampling.tokenBudgetAllocation(s, d)),
@@ -909,6 +918,41 @@ object SparkEntry {
        |lidp AS (SELECT source, lang, doc_id, n_tok,
        |         CASE WHEN $g = 0 THEN 'unknown' $cases
        |         ELSE 'unknown' END AS predicted FROM lids)""".stripMargin
+  }
+
+  // BM25 ranking CTE chain (exact-rational fixed-point scores, k1=6/5
+  // b=3/4 folded into one integer quotient) — shared by the bm25_search
+  // gate and the hybrid RRF fusion gate; ends with ranked rows in `r`
+  private lazy val bm25RankedCtes: String = {
+    val qvals = TextAnalysis.bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""q(query_id, token) AS (VALUES $qvals),
+       |tok AS (
+       |  SELECT doc_id, t AS token
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT doc_id, token, tf,
+       |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
+       |         CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+       |  FROM tf),
+       |tot AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl0) AS BIGINT) AS tot_tok
+       |  FROM (SELECT doc_id, sum(tf) AS dl0 FROM tf GROUP BY 1)),
+       |s AS (
+       |  SELECT q.query_id, i.doc_id,
+       |    CAST((1000000::HUGEINT * 22 * t.n_docs * i.tf * (t.tot_tok // t.n_docs))
+       |      // (i.df * (10 * i.tf * (t.tot_tok // t.n_docs)
+       |                  + 3 * (t.tot_tok // t.n_docs) + 9 * i.dl)) AS BIGINT) AS sc
+       |  FROM idx i JOIN q USING (token), tot t),
+       |agg AS (SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS bm25_x1e6
+       |        FROM s GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, bm25_x1e6,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY bm25_x1e6 DESC, doc_id) AS BIGINT) AS rk
+       |      FROM agg)""".stripMargin
   }
 
   // ordered-fold vector math identical to graft.functions.VectorFunctions
@@ -1760,6 +1804,32 @@ object SparkEntry {
         |       CAST(max(len) AS BIGINT) AS max_chunk_len,
         |       CAST((100 * sum(len)) // count(*) AS BIGINT) AS avg_chunk_x100
         |FROM cl GROUP BY doc_id""".stripMargin,
+    // chunk content re-assembles with string_agg(… ORDER BY i) — the
+    // SQL twin of Spark's sorted-collect_list join; dedup keys on the
+    // chunk md5, duplicated = present in >= 2 distinct docs
+    "cdc_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, ts[i] AS w, i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+        |  WHERE ts[i] <> ''),
+        |m AS (
+        |  SELECT doc_id, w, i,
+        |         CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, w, i,
+        |         COALESCE(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM m),
+        |ch AS (SELECT doc_id, chunk, md5(string_agg(w, ' ' ORDER BY i)) AS chunk_hash
+        |       FROM c GROUP BY 1, 2),
+        |hd AS (SELECT chunk_hash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |       CAST((1000000 * sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+        |         AS dup_frac_x1e6
+        |FROM ch JOIN hd USING (chunk_hash) GROUP BY ch.doc_id""".stripMargin,
     // DuckDB range() excludes the end, Spark sequence(0, n-1, s)
     // includes n-1: both enumerate starts 0, s, 2s, … < n_tokens;
     // list_slice's inclusive end start+32 matches Spark's length-32
@@ -1844,38 +1914,9 @@ object SparkEntry {
         |       max(CASE WHEN rk = ((n - 1) * 99) // 100 + 1 THEN n_tok END) AS p99_tok
         |FROM r GROUP BY lang, n""".stripMargin,
     // same single-rational scoring; HUGEINT stands in for DECIMAL(38,0)
-    "bm25_search" -> {
-      val qvals = TextAnalysis.bm25Queries
-        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
-        .mkString(", ")
-      s"""WITH q(query_id, token) AS (VALUES $qvals),
-         |tok AS (
-         |  SELECT doc_id, t AS token
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-         |  WHERE t <> ''),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |idx AS (
-         |  SELECT doc_id, token, tf,
-         |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
-         |         CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
-         |  FROM tf),
-         |tot AS (
-         |  SELECT count(*) AS n_docs, CAST(sum(dl0) AS BIGINT) AS tot_tok
-         |  FROM (SELECT doc_id, sum(tf) AS dl0 FROM tf GROUP BY 1)),
-         |s AS (
-         |  SELECT q.query_id, i.doc_id,
-         |    CAST((1000000::HUGEINT * 22 * t.n_docs * i.tf * (t.tot_tok // t.n_docs))
-         |      // (i.df * (10 * i.tf * (t.tot_tok // t.n_docs)
-         |                  + 3 * (t.tot_tok // t.n_docs) + 9 * i.dl)) AS BIGINT) AS sc
-         |  FROM idx i JOIN q USING (token), tot t),
-         |agg AS (SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS bm25_x1e6
-         |        FROM s GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, bm25_x1e6,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |          ORDER BY bm25_x1e6 DESC, doc_id) AS BIGINT) AS rk
-         |      FROM agg)
-         |SELECT query_id, doc_id, bm25_x1e6, rk FROM r WHERE rk <= 10""".stripMargin
-    },
+    "bm25_search" ->
+      s"""WITH $bm25RankedCtes
+         |SELECT query_id, doc_id, bm25_x1e6, rk FROM r WHERE rk <= 10""".stripMargin,
     "quantile_histogram" ->
       """WITH b AS (
         |  SELECT len(string_split(text, ' ')) // 8 AS bin FROM documents),
@@ -2600,6 +2641,40 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |      FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+    // RRF needs only ranks, so the fused score is the exact integer
+    // Σ 1e6 // (60 + rank) — float BM25/cosine never meet a comparator
+    "hybrid_rrf_topk" -> {
+      val qidList = TextAnalysis.bm25Queries.map(_._1).mkString(", ")
+      s"""WITH $bm25RankedCtes,
+         |text_top AS (SELECT query_id, doc_id, rk AS rk_text FROM r WHERE rk <= 10),
+         |vq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |       WHERE vec_id IN ($qidList)),
+         |vc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |vscored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |  FROM vq, vc WHERE query_id <> neighbor_id),
+         |vr AS (SELECT query_id, neighbor_id AS doc_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk_vec
+         |       FROM vscored),
+         |vec_top AS (SELECT query_id, doc_id, rk_vec FROM vr WHERE rk_vec <= 10),
+         |fused AS (
+         |  SELECT CAST(COALESCE(t.query_id, v.query_id) AS BIGINT) AS query_id,
+         |         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |         t.rk_text, v.rk_vec,
+         |         CAST(COALESCE(1000000 // (60 + t.rk_text), 0)
+         |              + COALESCE(1000000 // (60 + v.rk_vec), 0) AS BIGINT) AS rrf_x1e6,
+         |         CAST(CASE WHEN t.rk_text IS NULL THEN 0 ELSE 1 END
+         |              + CASE WHEN v.rk_vec IS NULL THEN 0 ELSE 1 END AS INT) AS n_modalities
+         |  FROM text_top t FULL OUTER JOIN vec_top v
+         |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+         |f2 AS (SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS fused_rank
+         |       FROM fused)
+         |SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities, fused_rank
+         |FROM f2 WHERE fused_rank <= 10""".stripMargin
+    },
     "similarity_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 8),
@@ -2974,6 +3049,33 @@ object SparkEntry {
          |SELECT source, quality_class, thr AS threshold, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN h <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
          |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // DSIR importance weights: the log-likelihood ratio kept in its
+    // monotone rational form (1e6-scaled, add-one smoothed over 4096
+    // md5 buckets); products in HUGEINT — 1e6·n_tgt·N_raw wraps BIGINT
+    "sample_importance_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, is_tgt, t AS w
+        |  FROM (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_tgt,
+        |               unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |pdb AS (
+        |  SELECT doc_id, is_tgt, substr(md5('dsir|' || w), 1, 3) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2, 3),
+        |bc AS (
+        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS n_raw,
+        |         CAST(sum(c * is_tgt) AS BIGINT) AS n_tgt
+        |  FROM pdb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+        |               CAST(sum(n_tgt) AS BIGINT) AS tot_tgt FROM bc),
+        |rt AS (
+        |  SELECT bucket,
+        |    CAST((1000000::HUGEINT * (n_tgt + 1) * (tot_raw + 4096))
+        |      // ((n_raw + 1)::HUGEINT * (tot_tgt + 4096)) AS BIGINT) AS r_x1e6
+        |  FROM bc, tot)
+        |SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_feat,
+        |       CAST(sum(p.c * rt.r_x1e6) // sum(p.c) AS BIGINT) AS weight_x1e6
+        |FROM pdb p JOIN rt USING (bucket) GROUP BY 1""".stripMargin,
     // Hamilton apportionment: floor quotas + largest remainders; the
     // budget·tokens product in HUGEINT, remainders < total fit BIGINT
     "token_budget_allocation" ->

@@ -457,4 +457,76 @@ object Sampling {
         (col("q") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"),
       )
   }
+
+  /** DSIR-shaped importance weights for domain-targeted data
+    * selection (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): score every raw document by how
+    * much its hashed-unigram distribution looks like a target domain
+    * (here lang = 'en', standing in for "the high-quality target
+    * corpus"). DSIR's per-feature weight is the log-likelihood ratio
+    * log(p_tgt(f)/p_raw(f)); log is not bit-portable across engines,
+    * so — the [[graft.operators.TextAnalysis.tfIdfTopTerms]] rule —
+    * the engine keeps the MONOTONE rational form: per bucket f,
+    *
+    *   r_x1e6(f) = 1e6 · (n_tgt(f)+1) · (N_raw+B) div ((n_raw(f)+1) · (N_tgt+B))
+    *
+    * (add-one smoothing over B = 4096 md5 buckets, the
+    * [[graft.operators.TextAnalysis.classifierScores]] hash space),
+    * and a doc's weight is the feature-count-weighted MEAN of its
+    * buckets' ratios — an exact integer, same ranking lever as the
+    * mean log-ratio for selection-by-threshold. The products run in
+    * DECIMAL(38,0): 1e6 · n_tgt · N_raw wraps BIGINT at real corpus
+    * sizes.
+    *
+    * Scale shape: the corpus explodes once; per-(doc, bucket) counts
+    * aggregate map-side into at most 4096 entries per doc; the
+    * bucket-ratio table is 4096 rows built by a second tiny
+    * aggregation and BROADCAST back (never a shuffle of the corpus
+    * side); the final per-doc sum combines map-side. Raw and target
+    * counts come from one pass — the target is a conditional sum,
+    * not a second scan.
+    */
+  def importanceWeights(spark: SparkSession, dir: String, targetLang: String = "en")
+      : DataFrame = {
+    val bucket = substring(md5(concat(lit("dsir|"), col("w"))), 1, 3)
+    val perDocBucket = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        (col("lang") === targetLang).cast("long").as("is_tgt"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"),
+      )
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("is_tgt"), bucket.as("bucket"))
+      .groupBy("doc_id", "is_tgt", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val bucketCounts = perDocBucket
+      .groupBy("bucket")
+      .agg(
+        sum(col("c")).as("n_raw"),
+        sum(col("c") * col("is_tgt")).as("n_tgt"),
+      )
+    val totals = bucketCounts
+      .agg(sum(col("n_raw")).as("tot_raw"), sum(col("n_tgt")).as("tot_tgt"))
+    val ratios = bucketCounts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_tgt + 1) * (tot_raw + 4096)) div " +
+            "(CAST(n_raw + 1 AS DECIMAL(38,0)) * (tot_tgt + 4096)) AS BIGINT)"
+        ).as("r_x1e6"),
+      )
+    perDocBucket
+      .join(broadcast(ratios), "bucket")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_feat"),
+        sum(col("c") * col("r_x1e6")).as("wsum"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_feat"),
+        expr("CAST(wsum div n_feat AS BIGINT)").as("weight_x1e6"),
+      )
+  }
 }

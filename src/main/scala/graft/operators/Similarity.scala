@@ -545,4 +545,62 @@ object Similarity {
       expr("CAST((v - (v % 1000)) / 1000 AS DECIMAL(38,0))").cast("long").as("pc1_raw"),
     )
   }
+
+  /** Hybrid lexical+vector retrieval fused by reciprocal-rank fusion
+    * (Cormack et al. 2009) — the standard two-tower RAG serving
+    * shape: BM25 top-k from the text index and cosine top-k from the
+    * vector index answer the SAME query set independently, and each
+    * candidate's fused score is Σ_modality 1/(k0 + rank) with the
+    * conventional k0 = 60. RRF needs only RANKS, so the float BM25
+    * score and the float cosine never meet a comparator — the fused
+    * score is the exact integer Σ 1e6 div (k0 + rank), bit-portable.
+    * Queries are [[TextAnalysis.bm25Queries]]'s ids; the vector side
+    * treats query id q as "more like doc q" (its embedding is the
+    * query vector — doc_id and vec_id share the id space), excluding
+    * the query doc itself per [[bruteForceTopK]] convention. A doc
+    * found by only one modality contributes that modality's term
+    * alone (the standard RRF treatment of non-retrieved docs).
+    *
+    * Scale shape: both retrieval legs are the already-scale-shaped
+    * paths (BM25's query-join-first posting restriction; the
+    * broadcast-query brute-force scorer with bounded top-k partials
+    * — swap in [[PqIndex.ivfPqTopK]] at deployment, same output
+    * contract). The fusion itself touches ≤ 2k rows per query: a
+    * full-outer equi-join of two tiny rank lists plus one window.
+    */
+  def hybridRrfTopK(spark: SparkSession, dir: String, k: Int = 10, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qids = TextAnalysis.bm25Queries.map(_._1.toLong)
+    val text = TextAnalysis
+      .bm25Search(spark, dir, k)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("rk").as("rk_text"))
+    val queries = embPlain(spark, dir)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cands = emb(spark, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = cands
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val vec = topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rk_vec"))
+    text
+      .join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        col("rk_text"),
+        col("rk_vec"),
+        (coalesce(expr(s"1000000 div ($k0 + rk_text)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($k0 + rk_vec)"), lit(0L))).as("rrf_x1e6"),
+        ((col("rk_text").isNotNull).cast("int") + (col("rk_vec").isNotNull).cast("int"))
+          .as("n_modalities"),
+      )
+      .withColumn(
+        "fused_rank",
+        row_number()
+          .over(Window.partitionBy("query_id").orderBy(col("rrf_x1e6").desc, col("doc_id")))
+          .cast("long"),
+      )
+      .filter(col("fused_rank") <= k)
+  }
 }

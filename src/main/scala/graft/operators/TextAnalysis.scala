@@ -833,6 +833,65 @@ object TextAnalysis {
       )
   }
 
+  /** Cross-document chunk-level exact dedup over the content-defined
+    * chunking of [[cdcChunkStats]]: every CDC chunk gets a content
+    * hash, chunks whose hash appears in >= 2 DISTINCT documents are
+    * duplicated material, and each doc reports how much of it is made
+    * of such shared chunks (scaled-integer fraction). This is the
+    * sub-document exact-dedup granularity — boilerplate headers,
+    * license blocks, and templated paragraphs that whole-doc hashing
+    * misses and set-similarity only scores, CDC localizes to the
+    * chunk: because boundaries depend only on content, an inserted
+    * paragraph shifts no downstream chunk hashes, so the shared
+    * material still collides.
+    *
+    * Scale shape: the corpus tokens shuffle ONCE by doc_id for the
+    * boundary prefix-sum window; the (doc_id, chunk) re-aggregation
+    * reuses that partitioning (no second exchange — chunk content
+    * reassembles where the window left the rows). After hashing,
+    * only (doc_id, chunk_hash) pairs flow — ~1/16 of the token count
+    * and 16 bytes wide, never the text. The hash-frequency table
+    * aggregates map-side, and the join back is an equi-join on the
+    * hash — at 100 TB both sides hash-partition; nothing is
+    * quadratic and nothing broadcasts a corpus-scaling side.
+    */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("brk", when(substring(md5(col("w")), 1, 1) === "0", 1L).otherwise(0L))
+    val wBefore = Window
+      .partitionBy("doc_id")
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // chunk content re-assembles in chunk order: collect_list gives no
+    // order guarantee, so the (pos, w) structs sort before joining
+    val chunks = toks
+      .withColumn("chunk", coalesce(sum(col("brk")).over(wBefore), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))), x => x("w")),
+          " ")).as("chunk_hash"))
+    val hashDocs = chunks
+      .groupBy("chunk_hash")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    chunks
+      .join(hashDocs, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        col("n_dup_chunks"),
+        expr("(1000000 * n_dup_chunks) div n_chunks").as("dup_frac_x1e6"),
+      )
+  }
+
   /** RAG-style retrieval chunking: split every document into
     * overlapping fixed token windows (window `w`, stride `s`, overlap
     * `w - s`) and emit one row per chunk — start offset, chunk token

@@ -417,6 +417,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "similarity_pq_rerank" -> (Set("query_id"), "broadcasts are the query LUTs, the TopK-bounded shortlist (≤ nQueries·shortlist rows), and the query vectors — all query-side"),
       "similarity_pq_recall" -> (Set("query_id"), "every compared path broadcasts only query-side bounded sets (LUTs, shortlist, query vectors)"),
       "similarity_ivf_pq" -> (Set("query_id"), "broadcasts are the nQueries·nProbe probe list and the query LUTs; the candidate set flows through the id-keyed artifact equi-join"),
+      "hybrid_rrf_topk" -> (Set("query_id"), "the vector leg's query side is the fixed bm25Queries id list (3 rows) by API contract"),
+      "sample_importance_weights" -> (Set("r_x1e6"), "the ratio table is bounded by the 4096-bucket md5 hash domain (a groupBy on a bounded key the static path check can't see)"),
       "ivf_assign" -> (Set("centroid"), "centroids are one row per cell, |cells| bounded by the label domain"),
       "ivf_kmeans_iterated" -> (Set("centroid"), "per-round centroids, |cells| bounded by the label domain"),
       "vocab_coverage" -> (Set("token"), "vocabulary is top-k limited (TakeOrderedAndProject) before the hint"),

@@ -294,4 +294,84 @@ class TextPipelineSpec extends AnyFunSuite {
       assert(diffs == 0, s"weight-table twin disagrees: $diffs row diffs")
     } finally scores.unpersist()
   }
+
+  test("cdc chunk dedup flags a planted shared prefix and agrees with chunk stats") {
+    import spark.implicits._
+    // docs 1 and 2 share a 100-word prefix (identical content →
+    // identical CDC boundaries inside the prefix, since chunking is
+    // content-defined and the preceding context is identical); doc 3
+    // shares nothing. Every full chunk inside the prefix collides
+    // across docs 1 and 2; the suffixes diverge.
+    val shared = (1 to 100).map(i => s"a$i").mkString(" ")
+    val d1 = shared + " " + (1 to 30).map(i => s"b$i").mkString(" ")
+    val d2 = shared + " " + (1 to 30).map(i => s"c$i").mkString(" ")
+    val d3 = (1 to 80).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdcdedup").toString
+    Seq((1L, d1), (2L, d2), (3L, d3))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.cdcChunkDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L)._2 >= 1, s"doc 1 must flag shared-prefix chunks: ${rows(1L)}")
+    assert(rows(2L)._2 >= 1, s"doc 2 must flag shared-prefix chunks: ${rows(2L)}")
+    assert(rows(3L)._2 == 0, s"doc 3 shares nothing: ${rows(3L)}")
+    // both docs see the SAME number of duplicated chunks (the shared
+    // prefix's full chunks), and the fraction formula holds
+    assert(rows(1L)._2 == rows(2L)._2)
+    rows.foreach { case (id, (n, dup, frac)) =>
+      assert(dup >= 0 && dup <= n)
+      assert(frac == 1000000L * dup / n, s"doc $id fraction mismatch")
+    }
+    // chunk counts agree with the stats operator on the same corpus
+    val stats = TextAnalysis.cdcChunkStats(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, (n, _, _)) =>
+      assert(stats(id) == n, s"doc $id chunk count disagrees with cdcChunkStats")
+    }
+  }
+
+  test("importance weights score the target language above the rest") {
+    val rows = Sampling.importanceWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nFeat, w) =>
+      assert(nFeat > 0 && w > 0, s"doc $id: weights are positive by construction")
+    }
+    // the mean weight of target-language docs must exceed the mean of
+    // the rest — the whole point of the importance ratio (the target
+    // docs ARE the target distribution's sample)
+    val langs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (tgt, rest) = rows.partition { case (id, _, _) => langs(id) == "en" }
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    val tgtMean = tgt.map(_._3).sum.toDouble / tgt.size
+    val restMean = rest.map(_._3).sum.toDouble / rest.size
+    assert(tgtMean > restMean,
+      s"target-lang mean weight $tgtMean must exceed non-target $restMean")
+  }
+
+  test("hybrid RRF fusion is consistent with its two rank lists") {
+    val fused = graft.operators.Similarity.hybridRrfTopK(spark, sf).collect()
+    assert(fused.nonEmpty)
+    val byQuery = fused.groupBy(_.getLong(0))
+    assert(byQuery.keySet == TextAnalysis.bm25Queries.map(_._1.toLong).toSet)
+    byQuery.foreach { case (q, rs) =>
+      // fused ranks are contiguous from 1 and ordered by (rrf desc, doc)
+      val ordered = rs.sortBy(r => (-r.getLong(4), r.getLong(1)))
+      assert(ordered.map(_.getLong(6)).toSeq == (1L to ordered.length).toSeq,
+        s"query $q fused_rank not contiguous")
+      rs.foreach { r =>
+        val (rkText, rkVec) = (Option(r.get(2)), Option(r.get(3)))
+        val expected =
+          rkText.map(v => 1000000L / (60 + v.asInstanceOf[Long])).getOrElse(0L) +
+            rkVec.map(v => 1000000L / (60 + v.asInstanceOf[Long])).getOrElse(0L)
+        assert(r.getLong(4) == expected, s"query $q doc ${r.getLong(1)} rrf mismatch")
+        assert(r.getInt(5) == rkText.size + rkVec.size, "n_modalities mismatch")
+        assert(r.getInt(5) >= 1, "a fused row must come from at least one modality")
+      }
+    }
+  }
 }
