@@ -256,6 +256,9 @@ object SparkEntry {
     "assoc_rules" -> (RelationalQueries.assocRules _),
     // the BPE iteration step: apply round-1's top merge, recount
     "bpe_merge_round2" -> ((s, d) => TextAnalysis.bpeMergeRound2(s, d)),
+    // the full iterated BPE trainer: 3 greedy merge rounds over the
+    // |vocab| word table, emitting the ordered merge table
+    "bpe_merge_train" -> ((s, d) => TextAnalysis.bpeMergeTrain(s, d)),
     // live hourly-active-users gauge: in-stream (user, hour) dedup
     // appended to the sink, stateless per-hour count on the landed
     // first-sightings (streaming COUNT DISTINCT, the two-stage way)
@@ -1781,6 +1784,37 @@ object SparkEntry {
         |  FROM m, LATERAL (SELECT unnest(generate_series(1, length(w2) - 1)) AS i) g
         |  WHERE length(w2) >= 2 GROUP BY 1)
         |SELECT pair, n FROM r2 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // the iterated trainer, unrolled (the ivf_kmeans_iterated idiom):
+    // census → top-1 → leftmost non-overlapping merge, three times
+    "bpe_merge_train" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS MATERIALIZED (SELECT w, count(*) AS wf FROM w0 WHERE w <> '' GROUP BY w),
+        |c1 AS (
+        |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |t1 AS MATERIALIZED (SELECT pair, n, n_words FROM c1 ORDER BY n DESC, pair LIMIT 1),
+        |w2 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, (SELECT pair FROM t1), 'A', 'g') AS w, wf FROM wf),
+        |c2 AS (
+        |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |t2 AS MATERIALIZED (SELECT pair, n, n_words FROM c2 ORDER BY n DESC, pair LIMIT 1),
+        |w3 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, (SELECT pair FROM t2), 'B', 'g') AS w, wf FROM w2),
+        |c3 AS (
+        |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |  FROM w3, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |t3 AS MATERIALIZED (SELECT pair, n, n_words FROM c3 ORDER BY n DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, pair, n, n_words FROM t1
+        |UNION ALL SELECT CAST(2 AS BIGINT), pair, n, n_words FROM t2
+        |UNION ALL SELECT CAST(3 AS BIGINT), pair, n, n_words FROM t3""".stripMargin,
     // content-defined chunk segmentation: break after words whose md5
     // starts with '0'; chunk id = breaks strictly before the word
     "cdc_chunk_stats" ->

@@ -659,6 +659,64 @@ object TextAnalysis {
     pairCounts(merged, "w2").orderBy(col("n").desc, col("pair")).limit(k)
   }
 
+  /** The full iterated BPE merge TRAINER: `rounds` greedy merge
+    * selections, each applied to the symbol sequences before the next
+    * census — the output is the ordered merge table a BPE tokenizer
+    * ships (pair chosen per round, its weighted occurrence count, and
+    * how many distinct vocabulary words contained it). Extends
+    * [[bpeMergeRound2]]'s single step to the real training loop;
+    * round r's merged pair becomes the single uppercase symbol
+    * 'A'+r−1 (the corpus is lowercase, so symbols can't collide, and
+    * later pairs legitimately contain earlier symbols — "er" then
+    * "Aly"). Both engines substitute leftmost non-overlapping
+    * occurrences (Spark regexp_replace ≡ DuckDB regexp_replace 'g'),
+    * which is exactly BPE's greedy merge order.
+    *
+    * Scale shape: the whole loop runs over the DISTINCT word-frequency
+    * table (|vocab| ≪ corpus — the standard BPE-at-scale trick); the
+    * corpus text is scanned exactly once, then each round is one
+    * bounded |pairs|-key aggregation and a map-only substitution. The
+    * per-round top-1 resolves as one bounded driver action (a 1-row
+    * head) spliced back as a LITERAL — the repo's data-dependent-
+    * scalar rule: an in-plan 1-row crossJoin would re-derive the
+    * whole merge chain per round and block nothing useful, while the
+    * literal keeps every round's substitution inside codegen. Merged
+    * words stay distinct (the substitution is invertible — expanding
+    * round symbols right-to-left recovers the original), so no
+    * regroup is needed between rounds.
+    */
+  def bpeMergeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val wf = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("wf"))
+    def pairCensus(words: DataFrame): DataFrame =
+      words
+        .filter(length(col("w")) >= 2)
+        .select(
+          col("w"),
+          col("wf"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"),
+        )
+        .groupBy("pair")
+        .agg(sum(col("wf")).as("n"), countDistinct(col("w")).as("n_words"))
+    var words = wf
+    val merges = (1 to rounds).map { r =>
+      val top = pairCensus(words)
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .head()
+      val (pair, n, nWords) = (top.getString(0), top.getLong(1), top.getLong(2))
+      val sym = ('A' + r - 1).toChar.toString
+      words = words.select(regexp_replace(col("w"), pair, sym).as("w"), col("wf"))
+      (r.toLong, pair, n, nWords)
+    }
+    merges.toDF("round", "pair", "n", "n_words")
+  }
+
   /** Count-min sketch estimates for the top corpus tokens: d=4
     * md5-derived hash rows × 256 hex-prefix buckets, estimate =
     * min over rows of the bucket counter — the deterministic twin of

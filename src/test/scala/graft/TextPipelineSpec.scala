@@ -332,6 +332,26 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe trainer reproduces the hand-computed merge table") {
+    import spark.implicits._
+    // corpus "aaab aaab ab": wf = {aaab: 2, ab: 1}
+    // r1: aa counts 2·2=4 (one word), ab counts 2+1=3 → merge aa→A,
+    //     greedy leftmost gives aaab→Aab (the second 'aa' overlaps)
+    // r2: over {Aab:2, ab:1}: Aa=2, ab=3 (2 words) → merge ab→B
+    // r3: over {AB:2, B:1}: AB=2 (1 word) → merge AB→C
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((1L, "aaab aaab ab"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.bpeMergeTrain(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(rows == Seq((1L, "aa", 4L, 1L), (2L, "ab", 3L, 2L), (3L, "AB", 2L, 1L)),
+      s"merge table: $rows")
+  }
+
   test("importance weights score the target language above the rest") {
     val rows = Sampling.importanceWeights(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
