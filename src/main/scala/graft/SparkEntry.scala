@@ -305,6 +305,9 @@ object SparkEntry {
     // iteration scaled-integer PageRank (canonical-doc centrality)
     // and the wedge/triangle census (duplication-structure shape)
     "graph_pagerank" -> ((s, d) => graft.operators.GraphOps.pagerank(s, d)),
+    // Newman modularity of the source partition over the pair graph:
+    // is duplication intra-source cleanup or cross-source leakage?
+    "graph_modularity" -> ((s, d) => graft.operators.GraphOps.sourceModularity(s, d)),
     "graph_triangles" -> (graft.operators.GraphOps.triangleCensus _),
     // bounded-round seeded label spreading (hop distance + nearest
     // seed), distinct from the CC fixpoint
@@ -2227,6 +2230,25 @@ object SparkEntry {
          |        FROM edges e JOIN deg d ON e.doc_a = d.doc_a
          |        JOIN pr2 p ON e.doc_a = p.node GROUP BY 1)
          |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM pr3""".stripMargin,
+    // signed scaled modularity: Spark div and DuckDB // both truncate
+    // toward zero, so negative q_c contributions are portable
+    "graph_modularity" ->
+      s"""WITH ${minhashPairCtes()},
+         |src AS (SELECT doc_id, source FROM documents),
+         |lab AS (SELECT p.doc_a, p.doc_b, a.source AS sa, b.source AS sb
+         |        FROM lshpairs p JOIN src a ON p.doc_a = a.doc_id
+         |        JOIN src b ON p.doc_b = b.doc_id),
+         |mm AS (SELECT count(*) AS m FROM lshpairs),
+         |edges AS (SELECT doc_a FROM lshpairs UNION ALL SELECT doc_b FROM lshpairs),
+         |deg AS (SELECT doc_a AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+         |ds AS (SELECT s.source, CAST(sum(d.deg) AS BIGINT) AS d_c
+         |       FROM deg d JOIN src s USING (doc_id) GROUP BY 1),
+         |ic AS (SELECT sa AS source, CAST(count(*) AS BIGINT) AS e_c
+         |       FROM lab WHERE sa = sb GROUP BY 1)
+         |SELECT ds.source, COALESCE(ic.e_c, 0) AS e_c, ds.d_c,
+         |  CAST((1000000::HUGEINT * (4 * mm.m * COALESCE(ic.e_c, 0) - ds.d_c * ds.d_c))
+         |    // (4::HUGEINT * mm.m * mm.m) AS BIGINT) AS q_c_x1e6
+         |FROM ds LEFT JOIN ic USING (source), mm""".stripMargin,
     // wedge/triangle census of the pair graph; clustering coefficient
     // as an exact scaled-integer ratio. Triangles close ordered
     // wedges a<b<c against the oriented edge list

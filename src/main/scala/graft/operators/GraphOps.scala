@@ -247,4 +247,57 @@ object GraphOps {
     }
     census.toSeq.toDF("round", "n_nodes", "n_edges")
   }
+
+  /** Newman modularity of the SOURCE partition over the near-dup pair
+    * graph — "is duplication concentrated within sources, or does it
+    * leak across them?" The curation read: high modularity means
+    * near-dups are a per-source cleanup; low (or negative) means
+    * sources plagiarize each other and cross-source dedup is load-
+    * bearing. Per source c the contribution is
+    *
+    *   q_c = e_c/m − (d_c/2m)²  →  q_c_x1e6 = 1e6·(4·m·e_c − d_c²) div (4·m²)
+    *
+    * (e_c = intra-source edges, d_c = degree mass, m = edges) — one
+    * exact signed integer per source; Q = Σ q_c. Truncation toward
+    * zero is identical in Spark `div` and DuckDB `//` (checked for
+    * negative numerators), and the products run in DECIMAL(38,0):
+    * 4·m·e_c wraps BIGINT once m passes ~10⁹ pairs — real at 100 TB.
+    *
+    * Scale shape: rides the memoized pair artifact; sources attach by
+    * one id-keyed equi-join against the documents dim (corpus-scaling
+    * — NO static broadcast, AQE decides from post-filter sizes); the
+    * per-source aggregates are |sources|-row; the 1-row m total
+    * crossJoins in (bounded). Sources with only cross-source edges
+    * keep their d_c mass via the degree side + coalesced e_c = 0.
+    */
+  def sourceModularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")
+    val src = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val labeled = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val intra = labeled
+      .filter(col("sa") === col("sb"))
+      .groupBy(col("sa").as("source"))
+      .agg(count(lit(1)).as("e_c"))
+    val deg = edges(spark, dir).groupBy(col("doc_a").as("doc_id")).agg(count(lit(1)).as("deg"))
+    val degBySource = deg
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(sum(col("deg")).as("d_c"))
+    degBySource
+      .join(intra, Seq("source"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select(
+        col("source"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"),
+        col("d_c"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (4 * m * COALESCE(e_c, 0) - d_c * d_c)) div " +
+            "(CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"
+        ).as("q_c_x1e6"),
+      )
+  }
 }

@@ -74,4 +74,35 @@ class GraphOpsSpec extends AnyFunSuite {
     val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
     check(clique ++ Seq((4L, 9L), (9L, 10L)), k = 3)
   }
+
+  test("source modularity matches an independent in-memory recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.operators.Dedup.minhashLshPairsShared(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val srcOf = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = pairs.size.toLong
+    assert(m > 0, "the sf0.001 pair graph must be non-empty for this pin")
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dC = deg.groupBy { case (id, _) => srcOf(id) }.view.mapValues(_.values.sum).toMap
+    val eC = pairs
+      .filter { case (a, b) => srcOf(a) == srcOf(b) }
+      .groupBy { case (a, _) => srcOf(a) }.view.mapValues(_.size.toLong).toMap
+    val expected = dC.map { case (s, d) =>
+      val e = eC.getOrElse(s, 0L)
+      // BigInt mirrors the DECIMAL(38,0) plan arithmetic exactly,
+      // including truncation toward zero for negative numerators
+      val q = (BigInt(1000000) * (4 * BigInt(m) * e - BigInt(d) * d)) /
+        (4 * BigInt(m) * m)
+      (s, e, d, q.toLong)
+    }.toSet
+    val got = GraphOps.sourceModularity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"modularity rows differ: got $got expected $expected")
+    // the partition identities: degree mass sums to 2m, intra edges <= m
+    assert(got.toSeq.map(_._3).sum == 2 * m)
+    assert(got.toSeq.map(_._2).sum <= m)
+  }
 }
