@@ -339,6 +339,9 @@ object SparkEntry {
     // inside a cross-doc repeated k-token span) — the remove-the-span
     // dedup criterion set-similarity scores miss
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
+    // MOSS-style cross-doc winnowing fingerprint matches: pairs
+    // sharing >= 2 selected fingerprints, containment-scored
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
     // cumulative content-novelty per ingest-order bucket
     "dedup_yield_curve" -> ((s, d) => Dedup.dedupYieldCurve(s, d)),
     // the same novelty curve per SOURCE (which feed still pays),
@@ -1646,6 +1649,36 @@ object SparkEntry {
         |  CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS min_day_offset,
         |  CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS max_day_offset
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // cross-doc winnowing matches: same selection CTE chain as
+    // text_winnowing, then postings -> df cutoff -> pair counts;
+    // containment over the smaller selected-fingerprint set
+    "dedup_winnow_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 7),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |         substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 8) AS g
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 3)) AS i) z),
+        |wins AS (
+        |  SELECT doc_id, i,
+        |         min(g) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |         count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM grams),
+        |sel AS MATERIALIZED (SELECT DISTINCT doc_id, m AS fp FROM wins WHERE i <= ng - 3),
+        |nfp AS MATERIALIZED (SELECT doc_id, count(*) AS nfp FROM sel GROUP BY 1),
+        |post AS (SELECT fp, count(*) AS df FROM sel GROUP BY 1),
+        |good AS (SELECT fp FROM post WHERE df BETWEEN 2 AND 50),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN good g ON g.fp = a.fp
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |       CAST((1000000 * p.n_shared) // least(na.nfp, nb.nfp) AS BIGINT) AS overlap_x1e6
+        |FROM pairs p JOIN nfp na ON p.doc_a = na.doc_id
+        |JOIN nfp nb ON p.doc_b = nb.doc_id""".stripMargin,
     "text_winnowing" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents

@@ -1310,6 +1310,55 @@ object Dedup {
       )
       .filter(col("containment_x1e6") >= minContainmentX1e6)
 
+  /** MOSS-style winnowing fingerprint matching: the cross-document
+    * consumer of [[TextAnalysis.winnowedFingerprints]] — pairs of
+    * documents sharing >= `minShared` SELECTED fingerprints, scored
+    * by containment over the smaller fingerprint set. Winnowing's
+    * guarantee (any sufficiently long textual match shares a selected
+    * fingerprint) makes this the sparse alternative to the full
+    * shingle index: only ~1/w of the grams ever enter the inverted
+    * index, which is exactly why MOSS scales — and the same
+    * guarantee bounds what the sparsity can miss.
+    *
+    * Scale shape: identical to [[pairCommonCounts]] — per-doc
+    * fingerprint-set sizes computed map-side and carried INSIDE the
+    * posting lists (no size table, no joins), stop-fingerprint
+    * cutoff at df > `maxDf` bounds per-posting pair work, native
+    * one-pass PostingPairsExpr expansion. Two shuffles total
+    * (posting lists, pair counts); the winnowing itself is per-row
+    * array math at scan speed.
+    */
+  def winnowPairs(
+      spark: SparkSession,
+      dir: String,
+      maxDf: Int = 50,
+      minShared: Int = 2,
+  ): DataFrame = {
+    val index = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(bindArray(graft.operators.TextAnalysis.winnowedFingerprints(col("text"))) { a =>
+          transform(a, x => struct(x.as("fp"), size(a).cast("long").as("n_sh")))
+        }).as("z"),
+      )
+      .select(struct(col("doc_id"), col("z.n_sh").as("n_sh")).as("d"), col("z.fp").as("fp"))
+    index
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(explode(graft.functions.PostingPairsExpr(col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.n_a"), col("p.doc_b"), col("p.n_b"))
+      .groupBy("doc_a", "n_a", "doc_b", "n_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_shared"),
+        expr("(1000000 * n_shared) div least(n_a, n_b)").cast("long").as("overlap_x1e6"),
+      )
+  }
+
   /** Shingle document-frequency histogram against the stop-shingle
     * cutoff — the recall audit of the exact-Jaccard inverted-index
     * family ([[ngramJaccardPairs]] / [[ngramContainmentPairs]]).

@@ -332,6 +332,32 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow pairs surface a planted shared passage at different positions") {
+    import spark.implicits._
+    // a 40-word passage shared by docs 1 and 2 at DIFFERENT offsets:
+    // winnowing selection is content-defined, so the selected
+    // fingerprints inside the passage coincide regardless of where
+    // the passage sits; doc 3 shares nothing
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    val d1 = passage + " " + (1 to 12).map(i => s"b$i").mkString(" ")
+    val d2 = (1 to 12).map(i => s"c$i").mkString(" ") + " " + passage
+    val d3 = (1 to 30).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    Seq((1L, d1), (2L, d2), (3L, d3))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.Dedup.winnowPairs(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.contains((1L, 2L)), s"the planted passage must match: $rows")
+    val (nShared, overlap) = rows((1L, 2L))
+    assert(nShared >= 2, s"expected >= 2 shared selected fingerprints, got $nShared")
+    assert(overlap > 0 && overlap <= 1000000L)
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "doc 3 shares no passage and must not pair")
+  }
+
   test("bpe trainer reproduces the hand-computed merge table") {
     import spark.implicits._
     // corpus "aaab aaab ab": wf = {aaab: 2, ab: 1}
