@@ -166,6 +166,9 @@ object SparkEntry {
     "token_freq_of_freqs" -> (TextAnalysis.freqOfFreqs _),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
+    // classifier-vs-novelty calibration: value-bucketed (never a
+    // corpus rank window), pooled novelty per score bucket
+    "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
     // tokenizer-training + sub-document-dedup surface: round-1 BPE
     // pair-merge frequencies and content-defined chunking stats
     "bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
@@ -259,6 +262,9 @@ object SparkEntry {
     // the full iterated BPE trainer: 3 greedy merge rounds over the
     // |vocab| word table, emitting the ordered merge table
     "bpe_merge_train" -> ((s, d) => TextAnalysis.bpeMergeTrain(s, d)),
+    // the encode side: merges applied corpus-wide as literal replace
+    // chains inside codegen; per-doc compression ratio
+    "bpe_encode_stats" -> ((s, d) => TextAnalysis.bpeEncodeStats(s, d)),
     // live hourly-active-users gauge: in-stream (user, hour) dedup
     // appended to the sink, stateless per-hour count on the landed
     // first-sightings (streaming COUNT DISTINCT, the two-stage way)
@@ -928,6 +934,36 @@ object SparkEntry {
        |         CASE WHEN $g = 0 THEN 'unknown' $cases
        |         ELSE 'unknown' END AS predicted FROM lids)""".stripMargin
   }
+
+  // BPE training CTE chain (census → top-1 → leftmost non-overlapping
+  // merge, three rounds) — shared by the trainer gate and the encode
+  // gate; ends with the three top-1 rows in t1/t2/t3
+  private val bpeTrainCtes: String =
+    """w0 AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS MATERIALIZED (SELECT w, count(*) AS wf FROM w0 WHERE w <> '' GROUP BY w),
+      |c1 AS (
+      |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
+      |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+      |  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |t1 AS MATERIALIZED (SELECT pair, n, n_words FROM c1 ORDER BY n DESC, pair LIMIT 1),
+      |w2 AS MATERIALIZED (
+      |  SELECT regexp_replace(w, (SELECT pair FROM t1), 'A', 'g') AS w, wf FROM wf),
+      |c2 AS (
+      |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
+      |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+      |  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |t2 AS MATERIALIZED (SELECT pair, n, n_words FROM c2 ORDER BY n DESC, pair LIMIT 1),
+      |w3 AS MATERIALIZED (
+      |  SELECT regexp_replace(w, (SELECT pair FROM t2), 'B', 'g') AS w, wf FROM w2),
+      |c3 AS (
+      |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
+      |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+      |  FROM w3, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |t3 AS MATERIALIZED (SELECT pair, n, n_words FROM c3 ORDER BY n DESC, pair LIMIT 1)""".stripMargin
 
   // BM25 ranking CTE chain (exact-rational fixed-point scores, k1=6/5
   // b=3/4 folded into one integer quotient) — shared by the bm25_search
@@ -1823,34 +1859,30 @@ object SparkEntry {
     // the iterated trainer, unrolled (the ivf_kmeans_iterated idiom):
     // census → top-1 → leftmost non-overlapping merge, three times
     "bpe_merge_train" ->
-      """WITH w0 AS (
-        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |wf AS MATERIALIZED (SELECT w, count(*) AS wf FROM w0 WHERE w <> '' GROUP BY w),
-        |c1 AS (
-        |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
-        |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
-        |  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
-        |  WHERE length(w) >= 2 GROUP BY 1),
-        |t1 AS MATERIALIZED (SELECT pair, n, n_words FROM c1 ORDER BY n DESC, pair LIMIT 1),
-        |w2 AS MATERIALIZED (
-        |  SELECT regexp_replace(w, (SELECT pair FROM t1), 'A', 'g') AS w, wf FROM wf),
-        |c2 AS (
-        |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
-        |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
-        |  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
-        |  WHERE length(w) >= 2 GROUP BY 1),
-        |t2 AS MATERIALIZED (SELECT pair, n, n_words FROM c2 ORDER BY n DESC, pair LIMIT 1),
-        |w3 AS MATERIALIZED (
-        |  SELECT regexp_replace(w, (SELECT pair FROM t2), 'B', 'g') AS w, wf FROM w2),
-        |c3 AS (
-        |  SELECT substr(w, i, 2) AS pair, CAST(sum(wf) AS BIGINT) AS n,
-        |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
-        |  FROM w3, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
-        |  WHERE length(w) >= 2 GROUP BY 1),
-        |t3 AS MATERIALIZED (SELECT pair, n, n_words FROM c3 ORDER BY n DESC, pair LIMIT 1)
-        |SELECT CAST(1 AS BIGINT) AS round, pair, n, n_words FROM t1
-        |UNION ALL SELECT CAST(2 AS BIGINT), pair, n, n_words FROM t2
-        |UNION ALL SELECT CAST(3 AS BIGINT), pair, n, n_words FROM t3""".stripMargin,
+      s"""WITH $bpeTrainCtes
+         |SELECT CAST(1 AS BIGINT) AS round, pair, n, n_words FROM t1
+         |UNION ALL SELECT CAST(2 AS BIGINT), pair, n, n_words FROM t2
+         |UNION ALL SELECT CAST(3 AS BIGINT), pair, n, n_words FROM t3""".stripMargin,
+    // the encode side: apply the trained merges in order to every
+    // document (no cross-token matches possible — pairs never contain
+    // a space) and report the symbol-count compression
+    "bpe_encode_stats" ->
+      s"""WITH $bpeTrainCtes,
+         |enc AS (
+         |  SELECT doc_id,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_sym_raw,
+         |    CAST(length(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(text, (SELECT pair FROM t1), 'A', 'g'),
+         |          (SELECT pair FROM t2), 'B', 'g'),
+         |        (SELECT pair FROM t3), 'C', 'g'),
+         |      ' ', '')) AS BIGINT) AS n_sym_bpe
+         |  FROM documents)
+         |SELECT doc_id, n_sym_raw, n_sym_bpe,
+         |  CAST(CASE WHEN n_sym_raw = 0 THEN 1000000
+         |       ELSE (1000000 * n_sym_bpe) // n_sym_raw END AS BIGINT) AS compression_x1e6
+         |FROM enc""".stripMargin,
     // content-defined chunk segmentation: break after words whose md5
     // starts with '0'; chunk id = breaks strictly before the word
     "cdc_chunk_stats" ->
@@ -1966,6 +1998,36 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, n_unique,
         |       CAST(n_unique AS DOUBLE) / n_bigrams AS novelty
         |FROM a""".stripMargin,
+    // classifier CTEs ∪ novelty CTEs joined on doc_id; value buckets
+    // via truncating division (identical for negative scores)
+    "quality_calibration" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |uni AS (SELECT doc_id, unnest(ts) AS feature FROM tok),
+        |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS feature
+        |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+        |       WHERE len(ts) >= 2),
+        |f AS (SELECT doc_id, feature FROM uni WHERE feature <> ''
+        |      UNION ALL SELECT doc_id, feature FROM bi WHERE feature <> ''),
+        |b AS (SELECT doc_id, md5('w|' || substr(md5('clf|' || feature), 1, 3)) AS wh FROM f),
+        |w AS (SELECT doc_id,
+        |        (((strpos('0123456789abcdef', substr(wh, 1, 1)) - 1) * 4096 +
+        |          (strpos('0123456789abcdef', substr(wh, 2, 1)) - 1) * 256 +
+        |          (strpos('0123456789abcdef', substr(wh, 3, 1)) - 1) * 16 +
+        |          (strpos('0123456789abcdef', substr(wh, 4, 1)) - 1)) % 2001) - 1000 AS w
+        |      FROM b),
+        |cs AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM w GROUP BY 1),
+        |nt AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 2),
+        |ng AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+        |       FROM nt, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x),
+        |nc AS (SELECT doc_id, count(*) OVER (PARTITION BY bigram) AS cnt FROM ng),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |       FROM nc GROUP BY doc_id)
+        |SELECT cs.score // 2000 AS score_bucket, count(*) AS n_docs,
+        |       CAST(sum(cs.score) AS BIGINT) AS score_sum,
+        |       CAST((1000000 * sum(na.n_unique)) // sum(na.n_bigrams) AS BIGINT)
+        |         AS mean_novelty_x1e6
+        |FROM cs JOIN na USING (doc_id) GROUP BY 1""".stripMargin,
     // percentile_disc positions computed with the same integer
     // arithmetic on both sides — no interpolation
     "text_length_percentiles" ->

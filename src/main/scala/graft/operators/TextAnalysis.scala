@@ -199,6 +199,46 @@ object TextAnalysis {
       )
   }
 
+  /** Signal calibration table: does the hashed-feature classifier
+    * score track an independent quality proxy (bigram novelty)? One
+    * row per fixed-width score bucket with the bucket's doc count,
+    * exact score sum, and pooled novelty (1e6·Σunique div Σbigrams)
+    * — the ablation a curation team runs before trusting a scorer as
+    * a filter. Buckets are VALUE-based (score div width, truncation
+    * toward zero identical cross-engine), not rank deciles: the exact
+    * rank window is the thing that dies at 100 TB (the
+    * [[quantileHistogram]] rule).
+    *
+    * Scale shape: two per-doc signal pipelines (each already
+    * scale-shaped), one |docs|-row equi-join of their aggregated
+    * frames, one |buckets|-key aggregation. Docs with < 2 tokens have
+    * no bigrams and drop from the join — stated, and identical in the
+    * oracle.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String, bucketWidth: Int = 2000): DataFrame =
+    classifierScores(spark, dir)
+      .select(col("doc_id"), col("score"))
+      .join(docNovelty(spark, dir).select(col("doc_id"), col("n_bigrams"), col("n_unique")), "doc_id")
+      .select(
+        expr(s"score div $bucketWidth").as("score_bucket"),
+        col("score"),
+        col("n_bigrams"),
+        col("n_unique"),
+      )
+      .groupBy("score_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("score")).as("score_sum"),
+        sum(col("n_bigrams")).as("bigrams_sum"),
+        sum(col("n_unique")).as("unique_sum"),
+      )
+      .select(
+        col("score_bucket"),
+        col("n_docs"),
+        col("score_sum"),
+        expr("(1000000 * unique_sum) div bigrams_sum").as("mean_novelty_x1e6"),
+      )
+
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       // the token array is let-bound: five naive references would run
@@ -687,6 +727,22 @@ object TextAnalysis {
     */
   def bpeMergeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     import spark.implicits._
+    trainMerges(spark, dir, rounds)
+      .map { case (r, pair, _, n, nWords) => (r.toLong, pair, n, nWords) }
+      .toDF("round", "pair", "n", "n_words")
+  }
+
+  /** The trainer's merge loop, shared with [[bpeEncodeStats]]:
+    * (round, pair, replacement symbol, weighted count, words touched)
+    * per round. Each round's top-1 is one bounded driver action (see
+    * [[bpeMergeTrain]] scaladoc for why a literal beats an in-plan
+    * 1-row crossJoin here).
+    */
+  private[graft] def trainMerges(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int,
+  ): Seq[(Int, String, String, Long, Long)] = {
     val wf = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -704,17 +760,52 @@ object TextAnalysis {
         .groupBy("pair")
         .agg(sum(col("wf")).as("n"), countDistinct(col("w")).as("n_words"))
     var words = wf
-    val merges = (1 to rounds).map { r =>
+    (1 to rounds).map { r =>
       val top = pairCensus(words)
         .orderBy(col("n").desc, col("pair"))
         .limit(1)
         .head()
-      val (pair, n, nWords) = (top.getString(0), top.getLong(1), top.getLong(2))
       val sym = ('A' + r - 1).toChar.toString
-      words = words.select(regexp_replace(col("w"), pair, sym).as("w"), col("wf"))
-      (r.toLong, pair, n, nWords)
+      words = words.select(regexp_replace(col("w"), top.getString(0), sym).as("w"), col("wf"))
+      (r, top.getString(0), sym, top.getLong(1), top.getLong(2))
     }
-    merges.toDF("round", "pair", "n", "n_words")
+  }
+
+  /** The ENCODE side of the trained tokenizer: apply the merge table
+    * from [[trainMerges]] to every document in order and report the
+    * per-document symbol counts before/after plus the compression
+    * ratio — the metric that tells a tokenizer team whether the
+    * merges learned on the vocab actually compress the corpus.
+    * Applying merges to the full text is sound because no merge pair
+    * can span a token boundary (pairs come from within-word
+    * adjacency and tokens contain no spaces), and each merge
+    * replaces two symbols with one, so n_after = n_before − merges
+    * applied.
+    *
+    * Scale shape: training is the |vocab|-table loop; the encode is
+    * ONE map-only pass over the corpus with the merge pairs spliced
+    * in as literals (the whole replace chain stays inside codegen —
+    * no join, no shuffle, embarrassingly parallel at 100 TB).
+    */
+  def bpeEncodeStats(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val merges = trainMerges(spark, dir, rounds)
+    val encoded = merges.foldLeft(col("text")) { case (c, (_, pair, sym, _, _)) =>
+      regexp_replace(c, pair, sym)
+    }
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_sym_raw"),
+        length(regexp_replace(encoded, " ", "")).cast("long").as("n_sym_bpe"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_sym_raw"),
+        col("n_sym_bpe"),
+        expr(
+          "CASE WHEN n_sym_raw = 0 THEN 1000000 ELSE (1000000 * n_sym_bpe) div n_sym_raw END"
+        ).as("compression_x1e6"),
+      )
   }
 
   /** Count-min sketch estimates for the top corpus tokens: d=4

@@ -378,6 +378,40 @@ class TextPipelineSpec extends AnyFunSuite {
       s"merge table: $rows")
   }
 
+  test("bpe encode compresses the hand corpus exactly as the merge table predicts") {
+    import spark.implicits._
+    // same corpus as the trainer pin; applying aa→A, ab→B, AB→C to
+    // "aaab aaab ab" gives "C C B": 10 symbols → 3
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-enc").toString
+    Seq((1L, "aaab aaab ab"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.bpeEncodeStats(spark, tmp).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((10L, 3L, 300000L)),
+      s"got ${r(0)}")
+    // corpus-wide invariants at sf0.001: encoding never grows a doc
+    TextAnalysis.bpeEncodeStats(spark, sf).collect().foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1), s"doc ${row.getLong(0)} grew under encode")
+      assert(row.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("quality calibration buckets partition the bigram-bearing docs") {
+    val cal = TextAnalysis.qualityCalibration(spark, sf).collect()
+    assert(cal.nonEmpty)
+    val nDocsWithBigrams = graft.sources.Tables(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(cal.map(_.getLong(1)).sum == nDocsWithBigrams,
+      "every bigram-bearing doc lands in exactly one bucket")
+    cal.foreach { row =>
+      val nov = row.getLong(3)
+      assert(nov >= 0 && nov <= 1000000L, s"novelty out of range: $row")
+    }
+  }
+
   test("importance weights score the target language above the rest") {
     val rows = Sampling.importanceWeights(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
