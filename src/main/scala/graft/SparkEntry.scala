@@ -397,6 +397,9 @@ object SparkEntry {
     // DSIR-shaped hashed-unigram importance weights vs the lang='en'
     // target domain (log-free monotone ratio, add-one smoothed)
     "sample_importance_weights" -> ((s, d) => graft.operators.Sampling.importanceWeights(s, d)),
+    // the resampling step on top: accept with probability w/w_max via
+    // the exact integer test h16·w_max < 65536·w — coordination-free
+    "sample_importance_resample" -> ((s, d) => graft.operators.Sampling.importanceResample(s, d)),
     // largest-remainder token-budget apportionment: quotas sum
     // EXACTLY to the budget (per-source rounding can't)
     "token_budget_allocation" -> ((s, d) => graft.operators.Sampling.tokenBudgetAllocation(s, d)),
@@ -934,6 +937,35 @@ object SparkEntry {
        |         CASE WHEN $g = 0 THEN 'unknown' $cases
        |         ELSE 'unknown' END AS predicted FROM lids)""".stripMargin
   }
+
+  // DSIR importance-weight CTE chain (hashed-unigram monotone ratio,
+  // add-one smoothed, HUGEINT products) — ends with per-doc weights
+  // in `dw`; shared by the weights gate and the resampling gate
+  private val dsirWeightCtes: String =
+    """dtok AS (
+      |  SELECT doc_id, is_tgt, t AS w
+      |  FROM (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_tgt,
+      |               unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> ''),
+      |pdb AS MATERIALIZED (
+      |  SELECT doc_id, is_tgt, substr(md5('dsir|' || w), 1, 3) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM dtok GROUP BY 1, 2, 3),
+      |bc AS (
+      |  SELECT bucket, CAST(sum(c) AS BIGINT) AS n_raw,
+      |         CAST(sum(c * is_tgt) AS BIGINT) AS n_tgt
+      |  FROM pdb GROUP BY 1),
+      |dtot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+      |               CAST(sum(n_tgt) AS BIGINT) AS tot_tgt FROM bc),
+      |rt AS (
+      |  SELECT bucket,
+      |    CAST((1000000::HUGEINT * (n_tgt + 1) * (tot_raw + 4096))
+      |      // ((n_raw + 1)::HUGEINT * (tot_tgt + 4096)) AS BIGINT) AS r_x1e6
+      |  FROM bc, dtot),
+      |dw AS (
+      |  SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_feat,
+      |         CAST(sum(p.c * rt.r_x1e6) // sum(p.c) AS BIGINT) AS weight_x1e6
+      |  FROM pdb p JOIN rt USING (bucket) GROUP BY 1)""".stripMargin
 
   // BPE training CTE chain (census → top-1 → leftmost non-overlapping
   // merge, three rounds) — shared by the trainer gate and the encode
@@ -3204,29 +3236,25 @@ object SparkEntry {
     // monotone rational form (1e6-scaled, add-one smoothed over 4096
     // md5 buckets); products in HUGEINT — 1e6·n_tgt·N_raw wraps BIGINT
     "sample_importance_weights" ->
-      """WITH tok AS (
-        |  SELECT doc_id, is_tgt, t AS w
-        |  FROM (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_tgt,
-        |               unnest(string_split(text, ' ')) AS t FROM documents)
-        |  WHERE t <> ''),
-        |pdb AS (
-        |  SELECT doc_id, is_tgt, substr(md5('dsir|' || w), 1, 3) AS bucket,
-        |         CAST(count(*) AS BIGINT) AS c
-        |  FROM tok GROUP BY 1, 2, 3),
-        |bc AS (
-        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS n_raw,
-        |         CAST(sum(c * is_tgt) AS BIGINT) AS n_tgt
-        |  FROM pdb GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
-        |               CAST(sum(n_tgt) AS BIGINT) AS tot_tgt FROM bc),
-        |rt AS (
-        |  SELECT bucket,
-        |    CAST((1000000::HUGEINT * (n_tgt + 1) * (tot_raw + 4096))
-        |      // ((n_raw + 1)::HUGEINT * (tot_tgt + 4096)) AS BIGINT) AS r_x1e6
-        |  FROM bc, tot)
-        |SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_feat,
-        |       CAST(sum(p.c * rt.r_x1e6) // sum(p.c) AS BIGINT) AS weight_x1e6
-        |FROM pdb p JOIN rt USING (bucket) GROUP BY 1""".stripMargin,
+      s"""WITH $dsirWeightCtes
+         |SELECT doc_id, n_feat, weight_x1e6 FROM dw""".stripMargin,
+    // the resampling step: h16 from the salted content hash (strpos
+    // nibble expansion — the classifier oracle's hex→int idiom);
+    // accept iff h16·w_max < 65536·w, probability w/w_max exactly
+    "sample_importance_resample" ->
+      s"""WITH $dsirWeightCtes,
+         |wm AS (SELECT max(weight_x1e6) AS w_max FROM dw),
+         |h AS (SELECT doc_id, substr(md5(text || '|dsir-rs'), 1, 4) AS hx FROM documents),
+         |h16 AS (SELECT doc_id,
+         |          CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+         |               (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+         |               (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+         |               (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS BIGINT) AS h16
+         |        FROM h)
+         |SELECT dw.doc_id, dw.weight_x1e6, h16.h16, wm.w_max,
+         |       CAST(CASE WHEN h16.h16 * wm.w_max < dw.weight_x1e6 * 65536
+         |            THEN 1 ELSE 0 END AS INT) AS accepted
+         |FROM dw JOIN h16 USING (doc_id), wm""".stripMargin,
     // Hamilton apportionment: floor quotas + largest remainders; the
     // budget·tokens product in HUGEINT, remainders < total fit BIGINT
     "token_budget_allocation" ->

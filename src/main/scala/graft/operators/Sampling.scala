@@ -458,6 +458,55 @@ object Sampling {
       )
   }
 
+  /** The RESAMPLING step DSIR runs on top of [[importanceWeights]]:
+    * accept each raw document with probability proportional to its
+    * importance weight — deterministically. The acceptance test is
+    * the exact integer inequality
+    *
+    *   h16(text) · w_max < 65536 · w(doc)
+    *
+    * where h16 is the first 4 hex digits of the salted content md5
+    * (uniform on 0..65535): acceptance probability is w/w_max per
+    * doc, reproducible from content alone (the [[assignSplit]]
+    * coordination-free property, which a seeded RNG never gives a
+    * distributed re-run). w_max resolves as a 1-row aggregate
+    * crossJoined in (bounded broadcast); products stay in BIGINT —
+    * 65536·w and h16·w_max both cap at ~6.5e4·weights, far inside
+    * 2^63 for any corpus (weights are 1e6-scaled per-token means).
+    *
+    * Output: per-doc verdict (weight, threshold components,
+    * accepted) — the joinable side table a training pipeline filters
+    * against.
+    *
+    * Scale shape: [[importanceWeights]]'s passes plus one map-side
+    * hash test; the only additions are the 1-row max aggregate and
+    * one |docs|-row join of the weight table back to the text hash
+    * (id-keyed equi-join, no corpus text shuffle — the hash projects
+    * at scan speed).
+    */
+  def importanceResample(spark: SparkSession, dir: String, targetLang: String = "en")
+      : DataFrame = {
+    val weights = importanceWeights(spark, dir, targetLang)
+    val wmax = weights.agg(max(col("weight_x1e6")).as("w_max"))
+    val h16 = docs(spark, dir)
+      .select(
+        col("doc_id"),
+        conv(substring(md5(concat(col("text"), lit("|dsir-rs"))), 1, 4), 16, 10)
+          .cast("long")
+          .as("h16"),
+      )
+    weights
+      .join(h16, "doc_id")
+      .crossJoin(broadcast(wmax))
+      .select(
+        col("doc_id"),
+        col("weight_x1e6"),
+        col("h16"),
+        col("w_max"),
+        (col("h16") * col("w_max") < col("weight_x1e6") * 65536L).cast("int").as("accepted"),
+      )
+  }
+
   /** DSIR-shaped importance weights for domain-targeted data
     * selection (Xie et al. 2023, "Data Selection for Language Models
     * via Importance Resampling"): score every raw document by how

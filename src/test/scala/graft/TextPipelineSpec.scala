@@ -433,6 +433,25 @@ class TextPipelineSpec extends AnyFunSuite {
       s"target-lang mean weight $tgtMean must exceed non-target $restMean")
   }
 
+  test("importance resampling accepts by the exact integer test, max-weight always in") {
+    val rows = Sampling.importanceResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val wMax = rows.map(_._2).max
+    rows.foreach { case (id, w, h16, wm, acc) =>
+      assert(wm == wMax, s"doc $id carries a stale w_max")
+      assert(h16 >= 0 && h16 < 65536)
+      val expect = if (h16 * wm < w * 65536L) 1 else 0
+      assert(acc == expect, s"doc $id acceptance disagrees with the integer test")
+    }
+    // h16 < 65536 makes the max-weight doc unconditionally accepted
+    rows.filter(_._2 == wMax).foreach { case (id, _, _, _, acc) =>
+      assert(acc == 1, s"max-weight doc $id must always be accepted")
+    }
+    // the corpus has weight spread, so both verdicts must occur
+    assert(rows.exists(_._5 == 1) && rows.exists(_._5 == 0))
+  }
+
   test("hybrid RRF fusion is consistent with its two rank lists") {
     val fused = graft.operators.Similarity.hybridRrfTopK(spark, sf).collect()
     assert(fused.nonEmpty)
