@@ -994,15 +994,22 @@ object TextAnalysis {
     * paragraph shifts no downstream chunk hashes, so the shared
     * material still collides.
     *
-    * Scale shape: the corpus tokens shuffle ONCE by doc_id for the
-    * boundary prefix-sum window; the (doc_id, chunk) re-aggregation
-    * reuses that partitioning (no second exchange — chunk content
-    * reassembles where the window left the rows). After hashing,
-    * only (doc_id, chunk_hash) pairs flow — ~1/16 of the token count
-    * and 16 bytes wide, never the text. The hash-frequency table
-    * aggregates map-side, and the join back is an equi-join on the
-    * hash — at 100 TB both sides hash-partition; nothing is
-    * quadratic and nothing broadcasts a corpus-scaling side.
+    * Scale shape: the (doc_id, chunk) re-aggregation reuses the
+    * boundary window's doc_id partitioning (no second exchange —
+    * chunk content reassembles where the window left the rows).
+    * After hashing, only (doc_id, chunk_hash) pairs flow — ~1/16 of
+    * the token count and 16 bytes wide, never the text. The chunk
+    * lineage is REFERENCED TWICE (the per-doc side and the
+    * hash-frequency build side of the join); AQE's exchange reuse
+    * dedups the corpus token exchange between them, leaving only the
+    * window/hash compute duplicated — measured equal to a
+    * localCheckpoint-materialized single-lineage variant at sf4e
+    * (3.64 vs 3.69 s min-of-3), so the checkpoint write buys
+    * nothing (the span-coverage adjudication, again). The join back
+    * is an equi-join on the hash — at 100 TB both sides
+    * hash-partition; nothing is quadratic and nothing broadcasts a
+    * corpus-scaling side (a window-count formulation would buffer
+    * the hottest hash's partition; the join keeps skew bounded).
     */
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
