@@ -275,6 +275,9 @@ object SparkEntry {
     // ingest-time PQ encode: arriving embeddings → codes appended to
     // the distributed index sink, row-identical to the batch artifact
     "stream_pq_encode" -> (StreamingQueries.pqEncodeViaSink _),
+    // ingest-time winnowing probe: arriving docs' selected
+    // fingerprints vs the stored MOSS index, stream-static, stateless
+    "stream_winnow_probe" -> (StreamingQueries.winnowProbeViaSink _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -1717,6 +1720,38 @@ object SparkEntry {
         |  CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS min_day_offset,
         |  CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS max_day_offset
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // the ingest-time probe's oracle: the old×new slice of the winnow
+    // pair table, df cutoff computed over the EXISTING slice only
+    // (that is what a stored index can know at build time)
+    "stream_winnow_probe" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 7),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |         substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 8) AS g
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 3)) AS i) z),
+        |wins AS (
+        |  SELECT doc_id, i,
+        |         min(g) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |         count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM grams),
+        |sel AS MATERIALIZED (SELECT DISTINCT doc_id, m AS fp FROM wins WHERE i <= ng - 3),
+        |cut AS (SELECT 9 * max(doc_id) // 10 AS c FROM documents),
+        |selo AS MATERIALIZED (SELECT s.doc_id, s.fp FROM sel s, cut WHERE s.doc_id <= cut.c),
+        |seln AS MATERIALIZED (SELECT s.doc_id, s.fp FROM sel s, cut WHERE s.doc_id > cut.c),
+        |nfpo AS (SELECT doc_id, count(*) AS nfp FROM selo GROUP BY 1),
+        |nfpn AS (SELECT doc_id, count(*) AS nfp FROM seln GROUP BY 1),
+        |good AS (SELECT fp FROM selo GROUP BY fp HAVING count(*) <= 50),
+        |hits AS (SELECT o.doc_id AS doc_a, n.doc_id AS doc_b, o.fp
+        |         FROM selo o JOIN seln n USING (fp) JOIN good USING (fp)),
+        |pairs AS (SELECT doc_a, doc_b, CAST(count(DISTINCT fp) AS BIGINT) AS n_shared
+        |          FROM hits GROUP BY 1, 2 HAVING count(DISTINCT fp) >= 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |       CAST((1000000 * p.n_shared) // least(a.nfp, b.nfp) AS BIGINT) AS overlap_x1e6
+        |FROM pairs p JOIN nfpo a ON p.doc_a = a.doc_id
+        |JOIN nfpn b ON p.doc_b = b.doc_id""".stripMargin,
     // cross-doc winnowing matches: same selection CTE chain as
     // text_winnowing, then postings -> df cutoff -> pair counts;
     // containment over the smaller selected-fingerprint set

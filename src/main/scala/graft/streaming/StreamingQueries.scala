@@ -691,6 +691,72 @@ object StreamingQueries {
     runAppendToParquet(spark, incrementalDedupStream(spark, dir), scratchSinkDir("incdedup") + "/out")
       .dropDuplicates("doc_a", "doc_b")
 
+  /** Streaming ingest-time winnowing probe — the MOSS-index twin of
+    * [[incrementalDedupStream]]: every arriving document computes its
+    * SELECTED winnowing fingerprints map-side
+    * ([[graft.operators.TextAnalysis.winnowedFingerprints]] — pure
+    * array math, no shuffle) and probes the STORED fingerprint index
+    * of the existing corpus (stream-static equi-join on the
+    * fingerprint; the index keeps only fingerprints with existing-df
+    * <= 50, the stop-fingerprint discipline a deployed index applies
+    * at build time). Each hit row carries both docs' TOTAL selected-
+    * fingerprint counts (existing side stored in the index, arriving
+    * side computed in the same let-bound generator), so the read-back
+    * needs no second corpus pass: a distributed groupBy over the
+    * landed hits counts distinct shared fingerprints per pair
+    * (idempotent under at-least-once retries) and scores containment
+    * over the smaller set — the [[graft.operators.Dedup.winnowPairs]]
+    * old×new slice exactly, which is the DuckDB oracle.
+    *
+    * Scale shape: STATELESS probe (the only streaming state is the
+    * source offset log); new×new pairs belong to the next index
+    * rebuild, exactly the [[incrementalDedupStream]] adjudication.
+    */
+  def winnowProbeStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.functions.Let.bindArray
+    val cutoff = Dedup.incrementCutoff(spark, dir)
+    val existingFps = graft.sources.Tables(spark, dir, "documents")
+      .filter(col("doc_id") <= cutoff)
+      .select(
+        col("doc_id").as("doc_a"),
+        explode(bindArray(TextAnalysis.winnowedFingerprints(col("text"))) { a =>
+          transform(a, x => struct(x.as("fp"), size(a).cast("long").as("n_a")))
+        }).as("z"),
+      )
+      .select(col("doc_a"), col("z.fp").as("fp"), col("z.n_a").as("n_a"))
+    val fpDf = existingFps.groupBy("fp").agg(count(lit(1)).as("df"))
+    val idx = existingFps.join(fpDf.filter(col("df") <= 50).select("fp"), "fp")
+    val probe = documentsStream(spark, dir)
+      .filter(col("doc_id") > cutoff)
+      .select(
+        col("doc_id").as("doc_b"),
+        explode(bindArray(TextAnalysis.winnowedFingerprints(col("text"))) { a =>
+          transform(a, x => struct(x.as("fp"), size(a).cast("long").as("n_b")))
+        }).as("z"),
+      )
+      .select(col("doc_b"), col("z.fp").as("fp"), col("z.n_b").as("n_b"))
+    probe
+      .join(idx, Seq("fp"))
+      .select(col("doc_a"), col("n_a"), col("doc_b"), col("n_b"), col("fp"))
+  }
+
+  /** Read-back aggregation of the landed winnow-probe hits: distinct
+    * shared fingerprints per (old, new) pair, >= 2 to match, scored
+    * by containment over the smaller selected set.
+    */
+  def winnowProbeViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, winnowProbeStream(spark, dir), scratchSinkDir("winprobe") + "/out")
+      .groupBy("doc_a", "n_a", "doc_b", "n_b")
+      .agg(count_distinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_shared"),
+        expr("(1000000 * n_shared) div least(n_a, n_b)").cast("long").as("overlap_x1e6"),
+      )
+
   /** Streaming ingest-time PQ encode — the vector-index twin of
     * [[incrementalDedupStream]]: every arriving embedding is encoded
     * to its 4 subspace codes + stored norm against the BROADCAST

@@ -276,6 +276,44 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(sa.nonEmpty && sa == sb, s"streamed codes diverged: ${sa.diff(sb).take(3)} / ${sb.diff(sa).take(3)}")
   }
 
+  test("ingest-time winnow probe lands exactly the batch old×new winnow slice") {
+    // micro-batch boundaries and arrival order must be invisible: a
+    // fingerprint hit lands or it doesn't, independent of batching,
+    // and the read-back's count(DISTINCT fp) absorbs any
+    // at-least-once replays
+    val dir = "/root/testdata/sf0.01"
+    val streamed = graft.streaming.StreamingQueries.winnowProbeViaSink(spark, dir)
+    // batch twin: the same index/probe split computed without a stream
+    val cutoff = graft.operators.Dedup.incrementCutoff(spark, dir)
+    import graft.functions.Let.bindArray
+    def fps(filter: org.apache.spark.sql.Column, idCol: String, nCol: String) =
+      graft.sources.Tables(spark, dir, "documents")
+        .filter(filter)
+        .select(
+          col("doc_id").as(idCol),
+          explode(bindArray(
+            graft.operators.TextAnalysis.winnowedFingerprints(col("text"))) { a =>
+            transform(a, x => struct(x.as("fp"), size(a).cast("long").as(nCol)))
+          }).as("z"),
+        )
+        .select(col(idCol), col("z.fp").as("fp"), col(s"z.$nCol").as(nCol))
+    val old = fps(col("doc_id") <= cutoff, "doc_a", "n_a")
+    val df50 = old.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
+    val batch = fps(col("doc_id") > cutoff, "doc_b", "n_b")
+      .join(old.join(df50, "fp"), Seq("fp"))
+      .groupBy("doc_a", "n_a", "doc_b", "n_b")
+      .agg(count_distinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(1000000 * n_shared) div least(n_a, n_b)").cast("long").as("overlap_x1e6"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sa = rows(streamed)
+    val sb = rows(batch)
+    assert(sa.nonEmpty, "driver corpus has old×new winnow matches")
+    assert(sa == sb, s"streamed probe diverged: ${sa.diff(sb)} / ${sb.diff(sa)}")
+  }
+
   test("streaming quality router partitions the corpus: keep sink == batch rule, keep ∪ reject = all") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
