@@ -413,6 +413,9 @@ object SparkEntry {
     "decontamination_fuzzy" -> ((s, d) => graft.operators.Sampling.fuzzyDecontamination(s, d)),
     "decontamination_bloom" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlapBloom(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
+    // media-level exact dedup on the EXTRACTED payload bytes: content
+    // identity across container wrappers, full-payload parser check
+    "multimodal_payload_dedup" -> (Multimodal.payloadDedup _),
     // capstone composition: quality filter + keep-best dedup + split
     // assignment → the per (source, split) provisioning table
     "curation_pipeline" -> (graft.operators.Curation.curationSummary _),
@@ -3394,5 +3397,27 @@ object SparkEntry {
         |  CAST(CASE k WHEN 1 THEN doc_id % 2 + 1 ELSE 0 END AS INT) AS n_channels,
         |  CAST(CASE k WHEN 1 THEN len // block_align ELSE 0 END AS BIGINT) AS n_samples
         |FROM m""".stripMargin,
+    // payload-extraction twin: the engine slices the payload BYTES
+    // back out of each container and hashes them; the oracle
+    // recomputes the hash from text analytically (the corpus is
+    // ASCII — verified octet_length == length — so char slicing
+    // equals the engine's byte slicing; WAV truncates to whole
+    // sample frames per the synthesis contract)
+    "multimodal_payload_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END
+        |      AS media_type,
+        |    CASE WHEN doc_id % 3 = 1
+        |      THEN CAST(length(text) - (length(text) % (2 * (doc_id % 2 + 1))) AS BIGINT)
+        |      ELSE CAST(length(text) AS BIGINT) END AS n_payload,
+        |    CASE WHEN doc_id % 3 = 1
+        |      THEN md5(substr(text, 1,
+        |             CAST(length(text) - (length(text) % (2 * (doc_id % 2 + 1))) AS INT)))
+        |      ELSE md5(text) END AS payload_md5
+        |  FROM documents),
+        |g AS (SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_sharers FROM m GROUP BY 1)
+        |SELECT m.doc_id, m.media_type, m.n_payload, m.payload_md5, g.n_sharers
+        |FROM m JOIN g USING (payload_md5)""".stripMargin,
   )
 }

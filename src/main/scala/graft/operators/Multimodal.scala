@@ -191,6 +191,43 @@ object Multimodal {
       (rate, channels, samples)
     }
 
+    /** Payload EXTRACTION — the step between header parse and codec
+      * decode in a real pipeline. PNG: the IDAT chunk's data (chunk
+      * walk from the first chunk, so extra ancillary chunks before
+      * IDAT are tolerated). JPEG: the entropy region — everything
+      * after the last 0xff-prefixed header segment up to the trailing
+      * EOI. WAV: the data chunk's content. Unknown container → empty.
+      */
+    def payload(b: Array[Byte]): Array[Byte] = {
+      if (isPng(b)) {
+        var i = 8
+        while (i + 8 <= b.length) {
+          val size = be32(b, i)
+          if (ascii(b, i + 4, 4) == "IDAT")
+            return b.slice(i + 8, math.min(i + 8 + size, b.length))
+          i += 12 + size
+        }
+        Array.emptyByteArray
+      } else if (isWav(b)) {
+        var i = 12
+        while (i + 8 <= b.length) {
+          val size = le32(b, i + 4)
+          if (ascii(b, i, 4) == "data")
+            return b.slice(i + 8, math.min(i + 8 + size, b.length))
+          i += 8 + size + (size & 1)
+        }
+        Array.emptyByteArray
+      } else if (isJpeg(b)) {
+        var i = 2
+        while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+          val m = b(i + 1) & 0xff
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2
+          else i += 2 + be16(b, i + 2)
+        }
+        if (i < b.length - 2) b.slice(i, b.length - 2) else Array.emptyByteArray
+      } else Array.emptyByteArray
+    }
+
     def decode(r: MediaRecord): MediaFeatures = {
       val b = r.content
       val magic = b.take(4).map("%02x".format(_)).mkString
@@ -238,6 +275,44 @@ object Multimodal {
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(asMediaTable(spark, dir)).toDF()
+
+  /** Media-level exact dedup — content identity across container
+    * wrappers: each payload EXTRACTED by the byte-level parser
+    * ([[HeaderDecode.payload]]), hashed, and grouped; docs whose
+    * extracted payloads collide are byte-identical media regardless
+    * of the container around them. WAV payloads are block-aligned
+    * truncations of the body, so the same text in a WAV vs a PNG
+    * wrapper legitimately differs when the tail is cut — the gate
+    * reports what the BYTES say, which is the point. The oracle
+    * recomputes every hash analytically from text (ASCII corpus:
+    * char slicing == byte slicing; the engine side slices bytes), so
+    * a wrong payload walk — off-by-one chunk offset, missed
+    * truncation — fails the gate, extending the header-field checks
+    * to full payload extraction.
+    *
+    * Scale shape: synthesize → extract → hash is one per-partition
+    * map pass (mapPartitions, decoder amortized); the hash-group
+    * count is a |distinct payloads|-key aggregate joined back by an
+    * equi-join on the 32-char hash. Nothing broadcasts a
+    * corpus-scaling side.
+    */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = asMediaTable(spark, dir)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val p = HeaderDecode.payload(r.content)
+          md.reset()
+          val hex = md.digest(p).map("%02x".format(_)).mkString
+          (r.doc_id, r.media_type, p.length.toLong, hex)
+        }
+      }
+      .toDF("doc_id", "media_type", "n_payload", "payload_md5")
+    val groups = hashed.groupBy("payload_md5").agg(count(lit(1)).as("n_sharers"))
+    hashed.join(groups, "payload_md5")
+      .select(col("doc_id"), col("media_type"), col("n_payload"), col("payload_md5"), col("n_sharers"))
+  }
 
   /** Frame sampling: explode each media payload into one row per
     * sampled frame — the generator/explode shape of per-frame feature

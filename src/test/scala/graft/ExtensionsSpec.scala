@@ -266,5 +266,30 @@ class ExtensionsSpec extends AnyFunSuite {
     // unknown container: zeroed features + observed magic, no throw
     val junk = HeaderDecode.decode(MediaRecord(4L, "bin", Array[Byte](1, 2, 3, 4, 5)))
     assert(junk.width == 0 && junk.sample_rate == 0 && junk.magic == "01020304")
+    // payload extraction on the same hand-built fixtures: PNG has no
+    // IDAT here (empty), the JPEG's entropy region is empty (headers
+    // straight to EOI), the WAV's data chunk is the 8 zero bytes
+    assert(HeaderDecode.payload(png).isEmpty)
+    assert(HeaderDecode.payload(jpeg).isEmpty)
+    assert(HeaderDecode.payload(wav).toSeq == Array.fill[Byte](8)(0).toSeq)
+    assert(HeaderDecode.payload(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+  }
+
+  test("payload extraction round-trips every synthesized container byte-exactly") {
+    import Multimodal.{HeaderDecode, MediaPayload}
+    // ids cover all three containers and both WAV channel counts;
+    // the 5-char body exercises WAV truncation (5 % blockAlign != 0)
+    for (id <- 0L to 5L) {
+      val text = "abcde"
+      val rec = MediaPayload.synthesize(id, text)
+      val got = HeaderDecode.payload(rec.content)
+      val expected =
+        if (id % 3 == 1) {
+          val ba = 2 * ((id % 2) + 1).toInt
+          text.getBytes("UTF-8").take(text.length - (text.length % ba))
+        } else text.getBytes("UTF-8")
+      assert(got.toSeq == expected.toSeq,
+        s"id $id (${rec.media_type}): got ${got.length} bytes, expected ${expected.length}")
+    }
   }
 }
