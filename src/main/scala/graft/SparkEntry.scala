@@ -378,6 +378,9 @@ object SparkEntry {
     // hybrid BM25+vector retrieval fused by integer reciprocal-rank
     // fusion (k0=60) — the two-tower RAG serving shape
     "hybrid_rrf_topk" -> ((s, d) => Similarity.hybridRrfTopK(s, d)),
+    // same fusion with the vector tower served from the IVF+PQ index
+    // — the deployed shape; the swap is rank-source-only
+    "hybrid_rrf_ivfpq" -> ((s, d) => Similarity.hybridRrfIvfPqTopK(s, d)),
     "embedding_quantize" -> (Similarity.quantizeInt8 _),
     // per-label centroid alignment to the corpus mean over exact
     // integer sum vectors (cosine is scale-invariant)
@@ -1102,6 +1105,40 @@ object SparkEntry {
        |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < 8),
        |pqqn AS (SELECT vec_id AS qid, nrm AS qnrm FROM pqq WHERE vec_id < 8)""".stripMargin
   }
+
+  // IVF+PQ continuation of pqCtes + pqLutCte: label-seeded centroids,
+  // assignments, nProbe=3 probe, ADC over probed cells only, ranked
+  // in `irk` — shared by similarity_ivf_pq and the hybrid gate
+  private lazy val ivfPqRankCtes: String =
+    s"""ivfd AS (
+       |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+       |  GROUP BY cell, i),
+       |ivfc AS MATERIALIZED (SELECT cell, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM ivfd GROUP BY cell),
+       |ivfa AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN ivfc c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM embeddings q CROSS JOIN ivfc c WHERE q.vec_id < 8) WHERE rn <= 3),
+       |isc AS (
+       |  SELECT p.query_id, cd.vec_id AS neighbor_id,
+       |         1000000.0 * (l0.lutv + l1.lutv + l2.lutv + l3.lutv) / (qn.qnrm * cd.nrm) AS score
+       |  FROM pqcodes cd
+       |  JOIN ivfa a ON a.vec_id = cd.vec_id
+       |  JOIN probe p ON p.cell = a.cell
+       |  JOIN pqlut l0 ON l0.qid = p.query_id AND l0.s = 0 AND l0.cell = cd.c0
+       |  JOIN pqlut l1 ON l1.qid = p.query_id AND l1.s = 1 AND l1.cell = cd.c1
+       |  JOIN pqlut l2 ON l2.qid = p.query_id AND l2.s = 2 AND l2.cell = cd.c2
+       |  JOIN pqlut l3 ON l3.qid = p.query_id AND l3.s = 3 AND l3.cell = cd.c3
+       |  JOIN pqqn qn ON qn.qid = p.query_id
+       |  WHERE p.query_id <> cd.vec_id),
+       |irk AS MATERIALIZED (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM isc)""".stripMargin
 
   // ADC continuation of pqCtes + pqLutCte: 4-term left-associated
   // lut sum normalized to a cosine estimate — 1e6·Σluts/(qnrm·nrm),
@@ -3002,36 +3039,38 @@ object SparkEntry {
     "similarity_ivf_pq" ->
       s"""WITH $pqCtes,
          |$pqLutCte,
-         |ivfd AS (
-         |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
-         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-         |  GROUP BY cell, i),
-         |ivfc AS MATERIALIZED (SELECT cell, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM ivfd GROUP BY cell),
-         |ivfa AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN ivfc c) WHERE rn = 1),
-         |probe AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT q.vec_id AS query_id, c.cell,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC, c.cell) AS rn
-         |    FROM embeddings q CROSS JOIN ivfc c WHERE q.vec_id < 8) WHERE rn <= 3),
-         |isc AS (
-         |  SELECT p.query_id, cd.vec_id AS neighbor_id,
-         |         1000000.0 * (l0.lutv + l1.lutv + l2.lutv + l3.lutv) / (qn.qnrm * cd.nrm) AS score
-         |  FROM pqcodes cd
-         |  JOIN ivfa a ON a.vec_id = cd.vec_id
-         |  JOIN probe p ON p.cell = a.cell
-         |  JOIN pqlut l0 ON l0.qid = p.query_id AND l0.s = 0 AND l0.cell = cd.c0
-         |  JOIN pqlut l1 ON l1.qid = p.query_id AND l1.s = 1 AND l1.cell = cd.c1
-         |  JOIN pqlut l2 ON l2.qid = p.query_id AND l2.s = 2 AND l2.cell = cd.c2
-         |  JOIN pqlut l3 ON l3.qid = p.query_id AND l3.s = 3 AND l3.cell = cd.c3
-         |  JOIN pqqn qn ON qn.qid = p.query_id
-         |  WHERE p.query_id <> cd.vec_id),
-         |irk AS (SELECT query_id, neighbor_id,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM isc)
+         |$ivfPqRankCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM irk WHERE rnk <= 5""".stripMargin,
+    // the deployed two-tower hybrid: BM25 tower ⊕ the IVF+PQ-served
+    // vector tower, fused by the same integer RRF (the serving swap
+    // is rank-source-only — CTE chains shared with both parents)
+    "hybrid_rrf_ivfpq" -> {
+      val qidList = TextAnalysis.bm25Queries.map(_._1).mkString(", ")
+      s"""WITH $pqCtes,
+         |$pqLutCte,
+         |$ivfPqRankCtes,
+         |$bm25RankedCtes,
+         |text_top AS (SELECT query_id, doc_id, rk AS rk_text FROM r WHERE rk <= 10),
+         |vec_top AS (SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id AS doc_id,
+         |              CAST(rnk AS BIGINT) AS rk_vec
+         |            FROM irk WHERE rnk <= 10 AND query_id IN ($qidList)),
+         |fused AS (
+         |  SELECT CAST(COALESCE(t.query_id, v.query_id) AS BIGINT) AS query_id,
+         |         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |         t.rk_text, v.rk_vec,
+         |         CAST(COALESCE(1000000 // (60 + t.rk_text), 0)
+         |              + COALESCE(1000000 // (60 + v.rk_vec), 0) AS BIGINT) AS rrf_x1e6,
+         |         CAST(CASE WHEN t.rk_text IS NULL THEN 0 ELSE 1 END
+         |              + CASE WHEN v.rk_vec IS NULL THEN 0 ELSE 1 END AS INT) AS n_modalities
+         |  FROM text_top t FULL OUTER JOIN vec_top v
+         |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+         |f2 AS (SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS fused_rank
+         |       FROM fused)
+         |SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities, fused_rank
+         |FROM f2 WHERE fused_rank <= 10""".stripMargin
+    },
     "ivf_assign" ->
       s"""WITH dims AS (
          |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m

@@ -569,11 +569,7 @@ object Similarity {
     * full-outer equi-join of two tiny rank lists plus one window.
     */
   def hybridRrfTopK(spark: SparkSession, dir: String, k: Int = 10, k0: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qids = TextAnalysis.bm25Queries.map(_._1.toLong)
-    val text = TextAnalysis
-      .bm25Search(spark, dir, k)
-      .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("rk").as("rk_text"))
     val queries = embPlain(spark, dir)
       .filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -583,6 +579,42 @@ object Similarity {
       .withColumn("cos", cosine(col("qe"), col("ce")))
     val vec = topKPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rk_vec"))
+    rrfFuse(spark, dir, vec, k, k0)
+  }
+
+  /** [[hybridRrfTopK]] with the vector leg served from the composed
+    * IVF+PQ index ([[PqIndex.ivfPqTopK]]) instead of the brute-force
+    * scorer — the DEPLOYED two-tower shape: the text tower reads the
+    * BM25 posting index, the vector tower probes the compressed
+    * coarse-quantized index, and the fusion contract is unchanged
+    * (same columns, same integer RRF). What this gate pins is that
+    * the serving-path swap is a drop-in: only the rank source
+    * differs, and any recall the ADC tier loses shows up as rank
+    * differences against [[hybridRrfTopK]] — measurable, not hidden.
+    */
+  def hybridRrfIvfPqTopK(spark: SparkSession, dir: String, k: Int = 10, k0: Int = 60): DataFrame = {
+    val qids = TextAnalysis.bm25Queries.map(_._1.toLong)
+    val vec = PqIndex
+      .ivfPqTopK(spark, dir, nQueries = 4, k = k)
+      .filter(col("query_id").isin(qids: _*))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rk_vec"))
+    rrfFuse(spark, dir, vec, k, k0)
+  }
+
+  /** Shared RRF fusion: BM25 text ranks ⊕ a pluggable vector-leg rank
+    * list, Σ 1e6 div (k0 + rank) in exact integers, per-query top-k.
+    */
+  private def rrfFuse(
+      spark: SparkSession,
+      dir: String,
+      vec: DataFrame,
+      k: Int,
+      k0: Int,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = TextAnalysis
+      .bm25Search(spark, dir, k)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("rk").as("rk_text"))
     text
       .join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(

@@ -452,25 +452,38 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rows.exists(_._5 == 1) && rows.exists(_._5 == 0))
   }
 
-  test("hybrid RRF fusion is consistent with its two rank lists") {
-    val fused = graft.operators.Similarity.hybridRrfTopK(spark, sf).collect()
-    assert(fused.nonEmpty)
-    val byQuery = fused.groupBy(_.getLong(0))
-    assert(byQuery.keySet == TextAnalysis.bm25Queries.map(_._1.toLong).toSet)
-    byQuery.foreach { case (q, rs) =>
-      // fused ranks are contiguous from 1 and ordered by (rrf desc, doc)
-      val ordered = rs.sortBy(r => (-r.getLong(4), r.getLong(1)))
-      assert(ordered.map(_.getLong(6)).toSeq == (1L to ordered.length).toSeq,
-        s"query $q fused_rank not contiguous")
-      rs.foreach { r =>
-        val (rkText, rkVec) = (Option(r.get(2)), Option(r.get(3)))
-        val expected =
-          rkText.map(v => 1000000L / (60 + v.asInstanceOf[Long])).getOrElse(0L) +
-            rkVec.map(v => 1000000L / (60 + v.asInstanceOf[Long])).getOrElse(0L)
-        assert(r.getLong(4) == expected, s"query $q doc ${r.getLong(1)} rrf mismatch")
-        assert(r.getInt(5) == rkText.size + rkVec.size, "n_modalities mismatch")
-        assert(r.getInt(5) >= 1, "a fused row must come from at least one modality")
+  test("hybrid RRF fusion is consistent with its two rank lists (both vector towers)") {
+    def checkFusion(fused: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(fused.nonEmpty)
+      val byQuery = fused.groupBy(_.getLong(0))
+      assert(byQuery.keySet == TextAnalysis.bm25Queries.map(_._1.toLong).toSet)
+      byQuery.foreach { case (q, rs) =>
+        // fused ranks are contiguous from 1 and ordered by (rrf desc, doc)
+        val ordered = rs.sortBy(r => (-r.getLong(4), r.getLong(1)))
+        assert(ordered.map(_.getLong(6)).toSeq == (1L to ordered.length).toSeq,
+          s"query $q fused_rank not contiguous")
+        rs.foreach { r =>
+          val (rkText, rkVec) = (Option(r.get(2)), Option(r.get(3)))
+          val expected =
+            rkText.map(v => 1000000L / (60 + v.asInstanceOf[Long])).getOrElse(0L) +
+              rkVec.map(v => 1000000L / (60 + v.asInstanceOf[Long])).getOrElse(0L)
+          assert(r.getLong(4) == expected, s"query $q doc ${r.getLong(1)} rrf mismatch")
+          assert(r.getInt(5) == rkText.size + rkVec.size, "n_modalities mismatch")
+          assert(r.getInt(5) >= 1, "a fused row must come from at least one modality")
+        }
       }
+    }
+    val exact = graft.operators.Similarity.hybridRrfTopK(spark, sf).collect()
+    val served = graft.operators.Similarity.hybridRrfIvfPqTopK(spark, sf).collect()
+    checkFusion(exact)
+    checkFusion(served)
+    // the serving swap changes only the vector tower: the text-leg
+    // rank of any (query, doc) present in both outputs must agree
+    def textRanks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(r => !r.isNullAt(2)).map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ta, tb) = (textRanks(exact), textRanks(served))
+    ta.keySet.intersect(tb.keySet).foreach { k =>
+      assert(ta(k) == tb(k), s"text-leg rank diverged across towers at $k")
     }
   }
 }
