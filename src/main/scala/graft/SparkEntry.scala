@@ -1106,6 +1106,28 @@ object SparkEntry {
        |pqqn AS (SELECT vec_id AS qid, nrm AS qnrm FROM pqq WHERE vec_id < 8)""".stripMargin
   }
 
+  // The RRF fusion contract over `text_top`/`vec_top` CTEs — the part
+  // the two hybrid gates exist to pin as IDENTICAL (a rank-source-only
+  // swap), so it is single-sourced: a k0/tie-break/column edit cannot
+  // silently diverge between hybrid_rrf_topk and hybrid_rrf_ivfpq
+  private lazy val rrfFusionTailSql: String =
+    """fused AS (
+      |  SELECT CAST(COALESCE(t.query_id, v.query_id) AS BIGINT) AS query_id,
+      |         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |         t.rk_text, v.rk_vec,
+      |         CAST(COALESCE(1000000 // (60 + t.rk_text), 0)
+      |              + COALESCE(1000000 // (60 + v.rk_vec), 0) AS BIGINT) AS rrf_x1e6,
+      |         CAST(CASE WHEN t.rk_text IS NULL THEN 0 ELSE 1 END
+      |              + CASE WHEN v.rk_vec IS NULL THEN 0 ELSE 1 END AS INT) AS n_modalities
+      |  FROM text_top t FULL OUTER JOIN vec_top v
+      |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+      |f2 AS (SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS fused_rank
+      |       FROM fused)
+      |SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities, fused_rank
+      |FROM f2 WHERE fused_rank <= 10""".stripMargin
+
   // IVF+PQ continuation of pqCtes + pqLutCte: label-seeded centroids,
   // assignments, nProbe=3 probe, ADC over probed cells only, ranked
   // in `irk` — shared by similarity_ivf_pq and the hybrid gate
@@ -2448,7 +2470,7 @@ object SparkEntry {
          |ic AS (SELECT sa AS source, CAST(count(*) AS BIGINT) AS e_c
          |       FROM lab WHERE sa = sb GROUP BY 1)
          |SELECT ds.source, COALESCE(ic.e_c, 0) AS e_c, ds.d_c,
-         |  CAST((1000000::HUGEINT * (4 * mm.m * COALESCE(ic.e_c, 0) - ds.d_c * ds.d_c))
+         |  CAST((1000000::HUGEINT * (4::HUGEINT * mm.m * COALESCE(ic.e_c, 0) - ds.d_c::HUGEINT * ds.d_c))
          |    // (4::HUGEINT * mm.m * mm.m) AS BIGINT) AS q_c_x1e6
          |FROM ds LEFT JOIN ic USING (source), mm""".stripMargin,
     // wedge/triangle census of the pair graph; clustering coefficient
@@ -2916,22 +2938,7 @@ object SparkEntry {
          |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk_vec
          |       FROM vscored),
          |vec_top AS (SELECT query_id, doc_id, rk_vec FROM vr WHERE rk_vec <= 10),
-         |fused AS (
-         |  SELECT CAST(COALESCE(t.query_id, v.query_id) AS BIGINT) AS query_id,
-         |         COALESCE(t.doc_id, v.doc_id) AS doc_id,
-         |         t.rk_text, v.rk_vec,
-         |         CAST(COALESCE(1000000 // (60 + t.rk_text), 0)
-         |              + COALESCE(1000000 // (60 + v.rk_vec), 0) AS BIGINT) AS rrf_x1e6,
-         |         CAST(CASE WHEN t.rk_text IS NULL THEN 0 ELSE 1 END
-         |              + CASE WHEN v.rk_vec IS NULL THEN 0 ELSE 1 END AS INT) AS n_modalities
-         |  FROM text_top t FULL OUTER JOIN vec_top v
-         |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
-         |f2 AS (SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS fused_rank
-         |       FROM fused)
-         |SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities, fused_rank
-         |FROM f2 WHERE fused_rank <= 10""".stripMargin
+         |$rrfFusionTailSql""".stripMargin
     },
     "similarity_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
@@ -3054,22 +3061,7 @@ object SparkEntry {
          |vec_top AS (SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id AS doc_id,
          |              CAST(rnk AS BIGINT) AS rk_vec
          |            FROM irk WHERE rnk <= 10 AND query_id IN ($qidList)),
-         |fused AS (
-         |  SELECT CAST(COALESCE(t.query_id, v.query_id) AS BIGINT) AS query_id,
-         |         COALESCE(t.doc_id, v.doc_id) AS doc_id,
-         |         t.rk_text, v.rk_vec,
-         |         CAST(COALESCE(1000000 // (60 + t.rk_text), 0)
-         |              + COALESCE(1000000 // (60 + v.rk_vec), 0) AS BIGINT) AS rrf_x1e6,
-         |         CAST(CASE WHEN t.rk_text IS NULL THEN 0 ELSE 1 END
-         |              + CASE WHEN v.rk_vec IS NULL THEN 0 ELSE 1 END AS INT) AS n_modalities
-         |  FROM text_top t FULL OUTER JOIN vec_top v
-         |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
-         |f2 AS (SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS fused_rank
-         |       FROM fused)
-         |SELECT query_id, doc_id, rk_text, rk_vec, rrf_x1e6, n_modalities, fused_rank
-         |FROM f2 WHERE fused_rank <= 10""".stripMargin
+         |$rrfFusionTailSql""".stripMargin
     },
     "ivf_assign" ->
       s"""WITH dims AS (

@@ -295,7 +295,8 @@ object GraphOps {
         coalesce(col("e_c"), lit(0L)).as("e_c"),
         col("d_c"),
         expr(
-          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (4 * m * COALESCE(e_c, 0) - d_c * d_c)) div " +
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(4 AS DECIMAL(38,0)) * m * COALESCE(e_c, 0) " +
+            "- CAST(d_c AS DECIMAL(38,0)) * d_c)) div " +
             "(CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"
         ).as("q_c_x1e6"),
       )

@@ -2115,7 +2115,10 @@ object RelationalQueries {
     * per-part window min. Plan: the part filter joins BEFORE the
     * window (min-per-part commutes with dropping whole parts), so the
     * window shuffle carries only the ~1/12 slice that can reach the
-    * output; nation/region/filtered-part are broadcast dims. The
+    * output; nation/region are broadcast dims, but the filtered part
+    * slice is a constant FRACTION of a corpus-scaling table (the q16
+    * doctrine), so it carries no static hint — AQE decides from the
+    * post-filter size. The
     * LIMIT rides a unique total order (acctbal, n_name, s_name,
     * p_partkey — a supplier appears once per part).
     */
@@ -2131,7 +2134,7 @@ object RelationalQueries {
     derivedPartsupp(spark, dir)
       .join(t(spark, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(parts, col("ps_partkey") === col("p_partkey"))
       .withColumn("__m_cost", min(col("ps_supplycost_c")).over(Window.partitionBy(col("ps_partkey"))))
       .filter(col("ps_supplycost_c") === col("__m_cost"))
       .select(
@@ -2225,7 +2228,7 @@ object RelationalQueries {
       .filter(col("p_name").like("%bolt%"))
       .select(col("p_partkey"))
     val hotSuppliers = derivedPartsupp(spark, dir)
-      .join(broadcast(bolts), col("ps_partkey") === col("p_partkey"))
+      .join(bolts, col("ps_partkey") === col("p_partkey"))
       .join(q96, col("ps_partkey") === col("q_partkey") && col("ps_suppkey") === col("q_suppkey"))
       .filter(lit(2) * col("__qty96_c") > col("ps_availqty_c"))
       .select(col("ps_suppkey"))

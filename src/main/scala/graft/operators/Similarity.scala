@@ -594,8 +594,11 @@ object Similarity {
     */
   def hybridRrfIvfPqTopK(spark: SparkSession, dir: String, k: Int = 10, k0: Int = 60): DataFrame = {
     val qids = TextAnalysis.bm25Queries.map(_._1.toLong)
+    // serve every bm25 query id: nQueries is derived from the query
+    // set (ivfPqTopK serves vec_id < nQueries), not hardcoded — a new
+    // id added to bm25Queries grows the vector leg with it
     val vec = PqIndex
-      .ivfPqTopK(spark, dir, nQueries = 4, k = k)
+      .ivfPqTopK(spark, dir, nQueries = qids.max.toInt + 1, k = k)
       .filter(col("query_id").isin(qids: _*))
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rk_vec"))
     rrfFuse(spark, dir, vec, k, k0)

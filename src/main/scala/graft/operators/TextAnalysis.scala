@@ -236,7 +236,13 @@ object TextAnalysis {
         col("score_bucket"),
         col("n_docs"),
         col("score_sum"),
-        expr("(1000000 * unique_sum) div bigrams_sum").as("mean_novelty_x1e6"),
+        // the sums pool corpus-wide mass per bucket: the 1e6 product
+        // runs in DECIMAL(38,0) (DuckDB's sum() auto-promotes to
+        // HUGEINT; a BIGINT product here would wrap silently at
+        // ~10¹³ pooled bigrams — the 100-TB regime)
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * unique_sum) div bigrams_sum AS BIGINT)"
+        ).as("mean_novelty_x1e6"),
       )
 
   def qualityScores(spark: SparkSession, dir: String): DataFrame =

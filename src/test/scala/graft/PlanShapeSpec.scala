@@ -405,7 +405,7 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
     val corpusTables =
-      Set("customer", "supplier", "orders", "lineitem", "events", "documents", "embeddings")
+      Set("customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
 
     // gate → (required bounded-side columns, documented contract)
     val contractBounded: Map[String, (Set[String], String)] = Map(
