@@ -126,6 +126,12 @@ object SparkEntry {
     "text_normalize" -> (TextAnalysis.normalizeStats _),
     "text_repetition" -> (TextAnalysis.repetitionStats _),
     "text_quality_filter" -> (TextAnalysis.gopherQualityFilter _),
+    "text_blocklist_filter" -> (TextAnalysis.blocklistFilter _),
+    // PII scrub tier: regex detect + redact over deterministically
+    // injected synthetic PII (synthesis/detection independent — the
+    // Multimodal pattern); map-only, no shuffle
+    "text_pii_redact" -> (graft.operators.Pii.piiRedact _),
+    "text_pii_stats" -> (graft.operators.Pii.piiStats _),
     "text_lang_id" -> (TextAnalysis.langIdConfusion _),
     // predicted-language mix per source vs the corpus-wide mix, as
     // exact scaled-integer shares and lift
@@ -1861,6 +1867,53 @@ object SparkEntry {
         |sel AS (SELECT DISTINCT doc_id, m FROM wins WHERE i <= ng - 3)
         |SELECT doc_id, count(*) AS n_fingerprints, min(m) AS min_fp
         |FROM sel GROUP BY doc_id""".stripMargin,
+    // the injection fragment is the SHARED dialect-neutral arithmetic
+    // (Pii.injectSql — `%`, `||`, CASE, CAST AS STRING only); the
+    // extraction/redaction side is recomputed here independently with
+    // DuckDB's own regex engine ('g' flag: DuckDB replaces first-only
+    // by default, Spark replaces all)
+    "text_pii_redact" ->
+      s"""WITH inj AS (SELECT doc_id, ${graft.operators.Pii.injectSql} AS t FROM documents),
+         |r AS (SELECT doc_id, t,
+         |        regexp_replace(regexp_replace(regexp_replace(t,
+         |          '${graft.operators.Pii.emailPat}', '<EMAIL>', 'g'),
+         |          '${graft.operators.Pii.phonePat}', '<PHONE>', 'g'),
+         |          '${graft.operators.Pii.ipPat}', '<IP>', 'g') AS red
+         |      FROM inj)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${graft.operators.Pii.emailPat}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${graft.operators.Pii.phonePat}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${graft.operators.Pii.ipPat}')) AS BIGINT) AS n_ips,
+         |  CAST(length(t) AS BIGINT) AS len_in,
+         |  CAST(length(red) AS BIGINT) AS len_red,
+         |  md5(red) AS red_md5
+         |FROM r""".stripMargin,
+    "text_pii_stats" ->
+      s"""WITH inj AS (SELECT doc_id, ${graft.operators.Pii.injectSql} AS t FROM documents),
+         |c AS (SELECT doc_id,
+         |        len(regexp_extract_all(t, '${graft.operators.Pii.emailPat}')) AS ne,
+         |        len(regexp_extract_all(t, '${graft.operators.Pii.phonePat}')) AS np,
+         |        len(regexp_extract_all(t, '${graft.operators.Pii.ipPat}')) AS ni
+         |      FROM inj)
+         |SELECT 'email' AS pii_type, CAST(sum(ne) AS BIGINT) AS n_matches,
+         |       CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM c
+         |UNION ALL
+         |SELECT 'phone', CAST(sum(np) AS BIGINT),
+         |       CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+         |UNION ALL
+         |SELECT 'ip', CAST(sum(ni) AS BIGINT),
+         |       CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c""".stripMargin,
+    "text_blocklist_filter" -> {
+      val terms = TextAnalysis.blocklist.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |b AS (SELECT doc_id, ts,
+         |        list_filter(ts, x -> x IN ($terms)) AS bad FROM t)
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(bad) AS BIGINT) AS n_bad,
+         |  CAST(len(list_distinct(bad)) AS BIGINT) AS n_bad_distinct,
+         |  CAST(CASE WHEN len(bad) = 0 THEN 1 ELSE 0 END AS INT) AS keep_doc
+         |FROM b""".stripMargin
+    },
     // hashed-feature linear scoring: md5 hex nibbles → integer
     // weights (strpos idiom, the simhash oracle's hex→int path);
     // all-integer so the score is bit-portable

@@ -386,6 +386,40 @@ object TextAnalysis {
         ).as("n_keep"),
       )
 
+  /** C4-style blocklist: a fixed denylist, mostly absent from the
+    * corpus (as in production, where the list is thousands of terms
+    * and the hit rate is well under 1%); `dup` is the term the
+    * synthetic vocabulary actually contains, so the hit path is
+    * exercised on ~0.5% of docs.
+    */
+  val blocklist: Seq[String] = Seq("dup", "spam", "casino", "viagra")
+
+  /** Per-doc blocklist screen (the C4 bad-words filter): total and
+    * distinct bad-token hits plus the keep decision (C4 drops a doc
+    * on ANY hit). Map-only — token split, lambda filter, and counts
+    * all run inside whole-stage codegen with no shuffle; at 100 TB
+    * this is a pure scan-side screen. The token array and the bad
+    * slice are let-bound ([[graft.functions.Let.bindArray]]) so the
+    * three counts don't re-split the text per reference.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+          graft.functions.Let
+            .bindArray(filter(toks, t => t.isin(blocklist.map(lit(_)): _*))) { bad =>
+              struct(
+                size(toks).cast("long").as("n_tokens"),
+                size(bad).cast("long").as("n_bad"),
+                size(array_distinct(bad)).cast("long").as("n_bad_distinct"),
+                (size(bad) === 0).cast("int").as("keep_doc"),
+              )
+            }
+        }.as("s"),
+      )
+      .select(col("doc_id"), col("s.*"))
+
   /** The four Gopher rule flags as one struct — the SINGLE definition
     * of the thresholds, shared by the per-rule counter
     * ([[gopherQualityFilter]]) and the boolean keep decision
