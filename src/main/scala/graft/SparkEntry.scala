@@ -281,6 +281,9 @@ object SparkEntry {
     // ingest-time PQ encode: arriving embeddings → codes appended to
     // the distributed index sink, row-identical to the batch artifact
     "stream_pq_encode" -> (StreamingQueries.pqEncodeViaSink _),
+    // ingest-time PII scrub: arriving docs redacted map-side,
+    // stateless, scrub records landed on the distributed sink
+    "stream_pii_redact" -> (StreamingQueries.piiRedactViaSink _),
     // ingest-time winnowing probe: arriving docs' selected
     // fingerprints vs the stored MOSS index, stream-static, stateless
     "stream_winnow_probe" -> (StreamingQueries.winnowProbeViaSink _),
@@ -459,6 +462,8 @@ object SparkEntry {
       "stream_similarity_topk_sink" -> base("stream_similarity_topk"),
       // the ingest-time encoded index must equal the batch codes artifact
       "stream_pq_encode" -> base("similarity_pq_codes"),
+      // the ingest-time scrub must land the batch scrub record exactly
+      "stream_pii_redact" -> base("text_pii_redact"),
       // the incrementally-maintained view must equal the batch compaction
       "stream_cdc_latest" -> base("cdc_latest_per_key"),
       // salted two-phase agg must equal the direct groupBy

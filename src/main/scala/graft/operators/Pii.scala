@@ -89,7 +89,17 @@ object Pii {
     * without shipping the text), and the char delta. Map-only.
     */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
-    injectedDocs(spark, dir)
+    scrubRecord(injectedDocs(spark, dir))
+
+  /** The scrub record over ANY frame carrying (doc_id, text) — the
+    * SINGLE definition of the per-row scrub expressions, shared by
+    * the batch gate and the streaming ingest-time twin
+    * (StreamingQueries.piiRedactStream) so the two paths cannot
+    * drift. Pure per-row expressions: applies unchanged to a
+    * streaming frame (stateless — no watermark, no state store).
+    */
+  def scrubRecord(in: DataFrame): DataFrame =
+    in
       .select(
         col("doc_id"),
         graft.functions.Let.bindArray(col("text")) { t =>

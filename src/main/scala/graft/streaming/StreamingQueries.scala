@@ -786,6 +786,29 @@ object StreamingQueries {
   def pqEncodeViaSink(spark: SparkSession, dir: String): DataFrame =
     runAppendToParquet(spark, pqEncodeStream(spark, dir), scratchSinkDir("pqencode") + "/out")
 
+  /** Streaming ingest-time PII scrub — where the redaction pass
+    * actually runs at 100 TB (scrub-before-land, not a batch sweep
+    * over already-stored raw text): every arriving document is
+    * injected (fixture synthesis, [[graft.operators.Pii.injectSql]] —
+    * a deployment's stream already carries its PII) and scrubbed
+    * MAP-SIDE — the regex counts and the redaction are per-row
+    * expressions from the single shared definition
+    * ([[graft.operators.Pii.scrubRecord]], also the batch gate), so
+    * the stream is stateless (offset log only) and the landed sink is
+    * row-identical to the batch twin, whose DuckDB oracle it shares.
+    * In a deployment the redacted TEXT flows to training storage on
+    * the same sink write; the gate lands counts + the redacted md5 so
+    * the byte-level replacement is still pinned without shipping text
+    * through the artifact compare.
+    */
+  def piiRedactStream(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.scrubRecord(
+      documentsStream(spark, dir)
+        .select(col("doc_id"), expr(graft.operators.Pii.injectSql).as("text")))
+
+  def piiRedactViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, piiRedactStream(spark, dir), scratchSinkDir("piiscrub") + "/out")
+
   def activeUsersStream(spark: SparkSession, dir: String): DataFrame = {
     val firsts = eventsStream(spark, dir)
       .select(col("ts"), col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))

@@ -70,6 +70,13 @@ class PiiSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest-time scrub lands the batch scrub record exactly") {
+    val streamed = graft.streaming.StreamingQueries.piiRedactViaSink(spark, sf)
+    val batch = graft.operators.Pii.piiRedact(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("blocklist totals match an independent token-explode recompute") {
     val got = TextAnalysis
       .blocklistFilter(spark, sf)
