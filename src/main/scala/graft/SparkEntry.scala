@@ -132,6 +132,11 @@ object SparkEntry {
     // Multimodal pattern); map-only, no shuffle
     "text_pii_redact" -> (graft.operators.Pii.piiRedact _),
     "text_pii_stats" -> (graft.operators.Pii.piiStats _),
+    // privacy tier: k-anonymity census + local generalization with
+    // suppression over the (event_type, hour) quasi-identifier
+    "privacy_k_anonymity" -> (graft.operators.Privacy.kAnonymityCensus _),
+    "privacy_generalize" -> (graft.operators.Privacy.kAnonymityGeneralize _),
+    "privacy_l_diversity" -> (graft.operators.Privacy.lDiversityCensus _),
     "text_lang_id" -> (TextAnalysis.langIdConfusion _),
     // predicted-language mix per source vs the corpus-wide mix, as
     // exact scaled-integer shares and lift
@@ -1908,6 +1913,41 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'ip', CAST(sum(ni) AS BIGINT),
          |       CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c""".stripMargin,
+    "privacy_k_anonymity" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(CASE WHEN count(DISTINCT user_id) >= 5 THEN 1 ELSE 0 END AS INT) AS meets_k
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "privacy_l_diversity" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        |    AS n_sensitive,
+        |  CAST(CASE WHEN count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) >= 3
+        |       THEN 1 ELSE 0 END AS INT) AS meets_l
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "privacy_generalize" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |             count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+        |           FROM events GROUP BY 1, 2),
+        |hp AS (SELECT 'hour' AS level, event_type,
+        |         strftime(hr, '%Y-%m-%d %H:%M:%S') AS bucket, n_rows, n_users
+        |       FROM h WHERE n_users >= 5),
+        |f AS (SELECT event_type, hr FROM h WHERE n_users < 5),
+        |fr AS (SELECT e.event_type, e.ts, e.user_id FROM events e
+        |       JOIN f ON e.event_type = f.event_type AND date_trunc('hour', e.ts) = f.hr),
+        |d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+        |      FROM fr GROUP BY 1, 2)
+        |SELECT level, event_type, bucket,
+        |       CAST(n_rows AS BIGINT) AS n_rows, CAST(n_users AS BIGINT) AS n_users FROM hp
+        |UNION ALL SELECT 'day', event_type, strftime(day, '%Y-%m-%d'),
+        |       CAST(n_rows AS BIGINT), CAST(n_users AS BIGINT) FROM d WHERE n_users >= 5
+        |UNION ALL SELECT 'suppressed', event_type, strftime(day, '%Y-%m-%d'),
+        |       CAST(n_rows AS BIGINT), CAST(n_users AS BIGINT) FROM d WHERE n_users < 5""".stripMargin,
     "text_blocklist_filter" -> {
       val terms = TextAnalysis.blocklist.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** k-anonymity over the event log — the re-identification screen a
+  * privacy tier runs next to the PII scrub (Pii.scala): a released
+  * slice is k-anonymous when every quasi-identifier (QI) class
+  * contains at least k distinct users, so no row narrows an
+  * individual below a crowd of k. QI here is (event_type, hour) —
+  * the classic "when + what" pair that gets sparse enough to
+  * re-identify; k = 5.
+  *
+  * Two operators: the CENSUS (per-class sizes + the meets-k flag —
+  * what an auditor reads), and LOCAL GENERALIZATION (the Mondrian-
+  * style fix: classes failing at hour granularity coarsen to day;
+  * classes still failing at day are suppressed — only the failing
+  * slice ever coarsens, passing cells keep full resolution).
+  *
+  * Scale shape: the census is one groupBy over the event scan with
+  * map-side combine down to |event_type|×|hours| rows (a
+  * time-span-bounded domain, not corpus-bound). Generalization
+  * re-aggregates ONLY the rows of failing cells: the event scan
+  * joins the failing-cell list (bounded by the same domain; AQE
+  * picks broadcast from its post-filter size — no static hint) and
+  * the day re-aggregation runs over that long-tail slice, not the
+  * corpus. Two exchanges total, both on bounded keys; nothing
+  * quadratic, nothing corpus-wide beyond the two linear scans. The
+  * join side re-derives its scan from Tables so the lineages share
+  * no exprIds (the DetectAmbiguousSelfJoin rule — see
+  * minhashIncrementalPairs).
+  */
+object Privacy {
+
+  /** The anonymity threshold: a QI class is releasable when at least
+    * K distinct users share it.
+    */
+  val K = 5
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_type"),
+        col("ts"),
+        col("user_id"),
+        date_trunc("hour", col("ts")).as("hr"),
+      )
+
+  private def hourAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type", "hr")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+      )
+
+  /** The diversity threshold: a QI class is distinct-l-diverse when
+    * its rows carry at least L distinct sensitive values.
+    */
+  val L = 3
+
+  /** Per-QI-class census: row and distinct-user counts plus the
+    * meets-k flag. The audit table.
+    */
+  def kAnonymityCensus(spark: SparkSession, dir: String): DataFrame =
+    hourAgg(spark, dir)
+      .select(
+        col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_rows"),
+        col("n_users"),
+        (col("n_users") >= K).cast("int").as("meets_k"),
+      )
+
+  /** Distinct l-diversity census: k-anonymity bounds who can hide in
+    * a class; l-diversity bounds what the class reveals — if all K
+    * members share one sensitive value, membership alone discloses
+    * it (the homogeneity attack k-anonymity misses). Sensitive
+    * attribute here is the event payload `props.$.k`; a class is
+    * distinct-l-diverse when its rows carry ≥ L distinct payloads.
+    * Same one-groupBy bounded-domain plan as the k census; the JSON
+    * extraction is map-side, so the shuffle carries only the class
+    * keys and partial distinct sets.
+    */
+  def lDiversityCensus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"),
+        get_json_object(col("props"), "$.k").cast("int").as("sens"),
+      )
+      .groupBy("event_type", "hr")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("sens")).as("n_sensitive"),
+      )
+      .select(
+        col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_rows"),
+        col("n_sensitive"),
+        (col("n_sensitive") >= L).cast("int").as("meets_l"),
+      )
+
+  /** Local generalization with suppression: hour-level classes that
+    * meet k release at full resolution; the rows of failing classes
+    * coarsen to (event_type, day) and release there if the merged
+    * class meets k; day-level classes still under k are suppressed
+    * (reported, never released). Levels partition the event rows:
+    * every event lands in exactly one output class.
+    */
+  def kAnonymityGeneralize(spark: SparkSession, dir: String): DataFrame = {
+    val hours = hourAgg(spark, dir)
+    val hourPass = hours
+      .filter(col("n_users") >= K)
+      .select(
+        lit("hour").as("level"),
+        col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_rows"),
+        col("n_users"),
+      )
+    val failCells = hours.filter(col("n_users") < K).select("event_type", "hr")
+    // fresh scan for the row side: joining the aggregate back onto
+    // the lineage it came from trips DetectAmbiguousSelfJoin
+    val failRows = events(spark, dir).join(failCells, Seq("event_type", "hr"))
+    val days = failRows
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+      )
+    val mk = (lvl: String) => (df: DataFrame) =>
+      df.select(
+        lit(lvl).as("level"),
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("bucket"),
+        col("n_rows"),
+        col("n_users"),
+      )
+    hourPass
+      .unionAll(mk("day")(days.filter(col("n_users") >= K)))
+      .unionAll(mk("suppressed")(days.filter(col("n_users") < K)))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Privacy
+
+/** Pins the k-anonymity contract: the census flag is consistent with
+  * its own counts, and generalization PARTITIONS the event log —
+  * every row lands in exactly one released (or suppressed) class,
+  * released classes all meet k, and suppression is the only way out.
+  */
+class PrivacySpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession
+    .builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("census: meets_k flag matches its own n_users on every class") {
+    val bad = Privacy
+      .kAnonymityCensus(spark, sf)
+      .filter(
+        (col("meets_k") === 1 && col("n_users") < Privacy.K) ||
+          (col("meets_k") === 0 && col("n_users") >= Privacy.K))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("generalization partitions the corpus and releases only k-anonymous classes") {
+    val out = Privacy.kAnonymityGeneralize(spark, sf)
+    val total = graft.sources.Tables(spark, sf, "events").count()
+    val sums = out
+      .groupBy("level")
+      .agg(sum("n_rows").as("rows"), count(lit(1)).as("classes"))
+      .collect()
+      .map(r => r.getAs[String]("level") -> (r.getAs[Long]("rows"), r.getAs[Long]("classes")))
+      .toMap
+    // exactly-one-class-per-event: the three levels' row counts sum
+    // to the corpus (no event dropped, none double-released)
+    assert(sums.values.map(_._1).sum == total, sums.toString)
+    // at sf0.001 all three outcomes are exercised (868 hour cells all
+    // fail; 97 of 150 day classes pass; 53 suppress — measured)
+    assert(Set("day", "suppressed").subsetOf(sums.keySet), sums.toString)
+    // released classes meet k; suppressed ones don't
+    assert(
+      out.filter(col("level") =!= "suppressed" && col("n_users") < Privacy.K).count() == 0)
+    assert(
+      out.filter(col("level") === "suppressed" && col("n_users") >= Privacy.K).count() == 0)
+  }
+
+  test("l-diversity: flag matches counts and n_sensitive never exceeds n_rows") {
+    val census = Privacy.lDiversityCensus(spark, sf)
+    assert(
+      census
+        .filter(
+          (col("meets_l") === 1 && col("n_sensitive") < Privacy.L) ||
+            (col("meets_l") === 0 && col("n_sensitive") >= Privacy.L) ||
+            col("n_sensitive") > col("n_rows"))
+        .count() == 0)
+    // same QI classes as the k census (the two audits line up row-for-row)
+    assert(census.count() == Privacy.kAnonymityCensus(spark, sf).count())
+  }
+
+  test("hour-passing cells keep full resolution (never coarsened)") {
+    val census = Privacy.kAnonymityCensus(spark, sf).filter(col("meets_k") === 1)
+    val released = Privacy.kAnonymityGeneralize(spark, sf).filter(col("level") === "hour")
+    assert(census.count() == released.count())
+  }
+}
