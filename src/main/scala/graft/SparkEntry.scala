@@ -137,6 +137,7 @@ object SparkEntry {
     "privacy_k_anonymity" -> (graft.operators.Privacy.kAnonymityCensus _),
     "privacy_generalize" -> (graft.operators.Privacy.kAnonymityGeneralize _),
     "privacy_l_diversity" -> (graft.operators.Privacy.lDiversityCensus _),
+    "privacy_t_closeness" -> (graft.operators.Privacy.tClosenessCensus _),
     "text_lang_id" -> (TextAnalysis.langIdConfusion _),
     // predicted-language mix per source vs the corpus-wide mix, as
     // exact scaled-integer shares and lift
@@ -1929,6 +1930,30 @@ object SparkEntry {
         |  CAST(CASE WHEN count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) >= 3
         |       THEN 1 ELSE 0 END AS INT) AS meets_l
         |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "privacy_t_closeness" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS sens
+        |  FROM events),
+        |cs AS (SELECT event_type, hr, sens, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |m AS (SELECT sens, count(*) AS cnt_s FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM b),
+        |j AS (SELECT cs.event_type, cs.hr, cs.cnt, m.cnt_s, tot.n_total,
+        |        sum(cs.cnt) OVER (PARTITION BY cs.event_type, cs.hr) AS n_c
+        |      FROM cs JOIN m USING (sens) CROSS JOIN tot),
+        |d AS (SELECT event_type, hr, n_c, n_total,
+        |        sum(abs(CAST(cnt AS HUGEINT) * n_total - CAST(cnt_s AS HUGEINT) * n_c)) AS pres,
+        |        sum(cnt_s) AS pres_cnt_s
+        |      FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT event_type,
+        |  strftime(hr, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(n_c AS BIGINT) AS n_rows,
+        |  CAST((1000000 * (pres + CAST(n_total - pres_cnt_s AS HUGEINT) * n_c))
+        |       // (2 * CAST(n_c AS HUGEINT) * n_total) AS BIGINT) AS t_dist,
+        |  CAST(CASE WHEN (1000000 * (pres + CAST(n_total - pres_cnt_s AS HUGEINT) * n_c))
+        |       // (2 * CAST(n_c AS HUGEINT) * n_total) <= 350000
+        |       THEN 1 ELSE 0 END AS INT) AS meets_t
+        |FROM d""".stripMargin,
     "privacy_generalize" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
         |             count(*) AS n_rows, count(DISTINCT user_id) AS n_users

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -103,6 +104,71 @@ object Privacy {
         col("n_sensitive"),
         (col("n_sensitive") >= L).cast("int").as("meets_l"),
       )
+
+  /** The closeness threshold, 1e6-scaled: a class passes when its
+    * sensitive-value distribution sits within t = 0.35 of the corpus
+    * distribution (categorical EMD = half the L1 distance).
+    */
+  val T_SCALED = 350000L
+
+  /** t-closeness census: l-diversity counts distinct sensitive values
+    * but a class can be diverse yet SKEWED (99% one diagnosis); a
+    * class is t-close when its sensitive distribution is within t of
+    * the corpus marginal under categorical EMD = ½·L1. Kept exact in
+    * scaled integers: with class size n_c, corpus size N, class
+    * counts cnt_cs and marginals cnt_s,
+    *
+    *   dist = 1e6 · [ Σ_{s∈c} |cnt_cs·N − cnt_s·n_c|
+    *                  + (N − Σ_{s∈c} cnt_s) · n_c ]  div  (2·n_c·N)
+    *
+    * — the second term folds in every sensitive value ABSENT from the
+    * class (|0 − p_s| mass) without materializing the class×domain
+    * cross product. Products run in DECIMAL(38,0) (cnt·N passes 9e18
+    * once N ~ 1e10; the oracle's twin runs HUGEINT).
+    *
+    * Plan: one corpus scan aggregates to the (class, sens) table
+    * (bounded: classes × |sens| ≤ 100); n_c attaches via a window
+    * over that AGGREGATE (never the corpus); the ~100-row sens
+    * marginal re-derives from a fresh scan (distinct lineage — the
+    * DetectAmbiguousSelfJoin rule) and AQE broadcasts it from its
+    * post-aggregation size, no static hint; N rides a 1-row
+    * crossJoin. Two linear scans, shuffles only on bounded keys.
+    */
+  def tClosenessCensus(spark: SparkSession, dir: String): DataFrame = {
+    def sensScan() =
+      Tables(spark, dir, "events")
+        .select(
+          col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"),
+          get_json_object(col("props"), "$.k").cast("int").as("sens"),
+        )
+    val cs = sensScan()
+      .groupBy("event_type", "hr", "sens")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_c", sum(col("cnt")).over(Window.partitionBy("event_type", "hr")))
+    // fresh scan: the marginal must not share lineage with cs
+    val marg = sensScan().groupBy("sens").agg(count(lit(1)).as("cnt_s"))
+    val tot = marg.agg(sum(col("cnt_s")).cast("long").as("n_total"))
+    cs.join(marg, Seq("sens"))
+      .crossJoin(tot)
+      .groupBy("event_type", "hr", "n_c", "n_total")
+      .agg(
+        sum(expr(
+          "abs(CAST(cnt AS DECIMAL(38,0)) * n_total - CAST(cnt_s AS DECIMAL(38,0)) * n_c)"))
+          .as("pres"),
+        sum(col("cnt_s")).as("pres_cnt_s"),
+      )
+      .select(
+        col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n_c").as("n_rows"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (pres " +
+            "+ CAST(n_total - pres_cnt_s AS DECIMAL(38,0)) * n_c)) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * n_c * n_total) AS BIGINT)").as("t_dist"),
+      )
+      .withColumn("meets_t", (col("t_dist") <= T_SCALED).cast("int"))
+  }
 
   /** Local generalization with suppression: hour-level classes that
     * meet k release at full resolution; the rows of failing classes

@@ -62,6 +62,32 @@ class PrivacySpec extends AnyFunSuite {
     assert(census.count() == Privacy.kAnonymityCensus(spark, sf).count())
   }
 
+  test("t-closeness matches an independent in-memory EMD recompute") {
+    import java.sql.Timestamp
+    val rows = graft.sources.Tables(spark, sf, "events")
+      .selectExpr(
+        "event_type",
+        "date_trunc('hour', ts) AS hr",
+        "CAST(get_json_object(props, '$.k') AS INT) AS sens")
+      .collect()
+      .map(r => (r.getAs[String](0), r.getAs[Timestamp](1), r.getAs[Int](2)))
+    val n = BigInt(rows.length)
+    val marg = rows.groupBy(_._3).view.mapValues(v => BigInt(v.length)).toMap
+    val expected = rows.groupBy(r => (r._1, r._2)).map { case (k, v) =>
+      val nc = BigInt(v.length)
+      val cls = v.groupBy(_._3).view.mapValues(g => BigInt(g.length)).toMap
+      // L1 over the FULL domain: absent values contribute cnt_s * nc
+      val l1 = marg.map { case (s, cs) => (cls.getOrElse(s, BigInt(0)) * n - cs * nc).abs }.sum
+      k -> (BigInt(1000000) * l1 / (BigInt(2) * nc * n)).toLong
+    }
+    val got = Privacy.tClosenessCensus(spark, sf).collect().map { r =>
+      (r.getAs[String]("event_type"), Timestamp.valueOf(r.getAs[String]("bucket"))) ->
+        r.getAs[Long]("t_dist")
+    }.toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, d) => assert(got(k) == d, s"class $k") }
+  }
+
   test("hour-passing cells keep full resolution (never coarsened)") {
     val census = Privacy.kAnonymityCensus(spark, sf).filter(col("meets_k") === 1)
     val released = Privacy.kAnonymityGeneralize(spark, sf).filter(col("level") === "hour")
