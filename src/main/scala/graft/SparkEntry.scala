@@ -408,6 +408,9 @@ object SparkEntry {
     "sample_per_source_cap" -> ((s, d) => graft.operators.Sampling.perSourceCap(s, d)),
     "pack_sequences" -> ((s, d) => graft.operators.Packing.packSequences(s, d)),
     "ivf_assign" -> (IvfIndex.assignments _),
+    // cluster-balanced selection: cap every IVF cell at Q=25 members,
+    // picked in salted-hash order (deterministic, coordination-free)
+    "sample_cluster_quota" -> ((s, d) => graft.operators.Sampling.clusterQuotaSample(s, d)),
     "ivf_kmeans_iterated" -> ((s, d) => IvfIndex.kmeansIterated(s, d)),
     "session_windows" -> (RelationalQueries.sessionWindows _),
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
@@ -1070,6 +1073,22 @@ object SparkEntry {
       s"(CASE WHEN substr(md5('$p|' || (i-1)), 1, 1) >= '8' THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))"
   private val bucketSql =
     (0 until 6).map(p => s"(CASE WHEN ${projSql(p)} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  // IVF round-1 assignment CTE chain (label-seeded centroids,
+  // float-quantized means, deterministic argmax) shared by the
+  // ivf_assign gate and the cluster-quota sampler built on it
+  private lazy val ivfAssignCtes: String =
+    s"""WITH dims AS (
+       |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+       |  GROUP BY cell, i),
+       |cents AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM dims GROUP BY cell),
+       |scored AS (
+       |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.centroid")} AS sim
+       |  FROM embeddings e CROSS JOIN cents c),
+       |r AS (SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM scored),
+       |asg AS (SELECT vec_id, cell AS assigned_cell FROM r WHERE rn = 1)""".stripMargin
 
   // Product-quantization CTE chain shared by the three PQ oracles
   // (PqIndex): floor-quantized integer corpus → per-(subspace, cell)
@@ -3187,17 +3206,16 @@ object SparkEntry {
          |$rrfFusionTailSql""".stripMargin
     },
     "ivf_assign" ->
-      s"""WITH dims AS (
-         |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
-         |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-         |  GROUP BY cell, i),
-         |cents AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY i) AS centroid FROM dims GROUP BY cell),
-         |scored AS (
-         |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.centroid")} AS sim
-         |  FROM embeddings e CROSS JOIN cents c),
-         |r AS (SELECT vec_id, cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM scored)
-         |SELECT vec_id, cell AS assigned_cell FROM r WHERE rn = 1""".stripMargin,
+      s"""$ivfAssignCtes
+         |SELECT vec_id, assigned_cell FROM asg""".stripMargin,
+    "sample_cluster_quota" ->
+      s"""$ivfAssignCtes,
+         |rk AS (SELECT vec_id, assigned_cell,
+         |         row_number() OVER (PARTITION BY assigned_cell
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':cellquota'), vec_id) AS pick_rank
+         |       FROM asg)
+         |SELECT vec_id, assigned_cell, CAST(pick_rank AS BIGINT) AS pick_rank
+         |FROM rk WHERE pick_rank <= 25""".stripMargin,
     // the Lloyd loop unrolled: each round re-derives float-quantized
     // centroids from the previous round's integer assignment — the
     // same per-round determinism argument as ivf_assign, applied

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -577,5 +578,38 @@ object Sampling {
         col("n_feat"),
         expr("CAST(wsum div n_feat AS BIGINT)").as("weight_x1e6"),
       )
+  }
+
+  /** Cluster-balanced selection (the D4/coreset shape): cap every
+    * IVF cell at Q vectors so dense semantic regions can't dominate
+    * the training mix — the diversity-preserving counterpart of
+    * semanticKeep's near-dup pruning. Members are picked per cell in
+    * salted-content-hash order (md5 hex compares identically in any
+    * engine), so the selection is deterministic, coordination-free,
+    * and stable under corpus growth within a cell ordering.
+    *
+    * Plan shape: the memoized round-1 IVF assignment (broadcast
+    * centroids, corpus never shuffled) feeds ONE exchange on cell
+    * ids; the rank ≤ Q predicate on the window compiles to
+    * WindowGroupLimit, so each map task keeps a Q-row heap per cell
+    * and the post-shuffle sort sees at most Q·partitions rows per
+    * cell, never the full cell membership — the per-stratum top-k
+    * that survives a skewed hot cell at 100 TB.
+    */
+  def clusterQuotaSample(
+      spark: SparkSession,
+      dir: String,
+      q: Int = 25,
+  ): DataFrame = {
+    val asg = IvfIndex
+      .round1Assignment(spark, dir)
+      .select(col("vec_id"), col("cell").as("assigned_cell"))
+    val ord = Window
+      .partitionBy("assigned_cell")
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit(":cellquota"))), col("vec_id"))
+    asg
+      .withColumn("pick_rank", row_number().over(ord).cast("long"))
+      .filter(col("pick_rank") <= q)
+      .select(col("vec_id"), col("assigned_cell"), col("pick_rank"))
   }
 }

@@ -83,6 +83,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(broadcasts(df) >= 1)
   }
 
+  test("cluster-quota sampling compiles to WindowGroupLimit (per-stratum top-Q, never a full cell sort)") {
+    val df = graft.operators.Sampling.clusterQuotaSample(spark, sf)
+    val plan = collectPlan(df)
+    assert(
+      plan.exists(_.getClass.getSimpleName.startsWith("WindowGroupLimit")),
+      "the rank<=Q predicate must push into WindowGroupLimit so map tasks keep " +
+        "Q-row heaps per cell and a hot cell never fully sorts",
+    )
+  }
+
   test("vocab top-k is per-partition TakeOrderedAndProject, never a global sort") {
     // operator-presence pins only: raw exchange counts proved brittle
     // against AQE/conf drift and fail spuriously rather than flagging

@@ -142,6 +142,26 @@ class UtilitiesSpec extends AnyFunSuite {
     assert(stratCounts == classCounts)
   }
 
+  test("cluster-quota sample caps every cell at min(size, Q) with dense stable ranks") {
+    import graft.operators.{IvfIndex, Sampling}
+    val q = 3
+    val asg = IvfIndex.assignments(spark, sf).collect()
+      .groupBy(_.getAs[Int]("assigned_cell")).view.mapValues(_.length).toMap
+    val picked = Sampling.clusterQuotaSample(spark, sf, q = q).collect()
+      .map(r => (r.getAs[Int]("assigned_cell"), r.getAs[Long]("vec_id"), r.getAs[Long]("pick_rank")))
+    val byCell = picked.groupBy(_._1)
+    // every cell is represented and capped at min(size, Q), ranks dense 1..kept
+    assert(byCell.keySet == asg.keySet)
+    byCell.foreach { case (cell, members) =>
+      assert(members.length == math.min(asg(cell), q), s"cell $cell")
+      assert(members.map(_._3).sorted.toSeq == (1L to members.length).toSeq)
+    }
+    // determinism: a second invocation picks the identical set
+    val again = Sampling.clusterQuotaSample(spark, sf, q = q).collect()
+      .map(r => (r.getAs[Int]("assigned_cell"), r.getAs[Long]("vec_id"), r.getAs[Long]("pick_rank")))
+    assert(again.sortBy(t => (t._1, t._3)).toSeq == picked.sortBy(t => (t._1, t._3)).toSeq)
+  }
+
   test("epoch shuffle is a seeded permutation: shards cover the corpus, seeds are independent") {
     import graft.operators.Sampling
     val docs = Tables(spark, sf, "documents")
