@@ -1934,32 +1934,36 @@ object SparkEntry {
          |SELECT 'ip', CAST(sum(ni) AS BIGINT),
          |       CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c""".stripMargin,
     "privacy_k_anonymity" ->
-      """SELECT event_type,
+      s"""SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  CAST(CASE WHEN count(DISTINCT user_id) >= 5 THEN 1 ELSE 0 END AS INT) AS meets_k
+        |  CAST(CASE WHEN count(DISTINCT user_id) >= ${graft.operators.Privacy.K}
+        |       THEN 1 ELSE 0 END AS INT) AS meets_k
         |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
     "privacy_l_diversity" ->
-      """SELECT event_type,
+      s"""SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        |  CAST(count(DISTINCT CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT)
         |    AS n_sensitive,
-        |  CAST(CASE WHEN count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) >= 3
+        |  CAST(CASE WHEN count(DISTINCT CAST(json_extract_string(props, '$$.k') AS INT)) >= ${graft.operators.Privacy.L}
         |       THEN 1 ELSE 0 END AS INT) AS meets_l
         |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
     "privacy_t_closeness" ->
-      """WITH b AS MATERIALIZED (
+      s"""WITH b AS MATERIALIZED (
         |  SELECT event_type, date_trunc('hour', ts) AS hr,
-        |         CAST(json_extract_string(props, '$.k') AS INT) AS sens
+        |         CAST(json_extract_string(props, '$$.k') AS INT) AS sens
         |  FROM events),
         |cs AS (SELECT event_type, hr, sens, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |-- n_c attaches BEFORE the sens join, like the Spark window over the
+        |-- aggregate: a NULL-sens row counts toward its class size on both
+        |-- engines even though the inner join then drops it from the L1 terms
+        |csn AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type, hr) AS n_c FROM cs),
         |m AS (SELECT sens, count(*) AS cnt_s FROM b GROUP BY 1),
         |tot AS (SELECT count(*) AS n_total FROM b),
-        |j AS (SELECT cs.event_type, cs.hr, cs.cnt, m.cnt_s, tot.n_total,
-        |        sum(cs.cnt) OVER (PARTITION BY cs.event_type, cs.hr) AS n_c
-        |      FROM cs JOIN m USING (sens) CROSS JOIN tot),
+        |j AS (SELECT csn.event_type, csn.hr, csn.cnt, csn.n_c, m.cnt_s, tot.n_total
+        |      FROM csn JOIN m USING (sens) CROSS JOIN tot),
         |d AS (SELECT event_type, hr, n_c, n_total,
         |        sum(abs(CAST(cnt AS HUGEINT) * n_total - CAST(cnt_s AS HUGEINT) * n_c)) AS pres,
         |        sum(cnt_s) AS pres_cnt_s
@@ -1970,28 +1974,30 @@ object SparkEntry {
         |  CAST((1000000 * (pres + CAST(n_total - pres_cnt_s AS HUGEINT) * n_c))
         |       // (2 * CAST(n_c AS HUGEINT) * n_total) AS BIGINT) AS t_dist,
         |  CAST(CASE WHEN (1000000 * (pres + CAST(n_total - pres_cnt_s AS HUGEINT) * n_c))
-        |       // (2 * CAST(n_c AS HUGEINT) * n_total) <= 350000
+        |       // (2 * CAST(n_c AS HUGEINT) * n_total) <= ${graft.operators.Privacy.T_SCALED}
         |       THEN 1 ELSE 0 END AS INT) AS meets_t
         |FROM d""".stripMargin,
     "privacy_generalize" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-        |             count(*) AS n_rows, count(DISTINCT user_id) AS n_users
-        |           FROM events GROUP BY 1, 2),
+      s"""WITH h AS MATERIALIZED (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1, 2),
         |hp AS (SELECT 'hour' AS level, event_type,
         |         strftime(hr, '%Y-%m-%d %H:%M:%S') AS bucket, n_rows, n_users
-        |       FROM h WHERE n_users >= 5),
-        |f AS (SELECT event_type, hr FROM h WHERE n_users < 5),
+        |       FROM h WHERE n_users >= ${graft.operators.Privacy.K}),
+        |f AS (SELECT event_type, hr FROM h WHERE n_users < ${graft.operators.Privacy.K}),
         |fr AS (SELECT e.event_type, e.ts, e.user_id FROM events e
         |       JOIN f ON e.event_type = f.event_type AND date_trunc('hour', e.ts) = f.hr),
-        |d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |d AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
         |        count(*) AS n_rows, count(DISTINCT user_id) AS n_users
-        |      FROM fr GROUP BY 1, 2)
+        |  FROM fr GROUP BY 1, 2)
         |SELECT level, event_type, bucket,
         |       CAST(n_rows AS BIGINT) AS n_rows, CAST(n_users AS BIGINT) AS n_users FROM hp
         |UNION ALL SELECT 'day', event_type, strftime(day, '%Y-%m-%d'),
-        |       CAST(n_rows AS BIGINT), CAST(n_users AS BIGINT) FROM d WHERE n_users >= 5
+        |       CAST(n_rows AS BIGINT), CAST(n_users AS BIGINT) FROM d WHERE n_users >= ${graft.operators.Privacy.K}
         |UNION ALL SELECT 'suppressed', event_type, strftime(day, '%Y-%m-%d'),
-        |       CAST(n_rows AS BIGINT), CAST(n_users AS BIGINT) FROM d WHERE n_users < 5""".stripMargin,
+        |       CAST(n_rows AS BIGINT), CAST(n_users AS BIGINT) FROM d WHERE n_users < ${graft.operators.Privacy.K}""".stripMargin,
     "text_blocklist_filter" -> {
       val terms = TextAnalysis.blocklist.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -3212,10 +3218,10 @@ object SparkEntry {
       s"""$ivfAssignCtes,
          |rk AS (SELECT vec_id, assigned_cell,
          |         row_number() OVER (PARTITION BY assigned_cell
-         |           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':cellquota'), vec_id) AS pick_rank
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR) || '${graft.operators.Sampling.ClusterQuotaSalt}'), vec_id) AS pick_rank
          |       FROM asg)
          |SELECT vec_id, assigned_cell, CAST(pick_rank AS BIGINT) AS pick_rank
-         |FROM rk WHERE pick_rank <= 25""".stripMargin,
+         |FROM rk WHERE pick_rank <= ${graft.operators.Sampling.ClusterQuotaQ}""".stripMargin,
     // the Lloyd loop unrolled: each round re-derives float-quantized
     // centroids from the previous round's integer assignment — the
     // same per-round determinism argument as ivf_assign, applied

@@ -596,17 +596,19 @@ object Sampling {
     * cell, never the full cell membership — the per-stratum top-k
     * that survives a skewed hot cell at 100 TB.
     */
+  /** Per-cell quota and pick-order salt, shared with the oracle SQL. */
+  val ClusterQuotaQ = 25
+  val ClusterQuotaSalt = ":cellquota"
+
   def clusterQuotaSample(
       spark: SparkSession,
       dir: String,
-      q: Int = 25,
+      q: Int = ClusterQuotaQ,
   ): DataFrame = {
-    val asg = IvfIndex
-      .round1Assignment(spark, dir)
-      .select(col("vec_id"), col("cell").as("assigned_cell"))
+    val asg = IvfIndex.assignments(spark, dir)
     val ord = Window
       .partitionBy("assigned_cell")
-      .orderBy(md5(concat(col("vec_id").cast("string"), lit(":cellquota"))), col("vec_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit(ClusterQuotaSalt))), col("vec_id"))
     asg
       .withColumn("pick_rank", row_number().over(ord).cast("long"))
       .filter(col("pick_rank") <= q)

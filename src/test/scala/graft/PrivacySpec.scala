@@ -63,14 +63,16 @@ class PrivacySpec extends AnyFunSuite {
   }
 
   test("t-closeness matches an independent in-memory EMD recompute") {
-    import java.sql.Timestamp
+    // both sides key on the Spark-FORMATTED bucket string: parsing it
+    // back with Timestamp.valueOf would re-interpret it in the JVM
+    // default timezone, not the UTC session timezone that rendered it
     val rows = graft.sources.Tables(spark, sf, "events")
       .selectExpr(
         "event_type",
-        "date_trunc('hour', ts) AS hr",
+        "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS bucket",
         "CAST(get_json_object(props, '$.k') AS INT) AS sens")
       .collect()
-      .map(r => (r.getAs[String](0), r.getAs[Timestamp](1), r.getAs[Int](2)))
+      .map(r => (r.getAs[String](0), r.getAs[String](1), r.getAs[Int](2)))
     val n = BigInt(rows.length)
     val marg = rows.groupBy(_._3).view.mapValues(v => BigInt(v.length)).toMap
     val expected = rows.groupBy(r => (r._1, r._2)).map { case (k, v) =>
@@ -81,8 +83,7 @@ class PrivacySpec extends AnyFunSuite {
       k -> (BigInt(1000000) * l1 / (BigInt(2) * nc * n)).toLong
     }
     val got = Privacy.tClosenessCensus(spark, sf).collect().map { r =>
-      (r.getAs[String]("event_type"), Timestamp.valueOf(r.getAs[String]("bucket"))) ->
-        r.getAs[Long]("t_dist")
+      (r.getAs[String]("event_type"), r.getAs[String]("bucket")) -> r.getAs[Long]("t_dist")
     }.toMap
     assert(got.size == expected.size)
     expected.foreach { case (k, d) => assert(got(k) == d, s"class $k") }
