@@ -126,38 +126,45 @@ object Privacy {
     * cross product. Products run in DECIMAL(38,0) (cnt·N passes 9e18
     * once N ~ 1e10; the oracle's twin runs HUGEINT).
     *
-    * Plan: one corpus scan aggregates to the (class, sens) table
-    * (bounded: classes × |sens| ≤ 100); n_c attaches via a window
-    * over that AGGREGATE (never the corpus); the ~100-row sens
-    * marginal re-derives from a fresh scan (distinct lineage — the
-    * DetectAmbiguousSelfJoin rule) and AQE broadcasts it from its
-    * post-aggregation size, no static hint; N rides a 1-row
-    * crossJoin. Two linear scans, shuffles only on bounded keys.
+    * Plan: ONE corpus scan aggregates to the (class, sens) table
+    * (domain-bounded: classes × |sens| values, never corpus-bound),
+    * and every other quantity derives from it: class size n_c and
+    * sens marginal cnt_s as window SUMs over the bounded frame
+    * (partitioned by class / by sens — never the corpus), and the
+    * corpus total N as a 1-row same-lineage aggregate on a crossJoin
+    * (the q11/q22 scalar-subquery shape; no hint — AQE broadcasts a
+    * 1-row frame). No second scan and no key join: the earlier
+    * fresh-scan-marginal version read the corpus three times, and
+    * re-deriving the marginal from cs with an equi-join would trip
+    * DetectAmbiguousSelfJoin — windows over one lineage sidestep
+    * both. NULL-sens rows (unparseable payloads) count toward n_c
+    * and N but are excluded from the L1 present terms, matching the
+    * oracle's inner join exactly.
     */
   def tClosenessCensus(spark: SparkSession, dir: String): DataFrame = {
-    def sensScan() =
-      Tables(spark, dir, "events")
-        .select(
-          col("event_type"),
-          date_trunc("hour", col("ts")).as("hr"),
-          get_json_object(col("props"), "$.k").cast("int").as("sens"),
-        )
-    val cs = sensScan()
+    val cs = Tables(spark, dir, "events")
+      .select(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"),
+        get_json_object(col("props"), "$.k").cast("int").as("sens"),
+      )
       .groupBy("event_type", "hr", "sens")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("n_c", sum(col("cnt")).over(Window.partitionBy("event_type", "hr")))
-    // fresh scan: the marginal must not share lineage with cs
-    val marg = sensScan().groupBy("sens").agg(count(lit(1)).as("cnt_s"))
-    val tot = marg.agg(sum(col("cnt_s")).cast("long").as("n_total"))
-    cs.join(marg, Seq("sens"))
+    val tot = cs.agg(sum(col("cnt")).cast("long").as("n_total"))
+    cs.withColumn("n_c", sum(col("cnt")).over(Window.partitionBy("event_type", "hr")))
+      .withColumn("cnt_s", sum(col("cnt")).over(Window.partitionBy("sens")))
       .crossJoin(tot)
       .groupBy("event_type", "hr", "n_c", "n_total")
       .agg(
         sum(expr(
-          "abs(CAST(cnt AS DECIMAL(38,0)) * n_total - CAST(cnt_s AS DECIMAL(38,0)) * n_c)"))
+          "CASE WHEN sens IS NULL THEN CAST(0 AS DECIMAL(38,0)) ELSE " +
+            "abs(CAST(cnt AS DECIMAL(38,0)) * n_total - CAST(cnt_s AS DECIMAL(38,0)) * n_c) END"))
           .as("pres"),
-        sum(col("cnt_s")).as("pres_cnt_s"),
+        sum(when(col("sens").isNotNull, col("cnt_s"))).as("pres_cnt_s"),
       )
+      // a class with NO parseable payload has no L1 terms on either
+      // engine: the oracle's inner join drops it entirely — match that
+      .filter(col("pres_cnt_s").isNotNull)
       .select(
         col("event_type"),
         date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
