@@ -411,6 +411,8 @@ object SparkEntry {
     // cluster-balanced selection: cap every IVF cell at Q=25 members,
     // picked in salted-hash order (deterministic, coordination-free)
     "sample_cluster_quota" -> ((s, d) => graft.operators.Sampling.clusterQuotaSample(s, d)),
+    // confident-learning-shaped mislabeling audit: label vs IVF-cell majority
+    "quality_label_noise" -> (Similarity.labelNoiseAudit _),
     "ivf_kmeans_iterated" -> ((s, d) => IvfIndex.kmeansIterated(s, d)),
     "session_windows" -> (RelationalQueries.sessionWindows _),
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
@@ -3222,6 +3224,17 @@ object SparkEntry {
          |       FROM asg)
          |SELECT vec_id, assigned_cell, CAST(pick_rank AS BIGINT) AS pick_rank
          |FROM rk WHERE pick_rank <= ${graft.operators.Sampling.ClusterQuotaQ}""".stripMargin,
+    "quality_label_noise" ->
+      s"""$ivfAssignCtes,
+         |lab AS (SELECT a.vec_id, a.assigned_cell, CAST(e.label AS INT) AS label
+         |        FROM asg a JOIN embeddings e USING (vec_id)),
+         |cl AS (SELECT assigned_cell, label, count(*) AS n FROM lab GROUP BY 1, 2),
+         |mj AS (SELECT assigned_cell, label AS majority_label,
+         |         row_number() OVER (PARTITION BY assigned_cell ORDER BY n DESC, label) AS rn
+         |       FROM cl)
+         |SELECT l.vec_id, l.assigned_cell, l.label, m.majority_label,
+         |  CAST(CASE WHEN l.label <> m.majority_label THEN 1 ELSE 0 END AS INT) AS is_suspect
+         |FROM lab l JOIN mj m ON l.assigned_cell = m.assigned_cell AND m.rn = 1""".stripMargin,
     // the Lloyd loop unrolled: each round re-derives float-quantized
     // centroids from the previous round's integer assignment — the
     // same per-round determinism argument as ivf_assign, applied

@@ -638,4 +638,46 @@ object Similarity {
       )
       .filter(col("fused_rank") <= k)
   }
+
+  /** Label-noise audit (the confident-learning shape): a vector whose
+    * label disagrees with its IVF cell's majority label is a
+    * mislabeling suspect — the geometric neighborhood says one thing,
+    * the annotation says another. Majority = most frequent label in
+    * the cell, ties to the smallest label id (exact, deterministic).
+    *
+    * Plan: the memoized round-1 assignment equi-joins a fresh
+    * embeddings scan on vec_id (distinct lineages — the artifact
+    * reads through its catalog name), then ONE repartition by cell
+    * feeds both windows: hash(cell) satisfies the (cell, label)
+    * window's clustering (partition exprs ⊆ clustering keys), so the
+    * per-label count and the cell majority run on the same exchange —
+    * no aggregate-join-back (which would self-join the lineage), one
+    * corpus shuffle total.
+    */
+  def labelNoiseAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = IvfIndex
+      .assignments(spark, dir)
+      .join(
+        emb(spark, dir).select(col("vec_id"), col("label").cast("int").as("label")),
+        Seq("vec_id"))
+    base
+      .repartition(col("assigned_cell"))
+      .withColumn(
+        "n_lab",
+        count(lit(1)).over(Window.partitionBy("assigned_cell", "label")))
+      .withColumn(
+        "majority_label",
+        (-max(struct(col("n_lab"), (-col("label")).as("ng")))
+          .over(Window.partitionBy("assigned_cell"))
+          .getField("ng")).cast("int"),
+      )
+      .select(
+        col("vec_id"),
+        col("assigned_cell"),
+        col("label"),
+        col("majority_label"),
+        (col("label") =!= col("majority_label")).cast("int").as("is_suspect"),
+      )
+  }
 }

@@ -89,6 +89,24 @@ class IvfIndexSpec extends AnyFunSuite {
     )
   }
 
+  test("label-noise audit: majority is the exact cell plurality, suspects are the disagreers") {
+    val rows = graft.operators.Similarity.labelNoiseAudit(spark, sf).collect()
+      .map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("assigned_cell"),
+          r.getAs[Int]("label"), r.getAs[Int]("majority_label"), r.getAs[Int]("is_suspect")))
+    assert(rows.length == Tables(spark, sf, "embeddings").count())
+    // independent in-memory plurality per cell: max count, ties to smallest label
+    val expectedMajority = rows.groupBy(_._2).view.mapValues { members =>
+      members.groupBy(_._3).view.mapValues(_.length).toSeq.maxBy { case (l, n) => (n, -l) }._1
+    }.toMap
+    rows.foreach { case (id, cell, label, majority, suspect) =>
+      assert(majority == expectedMajority(cell), s"vec $id cell $cell")
+      assert(suspect == (if (label != majority) 1 else 0))
+    }
+    // the cells stay anchored to their seed labels on this corpus
+    assert(rows.map(r => (r._2, r._4)).distinct.forall { case (c, m) => c == m })
+  }
+
   test("simhash64: identical texts collide, different texts differ") {
     import spark.implicits._
     val df = Seq(
