@@ -3226,8 +3226,9 @@ object SparkEntry {
          |FROM rk WHERE pick_rank <= ${graft.operators.Sampling.ClusterQuotaQ}""".stripMargin,
     "quality_label_noise" ->
       s"""$ivfAssignCtes,
-         |lab AS (SELECT a.vec_id, a.assigned_cell, CAST(e.label AS INT) AS label
-         |        FROM asg a JOIN embeddings e USING (vec_id)),
+         |lab AS MATERIALIZED (
+         |  SELECT a.vec_id, a.assigned_cell, CAST(e.label AS INT) AS label
+         |  FROM asg a JOIN embeddings e USING (vec_id)),
          |cl AS (SELECT assigned_cell, label, count(*) AS n FROM lab GROUP BY 1, 2),
          |mj AS (SELECT assigned_cell, label AS majority_label,
          |         row_number() OVER (PARTITION BY assigned_cell ORDER BY n DESC, label) AS rn

@@ -138,8 +138,10 @@ object Privacy {
     * re-deriving the marginal from cs with an equi-join would trip
     * DetectAmbiguousSelfJoin — windows over one lineage sidestep
     * both. NULL-sens rows (unparseable payloads) count toward n_c
-    * and N but are excluded from the L1 present terms, matching the
-    * oracle's inner join exactly.
+    * and N but never enter the L1 present terms, so their mass rides
+    * the (N − Σ_present)·n_c absent term — an unparseable payload is
+    * treated as maximally divergent — matching the oracle's inner
+    * join exactly.
     */
   def tClosenessCensus(spark: SparkSession, dir: String): DataFrame = {
     val cs = Tables(spark, dir, "events")

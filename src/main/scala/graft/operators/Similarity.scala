@@ -647,19 +647,24 @@ object Similarity {
     *
     * Plan: the memoized round-1 assignment equi-joins a fresh
     * embeddings scan on vec_id (distinct lineages — the artifact
-    * reads through its catalog name), then ONE repartition by cell
-    * feeds both windows: hash(cell) satisfies the (cell, label)
-    * window's clustering (partition exprs ⊆ clustering keys), so the
-    * per-label count and the cell majority run on the same exchange —
-    * no aggregate-join-back (which would self-join the lineage), one
-    * corpus shuffle total.
+    * reads through its catalog name; the label side is a plain
+    * projection scan, no rebalance — the join redistributes it
+    * anyway), then ONE repartition by cell feeds both windows:
+    * hash(cell) satisfies the (cell, label) window's clustering
+    * (partition exprs ⊆ clustering keys), so the per-label count and
+    * the cell majority run on the same exchange — no
+    * aggregate-join-back (which would self-join the lineage). Two
+    * corpus-sized exchanges total (the vec_id join and the by-cell
+    * repartition), both carrying ids and two ints per row, never the
+    * embedding.
     */
   def labelNoiseAudit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = IvfIndex
       .assignments(spark, dir)
       .join(
-        emb(spark, dir).select(col("vec_id"), col("label").cast("int").as("label")),
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("int").as("label")),
         Seq("vec_id"))
     base
       .repartition(col("assigned_cell"))
@@ -677,7 +682,9 @@ object Similarity {
         col("assigned_cell"),
         col("label"),
         col("majority_label"),
-        (col("label") =!= col("majority_label")).cast("int").as("is_suspect"),
+        // when(...).otherwise(0), not a bare =!= cast: a NULL label
+        // must yield 0 like the oracle's CASE, not NULL
+        when(col("label") =!= col("majority_label"), 1).otherwise(0).as("is_suspect"),
       )
   }
 }

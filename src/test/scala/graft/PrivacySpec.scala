@@ -72,15 +72,28 @@ class PrivacySpec extends AnyFunSuite {
         "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS bucket",
         "CAST(get_json_object(props, '$.k') AS INT) AS sens")
       .collect()
-      .map(r => (r.getAs[String](0), r.getAs[String](1), r.getAs[Int](2)))
+      // sens is nullable (unparseable payloads): keep None distinct
+      // from 0 so the recompute mirrors the operator's rule — null
+      // rows count toward n_c and N but never enter the L1 terms
+      .map(r =>
+        (r.getAs[String](0), r.getAs[String](1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2))))
     val n = BigInt(rows.length)
-    val marg = rows.groupBy(_._3).view.mapValues(v => BigInt(v.length)).toMap
-    val expected = rows.groupBy(r => (r._1, r._2)).map { case (k, v) =>
-      val nc = BigInt(v.length)
-      val cls = v.groupBy(_._3).view.mapValues(g => BigInt(g.length)).toMap
-      // L1 over the FULL domain: absent values contribute cnt_s * nc
-      val l1 = marg.map { case (s, cs) => (cls.getOrElse(s, BigInt(0)) * n - cs * nc).abs }.sum
-      k -> (BigInt(1000000) * l1 / (BigInt(2) * nc * n)).toLong
+    val nNull = BigInt(rows.count(_._3.isEmpty))
+    val marg = rows.collect { case (_, _, Some(s)) => s }
+      .groupBy(identity).view.mapValues(v => BigInt(v.length)).toMap
+    val expected = rows.groupBy(r => (r._1, r._2)).collect {
+      case (k, v) if v.exists(_._3.isDefined) =>
+        val nc = BigInt(v.length)
+        val cls = v.collect { case (_, _, Some(s)) => s }
+          .groupBy(identity).view.mapValues(g => BigInt(g.length)).toMap
+        // L1 over the full non-null domain (absent values contribute
+        // cnt_s * nc) plus the corpus-wide null mass, which the
+        // engine's (N - sum_present)·n_c absent term folds in — an
+        // unparseable payload is maximally divergent by definition
+        val l1 = marg.map { case (s, cs) => (cls.getOrElse(s, BigInt(0)) * n - cs * nc).abs }.sum +
+          nNull * nc
+        k -> (BigInt(1000000) * l1 / (BigInt(2) * nc * n)).toLong
     }
     val got = Privacy.tClosenessCensus(spark, sf).collect().map { r =>
       (r.getAs[String]("event_type"), r.getAs[String]("bucket")) -> r.getAs[Long]("t_dist")
