@@ -363,6 +363,9 @@ object SparkEntry {
     // inside a cross-doc repeated k-token span) — the remove-the-span
     // dedup criterion set-similarity scores miss
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
+    // the removal step on top of the coverage measurement: drop every
+    // token covered by a duplicated span, hash the scrubbed text
+    "dedup_span_scrub" -> ((s, d) => Dedup.spanScrub(s, d)),
     // MOSS-style cross-doc winnowing fingerprint matches: pairs
     // sharing >= 2 selected fingerprints, containment-scored
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
@@ -1075,6 +1078,23 @@ object SparkEntry {
       s"(CASE WHEN substr(md5('$p|' || (i-1)), 1, 1) >= '8' THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))"
   private val bucketSql =
     (0 until 6).map(p => s"(CASE WHEN ${projSql(p)} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  // Positional k=3 shingle postings + the df>=3 hot set, shared by
+  // the span-coverage measurement and the span-scrub transform.
+  // `p` and `hot` are each read once per consumer statement, so no
+  // MATERIALIZED is needed on `tok`/`p` themselves — except `p`,
+  // which both the hot aggregate and the join read: MATERIALIZED.
+  private lazy val spanPostingCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |p AS MATERIALIZED (
+      |  SELECT doc_id, len(ts) AS n_tokens, i - 1 AS pos,
+      |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+      |hot AS (
+      |  SELECT shingle FROM p GROUP BY shingle
+      |  HAVING count(DISTINCT doc_id) >= 3)""".stripMargin
 
   // IVF round-1 assignment CTE chain (label-seeded centroids,
   // float-quantized means, deterministic argmax) shared by the
@@ -2986,16 +3006,7 @@ object SparkEntry {
     // so union length is sum(least(k, pos - prev_pos)), first span
     // contributing k via the lag default
     "dedup_span_coverage" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |p AS (
-        |  SELECT doc_id, len(ts) AS n_tokens, i - 1 AS pos,
-        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
-        |hot AS (
-        |  SELECT shingle FROM p GROUP BY shingle
-        |  HAVING count(DISTINCT doc_id) >= 3),
+      s"""$spanPostingCtes,
         |hp AS (
         |  SELECT p.doc_id, p.n_tokens, p.pos,
         |         LEAST(3, p.pos - LAG(p.pos, 1, p.pos - 3)
@@ -3006,6 +3017,31 @@ object SparkEntry {
         |       CAST((1000000 * CAST(sum(covered) AS BIGINT)) // max(n_tokens) AS BIGINT)
         |         AS covered_x1e6
         |FROM hp GROUP BY doc_id""".stripMargin,
+    "dedup_span_scrub" ->
+      s"""$spanPostingCtes,
+        |cov AS (
+        |  SELECT DISTINCT p.doc_id, p.pos + j.j AS cpos
+        |  FROM p JOIN hot USING (shingle),
+        |       LATERAL (SELECT unnest(generate_series(0, 2)) AS j) j),
+        |alltok AS (
+        |  SELECT doc_id, i - 1 AS pos, ts[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+        |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g),
+        |keep AS (
+        |  SELECT t.doc_id, t.pos, t.w FROM alltok t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |  WHERE c.cpos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS kept,
+        |         string_agg(w, ' ' ORDER BY pos) AS scrubbed
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.kept, 0) AS BIGINT) AS kept_tokens,
+        |  CAST(len(string_split(d.text, ' ')) - coalesce(a.kept, 0) AS BIGINT)
+        |    AS removed_tokens,
+        |  md5(coalesce(a.scrubbed, '')) AS scrub_md5
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "dedup_shingle_mass" ->
       """WITH tok AS (
         |  SELECT source, string_split(text, ' ') AS ts FROM documents

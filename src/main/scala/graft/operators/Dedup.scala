@@ -1655,6 +1655,85 @@ object Dedup {
       )
   }
 
+  /** Span-level dedup SCRUB — the removal step on top of
+    * [[spanCoverage]]'s measurement (the exact-substring-dedup
+    * transform: drop every token covered by a duplicated span, keep
+    * the rest of the document). A token at position p is removed iff
+    * some hot k-shingle (df ≥ minDf) starts at s with s ≤ p < s+k in
+    * the same document. Emits per doc: token counts before/after and
+    * the md5 of the scrubbed text — the byte-level pin rides the
+    * hash, the text itself never enters the oracle compare (the PII
+    * pattern).
+    *
+    * Scale shape: covered positions expand hot postings by ≤ k then
+    * dedup on (doc, pos) — linear in hot postings, never in the
+    * corpus; the token re-assembly is ONE doc_id shuffle of (pos,
+    * token) pairs (the cdc_chunk_dedup shape) with the ordered
+    * re-concat done by the cross-engine array_sort/string_agg rule;
+    * the final left join returns fully-scrubbed and span-free docs
+    * alike (string_agg over zero rows is NULL on both engines →
+    * coalesce to the empty string).
+    */
+  def spanScrub(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      minDf: Int = 3,
+  ): DataFrame = {
+    val toks = split(col("text"), " ")
+    val postings = docs(spark, dir)
+      .filter(size(toks) >= k)
+      .select(
+        col("doc_id"),
+        explode(bindArray(toks) { ts =>
+          transform(
+            sequence(lit(0), size(ts) - k),
+            i =>
+              struct(
+                i.as("pos"),
+                concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*).as("shingle"),
+              ),
+          )
+        }).as("z"),
+      )
+      .select(col("doc_id"), col("z.pos"), col("z.shingle"))
+    val hot = postings
+      .groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("shingle")
+    val covered = postings
+      .join(hot, Seq("shingle"))
+      .select(
+        col("doc_id").as("cdoc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+    val tokens = docs(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+    val aggd = tokens
+      .join(
+        covered,
+        col("doc_id") === col("cdoc") && col("pos") === col("cpos"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("kept_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))), x => x.getField("w")),
+          " ").as("scrubbed"),
+      )
+    docs(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(aggd, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        md5(coalesce(col("scrubbed"), lit(""))).as("scrub_md5"),
+      )
+  }
+
   /** Shared-prefix families: documents opening with the SAME first
     * five tokens — the boilerplate-header / template detector (crawl
     * corpora are full of "terms of service" and scraper-injected

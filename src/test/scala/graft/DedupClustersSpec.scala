@@ -184,6 +184,42 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got == expected, s"span coverage disagrees with the in-memory recompute")
   }
 
+  test("span scrub equals an independent in-memory scrub, byte-for-byte via md5") {
+    val k = 3; val minDf = 3
+    val docsMap = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val postings = docsMap.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < k) Nil
+      else (0 to ts.length - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+    }
+    val hot = postings.groupBy(_._3).collect {
+      case (sh, ps) if ps.map(_._1).distinct.size >= minDf => sh
+    }.toSet
+    val coveredByDoc = postings.filter(p => hot(p._3)).groupBy(_._1).view
+      .mapValues(_.flatMap(p => p._2 until p._2 + k).toSet).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = docsMap.map { case (id, ts) =>
+      val cov = coveredByDoc.getOrElse(id, Set.empty[Int])
+      val kept = ts.zipWithIndex.collect { case (w, i) if !cov(i) => w }
+      id -> (ts.length.toLong, kept.length.toLong, md5hex(kept.mkString(" ")))
+    }
+    val got = graft.operators.Dedup.spanScrub(spark, sf, k, minDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(got == expected, "span scrub disagrees with the in-memory scrub")
+    // cross-operator invariant: removed mass == the coverage gate's union length
+    val coverage = graft.operators.Dedup.spanCoverage(spark, sf, k, minDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { case (id, (n, kept, _)) =>
+      assert(n - kept == coverage.getOrElse(id, 0L), s"doc $id removed != covered")
+    }
+    // the corpus actually exercises the transform
+    assert(got.values.exists { case (n, kept, _) => kept < n })
+    assert(got.values.exists { case (n, kept, _) => kept == n })
+  }
+
   test("curation pipeline totals equal the quality ∩ keep-best recount") {
     import org.apache.spark.sql.functions._
     val summary = graft.operators.Curation.curationSummary(spark, sf).collect()
