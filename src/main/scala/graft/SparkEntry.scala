@@ -1160,8 +1160,8 @@ object SparkEntry {
        |  SELECT q.vec_id AS qid, c.s, c.cell,
        |         list_sum(list_transform(list_slice(q.embedding, c.s * $sub + 1, c.s * $sub + $sub),
        |           (x, i) -> CAST(x AS DOUBLE) * c.mean[i])) AS lutv
-       |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < 8),
-       |pqqn AS (SELECT vec_id AS qid, nrm AS qnrm FROM pqq WHERE vec_id < 8)""".stripMargin
+       |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}),
+       |pqqn AS (SELECT vec_id AS qid, nrm AS qnrm FROM pqq WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff})""".stripMargin
   }
 
   // The RRF fusion contract over `text_top`/`vec_top` CTEs — the part
@@ -1204,7 +1204,7 @@ object SparkEntry {
        |  SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.cell,
        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC, c.cell) AS rn
-       |    FROM embeddings q CROSS JOIN ivfc c WHERE q.vec_id < 8) WHERE rn <= 3),
+       |    FROM embeddings q CROSS JOIN ivfc c WHERE q.vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}) WHERE rn <= 3),
        |isc AS (
        |  SELECT p.query_id, cd.vec_id AS neighbor_id,
        |         1000000.0 * (l0.lutv + l1.lutv + l2.lutv + l3.lutv) / (qn.qnrm * cd.nrm) AS score
@@ -3211,7 +3211,7 @@ object SparkEntry {
          |$pqRerankCtes,
          |pqann AS (SELECT query_id, neighbor_id FROM pqrk WHERE rnk <= 5),
          |pqannrr AS (SELECT query_id, neighbor_id FROM pqrr WHERE rnk <= 5),
-         |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}),
          |bc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
          |bs AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
          |       FROM bq, bc WHERE query_id <> neighbor_id),

@@ -52,6 +52,19 @@ object PqIndex {
   val numSub = 4
   val subDim = 16
 
+  /** Query ids every PQ serving tier answers for: the fixed 8-query
+    * evaluation set, automatically widened if
+    * [[TextAnalysis.bm25Queries]] ever names a larger id — so the
+    * hybrid RRF gate's vector leg always covers every text query.
+    * The oracle CTEs (`pqlut`/`pqqn`/`probe`/`bq` in SparkEntry)
+    * interpolate THIS constant, so Spark and DuckDB can never desync
+    * on the served-query set (r9 ADVICE: the cutoff was hardcoded 8
+    * on the oracle side while the hybrid derived it from the query
+    * list).
+    */
+  val ServedQueryCutoff: Int =
+    math.max(8, TextAnalysis.bm25Queries.map(_._1).max + 1)
+
   // The encoded corpus is an index artifact written once and read by
   // every ADC consumer — memoized per (session, dir) like the IVF
   // round-1 assignment, as a NAMED catalog artifact so invalidation
@@ -274,7 +287,7 @@ object PqIndex {
     * the hot path); top-k via the bounded [[graft.functions.TopKAggregator]]
     * (shuffle ≤ k·partitions rows per query).
     */
-  def adcTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
+  def adcTopK(spark: SparkSession, dir: String, nQueries: Int = ServedQueryCutoff, k: Int = 5): DataFrame =
     Similarity.topKPerQuery(adcScored(spark, dir, nQueries), k, scoreCol = "score")
 
   /** The fully composed IVF+PQ search (the FAISS `IVFx,PQy` shape):
@@ -295,7 +308,7 @@ object PqIndex {
   def ivfPqTopK(
       spark: SparkSession,
       dir: String,
-      nQueries: Int = 8,
+      nQueries: Int = ServedQueryCutoff,
       k: Int = 5,
       nProbe: Int = 3,
   ): DataFrame = {
@@ -345,7 +358,7 @@ object PqIndex {
   def adcRerankTopK(
       spark: SparkSession,
       dir: String,
-      nQueries: Int = 8,
+      nQueries: Int = ServedQueryCutoff,
       k: Int = 5,
       shortlist: Int = 50,
   ): DataFrame =
@@ -401,7 +414,7 @@ object PqIndex {
     * LSH recall gate reads the same way, and the per-decile
     * minhash recall gate is the family's planted-dup counterpart.
     */
-  def adcRecallAtK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+  def adcRecallAtK(spark: SparkSession, dir: String, nQueries: Int = ServedQueryCutoff, k: Int = 5): DataFrame = {
     val bf = Similarity
       .bruteForceTopK(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))

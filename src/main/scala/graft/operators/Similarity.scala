@@ -594,11 +594,12 @@ object Similarity {
     */
   def hybridRrfIvfPqTopK(spark: SparkSession, dir: String, k: Int = 10, k0: Int = 60): DataFrame = {
     val qids = TextAnalysis.bm25Queries.map(_._1.toLong)
-    // serve every bm25 query id: nQueries is derived from the query
-    // set (ivfPqTopK serves vec_id < nQueries), not hardcoded — a new
-    // id added to bm25Queries grows the vector leg with it
+    // serve every bm25 query id: the served set is
+    // PqIndex.ServedQueryCutoff — max(8, bm25 max id + 1) — the SAME
+    // constant the oracle CTEs interpolate, so a new id added to
+    // bm25Queries grows the vector leg on BOTH engines at once
     val vec = PqIndex
-      .ivfPqTopK(spark, dir, nQueries = qids.max.toInt + 1, k = k)
+      .ivfPqTopK(spark, dir, k = k)
       .filter(col("query_id").isin(qids: _*))
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rk_vec"))
     rrfFuse(spark, dir, vec, k, k0)

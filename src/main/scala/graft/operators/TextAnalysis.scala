@@ -800,15 +800,37 @@ object TextAnalysis {
         .groupBy("pair")
         .agg(sum(col("wf")).as("n"), countDistinct(col("w")).as("n_words"))
     var words = wf
-    (1 to rounds).map { r =>
-      val top = pairCensus(words)
-        .orderBy(col("n").desc, col("pair"))
-        .limit(1)
-        .head()
-      val sym = ('A' + r - 1).toChar.toString
-      words = words.select(regexp_replace(col("w"), top.getString(0), sym).as("w"), col("wf"))
-      (r, top.getString(0), sym, top.getLong(1), top.getLong(2))
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // headOption, not head: a degenerate corpus can run out of
+      // distinct pairs before `rounds` (every word shorter than 2
+      // symbols after earlier merges) — then the trainer legitimately
+      // emits fewer rounds, exactly as the oracle's LIMIT-1-on-empty
+      // CTEs degrade to empty UNION ALL legs (r9 ADVICE)
+      pairCensus(words).orderBy(col("n").desc, col("pair")).limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(top) =>
+          val pair = top.getString(0)
+          // the pair is spliced unescaped into regexp_replace on BOTH
+          // engines (DuckDB splices it via a scalar subquery, where no
+          // quoting hook exists) — sound only while it carries no
+          // regex metacharacters. Corpus tokens are alnum and round
+          // symbols are single uppercase letters, so enforce that
+          // invariant loudly instead of assuming it
+          require(
+            pair.matches("[A-Za-z0-9]+"),
+            s"BPE merge pair '$pair' contains regex metacharacters; " +
+              "the literal-splice substitution (both engines) would misparse it",
+          )
+          val sym = ('A' + r - 1).toChar.toString
+          words = words.select(regexp_replace(col("w"), pair, sym).as("w"), col("wf"))
+          out += ((r, pair, sym, top.getLong(1), top.getLong(2)))
+          r += 1
+      }
     }
+    out.result()
   }
 
   /** The ENCODE side of the trained tokenizer: apply the merge table
