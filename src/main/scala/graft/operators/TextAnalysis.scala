@@ -168,6 +168,54 @@ object TextAnalysis {
     * ONE map-side-combinable aggregation keyed by doc_id. No joins,
     * no windows; the weight table never materializes.
     */
+  /** The hashed-feature classifier's per-feature weight: feature →
+    * 3-hex-char md5 bucket (4096 buckets) → signed weight in
+    * [−1000, 1000] from a second md5 of the bucket. Single-sourced so
+    * [[classifierScores]] (exploded form) and [[qualityCalibration]]
+    * (single-scan form) can never drift on the score algebra.
+    *
+    * The bucket→weight half is a FIXED function of a 4096-value
+    * domain, so it is precomputed driver-side ([[clfWeightTable]],
+    * same md5 bytes via MessageDigest) and spliced in as a literal
+    * array — one md5 per feature row instead of two, the lookup a
+    * codegen'd element_at. [[clfWeightRef]] keeps the pure-expression
+    * form; TextPipelineSpec pins the two equal over the corpus.
+    */
+  private[graft] def clfWeight(feature: Column): Column =
+    element_at(
+      lit(clfWeightTable),
+      conv(substring(md5(concat(lit("clf|"), feature)), 1, 3), 16, 10).cast("int") + 1,
+    )
+
+  /** The original two-md5 expression form of [[clfWeight]] — the
+    * definition the DuckDB oracle mirrors; kept as the spec reference
+    * for the LUT splice.
+    */
+  private[graft] def clfWeightRef(feature: Column): Column =
+    conv(
+      substring(
+        md5(concat(lit("w|"), substring(md5(concat(lit("clf|"), feature)), 1, 3))),
+        1,
+        4,
+      ),
+      16,
+      10,
+    ).cast("long") % 2001L - 1000L
+
+  /** weight[bucket] for every 3-hex-char md5 prefix bucket, by the
+    * exact [[clfWeightRef]] algebra (lowercase hex, first 4 hex chars
+    * of md5("w|" + bucket), mod 2001 − 1000).
+    */
+  private lazy val clfWeightTable: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 4096).map { b =>
+      val bucket = "%03x".format(b)
+      md.reset()
+      val hex = md.digest(("w|" + bucket).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 2001L - 1000L
+    }.toArray
+  }
+
   def classifierScores(spark: SparkSession, dir: String): DataFrame = {
     val feats = graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
       concat(
@@ -180,15 +228,10 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>")),
       )
     }
-    val bucket = substring(md5(concat(lit("clf|"), col("feature"))), 1, 3)
-    val weight =
-      conv(substring(md5(concat(lit("w|"), col("bucket"))), 1, 4), 16, 10)
-        .cast("long") % 2001L - 1000L
     docs(spark, dir)
       .select(col("doc_id"), explode(feats).as("feature"))
       .filter(col("feature") =!= "")
-      .select(col("doc_id"), bucket.as("bucket"))
-      .select(col("doc_id"), weight.as("w"))
+      .select(col("doc_id"), clfWeight(col("feature")).as("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_features"), sum("w").as("score"))
       .select(
@@ -209,16 +252,59 @@ object TextAnalysis {
     * rank window is the thing that dies at 100 TB (the
     * [[quantileHistogram]] rule).
     *
-    * Scale shape: two per-doc signal pipelines (each already
-    * scale-shaped), one |docs|-row equi-join of their aggregated
-    * frames, one |buckets|-key aggregation. Docs with < 2 tokens have
-    * no bigrams and drop from the join — stated, and identical in the
-    * oracle.
+    * Scale shape (r10 rewrite — the r9-bench decomposition showed the
+    * old two-pipeline-plus-join form paid each leg's full corpus scan
+    * twice plus a |docs| equi-join): ONE corpus scan and ONE explode.
+    * Unigram and bigram features leave the scan as flagged rows of a
+    * single generator, classifier weights are per-row codegen over
+    * those rows ([[clfWeight]]'s one-md5 LUT form), the novelty
+    * multiplicity is the usual feature-keyed count window (flag
+    * homogeneity: a unigram never contains a space, so no window
+    * partition mixes flags), and BOTH per-doc signals come out of the
+    * same doc_id aggregation — the inter-leg join is gone. Shuffles:
+    * feature window exchange, doc_id aggregation, |buckets| tail.
+    * Docs with < 2 tokens have no bigrams and are filtered up front —
+    * stated, and identical in the oracle (which keeps the two-CTE
+    * join form; same algebra, bucket sums equal).
+    * [[classifierScores]]/[[docNovelty]] keep their own gate shapes.
+    * Isolated timing (r10, sf0.1 warm minima): fused 1.27 s vs
+    * novelty-leg-alone 0.74 s + classifier-leg-alone 0.77 s — the
+    * increment over the novelty subset plan buys the 2.3×-larger
+    * window exchange (unigrams ride it) and the weight sums; the
+    * residual vs the DuckDB twin (0.34 s) is exchange serialization
+    * plus the per-job floor, not plan shape.
     */
-  def qualityCalibration(spark: SparkSession, dir: String, bucketWidth: Int = 2000): DataFrame =
-    classifierScores(spark, dir)
-      .select(col("doc_id"), col("score"))
-      .join(docNovelty(spark, dir).select(col("doc_id"), col("n_bigrams"), col("n_unique")), "doc_id")
+  def qualityCalibration(spark: SparkSession, dir: String, bucketWidth: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one explode of (feature, is_bigram) rows: the non-empty unigrams
+    // flagged 0, the positional bigrams flagged 1 — unigrams never
+    // contain a space, so a feature-keyed window partition is always
+    // flag-homogeneous and the bigram multiplicity count is exact
+    val feats = graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
+      concat(
+        transform(filter(toks, t => t =!= ""), t => struct(t.as("f"), lit(0L).as("is_bi"))),
+        transform(
+          sequence(lit(0), size(toks) - 2),
+          i =>
+            struct(
+              concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)).as("f"),
+              lit(1L).as("is_bi"),
+            ),
+        ),
+      )
+    }
+    val cnt = count(lit(1)).over(Window.partitionBy("f"))
+    docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(feats).as("x"))
+      .select(col("doc_id"), col("x.f").as("f"), col("x.is_bi").as("is_bi"))
+      .withColumn("cnt", cnt)
+      .groupBy("doc_id")
+      .agg(
+        sum(clfWeight(col("f"))).as("score"),
+        sum(col("is_bi")).as("n_bigrams"),
+        sum(when(col("is_bi") === 1L && col("cnt") === 1, 1L).otherwise(0L)).as("n_unique"),
+      )
       .select(
         expr(s"score div $bucketWidth").as("score_bucket"),
         col("score"),
@@ -244,6 +330,7 @@ object TextAnalysis {
           "CAST((CAST(1000000 AS DECIMAL(38,0)) * unique_sum) div bigrams_sum AS BIGINT)"
         ).as("mean_novelty_x1e6"),
       )
+  }
 
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

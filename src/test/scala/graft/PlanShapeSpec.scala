@@ -536,6 +536,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!kinds.exists(_.startsWith("ObjectHashAggregate")), kinds.mkString(","))
   }
 
+  test("quality calibration is single-scan and join-free") {
+    // the r10 fused form: both signal legs (classifier score, bigram
+    // novelty) leave ONE corpus scan through ONE generator — a join
+    // or a second text scan means the legs split apart again
+    val df = graft.operators.TextAnalysis.qualityCalibration(spark, sf)
+    val plan = collectPlan(df)
+    val kinds = plan.map(_.getClass.getSimpleName)
+    assert(!kinds.exists(_.contains("Join")), kinds.mkString(","))
+    val textScans = plan.count(p =>
+      p.getClass.getSimpleName.startsWith("FileSourceScan") && p.output.exists(_.name == "text"))
+    assert(textScans == 1, s"corpus text scanned $textScans times, expected once")
+  }
+
   test("classifier scoring is one doc_id exchange, no joins") {
     // the scale contract of the inline-hash weight path: feature
     // hashing and weighting are per-row codegen, so the whole score

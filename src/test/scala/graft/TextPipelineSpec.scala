@@ -399,6 +399,24 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("clfWeight LUT splice equals the two-md5 reference expression") {
+    // every corpus unigram/bigram feature, plus 20k synthetic integer
+    // features to sweep (nearly all of) the 4096 bucket domain
+    val corpusFeats = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("f"))
+      .filter(col("f") =!= "")
+    val synthFeats = spark.range(20000).select(col("id").cast("string").as("f"))
+    val diff = corpusFeats
+      .unionAll(synthFeats)
+      .select(
+        TextAnalysis.clfWeight(col("f")).as("lut"),
+        TextAnalysis.clfWeightRef(col("f")).as("ref"),
+      )
+      .filter(col("lut") =!= col("ref") || col("lut").isNull)
+      .count()
+    assert(diff == 0, "LUT weight diverged from the md5 expression form")
+  }
+
   test("quality calibration buckets partition the bigram-bearing docs") {
     val cal = TextAnalysis.qualityCalibration(spark, sf).collect()
     assert(cal.nonEmpty)
