@@ -425,10 +425,16 @@ object Dedup {
     * group even if a~c never collided in a band).
     *
     * Algorithm: Pregel-style iterative min-label propagation. Every
-    * vertex starts labeled with itself; each round every vertex takes
-    * the min of its own and its neighbors' labels; at fixpoint the
-    * label is the component's minimum doc id — a deterministic
-    * cluster id.
+    * vertex starts labeled with its CLOSED 1-hop minimum — min(id,
+    * neighbors) comes out of the same |edges| aggregation that
+    * otherwise just deduplicated the vertex set, so the free first
+    * hop saves one full join+agg+checkpoint round on every graph
+    * (r10; the semantic-keep graph dropped 4 → 3 rounds). Each round
+    * every vertex then takes the min of its own and its neighbors'
+    * labels; at fixpoint the label is the component's minimum doc id
+    * — a deterministic cluster id. (Init labels lie inside the
+    * vertex's component and only shrink, so the fixpoint and the
+    * escalation contraction argument are unchanged.)
     *
     * Scale shape (100 TB):
     *  - the pair graph is orders of magnitude smaller than the corpus
@@ -471,9 +477,9 @@ object Dedup {
     val edges = once.union(once.select(col("dst").as("src"), col("src").as("dst")))
 
     var labels = edges
-      .select(col("src").as("id"))
-      .distinct()
-      .select(col("id"), col("id").as("lbl"))
+      .groupBy("src")
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
       .localCheckpoint()
     var converged = false
     var rounds = 0

@@ -264,6 +264,18 @@ object Similarity {
     * corpus ⋈ graph-vertices on vec_id — AQE broadcasts the vertex
     * side whenever dup density is low, and the corpus is never
     * shuffled.
+    *
+    * Bench adjudication (r10, isolated sf0.1 decomposition): the
+    * pair leg ALONE — the dedup_embedding_cosine gate — measures
+    * 0.85 s warm, against this gate's 0.86 s DuckDB twin TOTAL; the
+    * increment to ~1.7 s is the CC fixpoint, 3 driver-synchronous
+    * rounds (SPARK_GRAFT_CC_LOG-measured; 1-hop init saved the 4th)
+    * each paying a checkpoint + convergence-probe job floor on a
+    * graph of a few hundred edges, plus the final corpus join job.
+    * The floors are convergence-detection latency, not data volume —
+    * at 100 TB the corpus-scaling pair leg dominates (rehearsed
+    * exponents in BENCH_SCALING.md) while round count grows only
+    * with component diameter, capped by the star escalation.
     */
   def semanticKeep(
       spark: SparkSession,
