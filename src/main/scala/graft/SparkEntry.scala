@@ -393,6 +393,13 @@ object SparkEntry {
     // the composed FAISS-style index: probe nProbe coarse cells,
     // ADC-score only their codes
     "similarity_ivf_pq" -> ((s, d) => PqIndex.ivfPqTopK(s, d)),
+    // the codebook maintenance loop: occupancy-drift monitor over the
+    // stored v1 index, the version-tagged refresh fold (stored rows
+    // keep v1 codes; the increment re-encodes against the refreshed
+    // codebook iff the trigger fired), and the serving-shift audit
+    "pq_refresh_drift" -> ((s, d) => PqIndex.codebookDrift(s, d)),
+    "pq_codebook_refresh" -> ((s, d) => PqIndex.codebookRefreshCodes(s, d)),
+    "pq_refresh_adc_shift" -> ((s, d) => PqIndex.refreshAdcShift(s, d)),
     // hybrid BM25+vector retrieval fused by integer reciprocal-rank
     // fusion (k0=60) — the two-tower RAG serving shape
     "hybrid_rrf_topk" -> ((s, d) => Similarity.hybridRrfTopK(s, d)),
@@ -1118,7 +1125,10 @@ object SparkEntry {
   // (ties to the smaller cell, matching array_min's struct order).
   // MATERIALIZED where referenced more than once — DuckDB inlines
   // plain CTEs per reference (the label-prop oracle lesson).
-  private val pqCtes: String = {
+  // the quantized corpus + its (subspace, sub-dim) long form — shared
+  // by every codebook training chain (the default full-corpus one and
+  // the refresh tier's era-bounded v1)
+  private val pqBaseCtes: String = {
     val sub = graft.operators.PqIndex.subDim
     s"""pqq AS MATERIALIZED (
        |  SELECT vec_id, CAST(label AS INT) AS cell,
@@ -1129,40 +1139,61 @@ object SparkEntry {
        |  FROM embeddings),
        |pqd AS (
        |  SELECT vec_id, cell, (i - 1) // $sub AS s, (i - 1) % $sub AS sd, q[i] AS qv
-       |  FROM pqq, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) g),
-       |pqcb AS (SELECT s, cell, sd, sum(qv) AS sq, count(*) AS n FROM pqd GROUP BY 1, 2, 3),
-       |pqcm AS MATERIALIZED (
+       |  FROM pqq, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) g)""".stripMargin
+  }
+
+  /** One codebook-train + full-corpus-encode chain: train on the
+    * `trainWhere`-filtered slice of pqd, encode EVERY pqq row against
+    * it. Emits `${p}cb/${p}cm/${p}e/${p}r/${p}codes`; the default
+    * prefix "pq" + unfiltered training reproduces the original chain
+    * the whole PQ family shares, and the refresh gates add a second
+    * era-bounded "p1" instance (graft.operators.PqIndex.storedCodebook
+    * / v1Codes).
+    */
+  private def pqChainFor(p: String, trainWhere: String): String = {
+    val sub = graft.operators.PqIndex.subDim
+    val where = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
+    s"""${p}cb AS (SELECT s, cell, sd, sum(qv) AS sq, count(*) AS n FROM pqd$where GROUP BY 1, 2, 3),
+       |${p}cm AS MATERIALIZED (
        |  SELECT s, cell, list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY sd) AS mean
-       |  FROM pqcb GROUP BY s, cell),
-       |pqe AS (
+       |  FROM ${p}cb GROUP BY s, cell),
+       |${p}e AS (
        |  SELECT v.vec_id, c.s, c.cell,
        |         list_sum(list_transform(list_slice(v.q, c.s * $sub + 1, c.s * $sub + $sub),
        |           (x, i) -> (CAST(x AS DOUBLE) - c.mean[i]) * (CAST(x AS DOUBLE) - c.mean[i]))) AS d2
-       |  FROM pqq v CROSS JOIN pqcm c),
-       |pqr AS (SELECT vec_id, s, cell,
-       |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rn FROM pqe),
-       |pqcodes AS MATERIALIZED (
+       |  FROM pqq v CROSS JOIN ${p}cm c),
+       |${p}r AS (SELECT vec_id, s, cell,
+       |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cell) AS rn FROM ${p}e),
+       |${p}codes AS MATERIALIZED (
        |  SELECT r.vec_id,
        |         CAST(max(CASE WHEN r.s = 0 THEN r.cell END) AS INT) AS c0,
        |         CAST(max(CASE WHEN r.s = 1 THEN r.cell END) AS INT) AS c1,
        |         CAST(max(CASE WHEN r.s = 2 THEN r.cell END) AS INT) AS c2,
        |         CAST(max(CASE WHEN r.s = 3 THEN r.cell END) AS INT) AS c3,
        |         max(q.nrm) AS nrm
-       |  FROM pqr r JOIN pqq q USING (vec_id) WHERE rn = 1 GROUP BY r.vec_id)""".stripMargin
+       |  FROM ${p}r r JOIN pqq q USING (vec_id) WHERE rn = 1 GROUP BY r.vec_id)""".stripMargin
   }
+
+  private val pqCtes: String = s"$pqBaseCtes,\n${pqChainFor("pq", "")}"
 
   // per-query ADC lookup table over the codebook means (shared by
   // the full-corpus ADC chain and the IVF-probed variant), plus the
   // per-query quantized norm — the cosine denominator's query half
-  private val pqLutCte: String = {
+  /** Per-query LUT against one codebook's `${cm}` means CTE — the
+    * refresh gates serve a second ("p1") instance for the stale tier.
+    */
+  private def pqLutFor(p: String, cm: String): String = {
     val sub = graft.operators.PqIndex.subDim
-    s"""pqlut AS MATERIALIZED (
+    s"""${p}lut AS MATERIALIZED (
        |  SELECT q.vec_id AS qid, c.s, c.cell,
        |         list_sum(list_transform(list_slice(q.embedding, c.s * $sub + 1, c.s * $sub + $sub),
        |           (x, i) -> CAST(x AS DOUBLE) * c.mean[i])) AS lutv
-       |  FROM embeddings q CROSS JOIN pqcm c WHERE q.vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}),
-       |pqqn AS (SELECT vec_id AS qid, nrm AS qnrm FROM pqq WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff})""".stripMargin
+       |  FROM embeddings q CROSS JOIN $cm c WHERE q.vec_id < ${graft.operators.PqIndex.ServedQueryCutoff})""".stripMargin
   }
+
+  private val pqLutCte: String =
+    s"""${pqLutFor("pq", "pqcm")},
+       |pqqn AS (SELECT vec_id AS qid, nrm AS qnrm FROM pqq WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff})""".stripMargin
 
   // The RRF fusion contract over `text_top`/`vec_top` CTEs — the part
   // the two hybrid gates exist to pin as IDENTICAL (a rank-source-only
@@ -1224,20 +1255,76 @@ object SparkEntry {
   // lut sum normalized to a cosine estimate — 1e6·Σluts/(qnrm·nrm),
   // association matching Spark's (lit(1e6) * reduce(_ + _)) / (q·n)
   // exactly — then top-5
-  private val pqAdcCtes: String = {
-    s"""pqsc AS (
+  /** One ADC score+rank chain against a codes CTE and a LUT CTE —
+    * `${p}sc`/`${p}rk`; the refresh gates rank the stale ("st",
+    * p1codes × p1lut) tier through the same template the default
+    * full-corpus chain uses.
+    */
+  private def pqAdcChainFor(p: String, codes: String, lut: String): String =
+    s"""${p}sc AS (
        |  SELECT l0.qid AS query_id, cd.vec_id AS neighbor_id,
        |         1000000.0 * (l0.lutv + l1.lutv + l2.lutv + l3.lutv) / (qn.qnrm * cd.nrm) AS score
-       |  FROM pqcodes cd
-       |  JOIN pqlut l0 ON l0.s = 0 AND l0.cell = cd.c0
-       |  JOIN pqlut l1 ON l1.s = 1 AND l1.cell = cd.c1 AND l1.qid = l0.qid
-       |  JOIN pqlut l2 ON l2.s = 2 AND l2.cell = cd.c2 AND l2.qid = l0.qid
-       |  JOIN pqlut l3 ON l3.s = 3 AND l3.cell = cd.c3 AND l3.qid = l0.qid
+       |  FROM $codes cd
+       |  JOIN $lut l0 ON l0.s = 0 AND l0.cell = cd.c0
+       |  JOIN $lut l1 ON l1.s = 1 AND l1.cell = cd.c1 AND l1.qid = l0.qid
+       |  JOIN $lut l2 ON l2.s = 2 AND l2.cell = cd.c2 AND l2.qid = l0.qid
+       |  JOIN $lut l3 ON l3.s = 3 AND l3.cell = cd.c3 AND l3.qid = l0.qid
        |  JOIN pqqn qn ON qn.qid = l0.qid
        |  WHERE l0.qid <> cd.vec_id),
-       |pqrk AS MATERIALIZED (SELECT query_id, neighbor_id,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM pqsc)""".stripMargin
+       |${p}rk AS MATERIALIZED (SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM ${p}sc)""".stripMargin
+
+  private val pqAdcCtes: String = {
+    val chain = pqAdcChainFor("pq", "pqcodes", "pqlut")
+    // the original chain's names were pqsc/pqrk — the template emits
+    // exactly those for prefix "pq"
+    chain
   }
+
+  // Codebook-refresh tier (PqIndex.refreshCutoff / storedCodebook /
+  // codebookDrift / codebookRefreshCodes): the era cutoff, the
+  // stored-era-trained v1 chain, the occupancy-drift monitor, and the
+  // trigger — threshold interpolated from the one Scala constant
+  private lazy val pqRefreshCtes: String =
+    s"""cut AS (SELECT (7 * max(vec_id)) // 10 AS c FROM embeddings),
+       |${pqChainFor("p1", "vec_id <= (SELECT c FROM cut)")},
+       |p1long AS (
+       |  SELECT vec_id, CAST(0 AS BIGINT) AS s, CAST(c0 AS BIGINT) AS cell FROM p1codes
+       |  UNION ALL SELECT vec_id, CAST(1 AS BIGINT), CAST(c1 AS BIGINT) FROM p1codes
+       |  UNION ALL SELECT vec_id, CAST(2 AS BIGINT), CAST(c2 AS BIGINT) FROM p1codes
+       |  UNION ALL SELECT vec_id, CAST(3 AS BIGINT), CAST(c3 AS BIGINT) FROM p1codes),
+       |occ AS (
+       |  SELECT s, cell,
+       |         CAST(sum(CASE WHEN vec_id <= (SELECT c FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_stored,
+       |         CAST(sum(CASE WHEN vec_id > (SELECT c FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_inc
+       |  FROM p1long GROUP BY 1, 2),
+       |driftx AS MATERIALIZED (
+       |  SELECT s, cell, n_stored, n_inc, pm_stored, pm_inc,
+       |         CAST((pm_stored - pm_inc) * (pm_stored - pm_inc) AS BIGINT) AS drift2
+       |  FROM (SELECT s, cell, n_stored, n_inc,
+       |          CAST((1000 * n_stored) // (sum(n_stored) OVER (PARTITION BY s)) AS BIGINT) AS pm_stored,
+       |          CAST((1000 * n_inc) // (sum(n_inc) OVER (PARTITION BY s)) AS BIGINT) AS pm_inc
+       |        FROM occ)),
+       |trg AS (SELECT sum(drift2) > ${graft.operators.PqIndex.RefreshDriftThreshold} AS fire
+       |        FROM driftx)""".stripMargin
+
+  // the version-tagged fold: stored rows keep v1 codes; increment
+  // rows take the full-corpus (v2) codes iff the trigger fired
+  private lazy val pqFoldCte: String =
+    s"""fold AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |         CAST(CASE WHEN a.vec_id > (SELECT c FROM cut) AND (SELECT fire FROM trg)
+       |              THEN 2 ELSE 1 END AS BIGINT) AS cb_version,
+       |         CASE WHEN a.vec_id > (SELECT c FROM cut) AND (SELECT fire FROM trg)
+       |              THEN b.c0 ELSE a.c0 END AS c0,
+       |         CASE WHEN a.vec_id > (SELECT c FROM cut) AND (SELECT fire FROM trg)
+       |              THEN b.c1 ELSE a.c1 END AS c1,
+       |         CASE WHEN a.vec_id > (SELECT c FROM cut) AND (SELECT fire FROM trg)
+       |              THEN b.c2 ELSE a.c2 END AS c2,
+       |         CASE WHEN a.vec_id > (SELECT c FROM cut) AND (SELECT fire FROM trg)
+       |              THEN b.c3 ELSE a.c3 END AS c3,
+       |         a.nrm
+       |  FROM p1codes a JOIN pqcodes b USING (vec_id))""".stripMargin
 
   // re-rank continuation: ADC shortlist (top-50) → exact cosine over
   // just those rows — the two-tier serving shape
@@ -3234,6 +3321,52 @@ object SparkEntry {
          |$pqLutCte,
          |$ivfPqRankCtes
          |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id FROM irk WHERE rnk <= 5""".stripMargin,
+    // the drift monitor alone: per (subspace, cell) era occupancy in
+    // exact integer permille + the squared gap (Σ = the trigger stat)
+    "pq_refresh_drift" ->
+      s"""WITH $pqBaseCtes,
+         |$pqRefreshCtes
+         |SELECT s, cell, n_stored, n_inc, pm_stored, pm_inc, drift2 FROM driftx""".stripMargin,
+    // the refresh fold: version-tagged codes (stored era keeps v1;
+    // the increment re-encodes against the full-corpus codebook iff
+    // the occupancy-drift trigger fired)
+    "pq_codebook_refresh" ->
+      s"""WITH $pqCtes,
+         |$pqRefreshCtes,
+         |$pqFoldCte
+         |SELECT vec_id, cb_version, c0, c1, c2, c3, nrm FROM fold""".stripMargin,
+    // did the refresh change serving? per query: overlap of the stale
+    // (all-v1) ADC top-5 with the refreshed (version-matched LUT) one
+    "pq_refresh_adc_shift" -> {
+      val vlutLegs =
+        """vlut AS (SELECT CAST(1 AS BIGINT) AS v, qid, s, cell, lutv FROM p1lut
+          |         UNION ALL SELECT CAST(2 AS BIGINT), qid, s, cell, lutv FROM pqlut)""".stripMargin
+      s"""WITH $pqCtes,
+         |$pqRefreshCtes,
+         |$pqFoldCte,
+         |$pqLutCte,
+         |${pqLutFor("p1", "p1cm")},
+         |$vlutLegs,
+         |${pqAdcChainFor("st", "p1codes", "p1lut")},
+         |rfsc AS (
+         |  SELECT l0.qid AS query_id, cd.vec_id AS neighbor_id,
+         |         1000000.0 * (l0.lutv + l1.lutv + l2.lutv + l3.lutv) / (qn.qnrm * cd.nrm) AS score
+         |  FROM fold cd
+         |  JOIN vlut l0 ON l0.v = cd.cb_version AND l0.s = 0 AND l0.cell = cd.c0
+         |  JOIN vlut l1 ON l1.v = cd.cb_version AND l1.s = 1 AND l1.cell = cd.c1 AND l1.qid = l0.qid
+         |  JOIN vlut l2 ON l2.v = cd.cb_version AND l2.s = 2 AND l2.cell = cd.c2 AND l2.qid = l0.qid
+         |  JOIN vlut l3 ON l3.v = cd.cb_version AND l3.s = 3 AND l3.cell = cd.c3 AND l3.qid = l0.qid
+         |  JOIN pqqn qn ON qn.qid = l0.qid
+         |  WHERE l0.qid <> cd.vec_id),
+         |rfrk AS MATERIALIZED (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM rfsc),
+         |st_top AS (SELECT query_id, neighbor_id FROM strk WHERE rnk <= 5),
+         |rf_top AS (SELECT query_id, neighbor_id FROM rfrk WHERE rnk <= 5)
+         |SELECT st.query_id, count(rf.neighbor_id) AS n_hits, count(*) AS k
+         |FROM st_top st LEFT JOIN rf_top rf
+         |  ON st.query_id = rf.query_id AND st.neighbor_id = rf.neighbor_id
+         |GROUP BY st.query_id""".stripMargin
+    },
     // the deployed two-tower hybrid: BM25 tower ⊕ the IVF+PQ-served
     // vector tower, fused by the same integer RRF (the serving swap
     // is rank-source-only — CTE chains shared with both parents)

@@ -117,8 +117,14 @@ object PqIndex {
     }
 
   private def codebookPlan(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .parallel(spark, dir, "embeddings")
+    codebookOf(Tables.parallel(spark, dir, "embeddings"))
+
+  /** The codebook aggregation over an arbitrary (label, embedding)
+    * corpus slice — shared by the full-corpus artifact and the
+    * era-bounded codebooks of the refresh tier.
+    */
+  private[graft] def codebookOf(corpus: DataFrame): DataFrame =
+    corpus
       .select(
         col("label").cast("int").as("cell"),
         posexplode(quantize(col("embedding"))).as(Seq("dim", "qv")),
@@ -171,8 +177,11 @@ object PqIndex {
     * artifact every row-wise encoder consumes.
     */
   private[graft] def centroidsRow(spark: SparkSession, dir: String): DataFrame =
-    codebook(spark, dir)
-      .groupBy()
+    centroidsRowOf(codebook(spark, dir))
+
+  /** Any codebook frame collapsed to the 1-row broadcast shape. */
+  private[graft] def centroidsRowOf(cb: DataFrame): DataFrame =
+    cb.groupBy()
       .agg(collect_list(struct(col("s"), col("cell"), col("mean"))).as("cents"))
 
   /** Row-wise PQ encode of a (vec_id, embedding) relation against a
@@ -208,6 +217,12 @@ object PqIndex {
     codebookCache.invalidateKeys { (spark, dir) =>
       graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_codebook", dir))
     }
+    v1CodebookCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_codebook_v1", dir))
+    }
+    v1CodesCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_codes_v1", dir))
+    }
   }
 
   /** Oracle surface of [[codes]]. */
@@ -221,7 +236,18 @@ object PqIndex {
     * not array position, so a cell absent at some corpus size can
     * never misalign the table.
     */
-  private def queryLuts(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
+  private def queryLuts(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
+    queryLutsAgainst(spark, dir, nQueries, codebook(spark, dir))
+
+  /** [[queryLuts]] against an arbitrary codebook frame — the refresh
+    * tier serves versioned LUTs (one per live codebook) from here.
+    */
+  private def queryLutsAgainst(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int,
+      cb: DataFrame,
+  ): DataFrame = {
     val queries = Tables(spark, dir, "embeddings")
       .filter(col("vec_id") < nQueries)
       .select(
@@ -230,7 +256,7 @@ object PqIndex {
         quantNorm(quantize(col("embedding"))).as("qnrm"),
       )
     queries
-      .crossJoin(codebook(spark, dir).select(col("s"), col("cell"), col("mean")))
+      .crossJoin(cb.select(col("s"), col("cell"), col("mean")))
       .select(
         col("query_id"),
         col("qnrm"),
@@ -437,5 +463,230 @@ object PqIndex {
         count(col("hit_rr")).as("n_hits_rerank"),
         count(lit(1)).as("k"),
       )
+  }
+
+  // ------------------------------------------------------------------
+  // Codebook refresh tier — the maintenance loop the serving side
+  // needs once the stream keeps landing vectors: the stored index was
+  // encoded against a codebook trained on the stored era (v1); the
+  // increment stream-encodes against that SAME fixed codebook
+  // (StreamingQueries.pqEncodeStream); a cheap occupancy-drift monitor
+  // decides when v1 stopped representing the arrivals, and the refresh
+  // re-trains on everything seen (v2 = the full-corpus codebook) and
+  // re-encodes ONLY the arrived-since rows — stored rows keep their v1
+  // codes under their version tag (the FAISS-segment convention: an
+  // index is a union of per-era segments, each with its codebook).
+  // Mirrors the LSH band-index refresh loop (Dedup.refreshProbe).
+  // ------------------------------------------------------------------
+
+  /** Era cutoff for the refresh tier: vec_id ≤ 7·max/10 is the stored
+    * corpus, the rest is the landed increment. One bounded driver
+    * action, spliced as a literal (the incrementCutoff rule: an
+    * in-plan cutoff blocks pushdown below the encode).
+    */
+  def refreshCutoff(spark: SparkSession, dir: String): Long =
+    Tables(spark, dir, "embeddings")
+      .agg(expr("7 * max(vec_id) DIV 10"))
+      .head
+      .getLong(0)
+
+  /** Occupancy-drift threshold for [[codebookRefreshCodes]]: refresh
+    * fires when Σ_(s,cell) (pm_stored − pm_inc)² exceeds this (pm =
+    * integer permille of the era's rows landing in that cell under
+    * the v1 codebook). Permille² units: 16 cells drifting by ~2.5%
+    * each ≈ 16·25² = 10⁴. Measured on the driver corpus the stat sits
+    * at 0.9-4.3×10⁴ across sf0.001-0.1 (the label mix genuinely
+    * shifts between the eras of the synthetic corpus), so 1000 fires
+    * there and the refresh path is the one exercised — the spec pins
+    * the complementary no-drift branch on a distribution-identical
+    * synthetic corpus. Interpolated into the DuckDB oracle
+    * (single-source rule).
+    */
+  val RefreshDriftThreshold: Long = 1000L
+
+  /** The stored era's codebook (v1) — memoized named artifact like
+    * the full-corpus [[codebook]] (it is the second corpus-scan
+    * aggregate every refresh-tier consumer shares).
+    */
+  private val v1CodebookCache = new graft.util.SessionCache[String, DataFrame]
+  private[graft] def storedCodebook(spark: SparkSession, dir: String): DataFrame =
+    v1CodebookCache.getOrElseUpdate(spark, dir) {
+      val c = refreshCutoff(spark, dir)
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_pq_codebook_v1", dir),
+        codebookOf(Tables.parallel(spark, dir, "embeddings").filter(col("vec_id") <= c)),
+      )
+    }
+
+  /** The whole corpus encoded against v1 — the state of the index
+    * BEFORE any refresh (stored rows: their real codes; increment
+    * rows: what the fixed-codebook stream encode landed). Memoized
+    * named artifact; the drift monitor, the fold's no-refresh branch,
+    * and the stale serving tier all read it.
+    */
+  private val v1CodesCache = new graft.util.SessionCache[String, DataFrame]
+  private[graft] def v1Codes(spark: SparkSession, dir: String): DataFrame =
+    v1CodesCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_pq_codes_v1", dir),
+        encodeAgainst(
+          Tables.parallel(spark, dir, "embeddings"),
+          centroidsRowOf(storedCodebook(spark, dir)),
+        ),
+      )
+    }
+
+  /** (vec_id, s, cell) long form of a codes frame. */
+  private def codesLong(codesDf: DataFrame): DataFrame =
+    codesDf.select(
+      col("vec_id"),
+      explode(
+        array((0 until numSub).map(s => struct(lit(s.toLong).as("s"), col(s"c$s").as("cell"))): _*)
+      ).as("x"),
+    ).select(col("vec_id"), col("x.s").as("s"), col("x.cell").as("cell"))
+
+  /** The drift monitor: per (subspace, cell), how the increment's
+    * v1-code occupancy diverges from the stored era's, as exact
+    * integer permille (1000·n div N_era; N comes from a window over
+    * the subspace partition of the ≤|numSub·cells|-row aggregate —
+    * every row lands one cell per subspace, so the per-s sum IS the
+    * era count) and the squared permille gap. Σ drift2 is the
+    * refresh trigger. Costs ONE pass over the stored codes artifact
+    * — the embeddings never re-scan, which is what makes the monitor
+    * cheap enough to run per increment at 100 TB.
+    */
+  def codebookDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = refreshCutoff(spark, dir)
+    val occ = codesLong(v1Codes(spark, dir))
+      .groupBy("s", "cell")
+      .agg(
+        sum(when(col("vec_id") <= c, 1L).otherwise(0L)).as("n_stored"),
+        sum(when(col("vec_id") > c, 1L).otherwise(0L)).as("n_inc"),
+      )
+    val w = Window.partitionBy("s")
+    occ
+      .withColumn("tot_stored", sum("n_stored").over(w))
+      .withColumn("tot_inc", sum("n_inc").over(w))
+      .withColumn("pm_stored", expr("(1000 * n_stored) div tot_stored"))
+      .withColumn("pm_inc", expr("(1000 * n_inc) div tot_inc"))
+      .select(
+        col("s"),
+        col("cell").cast("long").as("cell"),
+        col("n_stored"),
+        col("n_inc"),
+        col("pm_stored"),
+        col("pm_inc"),
+        ((col("pm_stored") - col("pm_inc")) * (col("pm_stored") - col("pm_inc"))).as("drift2"),
+      )
+  }
+
+  /** The trigger decision as one bounded driver action (the drift
+    * frame is ≤ numSub·cells rows).
+    */
+  private[graft] def refreshFires(spark: SparkSession, dir: String): Boolean =
+    codebookDrift(spark, dir).agg(sum("drift2")).head.getLong(0) > RefreshDriftThreshold
+
+  /** The refreshed index: the version-tagged union the serving tier
+    * reads after maintenance ran. Stored rows ALWAYS keep their v1
+    * codes (cb_version 1, never re-encoded, never re-scanned at
+    * refresh time in a deployment — their segment is untouched);
+    * increment rows carry v2 codes (the full-corpus codebook) iff
+    * the drift trigger fired, else their v1 stream-encode stands.
+    * [[codebookRefreshRebuilt]] is the from-scratch twin; equality is
+    * pinned in PqIndexSpec (the dedup_index_refresh bar).
+    */
+  def codebookRefreshCodes(spark: SparkSession, dir: String): DataFrame = {
+    val c = refreshCutoff(spark, dir)
+    val fires = refreshFires(spark, dir)
+    val emb = Tables.parallel(spark, dir, "embeddings")
+    val stored = v1Codes(spark, dir)
+      .filter(col("vec_id") <= c)
+      .withColumn("cb_version", lit(1L))
+    val inc =
+      if (fires)
+        encodeAgainst(emb.filter(col("vec_id") > c), centroidsRow(spark, dir))
+          .withColumn("cb_version", lit(2L))
+      else v1Codes(spark, dir).filter(col("vec_id") > c).withColumn("cb_version", lit(1L))
+    stored
+      .unionByName(inc)
+      .select(col("vec_id"), col("cb_version"), col("c0"), col("c1"), col("c2"), col("c3"), col("nrm"))
+  }
+
+  /** The one-pass from-scratch twin of [[codebookRefreshCodes]]: every
+    * row encodes against the codebook its (era, trigger) dispatch
+    * selects, in a single scan over a version-tagged broadcast — the
+    * executable spec that the incremental fold equals a rebuild.
+    */
+  private[graft] def codebookRefreshRebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val c = refreshCutoff(spark, dir)
+    val fires = refreshFires(spark, dir)
+    val cents = centroidsRowOf(storedCodebook(spark, dir))
+      .select(lit(1L).as("v"), col("cents"))
+      .unionByName(centroidsRow(spark, dir).select(lit(2L).as("v"), col("cents")))
+    val version = when(lit(fires) && col("vec_id") > c, 2L).otherwise(1L)
+    val corpus = Tables
+      .parallel(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), version.as("cb_version"))
+    corpus
+      .select(col("vec_id"), col("cb_version"), quantize(col("embedding")).as("q"))
+      .join(broadcast(cents), col("cb_version") === col("v"))
+      .select(
+        (col("vec_id") +: col("cb_version") +: (0 until numSub).map { s =>
+          val sub = slice(col("q"), s * subDim + 1, subDim)
+          array_min(
+            transform(
+              filter(col("cents"), cc => cc.getField("s") === s),
+              cc => struct(l2sq(sub, cc.getField("mean")).as("d2"), cc.getField("cell").as("cell")),
+            )
+          ).getField("cell").as(s"c$s")
+        }) :+ quantNorm(col("q")).as("nrm"): _*
+      )
+  }
+
+  /** Did the refresh change what the ADC tier serves? Per query: the
+    * overlap between the stale top-k (all-v1 index) and the refreshed
+    * top-k (the version-tagged fold, each code row scored against its
+    * OWN codebook's LUT — the lut frame carries one row per (query,
+    * live version) and joins on cb_version). The measured honesty
+    * gate of the refresh, exactly as recall gates are for the
+    * approximation tiers: a maintenance event that silently reshuffles
+    * serving results must show up as a number.
+    */
+  def refreshAdcShift(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = ServedQueryCutoff,
+      k: Int = 5,
+  ): DataFrame = {
+    val staleScored = v1Codes(spark, dir)
+      .crossJoin(broadcast(queryLutsAgainst(spark, dir, nQueries, storedCodebook(spark, dir))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("score"))
+    val stale = Similarity
+      .topKPerQuery(staleScored, k, scoreCol = "score")
+      .select(col("query_id"), col("neighbor_id"))
+    val luts = queryLutsAgainst(spark, dir, nQueries, storedCodebook(spark, dir))
+      .select(lit(1L).as("cb_version"), col("query_id"), col("luts"), col("qnrm"))
+      .unionByName(
+        queryLuts(spark, dir, nQueries)
+          .select(lit(2L).as("cb_version"), col("query_id"), col("luts"), col("qnrm")))
+    val refreshedScored = codebookRefreshCodes(spark, dir)
+      .join(broadcast(luts), Seq("cb_version"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("score"))
+    val refreshed = Similarity
+      .topKPerQuery(refreshedScored, k, scoreCol = "score")
+      .select(col("query_id"), col("neighbor_id").as("hit"))
+    stale
+      .join(
+        refreshed,
+        stale("query_id") === refreshed("query_id") && col("neighbor_id") === col("hit"),
+        "left",
+      )
+      .groupBy(stale("query_id").as("query_id"))
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
   }
 }

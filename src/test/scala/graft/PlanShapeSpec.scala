@@ -429,6 +429,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "similarity_ivf_pq" -> (Set("query_id"), "broadcasts are the nQueries·nProbe probe list and the query LUTs; the candidate set flows through the id-keyed artifact equi-join"),
       "hybrid_rrf_topk" -> (Set("query_id"), "the vector leg's query side is the fixed bm25Queries id list (3 rows) by API contract"),
       "hybrid_rrf_ivfpq" -> (Set("query_id"), "inherits similarity_ivf_pq's query-side broadcasts (nQueries·nProbe probe list, query LUTs) under the hybrid gate name"),
+      "pq_refresh_adc_shift" -> (Set("query_id"), "both broadcasts are per-query LUT row sets (stale: nQueries rows; refreshed: nQueries rows per live codebook version — ≤ 2·nQueries) by the ServedQueryCutoff API contract"),
       "sample_importance_weights" -> (Set("r_x1e6"), "the ratio table is bounded by the 4096-bucket md5 hash domain (a groupBy on a bounded key the static path check can't see)"),
       "sample_importance_resample" -> (Set("r_x1e6"), "same bounded ratio table, reached twice through the weights lineage (the w_max scalar is a grouping-free aggregate the path check already admits)"),
       "ivf_assign" -> (Set("centroid"), "centroids are one row per cell, |cells| bounded by the label domain"),

@@ -190,4 +190,59 @@ class PqIndexSpec extends AnyFunSuite {
       assert(recall.filter(col("k") =!= 5).count() == 0)
     } finally rr.unpersist()
   }
+
+  private def codeRow(r: org.apache.spark.sql.Row): (Long, Long, Int, Int, Int, Int, Double) =
+    (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6))
+
+  test("codebook refresh: the fold equals the one-pass rebuild, and only the increment re-encodes") {
+    // the driver corpus genuinely drifts between eras — the refresh
+    // branch is the one the oracle gates exercise
+    assert(PqIndex.refreshFires(spark, sf), "expected the drift trigger to fire on the driver corpus")
+    val cols = Seq("vec_id", "cb_version", "c0", "c1", "c2", "c3", "nrm").map(col)
+    val folded = PqIndex.codebookRefreshCodes(spark, sf).select(cols: _*).collect().map(codeRow)
+    val rebuilt = PqIndex.codebookRefreshRebuilt(spark, sf).select(cols: _*).collect().map(codeRow)
+    assert(folded.toSet == rebuilt.toSet, "incremental fold diverged from the from-scratch rebuild")
+    // version tags follow the (era, trigger) dispatch exactly
+    val c = PqIndex.refreshCutoff(spark, sf)
+    assert(folded.forall { case (id, v, _, _, _, _, _) => v == (if (id > c) 2L else 1L) })
+    // stored rows carry their v1 codes untouched
+    val v1 = PqIndex
+      .v1Codes(spark, sf)
+      .filter(col("vec_id") <= c)
+      .select((Seq(col("vec_id"), lit(1L).as("cb_version")) ++ cols.drop(2)): _*)
+      .collect()
+      .map(codeRow)
+    assert(folded.filter(_._1 <= c).toSet == v1.toSet, "a stored row was re-encoded by the fold")
+  }
+
+  test("codebook refresh: a distribution-identical increment does not fire; the fold IS the v1 index") {
+    // synthetic corpus whose label mix (hence v1-code occupancy) is
+    // identical in both eras: labels cycle mod 10 and the embedding
+    // is a pure function of the label
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nodrift").toString
+    spark
+      .range(200)
+      .select(
+        col("id").as("vec_id"),
+        transform(
+          sequence(lit(1), lit(64)),
+          i => sin((col("id") % 10 + 1) * i).cast("float"),
+        ).as("embedding"),
+        (col("id") % 10).cast("int").as("label"),
+      )
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    assert(
+      PqIndex.codebookDrift(spark, tmp).agg(sum("drift2")).head().getLong(0) == 0L,
+      "distribution-identical eras must show zero occupancy drift",
+    )
+    assert(!PqIndex.refreshFires(spark, tmp))
+    val folded = PqIndex.codebookRefreshCodes(spark, tmp)
+    assert(folded.filter(col("cb_version") =!= 1L).count() == 0, "no-drift fold must stay all-v1")
+    val cols = Seq("vec_id", "c0", "c1", "c2", "c3", "nrm").map(col)
+    val foldCodes = folded.select(cols: _*).collect().map(_.toString).sorted
+    val v1 = PqIndex.v1Codes(spark, tmp).select(cols: _*).collect().map(_.toString).sorted
+    assert(foldCodes.sameElements(v1), "no-drift fold must equal the stored v1 index byte-for-byte")
+  }
 }
