@@ -396,10 +396,42 @@ object StreamingQueries {
     * bundle share.
     */
   private[streaming] def streamDedupLineage(spark: SparkSession, dir: String): DataFrame =
-    eventsStream(spark, dir)
+    dedupLineageOver(eventsStream(spark, dir))
+
+  private def dedupLineageOver(src: DataFrame): DataFrame =
+    src
       .withWatermark("ts", "90 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
+
+  /** The [[streamDedupViaSink]] lineage over a READ-LIMITED events
+    * source (`maxFilesPerTrigger`), so AvailableNow processes the
+    * corpus as several micro-batches instead of one — the surface the
+    * restart-under-load proof drives (StreamingAdvancedSpec): kill
+    * after batch k, restart from the same checkpoint, and the landed
+    * set must equal the uninterrupted run's. Stateful on purpose —
+    * the dedup state store must survive the restart, not just the
+    * offset log.
+    */
+  def streamDedupChunked(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame = {
+    val tablePath = s"$dir/events.parquet"
+    val fallback = new StructType()
+      .add("event_id", LongType)
+      .add("ts", TimestampType)
+      .add("user_id", LongType)
+      .add("event_type", StringType)
+      .add("value", DoubleType)
+      .add("props", StringType)
+    val schema = probeFileSchema(spark, tablePath, fallback)
+    dedupLineageOver(
+      Tables.applyContracts(
+        spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(tablePath),
+        "events",
+      ))
+  }
 
   def streamDedupViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame =
     runAppendToParquet(spark, streamDedupLineage(spark, dir), outPath)

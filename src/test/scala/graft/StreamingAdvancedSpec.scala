@@ -65,6 +65,56 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(spark.table("restart_test").head.getLong(0) == 80L, "restart lost or double-counted rows")
   }
 
+  test("restart under load at sf0.1: kill after batch k, resume, landed set equals the uninterrupted run") {
+    // the at-least-once discipline argued per-gate (the file sink's
+    // _spark_metadata commit log turns replays into exactly-once
+    // reads) exercised by an ACTUAL mid-corpus kill: the sf0.1 events
+    // corpus arrives as 8 micro-batches through the stateful dedup
+    // lineage; the victim run is stopped after its 3rd commit and
+    // restarted from the same checkpoint (offset log + dedup state
+    // store both resume)
+    val sf01 = "/root/testdata/sf0.1"
+    val inDir = Files.createTempDirectory("graft-restart-in").toString
+    graft.sources.Tables(spark, sf01, "events")
+      .repartition(8)
+      .write.mode("overwrite")
+      .parquet(s"$inDir/events.parquet")
+    def stream() = graft.streaming.StreamingQueries.streamDedupChunked(spark, inDir, 1)
+    def start(out: String, ckpt: String) = stream().writeStream
+      .outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+
+    // the uninterrupted reference run
+    val outRef = Files.createTempDirectory("graft-restart-ref").toString + "/out"
+    start(outRef, Files.createTempDirectory("graft-restart-refck").toString).awaitTermination()
+
+    // the victim run: stop after the 3rd data-bearing micro-batch
+    val outV = Files.createTempDirectory("graft-restart-v").toString + "/out"
+    val ckptV = Files.createTempDirectory("graft-restart-vck").toString
+    val q1 = start(outV, ckptV)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q1.isActive && q1.recentProgress.count(_.numInputRows > 0) < 3
+      && System.nanoTime() < deadline) Thread.sleep(25)
+    q1.stop(); q1.awaitTermination()
+    val rowsSeen = q1.recentProgress.map(_.numInputRows).sum
+    assert(rowsSeen >= 1 && rowsSeen < 100000L,
+      s"kill must land mid-corpus, saw $rowsSeen of 100000 rows")
+
+    // resume from the same checkpoint and drain the rest
+    start(outV, ckptV).awaitTermination()
+
+    val ref = spark.read.parquet(outRef).collect().map(r => (r.getLong(0), r.getString(1)))
+    val victim = spark.read.parquet(outV).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(victim.length == victim.toSet.size, "restart replayed a committed batch into the sink")
+    assert(victim.toSet == ref.toSet, "killed+resumed landed set diverged from the uninterrupted run")
+    // and both equal the batch DISTINCT truth
+    val truth = graft.sources.Tables(spark, sf01, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ref.toSet == truth)
+  }
+
   test("stream-static broadcast enrichment join (J1) attaches candidate dims") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
