@@ -178,6 +178,10 @@ object SparkEntry {
     "token_freq_of_freqs" -> (TextAnalysis.freqOfFreqs _),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "lm_doc_novelty" -> (TextAnalysis.docNovelty _),
+    // CCNet-style LM filtering signal: exact scaled-integer mean
+    // bigram conditional probability per doc (one index exchange —
+    // both count windows ride the hash(l) clustering)
+    "lm_doc_score" -> (TextAnalysis.lmDocScores _),
     // classifier-vs-novelty calibration: value-bucketed (never a
     // corpus rank window), pooled novelty per score bucket
     "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
@@ -287,6 +291,9 @@ object SparkEntry {
     // ingest-time PQ encode: arriving embeddings → codes appended to
     // the distributed index sink, row-identical to the batch artifact
     "stream_pq_encode" -> (StreamingQueries.pqEncodeViaSink _),
+    // the refresh's re-encode delta streamed against the v2 codebook:
+    // only arrived-since rows flow; landed == the fold's v2 slice
+    "stream_pq_reencode" -> (StreamingQueries.pqReencodeViaSink _),
     // ingest-time PII scrub: arriving docs redacted map-side,
     // stateless, scrub records landed on the distributed sink
     "stream_pii_redact" -> (StreamingQueries.piiRedactViaSink _),
@@ -380,6 +387,10 @@ object SparkEntry {
     "similarity_ann_recall" -> ((s, d) => Similarity.annRecallAtK(s, d)),
     "similarity_ann_multiprobe" -> ((s, d) => Similarity.annLshTopKMultiProbe(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    // contrastive triplet mining: per anchor, top-3 same-label
+    // (positive) and top-3 cross-label (hard negative) neighbors
+    // within its IVF cell — rank-only output, cell-blocked pairing
+    "mine_hard_negatives" -> ((s, d) => Similarity.mineContrastive(s, d)),
     // SemDeDup policy: cosine pairs → transitive closure → keep the
     // component-min representative; full-corpus keep/retire verdicts
     "dedup_semantic_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
@@ -483,6 +494,14 @@ object SparkEntry {
       "stream_similarity_topk_sink" -> base("stream_similarity_topk"),
       // the ingest-time encoded index must equal the batch codes artifact
       "stream_pq_encode" -> base("similarity_pq_codes"),
+      // the streamed re-encode delta must equal the refresh fold's v2
+      // slice (empty when the drift trigger does not fire)
+      "stream_pq_reencode" ->
+        s"""WITH $pqCtes,
+           |$pqRefreshCtes,
+           |$pqFoldCte
+           |SELECT vec_id, cb_version, c0, c1, c2, c3, nrm FROM fold
+           |WHERE cb_version = 2""".stripMargin,
       // the ingest-time scrub must land the batch scrub record exactly
       "stream_pii_redact" -> base("text_pii_redact"),
       // the incrementally-maintained view must equal the batch compaction
@@ -2366,6 +2385,24 @@ object SparkEntry {
         |SELECT doc_id, n_tok, n_in_vocab, n_tok - n_in_vocab AS n_oov,
         |       CAST(n_in_vocab AS DOUBLE) / n_tok AS coverage
         |FROM a""".stripMargin,
+    // the same two count windows as the Spark side; q and the mean are
+    // floor divisions over exact integers (1e6 product in HUGEINT via
+    // DECIMAL(38,0) to match the engine's overflow headroom)
+    "lm_doc_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, ts[i] AS l, ts[i+1] AS r
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x),
+        |w AS (
+        |  SELECT doc_id,
+        |         CAST((1000000::HUGEINT * count(*) OVER (PARTITION BY l, r))
+        |              // (count(*) OVER (PARTITION BY l)) AS BIGINT) AS q
+        |  FROM g)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(q) // count(*) AS BIGINT) AS lm_score_x1e6
+        |FROM w GROUP BY doc_id""".stripMargin,
     // corpus-unique positional bigrams per document; same count
     // window as the Spark side
     "lm_doc_novelty" ->
@@ -3385,6 +3422,24 @@ object SparkEntry {
     "ivf_assign" ->
       s"""$ivfAssignCtes
          |SELECT vec_id, assigned_cell FROM asg""".stripMargin,
+    // contrastive mining over the same assignment chain: within-cell
+    // pairs, kind by label agreement, rank-only output (cos orders
+    // the window, never reaches the result)
+    "mine_hard_negatives" ->
+      s"""$ivfAssignCtes,
+         |lab AS MATERIALIZED (
+         |  SELECT e.vec_id, e.label, e.embedding, a.assigned_cell AS cell
+         |  FROM embeddings e JOIN asg a USING (vec_id)),
+         |prs AS (
+         |  SELECT x.vec_id AS anchor_id, y.vec_id AS cand_id,
+         |         CASE WHEN x.label = y.label THEN 'pos' ELSE 'neg' END AS kind,
+         |         ${cosSql("x.embedding", "y.embedding")} AS cos
+         |  FROM lab x JOIN lab y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |mrk AS (SELECT anchor_id, kind, cand_id,
+         |        row_number() OVER (PARTITION BY anchor_id, kind ORDER BY cos DESC, cand_id) AS rank
+         |        FROM prs)
+         |SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank, cand_id AS neighbor_id
+         |FROM mrk WHERE rank <= 3""".stripMargin,
     "sample_cluster_quota" ->
       s"""$ivfAssignCtes,
          |rk AS (SELECT vec_id, assigned_cell,

@@ -297,6 +297,69 @@ object Similarity {
       )
   }
 
+  /** Contrastive triplet mining — the training-data op an embedding-
+    * model team runs over the corpus: for every anchor vector, the
+    * top `perKind` SAME-label neighbors (positives) and top `perKind`
+    * DIFFERENT-label neighbors (hard negatives) among the vectors
+    * sharing its IVF cell. Blocking on the ASSIGNED cell (not the raw
+    * label) is what makes the negatives HARD: they are close in
+    * embedding space by construction — the classic in-batch/ANN-mined
+    * negative shape (SimCSE/DPR practice) — while the label supplies
+    * supervision. Output is rank-only (anchor_id, kind, rank,
+    * neighbor_id): cosine floats order the window but never reach the
+    * result, the usual cross-engine discipline.
+    *
+    * Scale shape: pairing is cell-blocked (|cell|², never N²) through
+    * the salted block join (hot cells spread across bounded
+    * sub-tasks); both sides read the memoized round-1 assignment
+    * artifact by NAME (two fresh catalog references — the
+    * DetectAmbiguousSelfJoin rule) and fetch only the label column
+    * from the corpus scan. The per-(anchor, kind) rank ≤ perKind
+    * filter compiles to WindowGroupLimit, so map tasks forward at
+    * most perKind candidates per partition before the rank exchange.
+    */
+  def mineContrastive(
+      spark: SparkSession,
+      dir: String,
+      perKind: Int = 3,
+      targetRows: Long = 1L << 16,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    IvfIndex.assignments(spark, dir) // ensure the named artifact exists
+    def asgRef = spark
+      .table(graft.util.NamedArtifact.viewName("graft_ivf_round1", dir))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val a = asgRef
+      .join(Tables.parallel(spark, dir, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      .select(
+        col("cell"),
+        col("vec_id").as("anchor_id"),
+        col("label").as("label_a"),
+        col("embedding").as("ea"),
+      )
+    val b = asgRef
+      .join(Tables(spark, dir, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      .select(
+        col("cell"),
+        col("vec_id").as("cand_id"),
+        col("label").as("label_b"),
+        col("embedding").as("eb"),
+      )
+    val w = Window.partitionBy("anchor_id", "kind").orderBy(col("cos").desc, col("cand_id"))
+    graft.operators.Skew
+      .saltedBlockJoin(a, b, "cell", "anchor_id", targetRows)
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .select(
+        col("anchor_id"),
+        col("cand_id"),
+        when(col("label_a") === col("label_b"), lit("pos")).otherwise(lit("neg")).as("kind"),
+        cosine(col("ea"), col("eb")).as("cos"),
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perKind)
+      .select(col("anchor_id"), col("kind"), col("rank"), col("cand_id").as("neighbor_id"))
+  }
+
   /** Per-label embedding centroid drift: how far each label's mean
     * embedding points away from the corpus-wide mean, as the cosine
     * between the two centroids — the embedding-space analogue of the

@@ -741,6 +741,47 @@ object TextAnalysis {
       .withColumn("novelty", col("n_unique").cast("double") / col("n_bigrams"))
   }
 
+  /** Per-document bigram-LM score — the CCNet-style language-model
+    * filtering signal: the mean conditional probability of the doc's
+    * positional bigrams under the corpus bigram LM, kept exact in
+    * scaled integers (per-term q = ⌊10⁶·cnt(l,r)/cnt(l,·)⌋, doc score
+    * = ⌊Σq/n_bigrams⌋ — no float ever reaches a comparator). Low
+    * scores flag improbable token sequences (boilerplate, garbled
+    * text, wrong-language fragments) exactly as a perplexity filter
+    * would, without the log table.
+    *
+    * Scale shape: ONE corpus scan/explode and ONE index exchange —
+    * the bigram count rides a (l, r) window and the left-marginal a
+    * (l) window, ordered so the coarser hash(l) exchange satisfies
+    * BOTH windows' clustering (partition exprs ⊆ clustering keys, the
+    * quality_label_noise rule), then one doc_id aggregation. A
+    * count-table join-back would re-scan or trip the self-join
+    * detector; the windows sidestep both. The 10⁶·cnt product runs in
+    * DECIMAL(38,0) (BIGINT wraps once a bigram passes ~9·10¹²
+    * occurrences — the 100-TB regime).
+    */
+  def lmDocScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(positionalBigrams(col("text"))).as("g"))
+      .select(col("doc_id"), col("g.l").as("l"), col("g.r").as("r"))
+    grams
+      .withColumn("cnt_l", count(lit(1)).over(Window.partitionBy("l")))
+      .withColumn("cnt_lr", count(lit(1)).over(Window.partitionBy("l", "r")))
+      .select(
+        col("doc_id"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt_lr) div cnt_l AS BIGINT)").as("q"),
+      )
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        expr("sq div n_bigrams").cast("long").as("lm_score_x1e6"),
+      )
+  }
+
   /** Fingerprint stats per source: exact-duplicate detection via
     * normalized-text fingerprints.
     */

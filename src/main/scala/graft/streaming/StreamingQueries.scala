@@ -818,6 +818,39 @@ object StreamingQueries {
   def pqEncodeViaSink(spark: SparkSession, dir: String): DataFrame =
     runAppendToParquet(spark, pqEncodeStream(spark, dir), scratchSinkDir("pqencode") + "/out")
 
+  /** The refresh's re-encode DELTA as a stream: when the drift
+    * trigger fired ([[graft.operators.PqIndex.refreshFires]] — one
+    * bounded driver action over the ≤|numSub·cells|-row drift frame),
+    * ONLY the arrived-since rows (vec_id past the era cutoff) flow
+    * through a map-side encode against the refreshed v2 codebook and
+    * land on the sink; a no-drift corpus lands NOTHING (no refresh →
+    * no delta — the fold keeps every v1 code). The landed table is
+    * pinned equal to the fold's cb_version = 2 slice by the shared
+    * oracle — the streaming half of the maintenance loop, exactly as
+    * [[pqEncodeStream]] is the ingest half against the fixed v1.
+    */
+  def pqReencodeStream(spark: SparkSession, dir: String): DataFrame = {
+    val fires = graft.operators.PqIndex.refreshFires(spark, dir)
+    val cutoff = graft.operators.PqIndex.refreshCutoff(spark, dir)
+    val fallback = new StructType()
+      .add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType))
+      .add("label", IntegerType)
+    val delta = tableStream(spark, dir, "embeddings", fallback)
+      .filter(lit(fires) && col("vec_id") > cutoff)
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.PqIndex
+      .encodeAgainst(delta, graft.operators.PqIndex.centroidsRow(spark, dir))
+      .select(
+        col("vec_id"),
+        lit(2L).as("cb_version"),
+        col("c0"), col("c1"), col("c2"), col("c3"), col("nrm"),
+      )
+  }
+
+  def pqReencodeViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, pqReencodeStream(spark, dir), scratchSinkDir("pqreenc") + "/out")
+
   /** Streaming ingest-time PII scrub — where the redaction pass
     * actually runs at 100 TB (scrub-before-land, not a batch sweep
     * over already-stored raw text): every arriving document is

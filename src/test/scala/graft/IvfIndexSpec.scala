@@ -107,6 +107,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(rows.map(r => (r._2, r._4)).distinct.forall { case (c, m) => c == m })
   }
 
+  test("contrastive mining: kinds follow labels, blocking follows cells, ranks follow cosine") {
+    val asg = IvfIndex.assignments(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labels = Tables(spark, sf, "embeddings").select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.operators.Similarity.mineContrastive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, kind, rank, n) =>
+      assert(a != n, "anchor mined itself")
+      assert(asg(a) == asg(n), s"pair ($a,$n) crossed the cell block")
+      assert(rank >= 1 && rank <= 3)
+      val same = labels(a) == labels(n)
+      assert(if (kind == "pos") same else !same, s"kind mislabeled for ($a,$n)")
+    }
+    // per (anchor, kind) the ranks are a prefix 1..m with no gaps
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, g) =>
+      assert(g.map(_._3).sorted.sameElements(1L to g.length.toLong), s"rank gap at $k")
+    }
+  }
+
   test("simhash64: identical texts collide, different texts differ") {
     import spark.implicits._
     val df = Seq(

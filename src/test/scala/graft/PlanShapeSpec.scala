@@ -537,6 +537,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!kinds.exists(_.startsWith("ObjectHashAggregate")), kinds.mkString(","))
   }
 
+  test("lm doc score: both count windows ride one index exchange, no joins") {
+    // the (l, r) bigram-count window's clustering is satisfied by the
+    // coarser hash(l) exchange the left-marginal window needs
+    // (partition exprs ⊆ clustering keys — the label-noise rule), so
+    // the whole score is scan → one index exchange → two windows →
+    // doc aggregation; a third exchange or a join means the marginal
+    // split into a join-back
+    val df = graft.operators.TextAnalysis.lmDocScores(spark, sf)
+    assert(shuffles(df) == 2, df.queryExecution.executedPlan.toString.take(800))
+    val kinds = collectPlan(df).map(_.getClass.getSimpleName)
+    assert(!kinds.exists(_.contains("Join")), kinds.mkString(","))
+    assert(kinds.count(_.startsWith("Window")) >= 2)
+  }
+
   test("quality calibration is single-scan and join-free") {
     // the r10 fused form: both signal legs (classifier score, bigram
     // novelty) leave ONE corpus scan through ONE generator — a join

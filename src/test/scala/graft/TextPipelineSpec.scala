@@ -417,6 +417,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(diff == 0, "LUT weight diverged from the md5 expression form")
   }
 
+  test("lm doc score is the exact scaled mean bigram conditional probability (in-memory recompute)") {
+    val docsRows = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // split(" ", -1) keeps empty tokens, matching Spark's split()
+    val bigrams = docsRows.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1)
+      if (ts.length < 2) Nil else ts.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val cntL = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cntLR = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val expected = bigrams.groupBy(_._1).view.mapValues { g =>
+      val qs = g.map(b => 1000000L * cntLR((b._2, b._3)) / cntL(b._2))
+      (g.size.toLong, qs.sum / g.size)
+    }.toMap
+    val got = TextAnalysis.lmDocScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // scores are probabilities: never above the 1e6 scale
+    assert(got.values.forall(_._2 <= 1000000L))
+  }
+
   test("quality calibration buckets partition the bigram-bearing docs") {
     val cal = TextAnalysis.qualityCalibration(spark, sf).collect()
     assert(cal.nonEmpty)
