@@ -391,6 +391,12 @@ object SparkEntry {
     // (positive) and top-3 cross-label (hard negative) neighbors
     // within its IVF cell — rank-only output, cell-blocked pairing
     "mine_hard_negatives" -> ((s, d) => Similarity.mineContrastive(s, d)),
+    // Matryoshka serving audit: full-dim top-5 overlap after 16/32-dim
+    // prefix truncation (one pair pass, three metrics, rank-only)
+    "similarity_matryoshka" -> ((s, d) => Similarity.dimTruncationAudit(s, d)),
+    // Great-Expectations-style warehouse contract audit: FK coverage,
+    // ranges, uniqueness, column consistency as (check, counts, pass)
+    "data_expectations" -> (graft.operators.Expectations.dataExpectations _),
     // SemDeDup policy: cosine pairs → transitive closure → keep the
     // component-min representative; full-corpus keep/retire verdicts
     "dedup_semantic_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
@@ -3422,6 +3428,79 @@ object SparkEntry {
     "ivf_assign" ->
       s"""$ivfAssignCtes
          |SELECT vec_id, assigned_cell FROM asg""".stripMargin,
+    // one pair pass, three metric legs, rank windows, flag overlap —
+    // cosines order the windows and never reach the output
+    "similarity_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |m AS (
+         |  SELECT query_id, neighbor_id, 'full' AS metric, ${cosSql("qe", "ce")} AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, 'd16',
+         |         ${cosSql("list_slice(qe, 1, 16)", "list_slice(ce, 1, 16)")}
+         |  FROM q, c WHERE query_id <> neighbor_id
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, 'd32',
+         |         ${cosSql("list_slice(qe, 1, 32)", "list_slice(ce, 1, 32)")}
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT metric, query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY metric, query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |      FROM m),
+         |t AS (SELECT metric, query_id, neighbor_id FROM r WHERE rnk <= 5),
+         |f AS (SELECT query_id, neighbor_id,
+         |        max(CASE WHEN metric = 'full' THEN 1 ELSE 0 END) AS in_full,
+         |        max(CASE WHEN metric = 'd16' THEN 1 ELSE 0 END) AS in_16,
+         |        max(CASE WHEN metric = 'd32' THEN 1 ELSE 0 END) AS in_32
+         |      FROM t GROUP BY 1, 2)
+         |SELECT query_id, CAST(sum(in_full) AS BIGINT) AS k,
+         |       CAST(sum(CASE WHEN in_full = 1 AND in_16 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_d16,
+         |       CAST(sum(CASE WHEN in_full = 1 AND in_32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_d32
+         |FROM f GROUP BY query_id""".stripMargin,
+    // each leg mirrors one engine-side check; counts are exact
+    "data_expectations" ->
+      """WITH chk AS (
+        |  SELECT 'orders_custkey_fk' AS check_name, (SELECT count(*) FROM orders) AS n_rows,
+        |         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive', (SELECT count(*) FROM orders),
+        |         (SELECT count(*) FROM orders WHERE o_totalprice <= 0.0)
+        |  UNION ALL
+        |  SELECT 'orders_orderdate_not_null', (SELECT count(*) FROM orders),
+        |         (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_range', (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 50.0)
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0)
+        |  UNION ALL
+        |  SELECT 'customer_custkey_unique', (SELECT count(*) FROM customer),
+        |         (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        |  UNION ALL
+        |  SELECT 'events_ts_not_null', (SELECT count(*) FROM events),
+        |         (SELECT count(*) FROM events WHERE ts IS NULL)
+        |  UNION ALL
+        |  SELECT 'events_value_not_null', (SELECT count(*) FROM events),
+        |         (SELECT count(*) FROM events WHERE value IS NULL)
+        |  UNION ALL
+        |  SELECT 'documents_docid_unique', (SELECT count(*) FROM documents),
+        |         (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent', (SELECT count(*) FROM documents),
+        |         (SELECT count(*) FROM documents WHERE length(text) <> n_chars)
+        |  UNION ALL
+        |  SELECT 'embeddings_dim64', (SELECT count(*) FROM embeddings),
+        |         (SELECT count(*) FROM embeddings WHERE len(embedding) <> 64))
+        |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_violations AS BIGINT) AS n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM chk""".stripMargin,
     // contrastive mining over the same assignment chain: within-cell
     // pairs, kind by label agreement, rank-only output (cos orders
     // the window, never reaches the result)

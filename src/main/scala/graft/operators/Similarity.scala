@@ -297,6 +297,66 @@ object Similarity {
       )
   }
 
+  /** Matryoshka / dimension-truncation serving audit: how much of the
+    * exact full-dimension top-k survives when queries and corpus are
+    * truncated to a 16- or 32-dim prefix (the MRL deployment
+    * question — a truncated index is 4×/2× cheaper per byte and this
+    * is the measured recall cost of switching). One pair pass scores
+    * all three metrics (full, d16, d32) per candidate, one rank
+    * window per (metric, query) — compiling to WindowGroupLimit, so
+    * map tasks forward ≤ k rows per metric×query — then the overlap
+    * counts come from flag aggregation, never a set join. Rank-only
+    * output; cosines order windows but never reach the result.
+    */
+  def dimTruncationAudit(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 5,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embPlain(spark, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val metrics = c
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        explode(
+          array(
+            struct(lit("full").as("metric"), cosine(col("qe"), col("ce")).as("cos")),
+            struct(
+              lit("d16").as("metric"),
+              cosine(slice(col("qe"), 1, 16), slice(col("ce"), 1, 16)).as("cos")),
+            struct(
+              lit("d32").as("metric"),
+              cosine(slice(col("qe"), 1, 32), slice(col("ce"), 1, 32)).as("cos")),
+          )
+        ).as("m"),
+      )
+      .select(col("query_id"), col("neighbor_id"), col("m.metric").as("metric"), col("m.cos").as("cos"))
+    val w = Window.partitionBy("metric", "query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    metrics
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("query_id", "neighbor_id")
+      .agg(
+        max((col("metric") === "full").cast("int")).as("in_full"),
+        max((col("metric") === "d16").cast("int")).as("in_16"),
+        max((col("metric") === "d32").cast("int")).as("in_32"),
+      )
+      .groupBy("query_id")
+      .agg(
+        sum(col("in_full")).as("k"),
+        sum(when(col("in_full") === 1 && col("in_16") === 1, 1L).otherwise(0L)).as("n_hits_d16"),
+        sum(when(col("in_full") === 1 && col("in_32") === 1, 1L).otherwise(0L)).as("n_hits_d32"),
+      )
+  }
+
   /** Contrastive triplet mining — the training-data op an embedding-
     * model team runs over the corpus: for every anchor vector, the
     * top `perKind` SAME-label neighbors (positives) and top `perKind`

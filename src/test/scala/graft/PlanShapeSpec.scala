@@ -420,6 +420,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // gate → (required bounded-side columns, documented contract)
     val contractBounded: Map[String, (Set[String], String)] = Map(
       "similarity_topk" -> (Set("query_id"), "query side is vec_id < nQueries (≤8 rows) by API contract"),
+      "similarity_matryoshka" -> (Set("query_id"), "query side is vec_id < nQueries (≤8 rows) by API contract; all three metric legs share the one broadcast"),
       "similarity_ann_lsh" -> (Set("query_id"), "query side is vec_id < nQueries by API contract"),
       "similarity_ann_multiprobe" -> (Set("query_id"), "probe set is (planes+1)·nQueries rows by API contract"),
       "similarity_ann_recall" -> (Set("query_id"), "both compared paths broadcast only the bounded query side"),
