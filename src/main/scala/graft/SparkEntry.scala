@@ -3504,21 +3504,36 @@ object SparkEntry {
     // contrastive mining over the same assignment chain: within-cell
     // pairs, kind by label agreement, rank-only output (cos orders
     // the window, never reaches the result)
-    "mine_hard_negatives" ->
+    "mine_hard_negatives" -> {
+      // the SAME staircase as Similarity.miningPrefixPlanes: one SRP
+      // plane per corpus doubling past 5120 vectors, capped at 8 —
+      // integer CASE so both engines flip at identical sizes
+      val pSel =
+        """psel AS (SELECT CASE
+          |  WHEN n < 5120 THEN 0 WHEN n < 10240 THEN 1 WHEN n < 20480 THEN 2
+          |  WHEN n < 40960 THEN 3 WHEN n < 81920 THEN 4 WHEN n < 163840 THEN 5
+          |  WHEN n < 327680 THEN 6 WHEN n < 655360 THEN 7 ELSE 8 END AS p
+          |FROM (SELECT count(*) AS n FROM embeddings))""".stripMargin
+      val bktTerms = (0 until 8)
+        .map(i => s"(CASE WHEN s.p >= ${i + 1} AND ${projSql(i)} > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
       s"""$ivfAssignCtes,
+         |$pSel,
          |lab AS MATERIALIZED (
-         |  SELECT e.vec_id, e.label, e.embedding, a.assigned_cell AS cell
-         |  FROM embeddings e JOIN asg a USING (vec_id)),
+         |  SELECT e.vec_id, e.label, e.embedding,
+         |         CAST(a.assigned_cell AS BIGINT) * 256 + ($bktTerms) AS blk
+         |  FROM embeddings e JOIN asg a USING (vec_id), psel s),
          |prs AS (
          |  SELECT x.vec_id AS anchor_id, y.vec_id AS cand_id,
          |         CASE WHEN x.label = y.label THEN 'pos' ELSE 'neg' END AS kind,
          |         ${cosSql("x.embedding", "y.embedding")} AS cos
-         |  FROM lab x JOIN lab y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         |  FROM lab x JOIN lab y ON x.blk = y.blk AND x.vec_id <> y.vec_id),
          |mrk AS (SELECT anchor_id, kind, cand_id,
          |        row_number() OVER (PARTITION BY anchor_id, kind ORDER BY cos DESC, cand_id) AS rank
          |        FROM prs)
          |SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank, cand_id AS neighbor_id
-         |FROM mrk WHERE rank <= 3""".stripMargin,
+         |FROM mrk WHERE rank <= 3""".stripMargin
+    },
     "sample_cluster_quota" ->
       s"""$ivfAssignCtes,
          |rk AS (SELECT vec_id, assigned_cell,

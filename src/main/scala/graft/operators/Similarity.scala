@@ -357,6 +357,14 @@ object Similarity {
       )
   }
 
+  /** SRP prefix length for [[mineContrastive]]'s block key: one plane
+    * per corpus doubling past 5120 vectors (capped at 8), holding the
+    * expected (cell × bucket) block in the 256-512 range (10 label cells × 2^p buckets). Pure integer
+    * staircase so the oracle's CASE chain flips at identical sizes.
+    */
+  private[graft] def miningPrefixPlanes(n: Long): Int =
+    Seq(5120L, 10240L, 20480L, 40960L, 81920L, 163840L, 327680L, 655360L).count(n >= _)
+
   /** Contrastive triplet mining — the training-data op an embedding-
     * model team runs over the corpus: for every anchor vector, the
     * top `perKind` SAME-label neighbors (positives) and top `perKind`
@@ -369,14 +377,29 @@ object Similarity {
     * neighbor_id): cosine floats order the window but never reach the
     * result, the usual cross-engine discipline.
     *
-    * Scale shape: pairing is cell-blocked (|cell|², never N²) through
-    * the salted block join (hot cells spread across bounded
-    * sub-tasks); both sides read the memoized round-1 assignment
-    * artifact by NAME (two fresh catalog references — the
-    * DetectAmbiguousSelfJoin rule) and fetch only the label column
-    * from the corpus scan. The per-(anchor, kind) rank ≤ perKind
-    * filter compiles to WindowGroupLimit, so map tasks forward at
-    * most perKind candidates per partition before the rank exchange.
+    * Scale shape — CORPUS-ADAPTIVE blocking (the r10 rehearsal caught
+    * the cell-only form: |cell|² pairing with a FIXED cell count is
+    * quadratic in N while the mining output is linear — sf1→sf4 went
+    * 29 s → 348 s; the simhash-source-blocking lesson repeated): the
+    * block key is (cell, SRP-prefix bucket) where the prefix length p
+    * = [[miningPrefixPlanes]](N) grows one plane per corpus doubling
+    * past 5120 vectors, holding the expected (cell × bucket) block at
+    * ≈ 256-512 vectors — so total pair work is ≈ N·512, LINEAR in
+    * the corpus, and every
+    * block still spreads over bounded sub-tasks via the salted block
+    * join. Below the first threshold p = 0 and the miner is EXACT
+    * within the cell (all three driver-test SFs sit there, so the
+    * oracle results are the exact ones); past it, candidates are the
+    * cell-mates that also collide on p SRP sign bits — the standard
+    * ANN-mining trade (the negatives stay hard by construction: SRP
+    * collision = angular proximity). The oracle derives the SAME p
+    * from count(*) via an integer CASE staircase, so both engines
+    * flip planes at exactly the same corpus sizes. Both sides read
+    * the memoized round-1 assignment artifact by NAME (two fresh
+    * catalog references — the DetectAmbiguousSelfJoin rule) and
+    * fetch only the label column from the corpus scan. The
+    * per-(anchor, kind) rank ≤ perKind filter compiles to
+    * WindowGroupLimit.
     */
   def mineContrastive(
       spark: SparkSession,
@@ -386,13 +409,17 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     IvfIndex.assignments(spark, dir) // ensure the named artifact exists
+    val p = miningPrefixPlanes(Tables(spark, dir, "embeddings").count())
+    def bkt: Column =
+      if (p == 0) lit(0L)
+      else graft.functions.VectorFunctions.lshBucket(col("embedding"), p).cast("long")
     def asgRef = spark
       .table(graft.util.NamedArtifact.viewName("graft_ivf_round1", dir))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"), (col("cell").cast("long") * 256L + bkt).as("blk"))
     val a = asgRef
       .join(Tables.parallel(spark, dir, "embeddings").select(col("vec_id"), col("label")), "vec_id")
       .select(
-        col("cell"),
+        col("blk"),
         col("vec_id").as("anchor_id"),
         col("label").as("label_a"),
         col("embedding").as("ea"),
@@ -400,14 +427,14 @@ object Similarity {
     val b = asgRef
       .join(Tables(spark, dir, "embeddings").select(col("vec_id"), col("label")), "vec_id")
       .select(
-        col("cell"),
+        col("blk"),
         col("vec_id").as("cand_id"),
         col("label").as("label_b"),
         col("embedding").as("eb"),
       )
     val w = Window.partitionBy("anchor_id", "kind").orderBy(col("cos").desc, col("cand_id"))
     graft.operators.Skew
-      .saltedBlockJoin(a, b, "cell", "anchor_id", targetRows)
+      .saltedBlockJoin(a, b, "blk", "anchor_id", targetRows)
       .filter(col("anchor_id") =!= col("cand_id"))
       .select(
         col("anchor_id"),

@@ -128,6 +128,23 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("mining prefix staircase: exact below 5120 vectors, one plane per doubling, capped at 8") {
+    import graft.operators.Similarity.miningPrefixPlanes
+    // every driver-test corpus sits in the exact (p = 0) regime, so
+    // the oracle gates check the EXACT within-cell miner
+    assert(miningPrefixPlanes(200L) == 0 && miningPrefixPlanes(5000L) == 0)
+    assert(miningPrefixPlanes(5120L) == 1)
+    assert(miningPrefixPlanes(20000L) == 2) // sf1e
+    assert(miningPrefixPlanes(80000L) == 4) // sf4e
+    assert(miningPrefixPlanes(200000L) == 6) // sf10e
+    assert(miningPrefixPlanes(10000000L) == 8, "cap")
+    // block size stays ~bounded: n / (cells · 2^p) ≤ 2·2560 everywhere
+    for (n <- Seq(5119L, 5120L, 40960L, 655360L, 5000000L)) {
+      val p = miningPrefixPlanes(n)
+      if (p < 8) assert(n.toDouble / (10 << p) <= 512 + 512, s"block too big at n=$n")
+    }
+  }
+
   test("simhash64: identical texts collide, different texts differ") {
     import spark.implicits._
     val df = Seq(
