@@ -169,6 +169,10 @@ object SparkEntry {
     // BM25 top-10 per query over exact-rational fixed-point term
     // scores (k1=6/5, b=3/4 folded into one integer quotient)
     "bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+    // RM3 pseudo-relevance feedback: top-3 feedback docs -> top-5
+    // expansion terms by summed tf (originals excluded) at weight 1
+    // next to originals at weight 2 -> re-rank; rank-only output
+    "bm25_rm3" -> ((s, d) => TextAnalysis.bm25Rm3Search(s, d)),
     // Zipf rank×freq fit over the top-100 vocab (DECIMAL(38,0)
     // normalization product — 1e6·rank·freq wraps BIGINT for real
     // stop-word counts)
@@ -444,6 +448,9 @@ object SparkEntry {
     "session_windows" -> (RelationalQueries.sessionWindows _),
     "sample_hash_splits" -> (graft.operators.Sampling.hashSplitStats _),
     "sample_weighted_mix" -> (graft.operators.Sampling.weightedMixStats _),
+    // mT5/XLM-R temperature sampling at T=2: exact-integer sqrt-share
+    // targets + deterministic hash-threshold membership
+    "sample_temperature_mix" -> ((s, d) => graft.operators.Sampling.temperatureMix(s, d)),
     "sample_top_quality" -> ((s, d) => graft.operators.Sampling.topQualityPerSource(s, d)),
     "sample_epoch_shuffle" -> ((s, d) => graft.operators.Sampling.epochShuffle(s, d)),
     "sample_stratified" -> (graft.operators.Sampling.stratifiedQualityMix _),
@@ -2478,6 +2485,33 @@ object SparkEntry {
     "bm25_search" ->
       s"""WITH $bm25RankedCtes
          |SELECT query_id, doc_id, bm25_x1e6, rk FROM r WHERE rk <= 10""".stripMargin,
+    // the expanded second round rides the same chain: feedback from
+    // `r`, expansion terms mined from `tf`, round-2 scores over the
+    // shared `idx`/`tot` with integer weights applied AFTER the floor
+    "bm25_rm3" ->
+      s"""WITH $bm25RankedCtes,
+         |fb AS (SELECT query_id, doc_id FROM r WHERE rk <= 3),
+         |e0 AS (
+         |  SELECT f.query_id, t.token, CAST(sum(t.tf) AS BIGINT) AS etf
+         |  FROM fb f JOIN tf t USING (doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM q WHERE q.query_id = f.query_id AND q.token = t.token)
+         |  GROUP BY 1, 2),
+         |e1 AS (SELECT query_id, token,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY etf DESC, token) AS trk
+         |       FROM e0),
+         |q2 AS (SELECT query_id, token, 2 AS wgt FROM q
+         |       UNION ALL SELECT query_id, token, 1 FROM e1 WHERE trk <= 5),
+         |s2 AS (
+         |  SELECT q2.query_id, i.doc_id,
+         |    q2.wgt * CAST((1000000::HUGEINT * 22 * t.n_docs * i.tf * (t.tot_tok // t.n_docs))
+         |      // (i.df * (10 * i.tf * (t.tot_tok // t.n_docs)
+         |                  + 3 * (t.tot_tok // t.n_docs) + 9 * i.dl)) AS BIGINT) AS sc
+         |  FROM idx i JOIN q2 USING (token), tot t),
+         |a2 AS (SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS b2 FROM s2 GROUP BY 1, 2),
+         |r2 AS (SELECT query_id, doc_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY b2 DESC, doc_id) AS BIGINT) AS rank
+         |       FROM a2)
+         |SELECT query_id, rank, doc_id FROM r2 WHERE rank <= 10""".stripMargin,
     "quantile_histogram" ->
       """WITH b AS (
         |  SELECT len(string_split(text, ' ')) // 8 AS bin FROM documents),
@@ -3578,6 +3612,31 @@ object SparkEntry {
          |$rounds
          |SELECT vec_id, cell AS assigned_cell FROM a3""".stripMargin
     },
+    "sample_temperature_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |w AS MATERIALIZED (
+        |  SELECT source, n_docs,
+        |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+        |  FROM s),
+        |t AS MATERIALIZED (
+        |  SELECT source, n_docs, w,
+        |         CAST((((SELECT sum(n_docs) FROM w) // 2) * w)
+        |              // (SELECT sum(w) FROM w) AS BIGINT) AS t_target
+        |  FROM w),
+        |t2 AS MATERIALIZED (
+        |  SELECT source, n_docs, w, t_target,
+        |         least(CAST(4096 AS BIGINT), CAST((4096 * t_target) // n_docs AS BIGINT)) AS sel_4096
+        |  FROM t),
+        |d AS (
+        |  SELECT source,
+        |    (strpos('0123456789abcdef', substr(md5(text || '|temp'), 1, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(text || '|temp'), 2, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(text || '|temp'), 3, 1)) - 1) AS h
+        |  FROM documents)
+        |SELECT t2.source, t2.n_docs, t2.w, t2.t_target, t2.sel_4096,
+        |       CAST(sum(CASE WHEN d.h < t2.sel_4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+        |FROM d JOIN t2 USING (source)
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "sample_hash_splits" ->
       """WITH b AS (
         |  SELECT lang,

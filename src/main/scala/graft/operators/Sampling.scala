@@ -98,6 +98,51 @@ object Sampling {
     * is the standard rank-within-group shuffle, bounded by |source|
     * partitions.
     */
+  /** Temperature-based source mixing (the mT5/XLM-R multilingual
+    * sampling rule at T = 2): a source's share of the training mix is
+    * proportional to n_s^(1/T) = √n_s, flattening the head so small
+    * sources are not drowned. Everything stays exact integers:
+    * w_s = ⌊√n_s⌋ (IEEE sqrt is correctly rounded, so the floor is
+    * identical cross-engine), target count t_s = (N div 2)·w_s div Σw
+    * (a 50%-of-corpus budget), and membership is deterministic
+    * hash-threshold selection — a doc is in the mix iff its 12-bit
+    * md5 prefix is under 4096·t_s div n_s — so the SELECTED SET (not
+    * just the counts) is reproducible anywhere, the
+    * sample_hash_splits discipline. Realized counts land next to the
+    * targets (binomial concentration; the gap is the honest price of
+    * sort-free selection — an exact-t_s pick would be a per-source
+    * rank over the corpus, the thing that dies at 100 TB).
+    *
+    * Scale shape: pass 1 aggregates per-source counts (bounded
+    * |sources| frame; the temperature algebra runs in windows over
+    * that bounded frame); pass 2 re-scans with the per-source
+    * threshold attached by a broadcast-sized equi-join and counts
+    * survivors map-side. Two linear scans, no corpus shuffle beyond
+    * the |sources|-key combines — the stats-then-select shape a real
+    * mixing job runs.
+    */
+  def temperatureMix(spark: SparkSession, dir: String, salt: String = "temp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(lit(1))
+    val targets = docs(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("n_total", sum("n_docs").over(wAll))
+      .withColumn("w_total", sum("w").over(wAll))
+      .withColumn("t_target", expr("((n_total div 2) * w) div w_total"))
+      .withColumn("sel_4096", least(lit(4096L), expr("(4096 * t_target) div n_docs")))
+      .select("source", "n_docs", "w", "t_target", "sel_4096")
+    val h12 = conv(substring(md5(concat(col("text"), lit("|" + salt))), 1, 3), 16, 10)
+      .cast("long")
+    docs(spark, dir)
+      .select(col("source"), h12.as("h"))
+      .join(broadcast(targets), "source")
+      .groupBy("source", "n_docs", "w", "t_target", "sel_4096")
+      .agg(sum(when(col("h") < col("sel_4096"), 1L).otherwise(0L)).as("n_selected"))
+      .select("source", "n_docs", "w", "t_target", "sel_4096", "n_selected")
+  }
+
   def perSourceCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")

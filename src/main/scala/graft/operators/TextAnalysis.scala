@@ -1345,12 +1345,34 @@ object TextAnalysis {
     * top-10 plans as WindowGroupLimit — partitions keep 10
     * candidates per query before the rank exchange.
     */
-  def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25ScoreAgainst(spark, dir, bm25QueryDf(spark), k, hintBroadcast = true)
+
+  /** The literal bm25 query table (query_id, token, wgt = 1). */
+  private def bm25QueryDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val qdf = bm25Queries
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "token")
+    bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t, 1L)) }
+      .toDF("query_id", "token", "wgt")
+  }
+
+  /** [[bm25Search]]'s scoring core over an ARBITRARY weighted query
+    * table (query_id, token, wgt) — the RM3 expansion
+    * ([[bm25Rm3Search]]) re-enters here with its derived second-round
+    * queries. `hintBroadcast` is true only for literal query tables;
+    * a corpus-derived expansion must leave the join strategy to AQE
+    * (the static-broadcast discipline PlanShapeSpec sweeps for).
+    * Per-term contribution = wgt · ⌊sc⌋ — weighting AFTER the floor,
+    * so the oracle's integer algebra is order-identical.
+    */
+  private def bm25ScoreAgainst(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      hintBroadcast: Boolean,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tf = docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
@@ -1360,7 +1382,7 @@ object TextAnalysis {
     val totals = dls
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
     val scored = tf
-      .join(broadcast(qdf), "token")
+      .join(if (hintBroadcast) broadcast(queries) else queries, "token")
       // df over the FILTERED postings is exact: the filter keeps every
       // posting of a query token, so within ONE query's slice the
       // count per token is that token's document count. Partitioning
@@ -1382,7 +1404,7 @@ object TextAnalysis {
         ),
       )
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("sc")).as("bm25_x1e6"))
+      .agg(sum(col("wgt") * col("sc")).as("bm25_x1e6"))
     scored
       .withColumn(
         "rk",
@@ -1391,6 +1413,61 @@ object TextAnalysis {
           .cast("long"),
       )
       .filter(col("rk") <= k)
+  }
+
+  /** RM3 pseudo-relevance feedback on top of [[bm25Search]] — the
+    * classic two-pass retrieval a RAG/text-search stack deploys when
+    * queries are short: round 1 ranks with the raw query; the top
+    * `fbDocs` documents per query are presumed relevant; their top
+    * `fbTerms` tokens by summed tf (original query terms excluded,
+    * ties lexicographic) join the query with weight 1 next to the
+    * originals at weight 2; round 2 re-ranks with the expanded
+    * weighted query. Every quantity is an exact integer (tf sums,
+    * floor-divided per-term scores, integer weights applied AFTER the
+    * floor), output rank-only — the cross-engine discipline.
+    *
+    * Scale shape: round 1 is the bm25 chain; the feedback set is
+    * |queries|·fbDocs rows (bounded — broadcast by construction), so
+    * expansion-term mining is one bounded semi-join against the tf
+    * index plus a |queries·candidate-terms| rank window; round 2
+    * re-enters the scoring core with the expanded table, derived from
+    * the corpus — its query join strategy is AQE's choice, never a
+    * static broadcast hint (the corpus-derived-hint discipline). The
+    * tf index is built once per pass (two corpus scans total — the
+    * honest cost of two-pass retrieval; a deployment materializes the
+    * index and pays neither).
+    */
+  def bm25Rm3Search(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      fbDocs: Int = 3,
+      fbTerms: Int = 5,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qdf = bm25QueryDf(spark)
+    val feedback = bm25Search(spark, dir, fbDocs).select(col("query_id"), col("doc_id"))
+    val fbTf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(feedback), "doc_id")
+      .groupBy("query_id", "token")
+      .agg(sum(col("tf")).as("etf"))
+      .join(qdf.select("query_id", "token"), Seq("query_id", "token"), "left_anti")
+    val expansion = fbTf
+      .withColumn(
+        "trk",
+        row_number().over(Window.partitionBy("query_id").orderBy(col("etf").desc, col("token"))),
+      )
+      .filter(col("trk") <= fbTerms)
+      .select(col("query_id"), col("token"), lit(1L).as("wgt"))
+    val q2 = qdf
+      .select(col("query_id"), col("token"), lit(2L).as("wgt"))
+      .unionByName(expansion)
+    bm25ScoreAgainst(spark, dir, q2, k, hintBroadcast = false)
+      .select(col("query_id"), col("rk").as("rank"), col("doc_id"))
   }
 
   /** Zipf-law fit table over the top-`k` corpus tokens: rank, raw

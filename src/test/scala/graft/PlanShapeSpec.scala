@@ -432,10 +432,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "hybrid_rrf_ivfpq" -> (Set("query_id"), "inherits similarity_ivf_pq's query-side broadcasts (nQueries·nProbe probe list, query LUTs) under the hybrid gate name"),
       "pq_refresh_adc_shift" -> (Set("query_id"), "both broadcasts are per-query LUT row sets (stale: nQueries rows; refreshed: nQueries rows per live codebook version — ≤ 2·nQueries) by the ServedQueryCutoff API contract"),
       "sample_importance_weights" -> (Set("r_x1e6"), "the ratio table is bounded by the 4096-bucket md5 hash domain (a groupBy on a bounded key the static path check can't see)"),
+      "sample_temperature_mix" -> (Set("sel_4096"), "the broadcast is the per-source target/threshold table — bounded by the |sources| domain (a groupBy on a bounded key the static path check can't see)"),
       "sample_importance_resample" -> (Set("r_x1e6"), "same bounded ratio table, reached twice through the weights lineage (the w_max scalar is a grouping-free aggregate the path check already admits)"),
       "ivf_assign" -> (Set("centroid"), "centroids are one row per cell, |cells| bounded by the label domain"),
       "ivf_kmeans_iterated" -> (Set("centroid"), "per-round centroids, |cells| bounded by the label domain"),
       "vocab_coverage" -> (Set("token"), "vocabulary is top-k limited (TakeOrderedAndProject) before the hint"),
+      "bm25_rm3" -> (Set("doc_id"), "the feedback set is the round-1 rank <= fbDocs prefix — |queries|·3 rows by construction (a window-rank filter the static path check can't see); the round-2 expanded-query join carries NO hint (AQE)"),
       "decontamination_overlap" -> (Set("shingle"), "held-out split is broadcastable by documented contract; the Bloom twin covers the un-broadcastable shape"),
       "zscore_outliers" -> (Set("mu_cents"), "per-type stats are |event_type|-bounded (fixed 5-value domain)"),
     )

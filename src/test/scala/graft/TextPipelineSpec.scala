@@ -452,6 +452,49 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("rm3: the expanded round re-ranks and never surfaces an original query term as expansion") {
+    val r1 = TextAnalysis.bm25Search(spark, sf, k = 10)
+      .select(col("query_id").cast("long"), col("rk"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val r2 = TextAnalysis.bm25Rm3Search(spark, sf)
+      .select(col("query_id").cast("long"), col("rank"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r2.nonEmpty && r2.keys.map(_._1).toSet == r1.keys.map(_._1).toSet)
+    // expansion must DO something: at least one query's ranking moved
+    assert(r1 != r2, "RM3 produced exactly the round-1 ranking — expansion is inert")
+    // and rank prefixes are gapless 1..k per query
+    r2.keys.groupBy(_._1).foreach { case (q, ks) =>
+      assert(ks.map(_._2).toSeq.sorted == (1L to ks.size.toLong), s"rank gap for query $q")
+    }
+  }
+
+  test("temperature mix flattens a skewed source distribution toward sqrt shares") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-temp").toString
+    // 1000 docs from src_big, 40 from src_small — raw share 4%, the
+    // T=2 rule should lift it toward sqrt(40)/(sqrt(40)+sqrt(1000)) ≈ 17%
+    (0 until 1040)
+      .map { i =>
+        val src = if (i < 1000) "src_big" else "src_small"
+        (i.toLong, s"w$i a b", "en", src, 0L)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.Sampling.temperatureMix(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    val (nB, wB, tB, selB) = rows("src_big")
+    val (nS, wS, tS, selS) = rows("src_small")
+    assert(wB == 31L && wS == 6L, s"integer sqrt weights: $wB, $wS")
+    // target shares follow sqrt, not raw counts: small gets ~4x its raw share
+    val rawShare = nS.toDouble / (nS + nB)
+    val tgtShare = tS.toDouble / (tS + tB)
+    assert(tgtShare > 3 * rawShare, s"flattening failed: raw $rawShare, target $tgtShare")
+    // budget: the two targets sum to ~half the corpus (integer floors)
+    assert(tB + tS <= 520 && tB + tS >= 500)
+    // selection is threshold-capped: never more selected than the corpus
+    assert(selB <= nB && selS <= nS)
+  }
+
   test("importance weights score the target language above the rest") {
     val rows = Sampling.importanceWeights(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
