@@ -1306,12 +1306,9 @@ object SparkEntry {
        |${p}rk AS MATERIALIZED (SELECT query_id, neighbor_id,
        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk FROM ${p}sc)""".stripMargin
 
-  private val pqAdcCtes: String = {
-    val chain = pqAdcChainFor("pq", "pqcodes", "pqlut")
-    // the original chain's names were pqsc/pqrk — the template emits
-    // exactly those for prefix "pq"
-    chain
-  }
+  // the original chain's names were pqsc/pqrk — the template emits
+  // exactly those for prefix "pq"
+  private val pqAdcCtes: String = pqAdcChainFor("pq", "pqcodes", "pqlut")
 
   // Codebook-refresh tier (PqIndex.refreshCutoff / storedCodebook /
   // codebookDrift / codebookRefreshCodes): the era cutoff, the
@@ -3465,7 +3462,8 @@ object SparkEntry {
     // one pair pass, three metric legs, rank windows, flag overlap —
     // cosines order the windows and never reach the output
     "similarity_matryoshka" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |           WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
          |m AS (
          |  SELECT query_id, neighbor_id, 'full' AS metric, ${cosSql("qe", "ce")} AS cos

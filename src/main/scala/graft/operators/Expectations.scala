@@ -37,7 +37,7 @@ object Expectations {
   private def scanChecks(df: DataFrame, checks: (String, Column)*): DataFrame =
     df.agg(
       count(lit(1)).as("__n"),
-      checks.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(s"__v_$n") }: _*
+      checks.map { case (n, c) => coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"__v_$n") }: _*
     ).select(
       explode(
         array(checks.map { case (n, _) => checkRow(n, col("__n"), col(s"__v_$n")) }: _*)
@@ -93,7 +93,7 @@ object Expectations {
         .agg(
           count(lit(1)).as("__n"),
           (count(lit(1)) - countDistinct(col("doc_id"))).as("__vu"),
-          sum(when(length(col("text")).cast("long") =!= col("n_chars"), 1L).otherwise(0L)).as("__vc"),
+          coalesce(sum(when(length(col("text")).cast("long") =!= col("n_chars"), 1L).otherwise(0L)), lit(0L)).as("__vc"),
         )
         .select(
           explode(array(

@@ -223,6 +223,10 @@ object PqIndex {
     v1CodesCache.invalidateKeys { (spark, dir) =>
       graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_codes_v1", dir))
     }
+    // the memoized refresh-tier driver scalars: a timed run must pay
+    // its own bounded actions like it pays its own artifact builds
+    cutoffCache.invalidate()
+    firesCache.invalidate()
   }
 
   /** Oracle surface of [[codes]]. */
@@ -484,11 +488,22 @@ object PqIndex {
     * action, spliced as a literal (the incrementCutoff rule: an
     * in-plan cutoff blocks pushdown below the encode).
     */
+  // Both bounded driver scalars of the refresh tier are memoized per
+  // (session, dir): every refresh consumer needs one or both, and
+  // without memoization one refreshAdcShift call re-ran the max-scan
+  // three times and the drift aggregation twice (r10 review). Two
+  // separate caches — the fires computation itself consumes the
+  // cutoff, so one shared entry would recurse into its own builder.
+  private val cutoffCache = new graft.util.SessionCache[String, java.lang.Long]
   def refreshCutoff(spark: SparkSession, dir: String): Long =
-    Tables(spark, dir, "embeddings")
-      .agg(expr("7 * max(vec_id) DIV 10"))
-      .head
-      .getLong(0)
+    cutoffCache
+      .getOrElseUpdate(spark, dir) {
+        Tables(spark, dir, "embeddings")
+          .agg(expr("7 * max(vec_id) DIV 10"))
+          .head
+          .getLong(0): java.lang.Long
+      }
+      .longValue()
 
   /** Occupancy-drift threshold for [[codebookRefreshCodes]]: refresh
     * fires when Σ_(s,cell) (pm_stored − pm_inc)² exceeds this (pm =
@@ -584,10 +599,16 @@ object PqIndex {
   }
 
   /** The trigger decision as one bounded driver action (the drift
-    * frame is ≤ numSub·cells rows).
+    * frame is ≤ numSub·cells rows), memoized per (session, dir).
     */
+  private val firesCache = new graft.util.SessionCache[String, java.lang.Boolean]
   private[graft] def refreshFires(spark: SparkSession, dir: String): Boolean =
-    codebookDrift(spark, dir).agg(sum("drift2")).head.getLong(0) > RefreshDriftThreshold
+    firesCache
+      .getOrElseUpdate(spark, dir) {
+        java.lang.Boolean.valueOf(
+          codebookDrift(spark, dir).agg(sum("drift2")).head.getLong(0) > RefreshDriftThreshold)
+      }
+      .booleanValue()
 
   /** The refreshed index: the version-tagged union the serving tier
     * reads after maintenance ran. Stored rows ALWAYS keep their v1
@@ -661,14 +682,18 @@ object PqIndex {
       nQueries: Int = ServedQueryCutoff,
       k: Int = 5,
   ): DataFrame = {
+    // ONE stale-LUT plan serves both the stale ranking and the v1 leg
+    // of the versioned union (r10 review: two identical constructions
+    // built the broadcast twice)
+    val lutsV1 = queryLutsAgainst(spark, dir, nQueries, storedCodebook(spark, dir))
     val staleScored = v1Codes(spark, dir)
-      .crossJoin(broadcast(queryLutsAgainst(spark, dir, nQueries, storedCodebook(spark, dir))))
+      .crossJoin(broadcast(lutsV1))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adcScore.as("score"))
     val stale = Similarity
       .topKPerQuery(staleScored, k, scoreCol = "score")
       .select(col("query_id"), col("neighbor_id"))
-    val luts = queryLutsAgainst(spark, dir, nQueries, storedCodebook(spark, dir))
+    val luts = lutsV1
       .select(lit(1L).as("cb_version"), col("query_id"), col("luts"), col("qnrm"))
       .unionByName(
         queryLuts(spark, dir, nQueries)

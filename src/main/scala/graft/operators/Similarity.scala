@@ -311,7 +311,7 @@ object Similarity {
   def dimTruncationAudit(
       spark: SparkSession,
       dir: String,
-      nQueries: Int = 8,
+      nQueries: Int = PqIndex.ServedQueryCutoff,
       k: Int = 5,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window

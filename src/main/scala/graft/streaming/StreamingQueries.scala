@@ -92,14 +92,19 @@ object StreamingQueries {
     * call dispatches the layout.
     */
   private def tableStream(
-      spark: SparkSession, dir: String, name: String, fallback: StructType): DataFrame = {
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      fallback: StructType,
+      options: Map[String, String] = Map.empty,
+  ): DataFrame = {
     val tablePath = s"$dir/$name.parquet"
     val schema = probeFileSchema(spark, tablePath, fallback)
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val isDir =
       try hPath.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(hPath).isDirectory
       catch { case _: java.io.IOException => false }
-    val reader = spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema).options(options)
     Tables.applyContracts(
       if (isDir) reader.parquet(tablePath)
       else reader.option("pathGlobFilter", s"$name.parquet").parquet(dir),
@@ -414,7 +419,10 @@ object StreamingQueries {
     * offset log.
     */
   def streamDedupChunked(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame = {
-    val tablePath = s"$dir/events.parquet"
+    // the exact eventsStream read path (nanos conf + single-file/
+    // directory layout dispatch + contracts — the r10 review caught a
+    // hand-rolled copy that skipped both), plus the read limit
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fallback = new StructType()
       .add("event_id", LongType)
       .add("ts", TimestampType)
@@ -422,14 +430,13 @@ object StreamingQueries {
       .add("event_type", StringType)
       .add("value", DoubleType)
       .add("props", StringType)
-    val schema = probeFileSchema(spark, tablePath, fallback)
     dedupLineageOver(
-      Tables.applyContracts(
-        spark.readStream
-          .schema(schema)
-          .option("maxFilesPerTrigger", maxFilesPerTrigger)
-          .parquet(tablePath),
+      tableStream(
+        spark,
+        dir,
         "events",
+        fallback,
+        Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString),
       ))
   }
 

@@ -30,8 +30,11 @@ class ExpectationsSpec extends AnyFunSuite {
   test("injected violations flip exactly the right checks with exact counts") {
     val tmp = Files.createTempDirectory("graft-expect").toString
     // copy the audited tables, corrupting two of them
-    for (t <- Seq("lineitem", "customer", "events", "embeddings"))
+    for (t <- Seq("lineitem", "customer", "embeddings"))
       Tables(spark, sf, t).write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    // events ships EMPTY: an empty table must audit as 0 violations /
+    // pass (not NULL — the review-caught coalesce branch)
+    Tables(spark, sf, "events").limit(0).write.mode("overwrite").parquet(s"$tmp/events.parquet")
     // orders: one row violating the FK AND the price check
     val orders = Tables(spark, sf, "orders")
     orders
@@ -71,6 +74,14 @@ class ExpectationsSpec extends AnyFunSuite {
       "documents_docid_unique", "documents_nchars_consistent")
     got.filterNot { case (k, _) => dirty(k) }.foreach { case (k, v) =>
       assert(v == 0L, s"$k unexpectedly flagged $v")
+    }
+    // the empty events table audits as a pass with exact zeros, never NULL
+    val eventRows = Expectations.dataExpectations(spark, tmp).collect()
+      .filter(_.getAs[String]("check_name").startsWith("events_"))
+    assert(eventRows.length == 2)
+    eventRows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 0L && r.getAs[Long]("n_violations") == 0L
+        && r.getAs[Int]("pass") == 1, s"empty-table audit broke: $r")
     }
   }
 }

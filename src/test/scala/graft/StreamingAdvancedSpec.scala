@@ -69,40 +69,62 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     // the at-least-once discipline argued per-gate (the file sink's
     // _spark_metadata commit log turns replays into exactly-once
     // reads) exercised by an ACTUAL mid-corpus kill: the sf0.1 events
-    // corpus arrives as 8 micro-batches through the stateful dedup
+    // corpus arrives as 24 micro-batches through the stateful dedup
     // lineage; the victim run is stopped after its 3rd commit and
     // restarted from the same checkpoint (offset log + dedup state
     // store both resume)
     val sf01 = "/root/testdata/sf0.1"
     val inDir = Files.createTempDirectory("graft-restart-in").toString
     graft.sources.Tables(spark, sf01, "events")
-      .repartition(8)
+      .repartition(24)
       .write.mode("overwrite")
       .parquet(s"$inDir/events.parquet")
     def stream() = graft.streaming.StreamingQueries.streamDedupChunked(spark, inDir, 1)
-    def start(out: String, ckpt: String) = stream().writeStream
+    def start(out: String, ckpt: String, name: String) = stream().writeStream
+      .queryName(name)
       .outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
 
     // the uninterrupted reference run
     val outRef = Files.createTempDirectory("graft-restart-ref").toString + "/out"
-    start(outRef, Files.createTempDirectory("graft-restart-refck").toString).awaitTermination()
+    start(outRef, Files.createTempDirectory("graft-restart-refck").toString, "restart_ref")
+      .awaitTermination()
 
-    // the victim run: stop after the 3rd data-bearing micro-batch
+    // the victim run: an event-driven kill at the 3rd data-bearing
+    // commit (a sleep-poll alone races a fast drain — r10 review);
+    // the poll below is only the backstop for a lost listener event
     val outV = Files.createTempDirectory("graft-restart-v").toString + "/out"
     val ckptV = Files.createTempDirectory("graft-restart-vck").toString
-    val q1 = start(outV, ckptV)
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (q1.isActive && q1.recentProgress.count(_.numInputRows > 0) < 3
-      && System.nanoTime() < deadline) Thread.sleep(25)
-    q1.stop(); q1.awaitTermination()
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val killer = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "restart_victim" && e.progress.numInputRows > 0
+          && commits.incrementAndGet() == 3)
+          spark.streams.active.find(_.name == "restart_victim").foreach(_.stop())
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(killer)
+    val q1 =
+      try {
+        val q = start(outV, ckptV, "restart_victim")
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (q.isActive && q.recentProgress.count(_.numInputRows > 0) < 3
+          && System.nanoTime() < deadline) Thread.sleep(10)
+        if (q.isActive) q.stop()
+        q.awaitTermination()
+        q
+      } finally spark.streams.removeListener(killer)
     val rowsSeen = q1.recentProgress.map(_.numInputRows).sum
     assert(rowsSeen >= 1 && rowsSeen < 100000L,
       s"kill must land mid-corpus, saw $rowsSeen of 100000 rows")
 
     // resume from the same checkpoint and drain the rest
-    start(outV, ckptV).awaitTermination()
+    start(outV, ckptV, "restart_resume").awaitTermination()
 
     val ref = spark.read.parquet(outRef).collect().map(r => (r.getLong(0), r.getString(1)))
     val victim = spark.read.parquet(outV).collect().map(r => (r.getLong(0), r.getString(1)))
