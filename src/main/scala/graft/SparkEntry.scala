@@ -301,6 +301,9 @@ object SparkEntry {
     // ingest-time PII scrub: arriving docs redacted map-side,
     // stateless, scrub records landed on the distributed sink
     "stream_pii_redact" -> (StreamingQueries.piiRedactViaSink _),
+    // ingest-time quarantine: the dead-letter sink lands exactly the
+    // batch gate's diverted rows (stateless per-row checks)
+    "stream_quarantine" -> (StreamingQueries.quarantineViaSink _),
     // ingest-time winnowing probe: arriving docs' selected
     // fingerprints vs the stored MOSS index, stream-static, stateless
     "stream_winnow_probe" -> (StreamingQueries.winnowProbeViaSink _),
@@ -401,6 +404,9 @@ object SparkEntry {
     // Great-Expectations-style warehouse contract audit: FK coverage,
     // ranges, uniqueness, column consistency as (check, counts, pass)
     "data_expectations" -> (graft.operators.Expectations.dataExpectations _),
+    // the dead-letter channel: injected contract violations divert
+    // with a typed reason (fixed precedence) instead of landing
+    "events_quarantine" -> (graft.operators.Expectations.quarantine _),
     // SemDeDup policy: cosine pairs → transitive closure → keep the
     // component-min representative; full-corpus keep/retire verdicts
     "dedup_semantic_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
@@ -500,6 +506,14 @@ object SparkEntry {
 
   // the sink-path gates compute the same result through the
   // production parquet-sink plan, so they share their twins' oracles
+  private val quarantineOracleSql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 131 = 0 THEN 'user_id_null'
+      |       WHEN event_id % 97 = 0 THEN 'value_null'
+      |       WHEN event_id % 113 = 0 THEN 'event_type_empty' END AS reason
+      |FROM events
+      |WHERE event_id % 131 = 0 OR event_id % 97 = 0 OR event_id % 113 = 0""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql ++ extensionOracleSql
     base ++ Map(
@@ -507,6 +521,10 @@ object SparkEntry {
       "stream_similarity_topk_sink" -> base("stream_similarity_topk"),
       // the ingest-time encoded index must equal the batch codes artifact
       "stream_pq_encode" -> base("similarity_pq_codes"),
+      // the quarantine channel: same injected moduli, same reason
+      // precedence as the engine's per-row expressions
+      "events_quarantine" -> quarantineOracleSql,
+      "stream_quarantine" -> quarantineOracleSql,
       // the streamed re-encode delta must equal the refresh fold's v2
       // slice (empty when the drift trigger does not fire)
       "stream_pq_reencode" ->

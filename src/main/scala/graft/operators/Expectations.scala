@@ -59,6 +59,39 @@ object Expectations {
       .select(col("x.check_name"), col("x.n_rows"), col("x.n_violations"))
   }
 
+  /** The quarantine (dead-letter) channel: rows failing a contract
+    * check are diverted with a typed reason instead of silently
+    * landing — the ingest-side counterpart of [[dataExpectations]]'s
+    * batch audit. The corpus itself is clean (the audit proves it),
+    * so violations are INJECTED deterministically by event_id moduli
+    * (the Pii.injectSql fixture convention: a deployment's stream
+    * already carries its bad rows); reasons apply in a fixed
+    * precedence so a multi-fault row has one deterministic tag.
+    * Shared by the batch gate and the streaming twin
+    * ([[graft.streaming.StreamingQueries.quarantineStream]]) — the
+    * checks are per-row expressions, so the stream is stateless
+    * (offset log only) and the landed set is row-identical to batch.
+    */
+  private[graft] def quarantineOver(src: DataFrame): DataFrame =
+    src
+      .select(
+        col("event_id"),
+        when(expr("event_id % 131 = 0"), lit(null)).otherwise(col("user_id")).as("u"),
+        when(expr("event_id % 97 = 0"), lit(null).cast("double")).otherwise(col("value")).as("v"),
+        when(expr("event_id % 113 = 0"), lit("")).otherwise(col("event_type")).as("t"),
+      )
+      .select(
+        col("event_id"),
+        when(col("u").isNull, "user_id_null")
+          .when(col("v").isNull, "value_null")
+          .when(col("t") === "", "event_type_empty")
+          .as("reason"),
+      )
+      .filter(col("reason").isNotNull)
+
+  def quarantine(spark: SparkSession, dir: String): DataFrame =
+    quarantineOver(Tables.parallel(spark, dir, "events"))
+
   /** The full expectations suite over the warehouse snapshot. */
   def dataExpectations(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables(spark, dir, "orders")

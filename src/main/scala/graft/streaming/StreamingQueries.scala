@@ -858,6 +858,18 @@ object StreamingQueries {
   def pqReencodeViaSink(spark: SparkSession, dir: String): DataFrame =
     runAppendToParquet(spark, pqReencodeStream(spark, dir), scratchSinkDir("pqreenc") + "/out")
 
+  /** Ingest-time quarantine (dead-letter channel): contract-failing
+    * rows divert with a typed reason BEFORE landing — per-row
+    * expressions shared with the batch gate
+    * ([[graft.operators.Expectations.quarantineOver]]), so the stream
+    * is stateless and the landed set is row-identical to batch.
+    */
+  def quarantineStream(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Expectations.quarantineOver(eventsStream(spark, dir))
+
+  def quarantineViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, quarantineStream(spark, dir), scratchSinkDir("quarantine") + "/out")
+
   /** Streaming ingest-time PII scrub — where the redaction pass
     * actually runs at 100 TB (scrub-before-land, not a batch sweep
     * over already-stored raw text): every arriving document is
