@@ -90,7 +90,11 @@ object Expectations {
       .filter(col("reason").isNotNull)
 
   def quarantine(spark: SparkSession, dir: String): DataFrame =
-    quarantineOver(Tables.parallel(spark, dir, "events"))
+    // plain read, not Tables.parallel: the checks are trivial per-row
+    // CASEs, so a rebalance exchange before them is pure waste (the
+    // r9 label-noise wasted-exchange rule; PlanShapeSpec pins zero
+    // shuffles here)
+    quarantineOver(Tables(spark, dir, "events"))
 
   /** The full expectations suite over the warehouse snapshot. */
   def dataExpectations(spark: SparkSession, dir: String): DataFrame = {

@@ -540,6 +540,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!kinds.exists(_.startsWith("ObjectHashAggregate")), kinds.mkString(","))
   }
 
+  test("quarantine is scan + map-side filter only: zero shuffles, zero joins") {
+    // the dead-letter channel's whole point at 100 TB: diversion is a
+    // per-row decision on the ingest path — any exchange here means a
+    // contract check grew state
+    val df = graft.operators.Expectations.quarantine(spark, sf)
+    assert(shuffles(df) == 0, df.queryExecution.executedPlan.toString.take(500))
+    val kinds = collectPlan(df).map(_.getClass.getSimpleName)
+    assert(!kinds.exists(_.contains("Join")), kinds.mkString(","))
+    assert(kinds.count(_.startsWith("FileSourceScan")) == 1)
+  }
+
   test("lm doc score: both count windows ride one index exchange, no joins") {
     // the (l, r) bigram-count window's clustering is satisfied by the
     // coarser hash(l) exchange the left-marginal window needs
