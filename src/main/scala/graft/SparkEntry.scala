@@ -307,6 +307,10 @@ object SparkEntry {
     // ingest-time winnowing probe: arriving docs' selected
     // fingerprints vs the stored MOSS index, stream-static, stateless
     "stream_winnow_probe" -> (StreamingQueries.winnowProbeViaSink _),
+    // ingest-time boilerplate scrub: arriving docs' segments
+    // anti-joined against the stored boilerplate index, kept
+    // segments land — scrub-before-land, stateless
+    "stream_boilerplate_scrub" -> (StreamingQueries.boilerplateScrubViaSink _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -380,6 +384,12 @@ object SparkEntry {
     // the removal step on top of the coverage measurement: drop every
     // token covered by a duplicated span, hash the scrubbed text
     "dedup_span_scrub" -> ((s, d) => Dedup.spanScrub(s, d)),
+    // CCNet-style boilerplate removal: segment hashes shared by >= 2
+    // docs scrubbed, clean text reassembled + pinned via md5
+    "text_line_dedup" -> ((s, d) => Dedup.boilerplateScrub(s, d)),
+    // edit-distance verification of the SAME LSH candidates: exact
+    // levenshtein permille of the longer text, <= 600 survives
+    "dedup_edit_ratio" -> ((s, d) => Dedup.editRatioPairs(s, d)),
     // MOSS-style cross-doc winnowing fingerprint matches: pairs
     // sharing >= 2 selected fingerprints, containment-scored
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
@@ -401,6 +411,9 @@ object SparkEntry {
     // Matryoshka serving audit: full-dim top-5 overlap after 16/32-dim
     // prefix truncation (one pair pass, three metrics, rank-only)
     "similarity_matryoshka" -> ((s, d) => Similarity.dimTruncationAudit(s, d)),
+    // graded serving-quality audit: nDCG@10 of the multi-probe ANN
+    // ranking vs exact brute force, integer LUT discounts
+    "similarity_ndcg" -> ((s, d) => Similarity.ndcgAudit(s, d)),
     // Great-Expectations-style warehouse contract audit: FK coverage,
     // ranges, uniqueness, column consistency as (check, counts, pass)
     "data_expectations" -> (graft.operators.Expectations.dataExpectations _),
@@ -959,8 +972,27 @@ object SparkEntry {
     * charge the oracle for work its query never uses. Every consumer
     * that actually reads `lshpairs` passes the default.
     */
-  private def minhashPairCtes(matTail: Boolean = true): String = {
-    val m = if (matTail) "MATERIALIZED " else ""
+  /** Non-overlapping 8-token segment rows — the oracle twin of
+    * Dedup.segmentRows(width = 8), shared by the batch boilerplate
+    * scrub and its streaming ingest twin.
+    */
+  private val segCtes: String =
+    """segt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |seg AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS seg_pos,
+      |         CAST(len(list_slice(ts, i + 1, i + 8)) AS BIGINT) AS n_tok,
+      |         array_to_string(list_slice(ts, i + 1, i + 8), ' ') AS txt,
+      |         md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')) AS h
+      |  FROM segt, LATERAL (SELECT unnest(range(0, len(ts), 8)) AS i) g)""".stripMargin
+
+  /** The LSH candidate-pair prefix of [[minhashPairCtes]] —
+    * shingles → signatures → band keys → deduplicated candidate
+    * pairs, WITHOUT the jaccard-verification tail. Shared with the
+    * edit-ratio oracle, whose verification is levenshtein instead
+    * (the same factoring as Dedup.lshCandidatePairs on the Spark
+    * side).
+    */
+  private lazy val lshCandCtes: String =
     s"""$shingleCtes,
        |sig AS MATERIALIZED (
        |  SELECT doc_id, s, min(md5(s || '|' || shingle)) AS mh
@@ -971,7 +1003,11 @@ object SparkEntry {
        |  FROM (SELECT doc_id, s, mh, s // 3 AS b FROM sig) GROUP BY doc_id, b),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+
+  private def minhashPairCtes(matTail: Boolean = true): String = {
+    val m = if (matTail) "MATERIALIZED " else ""
+    s"""$lshCandCtes,
        |nsh AS $m(SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |comm AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -1977,6 +2013,18 @@ object SparkEntry {
     // the ingest-time probe's oracle: the old×new slice of the winnow
     // pair table, df cutoff computed over the EXISTING slice only
     // (that is what a stored index can know at build time)
+    // ingest-time boilerplate scrub: the landed segments are exactly
+    // the increment's segments minus the stored-index hits (hashes
+    // duplicated across >= 2 existing docs)
+    "stream_boilerplate_scrub" ->
+      s"""WITH $segCtes,
+        |cut AS (SELECT 9 * max(doc_id) // 10 AS c FROM documents),
+        |hot AS (
+        |  SELECT s.h FROM seg s, cut WHERE s.doc_id <= cut.c
+        |  GROUP BY s.h HAVING count(DISTINCT s.doc_id) >= 2)
+        |SELECT s.doc_id, s.seg_pos, s.n_tok, s.h
+        |FROM seg s, cut
+        |WHERE s.doc_id > cut.c AND s.h NOT IN (SELECT h FROM hot)""".stripMargin,
     "stream_winnow_probe" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
@@ -3221,6 +3269,39 @@ object SparkEntry {
         |    AS removed_tokens,
         |  md5(coalesce(a.scrubbed, '')) AS scrub_md5
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // segment-hash boilerplate removal: df over DISTINCT docs, kept
+    // segments reassembled in seg_pos order, pinned via md5 (empty
+    // string when a doc is all boilerplate — string_agg skips NULLs
+    // and aggregates-to-NULL over zero rows on both engines)
+    "text_line_dedup" ->
+      s"""WITH $segCtes,
+        |hot AS (SELECT h FROM seg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (
+        |  SELECT s.doc_id, s.seg_pos, s.n_tok, s.txt,
+        |         CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END AS bp
+        |  FROM seg s LEFT JOIN hot ON s.h = hot.h)
+        |SELECT doc_id, count(*) AS n_seg,
+        |       CAST(sum(1 - bp) AS BIGINT) AS n_seg_kept,
+        |       CAST(sum(CASE WHEN bp = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS n_tok_kept,
+        |       md5(coalesce(
+        |         string_agg(CASE WHEN bp = 0 THEN txt END, ' ' ORDER BY seg_pos), ''))
+        |         AS clean_md5
+        |FROM fl GROUP BY doc_id""".stripMargin,
+    // same LSH candidates as the minhash pair family, verified by
+    // exact unit-cost levenshtein as an integer permille of the
+    // longer text
+    "dedup_edit_ratio" ->
+      s"""WITH $lshCandCtes,
+        |lv AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |         CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+        |  FROM cand c
+        |  JOIN documents a ON a.doc_id = c.doc_a
+        |  JOIN documents b ON b.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, lev, max_len,
+        |       CAST((1000 * lev) // max_len AS BIGINT) AS edit_permille
+        |FROM lv WHERE (1000 * lev) // max_len <= 600""".stripMargin,
     "dedup_shingle_mass" ->
       """WITH tok AS (
         |  SELECT source, string_split(text, ' ') AS ts FROM documents
@@ -3507,6 +3588,53 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN in_full = 1 AND in_16 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_d16,
          |       CAST(sum(CASE WHEN in_full = 1 AND in_32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_d32
          |FROM f GROUP BY query_id""".stripMargin,
+    // graded ANN ordering audit: both lists rank with the same
+    // (cos DESC, id) tiebreak; every DCG value is integer arithmetic
+    // over the shared driver-computed discount LUT — the one float
+    // (the log) never meets a comparator
+    "similarity_ndcg" -> {
+      val k = Similarity.NdcgK
+      def w(rank: String): String =
+        Similarity
+          .dcgDiscountLut(k)
+          .zipWithIndex
+          .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+          .mkString(s"CASE $rank ", " ", " ELSE 0 END")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |           WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |sb AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |       FROM q, c WHERE query_id <> neighbor_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sb),
+         |bf AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS bf_rank FROM rb WHERE rnk <= $k),
+         |bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |qa AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM bk
+         |       WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}),
+         |probes AS (
+         |  SELECT query_id, qe,
+         |         CASE WHEN p = 0 THEN bucket ELSE xor(bucket, 1 << (p - 1)) END AS bucket
+         |  FROM qa, LATERAL (SELECT unnest(generate_series(0, 6)) AS p) g),
+         |ca AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM bk),
+         |sa AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |       FROM probes JOIN ca USING (bucket) WHERE query_id <> neighbor_id),
+         |ra AS (SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sa),
+         |ann AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS ann_rank FROM ra WHERE rnk <= $k),
+         |idcg AS (SELECT query_id,
+         |           CAST(sum((${k + 1} - bf_rank) * ${w("bf_rank")}) AS BIGINT) AS idcg
+         |         FROM bf GROUP BY 1),
+         |d AS (SELECT a.query_id, CAST(count(b.bf_rank) AS BIGINT) AS n_hits,
+         |        CAST(coalesce(sum(CASE WHEN b.bf_rank IS NOT NULL
+         |          THEN (${k + 1} - b.bf_rank) * ${w("a.ann_rank")} ELSE 0 END), 0) AS BIGINT) AS dcg
+         |      FROM ann a LEFT JOIN bf b
+         |        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |      GROUP BY 1)
+         |SELECT i.query_id, CAST(coalesce(d.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg, i.idcg,
+         |       CAST((1000 * coalesce(d.dcg, 0)) // i.idcg AS BIGINT) AS ndcg_permille
+         |FROM idcg i LEFT JOIN d ON i.query_id = d.query_id""".stripMargin
+    },
     // each leg mirrors one engine-side check; counts are exact
     "data_expectations" ->
       """WITH chk AS (

@@ -277,24 +277,80 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
 
-    val banded = bandedKeysOf(base, numHashes, bands)
+    verifyPairsExact(base, lshCandidatePairs(base, numHashes, bands), threshold)
+  }
 
-    // band buckets are posting lists: one groupBy on (band, bkey)
-    // computes the signatures exactly once and expands each bucket to
-    // its (a<b) pairs map-side — no self-join, so the sig lineage is
-    // never evaluated twice and nothing needs caching. A pair
-    // colliding in several bands dedups on (doc_a, doc_b); the pair
-    // count is inherently quadratic in bucket size, which banding
-    // keeps small for non-identical docs. The expansion itself is the
-    // native one-pass IdPairsExpr ([[idPairsComposed]] is its spec).
-    val candidates = banded
+  /** Deduplicated LSH candidate pairs from the banded keys of `base`
+    * ((doc_id, sh) rows). Band buckets are posting lists: one groupBy
+    * on (band, bkey) computes the signatures exactly once and expands
+    * each bucket to its (a<b) pairs map-side — no self-join, so the
+    * sig lineage is never evaluated twice and nothing needs caching.
+    * A pair colliding in several bands dedups on (doc_a, doc_b); the
+    * pair count is inherently quadratic in bucket size, which banding
+    * keeps small for non-identical docs. The expansion itself is the
+    * native one-pass IdPairsExpr ([[idPairsComposed]] is its spec).
+    * Shared by [[minhashLshPairs]] (jaccard verify) and
+    * [[editRatioPairs]] (edit-distance verify).
+    */
+  private[graft] def lshCandidatePairs(
+      base: DataFrame,
+      numHashes: Int,
+      bands: Int,
+  ): DataFrame =
+    bandedKeysOf(base, numHashes, bands)
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(graft.functions.IdPairsExpr(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyPairsExact(base, candidates, threshold)
+
+  /** Edit-distance near-dup verification over the SAME MinHash-LSH
+    * candidate pairs as [[minhashLshPairs]] — the fuzzy-dedup family
+    * measured in characters instead of shingle sets (catches
+    * single-token rewrites that shift every overlapping shingle, the
+    * case where Jaccard under-reports similarity). Each candidate
+    * pair fetches both texts with ONE corpus exchange (the
+    * [[verifyPairsExact]] union-fetch shape) and scores
+    * `levenshtein(text_a, text_b)` normalized to an exact integer
+    * permille of the longer text; pairs at most `maxPermille` apart
+    * survive.
+    *
+    * Scale shape: Levenshtein is O(len_a·len_b) PER PAIR — viable
+    * only because it runs strictly on the LSH-bucketed candidate set
+    * (bounded by the banding S-curve), never all-pairs; the corpus
+    * text is exchanged at most once and only for candidate docs. Both
+    * engines use the classic unit-cost edit distance
+    * (insert/delete/substitute = 1), so the permille is an identical
+    * integer: floor(1000·lev / max(len_a, len_b)).
+    */
+  def editRatioPairs(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      maxPermille: Int = 600,
+  ): DataFrame = {
+    val base = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val need = lshCandidatePairs(base, numHashes, bands)
+      .select(col("doc_a"), col("doc_b"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    need
+      .join(docs(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("text"))).as("ta"),
+        max(when(col("doc_id") === col("doc_b"), col("text"))).as("tb"),
+      )
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"),
+      )
+      .withColumn("edit_permille", expr("CAST((1000 * lev) div max_len AS BIGINT)"))
+      .filter(col("edit_permille") <= maxPermille)
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
@@ -1737,6 +1793,89 @@ object Dedup {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
         md5(coalesce(col("scrubbed"), lit(""))).as("scrub_md5"),
+      )
+  }
+
+  /** Non-overlapping `width`-token segment rows of `d` (doc_id, text)
+    * — the "line"/paragraph unit of CCNet-style boilerplate removal,
+    * adapted to the newline-free corpus exactly as the RAG chunker
+    * is (fixed-width windows; the trailing partial segment is its own
+    * unit). Map-side explode: seg_pos is the 0-based token offset
+    * (the reassembly sort key), h the md5 of the segment text.
+    */
+  private[graft] def segmentRows(d: DataFrame, width: Int): DataFrame =
+    d.select(
+      col("doc_id"),
+      explode(bindArray(split(col("text"), " ")) { ts =>
+        transform(
+          sequence(lit(0), size(ts) - 1, lit(width)),
+          st =>
+            struct(
+              st.cast("long").as("seg_pos"),
+              size(slice(ts, st + 1, lit(width))).cast("long").as("n_tok"),
+              array_join(slice(ts, st + 1, lit(width)), " ").as("txt"),
+            ),
+        )
+      }).as("z"),
+    ).select(
+      col("doc_id"),
+      col("z.seg_pos"),
+      col("z.n_tok"),
+      col("z.txt"),
+      md5(col("z.txt")).as("h"),
+    )
+
+  /** CCNet-style boilerplate removal: hash every non-overlapping
+    * `width`-token segment, count the DISTINCT documents each hash
+    * appears in, and scrub segments shared by ≥ `dfMin` docs (repeated
+    * navigation blocks, injected templates, exact-dup bodies). Emits
+    * per doc the segment counts before/after, kept token count, and
+    * the md5 of the reassembled clean text (kept segments in
+    * seg_pos order — the byte-level pin rides the hash, the PII
+    * pattern). A within-doc repeat (df = 1) is NOT boilerplate and
+    * stays, both occurrences.
+    *
+    * This is the segment-granular sibling of [[spanScrub]] (the
+    * Lee-et-al substring scrub): postings here are N/width rows
+    * instead of one per token position, the removal unit is the
+    * whole segment, and the per-doc reassembly needs no second
+    * corpus scan — every doc's segments flow through ONE left join
+    * against the bounded hot-hash table and ONE doc_id aggregation
+    * (flag + ordered re-concat in the same pass). At 100 TB: the
+    * hash-df combine is map-side partial over fixed-width keys, the
+    * hot table is the df-filtered minority that a deployment stores
+    * as its boilerplate index (the streaming twin probes exactly
+    * that artifact at ingest).
+    */
+  def boilerplateScrub(
+      spark: SparkSession,
+      dir: String,
+      width: Int = 8,
+      dfMin: Int = 2,
+  ): DataFrame = {
+    val seg = segmentRows(docs(spark, dir), width)
+    val hot = seg
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= dfMin)
+      .select(col("h"), lit(1).as("is_bp"))
+    seg
+      .join(hot, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("is_bp").isNull, 1L).otherwise(0L)).as("n_seg_kept"),
+        sum(when(col("is_bp").isNull, col("n_tok")).otherwise(0L)).as("n_tok_kept"),
+        md5(
+          array_join(
+            transform(
+              array_sort(
+                collect_list(when(col("is_bp").isNull, struct(col("seg_pos"), col("txt"))))),
+              x => x.getField("txt"),
+            ),
+            " ",
+          )
+        ).as("clean_md5"),
       )
   }
 

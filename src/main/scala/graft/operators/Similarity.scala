@@ -163,6 +163,79 @@ object Similarity {
       .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
   }
 
+  /** Scaled-integer DCG position discounts: w(i) = floor(1e6 /
+    * log2(i+1)) for 1-based rank i. Computed ONCE driver-side and
+    * spliced into BOTH engines as the same literal CASE, so the one
+    * float (the log) never meets a cross-engine comparator — every
+    * DCG/nDCG value downstream is exact integer arithmetic over this
+    * shared LUT (the clfWeight pattern).
+    */
+  def dcgDiscountLut(k: Int): Seq[Long] =
+    (1 to k).map(i => (1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Depth of the nDCG serving audit — interpolated into the oracle
+    * SQL (list depth, relevance grades, LUT length) so both engines
+    * widen together (the ServedQueryCutoff rule).
+    */
+  val NdcgK: Int = 10
+
+  /** nDCG@k of the multi-probe SRP-LSH ANN ranking against the exact
+    * brute-force baseline — the graded serving-quality audit
+    * recall@k can't give (recall treats a hit at ANN rank 1 and rank
+    * k the same; nDCG charges the index for ordering, which is what
+    * the downstream consumer of a retrieval tier actually sees).
+    * Relevance of the doc at exact rank r is (k+1−r); the ANN list's
+    * DCG sums rel·w(position) over its positions via the shared
+    * integer LUT ([[dcgDiscountLut]]), the ideal DCG is the same sum
+    * over the exact list itself, and the score is the exact integer
+    * permille floor(1000·dcg / idcg). A query whose ANN list misses
+    * the exact top-k entirely scores 0 (left join, not inner — zero
+    * overlap must surface, not vanish).
+    *
+    * Scale shape: both rankings are the existing bounded top-k
+    * pipelines (corpus never shuffled beyond the TopKAggregator
+    * partials); everything after is arithmetic over ≤ nQueries·k
+    * rows.
+    */
+  def ndcgAudit(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = PqIndex.ServedQueryCutoff,
+      k: Int = NdcgK,
+  ): DataFrame = {
+    val lut = dcgDiscountLut(k)
+    def w(rank: Column): Column =
+      lut.zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, i)) =>
+        when(rank === (i + 1), lit(v)).otherwise(acc)
+      }
+    val bf = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("bf_rank"))
+    val ann = annLshTopKMultiProbe(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ann_rank"))
+    val idcg = bf
+      .groupBy("query_id")
+      .agg(sum((lit(k + 1L) - col("bf_rank")) * w(col("bf_rank"))).as("idcg"))
+    val dcg = ann
+      .join(bf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(col("bf_rank")).as("n_hits"),
+        sum(
+          when(col("bf_rank").isNotNull, (lit(k + 1L) - col("bf_rank")) * w(col("ann_rank")))
+            .otherwise(0L)
+        ).as("dcg"),
+      )
+    idcg
+      .join(dcg, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        col("idcg"),
+      )
+      .withColumn("ndcg_permille", expr("CAST((1000 * dcg) div idcg AS BIGINT)"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the
     * storage/serving compression step of an embedding pipeline
     * (scale each vector by its max-abs to [-127, 127], floor to

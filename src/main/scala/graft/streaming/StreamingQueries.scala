@@ -796,6 +796,51 @@ object StreamingQueries {
         expr("(1000000 * n_shared) div least(n_a, n_b)").cast("long").as("overlap_x1e6"),
       )
 
+  /** Streaming ingest-time boilerplate scrub — the CCNet-segment twin
+    * of [[incrementalDedupStream]]: every arriving document is cut
+    * into non-overlapping width-token segments map-side
+    * ([[graft.operators.Dedup.segmentRows]] — the exact expressions
+    * of the batch [[graft.operators.Dedup.boilerplateScrub]] gate)
+    * and anti-joined against the STORED boilerplate index of the
+    * existing corpus (segment hashes with existing-df ≥ 2 — the
+    * artifact a deployment maintains; re-derived here at fixture
+    * scale from the old slice only). Surviving segments land on the
+    * distributed append sink: the landed table IS the clean corpus,
+    * segment-addressed — scrub-before-land, so raw boilerplate never
+    * reaches storage (the PII-scrub discipline applied to dedup).
+    *
+    * Scale shape: STATELESS (stream-static left-anti equi-join on the
+    * hash; the only streaming state is the source offset log).
+    * Reassembly into per-doc text is a batch consumer's ordered
+    * re-concat over seg_pos — a per-doc streaming aggregation here
+    * would hold every arriving doc in state for no deployment value.
+    * New boilerplate born WITHIN the increment belongs to the next
+    * index rebuild, exactly the [[incrementalDedupStream]]
+    * adjudication.
+    */
+  def boilerplateScrubStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val cutoff = Dedup.incrementCutoff(spark, dir)
+    val idx = Dedup
+      .segmentRows(
+        graft.sources.Tables(spark, dir, "documents").filter(col("doc_id") <= cutoff),
+        width = 8)
+      .groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("h")
+    Dedup
+      .segmentRows(documentsStream(spark, dir).filter(col("doc_id") > cutoff), width = 8)
+      .join(idx, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("seg_pos"), col("n_tok"), col("h"))
+  }
+
+  def boilerplateScrubViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(
+      spark,
+      boilerplateScrubStream(spark, dir),
+      scratchSinkDir("bpscrub") + "/out")
+
   /** Streaming ingest-time PQ encode — the vector-index twin of
     * [[incrementalDedupStream]]: every arriving embedding is encoded
     * to its 4 subspace codes + stored norm against the BROADCAST

@@ -220,6 +220,104 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got.values.exists { case (n, kept, _) => kept == n })
   }
 
+  test("boilerplate scrub equals an independent in-memory scrub, byte-for-byte via md5") {
+    val width = 8
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docsMap = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val segs = docsMap.toSeq.flatMap { case (id, ts) =>
+      ts.grouped(width).zipWithIndex.map { case (seg, i) =>
+        (id, (i * width).toLong, seg.mkString(" "))
+      }
+    }
+    // df counts DISTINCT docs: a within-doc repeat is not boilerplate
+    val hot = segs.groupBy(_._3).collect {
+      case (txt, ps) if ps.map(_._1).distinct.size >= 2 => txt
+    }.toSet
+    val expected = segs.groupBy(_._1).map { case (id, ps) =>
+      val kept = ps.sortBy(_._2).filter(p => !hot(p._3))
+      id -> (
+        ps.size.toLong,
+        kept.size.toLong,
+        kept.map(_._3.split(" ", -1).length.toLong).sum,
+        md5hex(kept.map(_._3).mkString(" ")),
+      )
+    }
+    val got = Dedup.boilerplateScrub(spark, sf, width, dfMin = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == expected, "boilerplate scrub disagrees with the in-memory scrub")
+    // the corpus exercises both branches: some doc loses a segment,
+    // some doc keeps everything (clean_md5 == md5 of original text)
+    assert(got.exists { case (_, (n, kpt, _, _)) => kpt < n })
+    assert(got.exists { case (id, (n, kpt, _, m)) =>
+      kpt == n && m == md5hex(docsMap(id).mkString(" "))
+    })
+  }
+
+  test("edit-ratio pairs: exact levenshtein permille over the LSH candidates, near-dups surface") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.editRatioPairs(spark, sf).collect()
+    assert(rows.nonEmpty, "the fixture corpus contains exact dups — candidates must survive")
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "pairs must be canonical (doc_a < doc_b)")
+      val (ta, tb) = (texts(a), texts(b))
+      val want = lev(ta, tb).toLong
+      assert(r.getLong(2) == want, s"pair ($a,$b): levenshtein ${r.getLong(2)} != $want")
+      assert(r.getLong(3) == math.max(ta.length, tb.length).toLong)
+      assert(r.getLong(4) == 1000L * want / math.max(ta.length, tb.length))
+      assert(r.getLong(4) <= 600L)
+    }
+    // the fixture's near-dups are a few token edits apart — the gate
+    // must surface genuinely close pairs (< 10% of the text edited),
+    // not just anything under the 600-permille ceiling
+    assert(rows.exists(_.getLong(4) < 100L))
+  }
+
+  test("ndcg audit equals an in-memory recompute from the two rank lists; LUT is the spec") {
+    import graft.operators.Similarity
+    val k = Similarity.NdcgK
+    val lut = Similarity.dcgDiscountLut(k)
+    // the LUT itself: floor(1e6 / log2(i+1)), strictly decreasing, rank 1 undiscounted
+    assert(lut.head == 1000000L && lut(2) == 500000L && lut(6) == 333333L)
+    assert(lut.sliding(2).forall(p => p(0) > p(1)))
+    val bf = Similarity.bruteForceTopK(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap // (q, neighbor) -> rank
+    val ann = Similarity.annLshTopKMultiProbe(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (q, rank, neighbor)
+    val queries = bf.keys.map(_._1).toSet
+    val expected = queries.map { q =>
+      val idcg = (1 to k).map(r => (k + 1L - r) * lut(r - 1)).sum
+      val mine = ann.filter(_._1 == q)
+      val dcg = mine.collect {
+        case (_, rank, n) if bf.contains((q, n)) => (k + 1L - bf((q, n))) * lut(rank.toInt - 1)
+      }.sum
+      val hits = mine.count(t => bf.contains((q, t._3))).toLong
+      q -> (hits, dcg, idcg, 1000L * dcg / idcg)
+    }.toMap
+    val got = Similarity.ndcgAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected, "ndcg disagrees with the in-memory recompute")
+    // ordering-sensitivity sanity: every score is a valid permille and
+    // a query with full overlap in perfect order would hit exactly 1000
+    got.values.foreach { case (hits, dcg, idcg, p) =>
+      assert(p >= 0 && p <= 1000 && dcg <= idcg && hits <= k)
+    }
+  }
+
   test("curation pipeline totals equal the quality ∩ keep-best recount") {
     import org.apache.spark.sql.functions._
     val summary = graft.operators.Curation.curationSummary(spark, sf).collect()

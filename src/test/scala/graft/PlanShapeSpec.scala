@@ -179,6 +179,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sortMergeJoins(df) == 0, "size lookups must ride the posting lists, not joins")
   }
 
+  test("edit-ratio verify fetches the corpus texts in ONE scan, not one per pair role") {
+    // same union-fetch discipline as the jaccard verify: the static
+    // plan carries the banded-signature text scan plus exactly ONE
+    // text fetch for both pair roles — a per-role join would carry 3
+    def textScans(df: DataFrame): Int =
+      collectPlan(df).count(p =>
+        p.getClass.getSimpleName.startsWith("FileSourceScan") && p.output.exists(_.name == "text"))
+    val df = graft.operators.Dedup.editRatioPairs(spark, sf)
+    assert(textScans(df) <= 2)
+    assert(sortMergeJoins(df) == 0)
+  }
+
+  test("boilerplate scrub is segment-df combine + one doc_id reassembly, never a corpus sort join") {
+    // shuffles: <=2 local rebalances (single-file corpus), the
+    // count-distinct df combine pair on the segment hash, and the one
+    // doc_id reassembly exchange; the hot-hash flag join must stay a
+    // hash join (broadcast at fixture scale, shuffle-hash beyond)
+    val df = graft.operators.Dedup.boilerplateScrub(spark, sf)
+    assert(shuffles(df) <= 5, s"got ${shuffles(df)} shuffles")
+    assert(sortMergeJoins(df) == 0)
+  }
+
   test("minhash verify fetches the corpus shingles in ONE scan, not one per pair role") {
     // verifyPairsExact (round 9): the pair list unions its two doc
     // ids and a single doc_id join fetches both roles' arrays — the
@@ -424,6 +446,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "similarity_ann_lsh" -> (Set("query_id"), "query side is vec_id < nQueries by API contract"),
       "similarity_ann_multiprobe" -> (Set("query_id"), "probe set is (planes+1)·nQueries rows by API contract"),
       "similarity_ann_recall" -> (Set("query_id"), "both compared paths broadcast only the bounded query side"),
+      "similarity_ndcg" -> (Set("query_id"), "both rank lists (brute-force + multi-probe) broadcast only the bounded query/probe side by the nQueries API contract"),
       "similarity_pq_adc" -> (Set("query_id"), "the broadcast is the per-query LUT row set — nQueries rows by API contract"),
       "similarity_pq_rerank" -> (Set("query_id"), "broadcasts are the query LUTs, the TopK-bounded shortlist (≤ nQueries·shortlist rows), and the query vectors — all query-side"),
       "similarity_pq_recall" -> (Set("query_id"), "every compared path broadcasts only query-side bounded sets (LUTs, shortlist, query vectors)"),
