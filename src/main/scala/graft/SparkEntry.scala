@@ -186,6 +186,12 @@ object SparkEntry {
     // bigram conditional probability per doc (one index exchange —
     // both count windows ride the hash(l) clustering)
     "lm_doc_score" -> (TextAnalysis.lmDocScores _),
+    // CCNet head/middle/tail: per-lang LM-score terciles via the
+    // histogram-quantile cut (never a per-lang corpus rank window)
+    "lm_ppl_split" -> ((s, d) => TextAnalysis.lmPplSplit(s, d)),
+    // query-likelihood retrieval with Dirichlet smoothing: the
+    // LM-based BM25 alternative, per-factor integer floors
+    "qlm_dirichlet_search" -> ((s, d) => TextAnalysis.qlmDirichletSearch(s, d)),
     // classifier-vs-novelty calibration: value-bucketed (never a
     // corpus rank window), pooled novelty per score bucket
     "quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
@@ -331,6 +337,10 @@ object SparkEntry {
     // band index (append-only, old never rescanned), probe the NEXT
     // increment; folded ≡ rebuilt pinned in DedupClustersSpec
     "dedup_index_refresh" -> ((s, d) => Dedup.minhashRefreshFoldedProbe(s, d)),
+    // the boilerplate-index maintenance loop: landed increment's df
+    // partials fold into the stored count table (additivity over
+    // disjoint eras), next era probes the refreshed index
+    "boilerplate_index_refresh" -> ((s, d) => Dedup.boilerplateRefreshProbe(s, d)),
     // band-occupancy histogram: the hot-bucket audit run before a
     // 100× scale-up (pair expansion is quadratic per bucket)
     "lsh_band_stats" -> ((s, d) => Dedup.lshBandStats(s, d)),
@@ -2025,6 +2035,18 @@ object SparkEntry {
         |SELECT s.doc_id, s.seg_pos, s.n_tok, s.h
         |FROM seg s, cut
         |WHERE s.doc_id > cut.c AND s.h NOT IN (SELECT h FROM hot)""".stripMargin,
+    // folded df counts == rebuilt df counts by additivity over
+    // doc_id-disjoint eras, so the oracle computes the rebuilt form
+    "boilerplate_index_refresh" ->
+      s"""WITH $segCtes,
+        |cut AS (SELECT 7 * max(doc_id) // 10 AS c1, 85 * max(doc_id) // 100 AS c2
+        |        FROM documents),
+        |hot AS (
+        |  SELECT s.h FROM seg s, cut WHERE s.doc_id <= cut.c2
+        |  GROUP BY s.h HAVING count(DISTINCT s.doc_id) >= 2)
+        |SELECT s.doc_id, s.seg_pos, s.n_tok, s.h
+        |FROM seg s, cut
+        |WHERE s.doc_id > cut.c2 AND s.h NOT IN (SELECT h FROM hot)""".stripMargin,
     "stream_winnow_probe" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
@@ -2479,6 +2501,83 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |       CAST(sum(q) // count(*) AS BIGINT) AS lm_score_x1e6
         |FROM w GROUP BY doc_id""".stripMargin,
+    // per-lang LM terciles: the same per-lang count windows, the same
+    // histogram cut (bounded bin table, descending cumulative, the
+    // crossing bin = max bin with cum >= ceil(N/3)); every value an
+    // exact integer, HUGEINT floor-divides throughout
+    "lm_ppl_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, lang, ts[i] AS l, ts[i+1] AS r
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |         CAST((1000000::HUGEINT * count(*) OVER (PARTITION BY lang, l, r))
+        |              // (count(*) OVER (PARTITION BY lang, l)) AS BIGINT) AS q
+        |  FROM g),
+        |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+        |         CAST(sum(q) // count(*) AS BIGINT) AS s
+        |       FROM w GROUP BY 1, 2),
+        |b AS (SELECT doc_id, lang, n_bigrams, s, s // 500 AS bin FROM sc),
+        |hist AS (SELECT lang, bin, count(*) AS n_docs FROM b GROUP BY 1, 2),
+        |cm AS (SELECT lang, bin, n_docs,
+        |         sum(n_docs) OVER (PARTITION BY lang ORDER BY bin DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(n_docs) OVER (PARTITION BY lang) AS n_total
+        |       FROM hist),
+        |cuts AS (SELECT lang,
+        |           max(CASE WHEN cum >= (n_total + 2) // 3 THEN bin END) AS cut_head,
+        |           max(CASE WHEN cum >= (2 * n_total + 2) // 3 THEN bin END) AS cut_mid
+        |         FROM cm GROUP BY 1)
+        |SELECT b.lang,
+        |       CASE WHEN b.bin >= c.cut_head THEN 'head'
+        |            WHEN b.bin >= c.cut_mid THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       count(*) AS n_docs, CAST(sum(b.n_bigrams) AS BIGINT) AS n_bigrams,
+        |       min(b.s) AS min_score_x1e6, max(b.s) AS max_score_x1e6
+        |FROM b JOIN cuts c USING (lang)
+        |GROUP BY 1, 2""".stripMargin,
+    // the same per-factor integer floors; cf/|C| computed in-plan
+    // here, spliced as literals on the Spark side — identical
+    // integers by determinism of the counts
+    "qlm_dirichlet_search" -> {
+      val mu = TextAnalysis.DirichletMu
+      val qvals = TextAnalysis.bm25Queries
+        .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => s"($qid, '$t', $i)" } }
+        .mkString(", ")
+      s"""WITH q(query_id, token, slot) AS (VALUES $qvals),
+        |tok AS (
+        |  SELECT doc_id, t AS token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |tf AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |qcf AS (SELECT q.query_id, q.slot, coalesce(cf.cf, 0) AS cf
+        |        FROM q LEFT JOIN cf USING (token)),
+        |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS c FROM tf),
+        |matched AS (SELECT q.query_id, t.doc_id, q.slot, t.tf FROM tf t JOIN q USING (token)),
+        |cand AS (SELECT query_id, doc_id,
+        |           max(CASE WHEN slot = 0 THEN tf END) AS tf0m,
+        |           max(CASE WHEN slot = 1 THEN tf END) AS tf1m
+        |         FROM matched GROUP BY 1, 2),
+        |s AS (SELECT c.query_id, c.doc_id,
+        |        CAST((1000000::HUGEINT * (coalesce(c.tf0m, 0) * t.c + $mu * f0.cf))
+        |             // ((d.dl + $mu) * t.c) AS BIGINT) AS q0,
+        |        CAST((1000000::HUGEINT * (coalesce(c.tf1m, 0) * t.c + $mu * f1.cf))
+        |             // ((d.dl + $mu) * t.c) AS BIGINT) AS q1
+        |      FROM cand c
+        |      JOIN dls d USING (doc_id)
+        |      JOIN qcf f0 ON f0.query_id = c.query_id AND f0.slot = 0
+        |      JOIN qcf f1 ON f1.query_id = c.query_id AND f1.slot = 1, tot t),
+        |r AS (SELECT query_id, doc_id, CAST(q0 * q1 AS BIGINT) AS qlm_x1e12,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY q0 * q1 DESC, doc_id) AS BIGINT) AS rk
+        |      FROM s)
+        |SELECT query_id, doc_id, qlm_x1e12, rk FROM r WHERE rk <= 10""".stripMargin
+    },
     // corpus-unique positional bigrams per document; same count
     // window as the Spark side
     "lm_doc_novelty" ->

@@ -1879,6 +1879,59 @@ object Dedup {
       )
   }
 
+  /** The maintenance loop for the boilerplate index
+    * ([[graft.streaming.StreamingQueries.boilerplateScrubStream]]
+    * probes a STATIC segment-hash index; this is the periodic refresh
+    * that folds what the stream landed into that index before the
+    * next era begins — the [[minhashRefreshFoldedProbe]] pattern
+    * applied to an AGGREGATE index). Three eras by doc_id: stored
+    * (≤ 70% of max), landed increment (70%..85%], next increment
+    * (> 85%) that probes the refreshed index.
+    *
+    * The fold exploits count additivity over disjoint doc sets:
+    * per-hash DISTINCT-doc counts of the stored era plus the
+    * increment's partials sum to the full-corpus df — so the refresh
+    * appends the increment's (h, df) partial rows to the stored
+    * count table and the consumer combines, the stored CORPUS never
+    * rescanned (at 100 TB: a partition append to the count artifact
+    * + a merge-on-read sum). Because the eras are doc_id-disjoint,
+    * the folded index is value-equal to a from-scratch rebuild —
+    * pinned row-for-row vs the `rebuild = true` twin in
+    * DedupClustersSpec, and the probe's scrubbed-segment set is the
+    * DuckDB oracle (which computes the rebuilt form).
+    */
+  def boilerplateRefreshProbe(
+      spark: SparkSession,
+      dir: String,
+      width: Int = 8,
+      dfMin: Int = 2,
+      rebuild: Boolean = false,
+  ): DataFrame = {
+    val cuts = docs(spark, dir)
+      .agg(
+        expr("7 * max(doc_id) DIV 10").as("c1"),
+        expr("85 * max(doc_id) DIV 100").as("c2"),
+      )
+      .head
+    val (c1, c2) = (cuts.getLong(0), cuts.getLong(1))
+    val d = docs(spark, dir)
+    def dfOver(slice: DataFrame): DataFrame =
+      segmentRows(slice, width).groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+    val counts =
+      if (rebuild) dfOver(d.filter(col("doc_id") <= c2))
+      else
+        // the fold: stored partials ∪ the landed increment's partials,
+        // summed — each document segmented exactly once, old never rescanned
+        dfOver(d.filter(col("doc_id") <= c1))
+          .unionByName(dfOver(d.filter(col("doc_id") > c1 && col("doc_id") <= c2)))
+          .groupBy("h")
+          .agg(sum(col("df")).as("df"))
+    val hot = counts.filter(col("df") >= dfMin).select("h")
+    segmentRows(d.filter(col("doc_id") > c2), width)
+      .join(hot, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("seg_pos"), col("n_tok"), col("h"))
+  }
+
   /** Shared-prefix families: documents opening with the SAME first
     * five tokens — the boilerplate-header / template detector (crawl
     * corpora are full of "terms of service" and scraper-injected

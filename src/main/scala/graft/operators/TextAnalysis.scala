@@ -782,6 +782,190 @@ object TextAnalysis {
       )
   }
 
+  /** CCNet-style head/middle/tail corpus split: per LANGUAGE (the
+    * per-lang LM is the whole point of CCNet's split), score every
+    * document with the exact-integer mean bigram conditional
+    * probability (the [[lmDocScores]] metric, count windows
+    * partitioned by lang) and cut the language's documents into
+    * thirds by score — head = most-predictable third (lowest
+    * perplexity), the slice a pretraining mix up-weights.
+    *
+    * The cut is HISTOGRAM-quantile, not a rank window: scores bin at
+    * `binWidth` granularity, per-(lang, bin) counts cumulate over the
+    * bounded bin table (≤ 1e6/binWidth rows per lang), and the
+    * head/middle cutoffs are the bins where ceil(N/3) and ceil(2N/3)
+    * land — the [[quantileHistogram]] discipline (a per-lang
+    * row_number over the corpus is the sort that dies at 100 TB; the
+    * boundary bin going wholly to the upper bucket makes the bin
+    * granularity explicit rather than hiding it). Bucketing is then a
+    * map-side CASE against the |langs|-row cutoff table. binWidth
+    * must resolve the score distribution's spread: the corpus scores
+    * span a few tens of thousands of millionths, so 500 yields ~50
+    * occupied bins per lang (10000 was measured to swallow whole
+    * languages into `head`), while the bin table stays ≤ 2000 rows
+    * per lang at any corpus size.
+    */
+  def lmPplSplit(spark: SparkSession, dir: String, binWidth: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(positionalBigrams(col("text"))).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.l").as("l"), col("g.r").as("r"))
+    val scored = grams
+      .withColumn("cnt_l", count(lit(1)).over(Window.partitionBy("lang", "l")))
+      .withColumn("cnt_lr", count(lit(1)).over(Window.partitionBy("lang", "l", "r")))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt_lr) div cnt_l AS BIGINT)").as("q"),
+      )
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_bigrams"),
+        expr("sq div n_bigrams").cast("long").as("s"),
+      )
+    // EVERY output statistic is bin-decomposable, so the corpus is
+    // scored exactly once into the bounded per-(lang, bin) table and
+    // both consumers (the cutoff window and the bucket rollup) read
+    // THAT — the shared (lang, bin) aggregation exchange is reused at
+    // runtime, where joining cutoffs back onto per-doc rows was
+    // measured to re-run the two corpus count windows a second time
+    // (2.6 s → the single-scoring form at sf0.1)
+    val binStats = scored
+      .withColumn("bin", expr(s"s div $binWidth"))
+      .groupBy("lang", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("s")).as("min_s"),
+        max(col("s")).as("max_s"),
+      )
+    val wDesc = Window
+      .partitionBy("lang")
+      .orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = binStats
+      .withColumn("cum", sum(col("n_docs")).over(wDesc))
+      .withColumn("n_total", sum(col("n_docs")).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(
+        // descending cum: the crossing bin is the LARGEST bin whose
+        // cumulative count reaches the target
+        max(when(col("cum") >= expr("(n_total + 2) div 3"), col("bin"))).as("cut_head"),
+        max(when(col("cum") >= expr("(2 * n_total + 2) div 3"), col("bin"))).as("cut_mid"),
+      )
+    binStats
+      .join(cuts, Seq("lang"))
+      .withColumn(
+        "bucket",
+        when(col("bin") >= col("cut_head"), "head")
+          .when(col("bin") >= col("cut_mid"), "middle")
+          .otherwise("tail"),
+      )
+      .groupBy("lang", "bucket")
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("min_s")).as("min_score_x1e6"),
+        max(col("max_s")).as("max_score_x1e6"),
+      )
+  }
+
+  /** Dirichlet smoothing pseudo-count for [[qlmDirichletSearch]] —
+    * interpolated into the oracle SQL (single-source rule).
+    */
+  val DirichletMu: Long = 100L
+
+  /** Query-likelihood retrieval with Dirichlet smoothing — the
+    * classic LM-based alternative to BM25 (Zhai & Lafferty), over the
+    * same fixed query set: score(q, d) = Π_t p̂(t|d) with
+    * p̂ = (tf + μ·cf/|C|) / (dl + μ). Multiplying through by |C|
+    * makes each factor the exact rational (tf·|C| + μ·cf) /
+    * ((dl+μ)·|C|); each factor floors to an integer millionth and
+    * the per-query score is the PRODUCT of the floored factors (≤
+    * 1e12 for 2-term queries — flooring per factor instead of once
+    * keeps the DECIMAL(38,0) headroom corpus-size-independent:
+    * 1e6·(tf·|C| + μ·cf) stays under 1e38 out to |C| ~ 1e28 tokens).
+    * Smoothing is what ranks a doc matching ONE query term: the
+    * missing term still contributes its background factor
+    * μ·cf / ((dl+μ)·|C|) — tf = 0, never a dropped row.
+    *
+    * Scale shape: ONE (doc_id, token) tf build (the bm25 exchange);
+    * candidates are docs matching ≥ 1 term. The missing-term factor
+    * needs each query term's corpus frequency even on docs where the
+    * term never joined — cf for the ≤ |queries|·2 fixed tokens and
+    * |C| resolve as TWO bounded driver actions spliced back as
+    * literal CASEs (the cutoff-splice pattern; an in-plan cf join
+    * would either self-join the tf lineage or re-scan the corpus).
+    * The oracle computes the same cf/|C| in-plan — identical integers
+    * by determinism of the counts.
+    */
+  def qlmDirichletSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mu = DirichletMu
+    // the two-slot pivot below is written for the current fixed query
+    // shape; a wider query must widen the pivot AND the oracle together
+    require(bm25Queries.forall(_._2.size == 2), "qlmDirichletSearch assumes 2-term queries")
+    val qTokens = bm25Queries.flatMap(_._2).distinct
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    // bounded scalar actions: |C| (1 row) and cf for the fixed query
+    // tokens (≤ 6 rows), spliced back as literals
+    val totTok = tf.agg(sum(col("tf"))).head.getLong(0)
+    val cfMap: Map[String, Long] = tf
+      .filter(col("token").isin(qTokens.map(lit(_)): _*))
+      .groupBy("token")
+      .agg(sum(col("tf")).as("cf"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val qterms = {
+      import spark.implicits._
+      bm25Queries
+        .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, t, i) } }
+        .toDF("query_id", "token", "slot")
+    }
+    // the spliced per-(query, slot) corpus frequency as a literal CASE
+    def cfSqlCase(slot: Int): String =
+      bm25Queries
+        .map { case (qid, ts) => s"WHEN query_id = $qid THEN ${cfMap.getOrElse(ts(slot), 0L)}L" }
+        .mkString("CASE ", " ", " ELSE 0L END")
+    // one factor: floor(1e6 · (tf·|C| + μ·cf) / ((dl+μ)·|C|))
+    def qtSql(tfCol: String, slot: Int): String =
+      s"CAST((CAST(1000000 AS DECIMAL(38,0)) * ($tfCol * ${totTok}L + $mu * (${cfSqlCase(slot)}))) div " +
+        s"((dl + $mu) * CAST($totTok AS DECIMAL(38,0))) AS BIGINT)"
+    val dls = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val matched = tf
+      .join(broadcast(qterms), "token")
+      .join(dls, "doc_id")
+    val grid = matched
+      .groupBy("query_id", "doc_id")
+      .agg(
+        max(col("dl")).as("dl"),
+        coalesce(max(when(col("slot") === 0, col("tf"))), lit(0L)).as("tf0"),
+        coalesce(max(when(col("slot") === 1, col("tf"))), lit(0L)).as("tf1"),
+      )
+    grid
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        expr(s"CAST((${qtSql("tf0", 0)}) * (${qtSql("tf1", 1)}) AS BIGINT)").as("qlm_x1e12"),
+      )
+      .withColumn(
+        "rk",
+        row_number()
+          .over(Window.partitionBy("query_id").orderBy(col("qlm_x1e12").desc, col("doc_id")))
+          .cast("long"),
+      )
+      .filter(col("rk") <= k)
+  }
+
   /** Fingerprint stats per source: exact-duplicate detection via
     * normalized-text fingerprints.
     */

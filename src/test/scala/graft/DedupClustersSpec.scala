@@ -257,6 +257,63 @@ class DedupClustersSpec extends AnyFunSuite {
     })
   }
 
+  test("boilerplate index refresh: folded probe == rebuilt probe, and the fold moves serving") {
+    import org.apache.spark.sql.functions._
+    val folded = Dedup.boilerplateRefreshProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val rebuilt = Dedup.boilerplateRefreshProbe(spark, sf, rebuild = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(folded == rebuilt, "count additivity must make the fold value-equal to a rebuild")
+    // the refresh genuinely moves serving: a STALE index (stored era
+    // only, the pre-refresh state) must keep at least one segment the
+    // refreshed index scrubs — i.e. boilerplate born across the
+    // stored/landed era boundary is only caught after the fold
+    val cuts = graft.sources.Tables(spark, sf, "documents")
+      .agg(expr("7 * max(doc_id) DIV 10"), expr("85 * max(doc_id) DIV 100")).head
+    val (c1, c2) = (cuts.getLong(0), cuts.getLong(1))
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val staleHot = Dedup.segmentRows(d.filter(col("doc_id") <= c1), 8)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val stale = Dedup.segmentRows(d.filter(col("doc_id") > c2), 8)
+      .join(staleHot, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("seg_pos"), col("n_tok"), col("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(folded.subsetOf(stale), "refresh can only scrub MORE (df counts only grow)")
+
+    // the fold-moves-serving branch, exercised on a planted corpus
+    // (the driver fixture happens to carry no boilerplate born wholly
+    // inside the landed era at this sf): docs 75 and 80 (landed era;
+    // c1 = 70, c2 = 85 at max id 100) share a segment that no stored
+    // doc carries — only the FOLDED index scrubs doc 90's copy
+    val planted = java.nio.file.Files.createTempDirectory("graft-bp-refresh").toString
+    import spark.implicits._
+    val bp = (1 to 8).map(i => s"bp$i").mkString(" ")
+    def uniq(id: Int) = (1 to 8).map(i => s"u${id}x$i").mkString(" ")
+    val rows = ((1 to 70).map(id => (id.toLong, uniq(id))) ++
+      Seq(75, 80).map(id => (id.toLong, s"$bp ${uniq(id)}")) ++
+      Seq((90L, s"$bp ${uniq(90)}"), (100L, uniq(100)))).toDF("doc_id", "text")
+    rows.write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    def probeSet(rebuild: Boolean) =
+      Dedup.boilerplateRefreshProbe(spark, planted, rebuild = rebuild).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    val pf = probeSet(rebuild = false)
+    assert(pf == probeSet(rebuild = true), "planted corpus: fold != rebuild")
+    assert(!pf.exists { case (id, pos, _) => id == 90L && pos == 0L },
+      "the folded index must scrub the segment the landed era made boilerplate")
+    val staleHotP = Dedup.segmentRows(
+      spark.read.parquet(s"$planted/documents.parquet").filter(col("doc_id") <= 70), 8)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val staleP = Dedup.segmentRows(
+      spark.read.parquet(s"$planted/documents.parquet").filter(col("doc_id") > 85), 8)
+      .join(staleHotP, Seq("h"), "left_anti")
+      .select("doc_id", "seg_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staleP.contains((90L, 0L)),
+      "the stale (pre-fold) index must KEEP that segment — otherwise the fold changed nothing")
+  }
+
   test("edit-ratio pairs: exact levenshtein permille over the LSH candidates, near-dups surface") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)

@@ -569,4 +569,77 @@ class TextPipelineSpec extends AnyFunSuite {
       assert(ta(k) == tb(k), s"text-leg rank diverged across towers at $k")
     }
   }
+
+  test("lm ppl split: buckets partition each lang, score-ordered, head holds >= its third") {
+    val rows = TextAnalysis.lmPplSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val langs = rows.keys.map(_._1).toSet
+    // per-lang doc totals equal the scored-doc counts (>=2-token docs)
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langs.foreach { l =>
+      val bkts = rows.filter(_._1._1 == l)
+      val n = scored(l)
+      assert(bkts.values.map(_._1).sum == n, s"$l: buckets must partition the scored docs")
+      // bin-granular cut: head takes the boundary bin, so >= ceil(N/3)
+      assert(bkts((l, "head"))._1 >= (n + 2) / 3, s"$l: head below its third")
+      // score ranges are disjoint and ordered head > middle > tail
+      def rng(b: String) = bkts.get((l, b)).map(v => (v._3, v._4))
+      for {
+        (loH, _) <- rng("head"); (_, hiM) <- rng("middle")
+      } assert(loH > hiM, s"$l: head/middle overlap")
+      for {
+        (loM, _) <- rng("middle"); (_, hiT) <- rng("tail")
+      } assert(loM > hiT, s"$l: middle/tail overlap")
+    }
+    assert(langs.size >= 2, "the fixture corpus carries several languages")
+  }
+
+  test("qlm dirichlet: top-10 equals an in-memory recompute; smoothing ranks one-term docs") {
+    val mu = TextAnalysis.DirichletMu
+    val docsArr = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val c = docsArr.map(_._2.size.toLong).sum
+    val cf = docsArr.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def qt(tf: Long, t: String, dl: Long): Long =
+      ((BigInt(1000000) * (BigInt(tf) * c + mu * cf.getOrElse(t, 0L))) /
+        (BigInt(dl + mu) * c)).toLong
+    def expected(k: Int): Set[(Int, Long, Long, Long)] =
+      TextAnalysis.bm25Queries.flatMap { case (qid, ts) =>
+        docsArr
+          .map { case (id, toks) =>
+            val tfm = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+            (id, ts.map(t => tfm.getOrElse(t, 0L)), toks.size.toLong)
+          }
+          .filter(_._2.exists(_ > 0)) // candidates: docs matching >= 1 term
+          .map { case (id, tfs, dl) =>
+            (id, tfs.zip(ts).map { case (tf, t) => qt(tf, t, dl) }.product)
+          }
+          .sortBy { case (id, s) => (-s, id) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) }
+      }.toSet
+    val got = TextAnalysis.qlmDirichletSearch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected(10), "qlm ranking disagrees with the in-memory recompute")
+    // smoothing is live end-to-end: ranking the FULL candidate list
+    // must place one-term docs (tf = 0 on a slot) via the background
+    // factor, identically to the recompute
+    val all = TextAnalysis.qlmDirichletSearch(spark, sf, k = Int.MaxValue).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(all == expected(Int.MaxValue), "full qlm ranking disagrees with the recompute")
+    val tokSets = docsArr.map { case (id, ts) => id -> ts.toSet }.toMap
+    assert(
+      all.exists { case (qid, id, _, _) =>
+        val ts = TextAnalysis.bm25Queries.find(_._1 == qid).get._2
+        ts.exists(t => !tokSets(id)(t)) && ts.exists(t => tokSets(id)(t))
+      },
+      "no one-term candidate exists — the smoothing path is untested",
+    )
+  }
 }
