@@ -317,9 +317,15 @@ object SparkEntry {
     // anti-joined against the stored boilerplate index, kept
     // segments land — scrub-before-land, stateless
     "stream_boilerplate_scrub" -> (StreamingQueries.boilerplateScrubViaSink _),
+    // ingest-time CCNet LM scoring: arriving docs scored against the
+    // stored per-lang bigram LM, stream-static, OOV scores 0
+    "stream_lm_score" -> (StreamingQueries.lmScoreViaSink _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
+    // feed-level duplication matrix: verified near-dup pairs per
+    // unordered (source, source) cell, riding the pair artifact
+    "dedup_source_matrix" -> (Dedup.sourceDupMatrix _),
     // sketch-quality audit: signature agreement vs bucketed true
     // Jaccard over the verified pairs ("is 12 hashes enough")
     "minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
@@ -2035,6 +2041,45 @@ object SparkEntry {
         |SELECT s.doc_id, s.seg_pos, s.n_tok, s.h
         |FROM seg s, cut
         |WHERE s.doc_id > cut.c AND s.h NOT IN (SELECT h FROM hot)""".stripMargin,
+    // unordered source cells over the verified pair table
+    "dedup_source_matrix" ->
+      s"""WITH ${minhashPairCtes()},
+        |sp AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b
+        |  FROM lshpairs p
+        |  JOIN documents da ON da.doc_id = p.doc_a
+        |  JOIN documents db ON db.doc_id = p.doc_b)
+        |SELECT source_a, source_b, count(*) AS n_pairs
+        |FROM sp GROUP BY 1, 2""".stripMargin,
+    // arriving docs scored against the stored-era per-lang bigram LM;
+    // unseen bigrams score 0 (OOV convention, both engines)
+    "stream_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |cut AS (SELECT 9 * max(doc_id) // 10 AS c FROM documents),
+        |go AS (
+        |  SELECT t.lang, ts[i] AS l, ts[i+1] AS r
+        |  FROM t, cut, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+        |  WHERE t.doc_id <= cut.c),
+        |clr AS (SELECT lang, l, r, count(*) AS cnt_lr FROM go GROUP BY 1, 2, 3),
+        |cl AS (SELECT lang, l, count(*) AS cnt_l FROM go GROUP BY 1, 2),
+        |gn AS (
+        |  SELECT t.doc_id, t.lang, ts[i] AS l, ts[i+1] AS r
+        |  FROM t, cut, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+        |  WHERE t.doc_id > cut.c),
+        |s AS (
+        |  SELECT g.doc_id,
+        |         CASE WHEN clr.cnt_lr IS NOT NULL AND cl.cnt_l IS NOT NULL
+        |              THEN CAST((1000000::HUGEINT * clr.cnt_lr) // cl.cnt_l AS BIGINT)
+        |              ELSE 0 END AS q
+        |  FROM gn g
+        |  LEFT JOIN cl ON cl.lang = g.lang AND cl.l = g.l
+        |  LEFT JOIN clr ON clr.lang = g.lang AND clr.l = g.l AND clr.r = g.r)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(q) // count(*) AS BIGINT) AS lm_score_x1e6
+        |FROM s GROUP BY doc_id""".stripMargin,
     // folded df counts == rebuilt df counts by additivity over
     // doc_id-disjoint eras, so the oracle computes the rebuilt form
     "boilerplate_index_refresh" ->

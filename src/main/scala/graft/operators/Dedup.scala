@@ -1879,6 +1879,34 @@ object Dedup {
       )
   }
 
+  /** Source-level duplication matrix over the VERIFIED near-dup
+    * pairs: how many near-dup pairs each unordered (source, source)
+    * cell carries — the feed-level view of [[minhashLshPairs]]
+    * ([[sourceShingleOverlap]] measures shingle-set overlap between
+    * feeds; this counts actual verified duplicate PAIRS, which is
+    * what decides "drop feed B, it re-serves feed A"). Rides the
+    * memoized pair artifact; sources attach with ONE corpus exchange
+    * (the union-fetch shape — a per-role join would fetch the source
+    * column twice).
+    */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")
+    pairs
+      .select(col("doc_a"), col("doc_b"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("source"))).as("sa"),
+        max(when(col("doc_id") === col("doc_b"), col("source"))).as("sb"),
+      )
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+      )
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The maintenance loop for the boilerplate index
     * ([[graft.streaming.StreamingQueries.boilerplateScrubStream]]
     * probes a STATIC segment-hash index; this is the periodic refresh

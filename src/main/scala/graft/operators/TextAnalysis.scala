@@ -573,7 +573,7 @@ object TextAnalysis {
     * Tokens are let-bound: each gram references the array twice and
     * the sequence bound once more.
     */
-  private def positionalBigrams(text: Column): Column =
+  private[graft] def positionalBigrams(text: Column): Column =
     graft.functions.Let.bindArray(tokens(text)) { toks =>
       transform(
         sequence(lit(0), size(toks) - 2),

@@ -841,6 +841,69 @@ object StreamingQueries {
       boilerplateScrubStream(spark, dir),
       scratchSinkDir("bpscrub") + "/out")
 
+  /** Streaming ingest-time LM scoring — the deployment shape of the
+    * CCNet perplexity filter ([[graft.operators.TextAnalysis
+    * .lmPplSplit]] cuts the STORED corpus; this scores every ARRIVING
+    * document against the per-lang bigram LM trained on that stored
+    * corpus, which is how the filter actually runs at ingest): the
+    * stored slice builds the (lang, l, r) count table and its
+    * (lang, l) marginal once; arriving docs explode to positional
+    * bigrams map-side and LEFT-join both static tables — a bigram
+    * the stored LM never saw scores 0 (the OOV convention, identical
+    * in the oracle), never a dropped row. Per-bigram scored rows
+    * land on the distributed append sink; the read-back aggregates
+    * per doc (the winnow-probe discipline: the only streaming state
+    * is the offset log; a per-doc streaming aggregation would hold
+    * every in-flight doc in state, and the landed rows dedup on
+    * (doc_id, pos) so at-least-once replays cannot double-count).
+    */
+  def lmScoreStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val cutoff = Dedup.incrementCutoff(spark, dir)
+    val old = graft.sources.Tables(spark, dir, "documents")
+      .filter(col("doc_id") <= cutoff && size(split(col("text"), " ")) >= 2)
+    val gramsOld = old
+      .select(col("lang"), explode(TextAnalysis.positionalBigrams(col("text"))).as("g"))
+      .select(col("lang"), col("g.l").as("l"), col("g.r").as("r"))
+    val cntLr = gramsOld.groupBy("lang", "l", "r").agg(count(lit(1)).as("cnt_lr"))
+    val cntL = gramsOld.groupBy("lang", "l").agg(count(lit(1)).as("cnt_l"))
+    documentsStream(spark, dir)
+      .filter(col("doc_id") > cutoff && size(split(col("text"), " ")) >= 2)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        posexplode(TextAnalysis.positionalBigrams(col("text"))).as(Seq("pos", "g")),
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("pos").cast("long").as("pos"),
+        col("g.l").as("l"),
+        col("g.r").as("r"),
+      )
+      .join(cntL, Seq("lang", "l"), "left")
+      .join(cntLr, Seq("lang", "l", "r"), "left")
+      .select(
+        col("doc_id"),
+        col("pos"),
+        when(
+          col("cnt_lr").isNotNull && col("cnt_l").isNotNull,
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt_lr) div cnt_l AS BIGINT)"),
+        ).otherwise(0L).as("q"),
+      )
+  }
+
+  def lmScoreViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, lmScoreStream(spark, dir), scratchSinkDir("lmscore") + "/out")
+      .dropDuplicates("doc_id", "pos")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        expr("sq div n_bigrams").cast("long").as("lm_score_x1e6"),
+      )
+
   /** Streaming ingest-time PQ encode — the vector-index twin of
     * [[incrementalDedupStream]]: every arriving embedding is encoded
     * to its 4 subspace codes + stored norm against the BROADCAST

@@ -257,6 +257,30 @@ class DedupClustersSpec extends AnyFunSuite {
     })
   }
 
+  test("source dup matrix: unordered cells, totals reconcile with the pair table") {
+    import org.apache.spark.sql.functions._
+    val cells = Dedup.sourceDupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    // cells are canonical unordered pairs, each appearing once
+    cells.foreach { case (a, b, n) => assert(a <= b && n >= 1) }
+    assert(cells.map(c => (c._1, c._2)).distinct.length == cells.length)
+    // total mass equals the verified pair count exactly
+    val nPairs = Dedup.minhashLshPairsShared(spark, sf).count()
+    assert(cells.map(_._3).sum == nPairs, "matrix mass must equal the pair table")
+    // spot-check one cell against a direct recount
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = Dedup.minhashLshPairsShared(spark, sf).select("doc_a", "doc_b").collect()
+      .map { r =>
+        val (x, y) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        (if (x <= y) x else y, if (x <= y) y else x)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(cells.map(c => (c._1, c._2) -> c._3).toMap == direct)
+  }
+
   test("boilerplate index refresh: folded probe == rebuilt probe, and the fold moves serving") {
     import org.apache.spark.sql.functions._
     val folded = Dedup.boilerplateRefreshProbe(spark, sf).collect()

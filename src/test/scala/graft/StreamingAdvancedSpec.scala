@@ -348,6 +348,43 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(sa.nonEmpty && sa == sb, s"streamed codes diverged: ${sa.diff(sb).take(3)} / ${sb.diff(sa).take(3)}")
   }
 
+  test("ingest-time LM scoring equals an in-memory recompute and exercises the OOV path") {
+    // the stored-era per-lang bigram LM scores every arriving doc;
+    // a bigram the stored LM never saw contributes exactly 0
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val docsArr = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val cutoff = 9 * docsArr.map(_._1).max / 10
+    val oldGrams = docsArr
+      .filter(d => d._1 <= cutoff && d._3.length >= 2)
+      .flatMap { case (_, lang, ts) => ts.sliding(2).map(p => (lang, p(0), p(1))) }
+    val cntLr = oldGrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cntL = oldGrams.groupBy(g => (g._1, g._2)).view.mapValues(_.size.toLong).toMap
+    val expected = docsArr
+      .filter(d => d._1 > cutoff && d._3.length >= 2)
+      .map { case (id, lang, ts) =>
+        val qs = ts.sliding(2).toSeq.map { p =>
+          cntLr.get((lang, p(0), p(1))) match {
+            case Some(n) => 1000000L * n / cntL((lang, p(0)))
+            case None => 0L
+          }
+        }
+        id -> (qs.size.toLong, qs.sum / qs.size)
+      }
+      .toMap
+    val got = graft.streaming.StreamingQueries.lmScoreViaSink(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "landed LM scores diverge from the in-memory recompute")
+    // OOV is exercised: some arriving doc carries a bigram the stored
+    // LM never saw (otherwise the left-join zero path is untested)
+    val oovExercised = docsArr.exists { case (id, lang, ts) =>
+      id > cutoff && ts.length >= 2 && ts.sliding(2).exists(p => !cntLr.contains((lang, p(0), p(1))))
+    }
+    assert(oovExercised, "no OOV bigram in the increment — the zero path is untested")
+  }
+
   test("ingest-time winnow probe lands exactly the batch old×new winnow slice") {
     // micro-batch boundaries and arrival order must be invisible: a
     // fingerprint hit lands or it doesn't, independent of batching,
