@@ -446,6 +446,8 @@ object SparkEntry {
     "similarity_pq_adc" -> ((s, d) => PqIndex.adcTopK(s, d)),
     "similarity_pq_rerank" -> ((s, d) => PqIndex.adcRerankTopK(s, d)),
     "similarity_pq_recall" -> ((s, d) => PqIndex.adcRecallAtK(s, d)),
+    // graded ordering audit for BOTH deployed PQ serving paths
+    "similarity_pq_ndcg" -> ((s, d) => PqIndex.adcNdcgAtK(s, d)),
     // the composed FAISS-style index: probe nProbe coarse cells,
     // ADC-score only their codes
     "similarity_ivf_pq" -> ((s, d) => PqIndex.ivfPqTopK(s, d)),
@@ -988,6 +990,17 @@ object SparkEntry {
     * charge the oracle for work its query never uses. Every consumer
     * that actually reads `lshpairs` passes the default.
     */
+  /** The shared integer DCG discount LUT as a SQL CASE — the oracle
+    * twin of Similarity.dcgW (both sides read the same driver-computed
+    * values, so the one float never meets a comparator).
+    */
+  private def dcgCaseSql(rank: String, k: Int): String =
+    Similarity
+      .dcgDiscountLut(k)
+      .zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+      .mkString(s"CASE $rank ", " ", " ELSE 0 END")
+
   /** Non-overlapping 8-token segment rows — the oracle twin of
     * Dedup.segmentRows(width = 8), shared by the batch boilerplate
     * scrub and its streaming ingest twin.
@@ -3629,6 +3642,50 @@ object SparkEntry {
          |LEFT JOIN pqannrr
          |  ON bf.query_id = pqannrr.query_id AND bf.neighbor_id = pqannrr.neighbor_id
          |GROUP BY bf.query_id""".stripMargin,
+    // graded twin of similarity_pq_recall: the same pqrk/pqrr rank
+    // lists scored by the shared integer discount LUT
+    "similarity_pq_ndcg" -> {
+      val k = Similarity.NdcgK
+      def w(rank: String): String = dcgCaseSql(rank, k)
+      s"""WITH $pqCtes,
+         |$pqLutCte,
+         |$pqAdcCtes,
+         |$pqRerankCtes,
+         |adcl AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS ann_rank
+         |         FROM pqrk WHERE rnk <= $k),
+         |rrl AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS ann_rank
+         |        FROM pqrr WHERE rnk <= $k),
+         |bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |       WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}),
+         |bc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |bs AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cos
+         |       FROM bq, bc WHERE query_id <> neighbor_id),
+         |br AS (SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM bs),
+         |bf AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS bf_rank FROM br WHERE rnk <= $k),
+         |idcg AS (SELECT query_id,
+         |           CAST(sum((${k + 1} - bf_rank) * ${w("bf_rank")}) AS BIGINT) AS idcg
+         |         FROM bf GROUP BY 1),
+         |da AS (SELECT a.query_id,
+         |         CAST(coalesce(sum(CASE WHEN b.bf_rank IS NOT NULL
+         |           THEN (${k + 1} - b.bf_rank) * ${w("a.ann_rank")} ELSE 0 END), 0) AS BIGINT) AS dcg_adc
+         |       FROM adcl a LEFT JOIN bf b
+         |         ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |       GROUP BY 1),
+         |dr AS (SELECT a.query_id,
+         |         CAST(coalesce(sum(CASE WHEN b.bf_rank IS NOT NULL
+         |           THEN (${k + 1} - b.bf_rank) * ${w("a.ann_rank")} ELSE 0 END), 0) AS BIGINT) AS dcg_rr
+         |       FROM rrl a LEFT JOIN bf b
+         |         ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |       GROUP BY 1)
+         |SELECT i.query_id,
+         |       CAST(coalesce(da.dcg_adc, 0) AS BIGINT) AS dcg_adc,
+         |       CAST(coalesce(dr.dcg_rr, 0) AS BIGINT) AS dcg_rr, i.idcg,
+         |       CAST((1000 * coalesce(da.dcg_adc, 0)) // i.idcg AS BIGINT) AS ndcg_adc_permille,
+         |       CAST((1000 * coalesce(dr.dcg_rr, 0)) // i.idcg AS BIGINT) AS ndcg_rr_permille
+         |FROM idcg i LEFT JOIN da ON i.query_id = da.query_id
+         |LEFT JOIN dr ON i.query_id = dr.query_id""".stripMargin
+    },
     // the composed IVF+PQ serving path: the ivf_assign centroids /
     // assignment (float-quantized means, same ULP-margin argument),
     // a top-nProbe probe list per query, and the ADC LUT sum
@@ -3738,12 +3795,7 @@ object SparkEntry {
     // (the log) never meets a comparator
     "similarity_ndcg" -> {
       val k = Similarity.NdcgK
-      def w(rank: String): String =
-        Similarity
-          .dcgDiscountLut(k)
-          .zipWithIndex
-          .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
-          .mkString(s"CASE $rank ", " ", " ELSE 0 END")
+      def w(rank: String): String = dcgCaseSql(rank, k)
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
          |           WHERE vec_id < ${graft.operators.PqIndex.ServedQueryCutoff}),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

@@ -469,6 +469,60 @@ object PqIndex {
       )
   }
 
+  /** nDCG@k of BOTH PQ serving paths — pure ADC and shortlist+re-rank
+    * — against the exact baseline: the graded companion of
+    * [[adcRecallAtK]] (recall counts hits; nDCG charges the index for
+    * ORDERING them, which is what the consumer of the deployed tier
+    * sees). Same integer discipline as [[Similarity.ndcgAudit]]:
+    * relevance (k+1−r) from the exact ranks, position discounts from
+    * the shared driver-computed LUT, scores as exact integer
+    * permilles; zero-overlap queries surface as 0 via left joins.
+    * The ONE ADC pass serves both legs (the adcRecallAtK sharing
+    * argument: the pure-ADC list is the shortlist's rank ≤ k prefix).
+    */
+  def adcNdcgAtK(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = ServedQueryCutoff,
+      k: Int = Similarity.NdcgK,
+  ): DataFrame = {
+    val bf = Similarity
+      .bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("bf_rank"))
+    val short = Similarity.topKPerQuery(adcScored(spark, dir, nQueries), 50, scoreCol = "score")
+    val adc = short
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ann_rank"))
+    val rr = rerankShortlist(spark, dir, short.select("query_id", "neighbor_id"), nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ann_rank"))
+    def dcgLeg(ann: DataFrame, out: String): DataFrame =
+      ann
+        .join(bf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(
+            when(
+              col("bf_rank").isNotNull,
+              (lit(k + 1L) - col("bf_rank")) * Similarity.dcgW(col("ann_rank"), k),
+            ).otherwise(0L)
+          ).as(out)
+        )
+    val idcg = bf
+      .groupBy("query_id")
+      .agg(sum((lit(k + 1L) - col("bf_rank")) * Similarity.dcgW(col("bf_rank"), k)).as("idcg"))
+    idcg
+      .join(dcgLeg(adc, "dcg_adc"), Seq("query_id"), "left")
+      .join(dcgLeg(rr, "dcg_rr"), Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("dcg_adc"), lit(0L)).as("dcg_adc"),
+        coalesce(col("dcg_rr"), lit(0L)).as("dcg_rr"),
+        col("idcg"),
+      )
+      .withColumn("ndcg_adc_permille", expr("CAST((1000 * dcg_adc) div idcg AS BIGINT)"))
+      .withColumn("ndcg_rr_permille", expr("CAST((1000 * dcg_rr) div idcg AS BIGINT)"))
+  }
+
   // ------------------------------------------------------------------
   // Codebook refresh tier — the maintenance loop the serving side
   // needs once the stream keeps landing vectors: the stored index was

@@ -179,6 +179,14 @@ object Similarity {
     */
   val NdcgK: Int = 10
 
+  /** The [[dcgDiscountLut]] as a rank-dispatching column (shared by
+    * the SRP and PQ nDCG audits).
+    */
+  private[graft] def dcgW(rank: Column, k: Int): Column =
+    dcgDiscountLut(k).zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, i)) =>
+      when(rank === (i + 1), lit(v)).otherwise(acc)
+    }
+
   /** nDCG@k of the multi-probe SRP-LSH ANN ranking against the exact
     * brute-force baseline — the graded serving-quality audit
     * recall@k can't give (recall treats a hit at ANN rank 1 and rank
@@ -203,11 +211,7 @@ object Similarity {
       nQueries: Int = PqIndex.ServedQueryCutoff,
       k: Int = NdcgK,
   ): DataFrame = {
-    val lut = dcgDiscountLut(k)
-    def w(rank: Column): Column =
-      lut.zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, i)) =>
-        when(rank === (i + 1), lit(v)).otherwise(acc)
-      }
+    def w(rank: Column): Column = dcgW(rank, k)
     val bf = bruteForceTopK(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("bf_rank"))
     val ann = annLshTopKMultiProbe(spark, dir, nQueries, k)

@@ -450,6 +450,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "similarity_pq_adc" -> (Set("query_id"), "the broadcast is the per-query LUT row set — nQueries rows by API contract"),
       "similarity_pq_rerank" -> (Set("query_id"), "broadcasts are the query LUTs, the TopK-bounded shortlist (≤ nQueries·shortlist rows), and the query vectors — all query-side"),
       "similarity_pq_recall" -> (Set("query_id"), "every compared path broadcasts only query-side bounded sets (LUTs, shortlist, query vectors)"),
+      "similarity_pq_ndcg" -> (Set("query_id"), "same serving lineages as similarity_pq_recall: query LUTs, TopK-bounded shortlist, query vectors — all query-side bounded"),
       "similarity_ivf_pq" -> (Set("query_id"), "broadcasts are the nQueries·nProbe probe list and the query LUTs; the candidate set flows through the id-keyed artifact equi-join"),
       "hybrid_rrf_topk" -> (Set("query_id"), "the vector leg's query side is the fixed bm25Queries id list (3 rows) by API contract"),
       "hybrid_rrf_ivfpq" -> (Set("query_id"), "inherits similarity_ivf_pq's query-side broadcasts (nQueries·nProbe probe list, query LUTs) under the hybrid gate name"),

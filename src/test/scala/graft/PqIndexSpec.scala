@@ -191,6 +191,37 @@ class PqIndexSpec extends AnyFunSuite {
     } finally rr.unpersist()
   }
 
+  test("pq ndcg: permilles bounded, dcg <= idcg, and the audit equals a recompute from the rank lists") {
+    import graft.operators.Similarity
+    val k = Similarity.NdcgK
+    val lut = Similarity.dcgDiscountLut(k)
+    val rows = PqIndex.adcNdcgAtK(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    rows.values.foreach { case (da, dr, idcg, pa, pr) =>
+      assert(da >= 0 && dr >= 0 && da <= idcg && dr <= idcg)
+      assert(pa == 1000 * da / idcg && pr == 1000 * dr / idcg)
+      assert(pa <= 1000 && pr <= 1000)
+    }
+    // independent recompute from the public rank lists
+    val bf = Similarity.bruteForceTopK(spark, sf, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    def dcgOf(list: Array[org.apache.spark.sql.Row]): Map[Long, Long] =
+      list.groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.collect {
+          case r if bf.contains((q, r.getLong(2))) =>
+            (k + 1L - bf((q, r.getLong(2)))) * lut(r.getLong(1).toInt - 1)
+        }.sum
+      }
+    val adcList = PqIndex.adcTopK(spark, sf, k = k).collect()
+    val rrList = PqIndex.adcRerankTopK(spark, sf, k = k).collect()
+    val (wantAdc, wantRr) = (dcgOf(adcList), dcgOf(rrList))
+    rows.foreach { case (q, (da, dr, _, _, _)) =>
+      assert(da == wantAdc.getOrElse(q, 0L), s"query $q adc dcg")
+      assert(dr == wantRr.getOrElse(q, 0L), s"query $q rerank dcg")
+    }
+  }
+
   private def codeRow(r: org.apache.spark.sql.Row): (Long, Long, Int, Int, Int, Int, Double) =
     (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6))
 
