@@ -2622,10 +2622,10 @@ object SparkEntry {
         |           max(CASE WHEN slot = 1 THEN tf END) AS tf1m
         |         FROM matched GROUP BY 1, 2),
         |s AS (SELECT c.query_id, c.doc_id,
-        |        CAST((1000000::HUGEINT * (coalesce(c.tf0m, 0) * t.c + $mu * f0.cf))
-        |             // ((d.dl + $mu) * t.c) AS BIGINT) AS q0,
-        |        CAST((1000000::HUGEINT * (coalesce(c.tf1m, 0) * t.c + $mu * f1.cf))
-        |             // ((d.dl + $mu) * t.c) AS BIGINT) AS q1
+        |        CAST((1000000::HUGEINT * (coalesce(c.tf0m, 0)::HUGEINT * t.c + $mu * f0.cf))
+        |             // ((d.dl + $mu)::HUGEINT * t.c) AS BIGINT) AS q0,
+        |        CAST((1000000::HUGEINT * (coalesce(c.tf1m, 0)::HUGEINT * t.c + $mu * f1.cf))
+        |             // ((d.dl + $mu)::HUGEINT * t.c) AS BIGINT) AS q1
         |      FROM cand c
         |      JOIN dls d USING (doc_id)
         |      JOIN qcf f0 ON f0.query_id = c.query_id AND f0.slot = 0
@@ -3446,16 +3446,20 @@ object SparkEntry {
         |FROM fl GROUP BY doc_id""".stripMargin,
     // same LSH candidates as the minhash pair family, verified by
     // exact unit-cost levenshtein as an integer permille of the
-    // longer text
+    // longer text — over the ASCII projection (Spark levenshtein
+    // counts code points, DuckDB counts bytes; '?'-projecting every
+    // non-ASCII code point makes the two identical)
     "dedup_edit_ratio" ->
       s"""WITH $lshCandCtes,
+        |pj AS (SELECT doc_id, regexp_replace(text, '[^[:ascii:]]', '?', 'g') AS text
+        |       FROM documents),
         |lv AS (
         |  SELECT c.doc_a, c.doc_b,
         |         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
         |         CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
         |  FROM cand c
-        |  JOIN documents a ON a.doc_id = c.doc_a
-        |  JOIN documents b ON b.doc_id = c.doc_b)
+        |  JOIN pj a ON a.doc_id = c.doc_a
+        |  JOIN pj b ON b.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, lev, max_len,
         |       CAST((1000 * lev) // max_len AS BIGINT) AS edit_permille
         |FROM lv WHERE (1000 * lev) // max_len <= 600""".stripMargin,

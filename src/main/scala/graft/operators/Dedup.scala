@@ -319,10 +319,18 @@ object Dedup {
     * Scale shape: Levenshtein is O(len_a·len_b) PER PAIR — viable
     * only because it runs strictly on the LSH-bucketed candidate set
     * (bounded by the banding S-curve), never all-pairs; the corpus
-    * text is exchanged at most once and only for candidate docs. Both
-    * engines use the classic unit-cost edit distance
-    * (insert/delete/substitute = 1), so the permille is an identical
-    * integer: floor(1000·lev / max(len_a, len_b)).
+    * text is exchanged at most once and only for candidate docs.
+    *
+    * Cross-engine determinism: Spark's levenshtein counts Unicode
+    * CODE POINTS while DuckDB's counts UTF-8 BYTES — identical only
+    * on ASCII. The measured text is therefore the ASCII PROJECTION
+    * (every non-ASCII code point → '?', one-for-one on both engines:
+    * Java `\\p{ASCII}`, RE2 `[[:ascii:]]`), on which bytes == code
+    * points == chars and the permille floor(1000·lev / max(len_a,
+    * len_b)) is an identical integer. A multi-byte rewrite still
+    * registers as an edit (the projected chars differ positionally);
+    * only non-ASCII↔non-ASCII substitutions collapse — the documented
+    * price of the portable metric.
     */
   def editRatioPairs(
       spark: SparkSession,
@@ -334,20 +342,14 @@ object Dedup {
     val base = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val need = lshCandidatePairs(base, numHashes, bands)
-      .select(col("doc_a"), col("doc_b"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    need
-      .join(docs(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        max(when(col("doc_id") === col("doc_a"), col("text"))).as("ta"),
-        max(when(col("doc_id") === col("doc_b"), col("text"))).as("tb"),
-      )
+    val projected = docs(spark, dir)
+      .select(col("doc_id"), regexp_replace(col("text"), "[^\\p{ASCII}]", "?").as("text"))
+    attachPairRoles(lshCandidatePairs(base, numHashes, bands), projected, "text")
       .select(
         col("doc_a"),
         col("doc_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
-        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"),
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long").as("max_len"),
       )
       .withColumn("edit_permille", expr("CAST((1000 * lev) div max_len AS BIGINT)"))
       .filter(col("edit_permille") <= maxPermille)
@@ -371,20 +373,30 @@ object Dedup {
     * shingle slot → null jaccard → filtered, identical to the inner
     * joins it replaces.
     */
-  private def verifyPairsExact(base: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    // explode, not a self-union: unioning `pairs` with itself would
-    // duplicate the whole candidate lineage in the static plan
-    // (runtime exchange reuse papers over it, but the single-lineage
-    // form needs no papering — pinned in PlanShapeSpec)
-    val need = pairs
+  /** The union-fetch pivot that attaches one per-doc column to BOTH
+    * roles of a pair list with ONE corpus exchange: the pair list
+    * explodes to (doc_a, doc_b, doc_id ∈ {a, b}) rows — explode, not
+    * a self-union, which would duplicate the whole candidate lineage
+    * in the static plan — a single doc_id equi-join fetches the
+    * value, and a pair-key regroup splits the roles back (doc_id =
+    * doc_a identifies the role; exactly one non-null per slot, so
+    * `max` picks it). Shared by the jaccard verify, the edit-ratio
+    * verify, and the source matrix (the shape is pinned in
+    * PlanShapeSpec; one helper means one place to fix it).
+    * `perDoc` must be (doc_id, <valueCol>).
+    */
+  private def attachPairRoles(pairs: DataFrame, perDoc: DataFrame, valueCol: String): DataFrame =
+    pairs
       .select(col("doc_a"), col("doc_b"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    val byPair = need
-      .join(base, Seq("doc_id"))
+      .join(perDoc, Seq("doc_id"))
       .groupBy("doc_a", "doc_b")
       .agg(
-        max(when(col("doc_id") === col("doc_a"), col("sh"))).as("sh_a"),
-        max(when(col("doc_id") === col("doc_b"), col("sh"))).as("sh_b"),
+        max(when(col("doc_id") === col("doc_a"), col(valueCol))).as(s"${valueCol}_a"),
+        max(when(col("doc_id") === col("doc_b"), col(valueCol))).as(s"${valueCol}_b"),
       )
+
+  private def verifyPairsExact(base: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val byPair = attachPairRoles(pairs, base, "sh")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
     byPair
@@ -1889,23 +1901,18 @@ object Dedup {
     * (the union-fetch shape — a per-role join would fetch the source
     * column twice).
     */
-  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairsShared(spark, dir).select("doc_a", "doc_b")
-    pairs
-      .select(col("doc_a"), col("doc_b"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        max(when(col("doc_id") === col("doc_a"), col("source"))).as("sa"),
-        max(when(col("doc_id") === col("doc_b"), col("source"))).as("sb"),
-      )
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame =
+    attachPairRoles(
+      minhashLshPairsShared(spark, dir).select("doc_a", "doc_b"),
+      docs(spark, dir).select(col("doc_id"), col("source")),
+      "source",
+    )
       .select(
-        least(col("sa"), col("sb")).as("source_a"),
-        greatest(col("sa"), col("sb")).as("source_b"),
+        least(col("source_a"), col("source_b")).as("source_a"),
+        greatest(col("source_a"), col("source_b")).as("source_b"),
       )
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
-  }
 
   /** The maintenance loop for the boilerplate index
     * ([[graft.streaming.StreamingQueries.boilerplateScrubStream]]

@@ -887,8 +887,10 @@ object TextAnalysis {
     * ((dl+μ)·|C|); each factor floors to an integer millionth and
     * the per-query score is the PRODUCT of the floored factors (≤
     * 1e12 for 2-term queries — flooring per factor instead of once
-    * keeps the DECIMAL(38,0) headroom corpus-size-independent:
-    * 1e6·(tf·|C| + μ·cf) stays under 1e38 out to |C| ~ 1e28 tokens).
+    * keeps the DECIMAL(38,0) headroom effectively corpus-size-
+    * independent: with the tf·|C| product promoted to DECIMAL(38,0)
+    * on both engines (never a Long product — that wraps at 2^63),
+    * 1e6·(tf·|C| + μ·cf) stays under 1e38 out to |C| ~ 1e26 tokens).
     * Smoothing is what ranks a doc matching ONE query term: the
     * missing term still contributes its background factor
     * μ·cf / ((dl+μ)·|C|) — tf = 0, never a dropped row.
@@ -936,9 +938,14 @@ object TextAnalysis {
       bm25Queries
         .map { case (qid, ts) => s"WHEN query_id = $qid THEN ${cfMap.getOrElse(ts(slot), 0L)}L" }
         .mkString("CASE ", " ", " ELSE 0L END")
-    // one factor: floor(1e6 · (tf·|C| + μ·cf) / ((dl+μ)·|C|))
+    // one factor: floor(1e6 · (tf·|C| + μ·cf) / ((dl+μ)·|C|)) — the
+    // INNER tf·|C| product promotes to DECIMAL(38,0) too (a Long
+    // product would wrap at tf·|C| > 2^63, i.e. a hot term on a
+    // ~1e13-token corpus; the oracle promotes the same product to
+    // HUGEINT)
     def qtSql(tfCol: String, slot: Int): String =
-      s"CAST((CAST(1000000 AS DECIMAL(38,0)) * ($tfCol * ${totTok}L + $mu * (${cfSqlCase(slot)}))) div " +
+      s"CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+        s"($tfCol * CAST($totTok AS DECIMAL(38,0)) + $mu * (${cfSqlCase(slot)}))) div " +
         s"((dl + $mu) * CAST($totTok AS DECIMAL(38,0))) AS BIGINT)"
     val dls = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val matched = tf

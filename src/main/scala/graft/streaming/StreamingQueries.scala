@@ -836,10 +836,13 @@ object StreamingQueries {
   }
 
   def boilerplateScrubViaSink(spark: SparkSession, dir: String): DataFrame =
+    // (doc_id, seg_pos) is unique in the clean corpus, so the dedup
+    // absorbs at-least-once replays exactly like the sibling sinks
     runAppendToParquet(
       spark,
       boilerplateScrubStream(spark, dir),
       scratchSinkDir("bpscrub") + "/out")
+      .dropDuplicates("doc_id", "seg_pos")
 
   /** Streaming ingest-time LM scoring — the deployment shape of the
     * CCNet perplexity filter ([[graft.operators.TextAnalysis
