@@ -1904,7 +1904,11 @@ object Dedup {
   def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame =
     attachPairRoles(
       minhashLshPairsShared(spark, dir).select("doc_a", "doc_b"),
-      docs(spark, dir).select(col("doc_id"), col("source")),
+      // PLAIN read, not Tables.parallel: a trivial two-column
+      // projection gains nothing from the local rebalance, and the
+      // side is broadcast-destined at fixture scale (the quarantine
+      // wasted-exchange class)
+      Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
       "source",
     )
       .select(
