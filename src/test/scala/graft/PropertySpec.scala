@@ -115,4 +115,31 @@ class PropertySpec extends AnyFunSuite {
       assert(badC == 0, s"char shingles k=$k diverge on generated texts")
     }
   }
+
+  test("segment rows losslessly partition arbitrary texts (reassembly, widths, offsets)") {
+    import spark.implicits._
+    // the boilerplate-scrub kernel must reassemble to the ORIGINAL
+    // text for every input (including runs of spaces → empty tokens,
+    // non-ASCII, and texts shorter than one segment), with seg_pos
+    // the exact token offset and n_tok summing to the token count
+    val tokenGen = Gen.oneOf("a", "bb", "ccc", "", "déjà", "zz")
+    val textGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    val texts = (1 to 60)
+      .map(i => (i.toLong, textGen.pureApply(Gen.Parameters.default.withSize(12), Seed(2000L + i))))
+      .toDF("doc_id", "text")
+    Seq(3, 8).foreach { width =>
+      val segs = graft.operators.Dedup.segmentRows(texts, width).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val byDoc = segs.groupBy(_._1)
+      texts.collect().foreach { row =>
+        val (id, text) = (row.getLong(0), row.getString(1))
+        val toks = text.split(" ", -1)
+        val mine = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+        assert(mine.map(_._4).mkString(" ") == text, s"doc $id w=$width reassembly")
+        assert(mine.map(_._3).sum == toks.length.toLong, s"doc $id w=$width token sum")
+        assert(mine.map(_._2).toSeq == mine.indices.map(_ * width.toLong), s"doc $id offsets")
+        assert(mine.forall(_._3 <= width) && mine.dropRight(1).forall(_._3 == width))
+      }
+    }
+  }
 }
