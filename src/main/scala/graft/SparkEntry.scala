@@ -320,6 +320,9 @@ object SparkEntry {
     // ingest-time CCNet LM scoring: arriving docs scored against the
     // stored per-lang bigram LM, stream-static, OOV scores 0
     "stream_lm_score" -> (StreamingQueries.lmScoreViaSink _),
+    // ingest-time edit-distance probe: arriving docs vs the stored
+    // band index, levenshtein-verified, old x new slice lands
+    "stream_edit_probe" -> (StreamingQueries.editProbeViaSink _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -2054,6 +2057,24 @@ object SparkEntry {
         |SELECT s.doc_id, s.seg_pos, s.n_tok, s.h
         |FROM seg s, cut
         |WHERE s.doc_id > cut.c AND s.h NOT IN (SELECT h FROM hot)""".stripMargin,
+    // the edit-verified old x new slice of the shared LSH candidate
+    // table (banding order-independence), same projection + permille
+    "stream_edit_probe" ->
+      s"""WITH $lshCandCtes,
+        |cut AS (SELECT 9 * max(doc_id) // 10 AS c FROM documents),
+        |pj AS (SELECT doc_id, regexp_replace(text, '[^[:ascii:]]', '?', 'g') AS text
+        |       FROM documents),
+        |lv AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |         CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+        |  FROM cand c
+        |  JOIN pj a ON a.doc_id = c.doc_a
+        |  JOIN pj b ON b.doc_id = c.doc_b, cut
+        |  WHERE c.doc_a <= cut.c AND c.doc_b > cut.c)
+        |SELECT doc_a, doc_b, lev, max_len,
+        |       CAST((1000 * lev) // max_len AS BIGINT) AS edit_permille
+        |FROM lv WHERE (1000 * lev) // max_len <= 600""".stripMargin,
     // unordered source cells over the verified pair table
     "dedup_source_matrix" ->
       s"""WITH ${minhashPairCtes()},

@@ -189,12 +189,22 @@ object Dedup {
       base: DataFrame,
       numHashes: Int = 12,
       bands: Int = 4,
+  ): DataFrame = bandedKeysWithPayload(base.select(col("doc_id"), col("sh")), numHashes, bands)
+
+  /** [[bandedKeysWithShingles]] generalized: every column of `base`
+    * (which must include `sh`) rides through the banding explode —
+    * the edit-ratio ingest probe carries the projected TEXT as its
+    * verify payload the same way the jaccard probe carries `sh`.
+    */
+  private[graft] def bandedKeysWithPayload(
+      base: DataFrame,
+      numHashes: Int = 12,
+      bands: Int = 4,
   ): DataFrame = {
     val rows = numHashes / bands
     base
       .select(
-        col("doc_id"),
-        col("sh"),
+        col("*"),
         explode(bindArray(minhashSignature(col("sh"), numHashes)) { s =>
           transform(
             sequence(lit(0), lit(bands - 1)),
@@ -205,7 +215,10 @@ object Dedup {
               ),
           )
         }).as("bk"),
-      ).select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bkey"))
+      )
+      .withColumn("band", col("bk.band"))
+      .withColumn("bkey", col("bk.bkey"))
+      .drop("bk")
   }
 
   /** Shingled docs (doc_id, sh) — the shared base relation of the

@@ -844,6 +844,64 @@ object StreamingQueries {
       scratchSinkDir("bpscrub") + "/out")
       .dropDuplicates("doc_id", "seg_pos")
 
+  /** Streaming ingest-time edit-distance near-dup probe — the
+    * character-metric twin of [[incrementalDedupStream]]: every
+    * arriving document is shingled and MinHash-banded map-side with
+    * its ASCII-PROJECTED text riding the banding explode as the
+    * verify payload ([[graft.operators.Dedup.bandedKeysWithPayload]]
+    * — a stream-stream self-join to recover the text would need
+    * watermark state), probed against the STORED band index of the
+    * existing corpus, and band collisions verify with exact unit-cost
+    * levenshtein against the stored projected text — the
+    * [[graft.operators.Dedup.editRatioPairs]] metric, old×new slice.
+    * Band keys are per-document deterministic, so the landed set
+    * equals the batch candidate table restricted to old×new under
+    * the same permille cutoff (banding order-independence — the
+    * incrementalDedupStream argument), which is the DuckDB oracle.
+    *
+    * Scale shape: STATELESS (offset-log-only state); a pair
+    * colliding in several bands lands once per band with identical
+    * verified rows and the read-back dedups them distributedly.
+    * Levenshtein cost is bounded by band collisions, never all-pairs.
+    */
+  def editProbeStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val cutoff = Dedup.incrementCutoff(spark, dir)
+    def projected(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(c, "[^\\p{ASCII}]", "?")
+    val existing = Dedup.shingledDocs(spark, dir).filter(col("doc_id") <= cutoff)
+    val idx = Dedup
+      .bandedKeysOf(existing, 12, 4)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val oldText = graft.sources.Tables(spark, dir, "documents")
+      .filter(col("doc_id") <= cutoff)
+      .select(col("doc_id").as("doc_a"), projected(col("text")).as("ta"))
+    val probe = documentsStream(spark, dir)
+      .filter(col("doc_id") > cutoff && size(split(col("text"), " ")) >= 3)
+      .select(
+        col("doc_id"),
+        Dedup.shingles(col("text")).as("sh"),
+        projected(col("text")).as("tb"),
+      )
+    Dedup
+      .bandedKeysWithPayload(probe)
+      .select(col("doc_id").as("doc_b"), col("tb"), col("band"), col("bkey"))
+      .join(idx, Seq("band", "bkey"))
+      .join(oldText, Seq("doc_a"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"),
+      )
+      .withColumn("edit_permille", expr("CAST((1000 * lev) div max_len AS BIGINT)"))
+      .filter(col("edit_permille") <= 600)
+  }
+
+  def editProbeViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, editProbeStream(spark, dir), scratchSinkDir("editprobe") + "/out")
+      .dropDuplicates("doc_a", "doc_b")
+
   /** Streaming ingest-time LM scoring — the deployment shape of the
     * CCNet perplexity filter ([[graft.operators.TextAnalysis
     * .lmPplSplit]] cuts the STORED corpus; this scores every ARRIVING

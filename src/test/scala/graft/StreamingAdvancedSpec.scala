@@ -348,6 +348,20 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(sa.nonEmpty && sa == sb, s"streamed codes diverged: ${sa.diff(sb).take(3)} / ${sb.diff(sa).take(3)}")
   }
 
+  test("ingest-time edit probe lands exactly the batch edit-ratio old×new slice") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val cutoff = 9 * spark.read.parquet(s"$dir/documents.parquet")
+      .agg(max("doc_id")).head.getLong(0) / 10
+    val streamed = graft.streaming.StreamingQueries.editProbeViaSink(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.operators.Dedup.editRatioPairs(spark, dir)
+      .filter(col("doc_a") <= cutoff && col("doc_b") > cutoff).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"probe diverged: ${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+  }
+
   test("ingest-time LM scoring equals an in-memory recompute and exercises the OOV path") {
     // the stored-era per-lang bigram LM scores every arriving doc;
     // a bigram the stored LM never saw contributes exactly 0
