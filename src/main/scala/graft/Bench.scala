@@ -156,6 +156,20 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL fallback write to $fullPath failed: ${e.getMessage}")
     }
+    // The driver's round snapshot keeps only a bounded TAIL of stdout
+    // (2000 chars in rounds 6-10), so the full per-query line above
+    // truncates mid-JSON there and the snapshot's "parsed" field ends
+    // up null (r9/r10 verdict nit). Emit a LAST line compact enough
+    // to always land whole inside any such tail: headline totals, the
+    // N slowest gates, and a pointer to the full sidecar. The full
+    // line stays first (contract + BENCH_FULL mirror), so nothing
+    // downstream loses data — the compact line only makes the
+    // snapshot self-describing.
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries_slowest":$slowest,"bundles":$bs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -407,7 +407,7 @@ object SparkEntry {
     // docs scrubbed, clean text reassembled + pinned via md5
     "text_line_dedup" -> ((s, d) => Dedup.boilerplateScrub(s, d)),
     // edit-distance verification of the SAME LSH candidates: exact
-    // levenshtein permille of the longer text, <= 600 survives
+    // levenshtein permille of the longer text, <= EditPermilleCutoff survives
     "dedup_edit_ratio" -> ((s, d) => Dedup.editRatioPairs(s, d)),
     // MOSS-style cross-doc winnowing fingerprint matches: pairs
     // sharing >= 2 selected fingerprints, containment-scored
@@ -2074,7 +2074,7 @@ object SparkEntry {
         |  WHERE c.doc_a <= cut.c AND c.doc_b > cut.c)
         |SELECT doc_a, doc_b, lev, max_len,
         |       CAST((1000 * lev) // max_len AS BIGINT) AS edit_permille
-        |FROM lv WHERE (1000 * lev) // max_len <= 600""".stripMargin,
+        |FROM lv WHERE (1000 * lev) // max_len <= ${Dedup.EditPermilleCutoff}""".stripMargin,
     // unordered source cells over the verified pair table
     "dedup_source_matrix" ->
       s"""WITH ${minhashPairCtes()},
@@ -3483,7 +3483,7 @@ object SparkEntry {
         |  JOIN pj b ON b.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, lev, max_len,
         |       CAST((1000 * lev) // max_len AS BIGINT) AS edit_permille
-        |FROM lv WHERE (1000 * lev) // max_len <= 600""".stripMargin,
+        |FROM lv WHERE (1000 * lev) // max_len <= ${Dedup.EditPermilleCutoff}""".stripMargin,
     "dedup_shingle_mass" ->
       """WITH tok AS (
         |  SELECT source, string_split(text, ' ') AS ts FROM documents

@@ -345,12 +345,24 @@ object Dedup {
     * only non-ASCII↔non-ASCII substitutions collapse — the documented
     * price of the portable metric.
     */
+  /** The served edit-distance cutoff: pairs at or under this
+    * levenshtein-permille survive the verify. The ONE constant the
+    * batch gate ([[editRatioPairs]] default), the ingest probe
+    * (`StreamingQueries.streamEditProbe`) and both oracle SQLs
+    * (`SparkEntry.oracleSql` `dedup_edit_ratio` /
+    * `stream_edit_probe`) interpolate — the ServedQueryCutoff rule:
+    * a data-shape constant that several engines must agree on lives
+    * in exactly one place, so a retune moves every site together
+    * instead of desyncing a gate.
+    */
+  val EditPermilleCutoff: Int = 600
+
   def editRatioPairs(
       spark: SparkSession,
       dir: String,
       numHashes: Int = 12,
       bands: Int = 4,
-      maxPermille: Int = 600,
+      maxPermille: Int = EditPermilleCutoff,
   ): DataFrame = {
     val base = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 3)

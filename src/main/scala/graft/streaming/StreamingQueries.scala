@@ -895,7 +895,7 @@ object StreamingQueries {
         greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"),
       )
       .withColumn("edit_permille", expr("CAST((1000 * lev) div max_len AS BIGINT)"))
-      .filter(col("edit_permille") <= 600)
+      .filter(col("edit_permille") <= Dedup.EditPermilleCutoff)
   }
 
   def editProbeViaSink(spark: SparkSession, dir: String): DataFrame =

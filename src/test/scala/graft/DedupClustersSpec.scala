@@ -347,9 +347,14 @@ class DedupClustersSpec extends AnyFunSuite {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
+    // the metric is measured over the ASCII PROJECTION (the
+    // editRatioPairs scaladoc contract) — the recompute must apply
+    // the SAME projection, not the raw text, or a non-ASCII corpus
+    // would make this test diverge from (or mask a bug in) the engine
+    def proj(t: String): String = t.replaceAll("[^\\p{ASCII}]", "?")
     val texts = graft.sources.Tables(spark, sf, "documents")
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getLong(0) -> proj(r.getString(1))).toMap
     val rows = Dedup.editRatioPairs(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture corpus contains exact dups — candidates must survive")
     rows.foreach { r =>
@@ -360,12 +365,42 @@ class DedupClustersSpec extends AnyFunSuite {
       assert(r.getLong(2) == want, s"pair ($a,$b): levenshtein ${r.getLong(2)} != $want")
       assert(r.getLong(3) == math.max(ta.length, tb.length).toLong)
       assert(r.getLong(4) == 1000L * want / math.max(ta.length, tb.length))
-      assert(r.getLong(4) <= 600L)
+      assert(r.getLong(4) <= Dedup.EditPermilleCutoff.toLong)
     }
     // the fixture's near-dups are a few token edits apart — the gate
     // must surface genuinely close pairs (< 10% of the text edited),
-    // not just anything under the 600-permille ceiling
+    // not just anything under the permille ceiling
     assert(rows.exists(_.getLong(4) < 100L))
+
+    // the projection path itself, on a PLANTED non-ASCII corpus (the
+    // driver fixture is pure ASCII, so the branch above never takes
+    // the '?'-substitution): three docs share a 30-token base and
+    // differ only at one token — 'café' / 'cafĕ' / 'core'. Banding is
+    // deterministic (seeded hashes), so the high-jaccard pairs are
+    // stable candidates. The é↔ĕ pair must collapse to lev 0 (both
+    // project to 'caf?' — the documented price of the portable
+    // metric) and every emitted row must equal the projected
+    // recompute.
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i")
+    def withTok(tok: String) = (base.take(5) :+ tok).++(base.drop(6)).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-editproj").toString
+    Seq((1L, withTok("caf\u00e9")), (2L, withTok("caf\u0115")), (3L, withTok("core")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = Dedup.editRatioPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(planted.contains((1L, 2L)), "the é↔ĕ near-dup must survive banding")
+    assert(planted((1L, 2L)) == 0L,
+      "non-ASCII↔non-ASCII substitution must collapse under the projection")
+    val plantedTexts = Map(
+      1L -> proj(withTok("caf\u00e9")), 2L -> proj(withTok("caf\u0115")), 3L -> proj(withTok("core")))
+    planted.foreach { case ((a, b), got) =>
+      assert(got == lev(plantedTexts(a), plantedTexts(b)).toLong,
+        s"planted pair ($a,$b): engine lev $got != projected recompute")
+    }
+    assert(planted.exists { case ((a, b), _) => (a, b) != ((1L, 2L)) },
+      "an ASCII-divergent pair must also surface (lev > 0 path)")
   }
 
   test("ndcg audit equals an in-memory recompute from the two rank lists; LUT is the spec") {
