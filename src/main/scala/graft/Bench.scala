@@ -30,6 +30,7 @@ object Bench {
     graft.operators.IvfIndex.invalidate()
     graft.operators.PqIndex.invalidate()
     graft.operators.RelationalQueries.invalidate()
+    graft.operators.TextAnalysis.invalidate()
   }
 
   def main(args: Array[String]): Unit = {

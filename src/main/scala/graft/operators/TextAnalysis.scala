@@ -116,6 +116,75 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
+  private val tfIndexCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized (doc_id, token, tf) term-frequency index — the
+    * retrieval tier's postings table, built ONCE per (session, dir)
+    * and read by name by every consumer: [[bm25Search]],
+    * [[bm25Rm3Search]] (which previously re-exploded the corpus
+    * THREE times — round-1 ranking, feedback-term mining, round-2
+    * ranking), [[qlmDirichletSearch]], and [[tfIdfTopTerms]]. This is
+    * the deployment shape the bm25Rm3Search scaladoc promised ("a
+    * deployment materializes the index"): at 100 TB the postings
+    * index is a stored table maintained by ingest, and every query
+    * pays a posting-list probe, never a corpus re-tokenization. Same
+    * pattern (and the same honest-bench contract) as the memoized
+    * minhash pair artifact `Dedup.wordCommonCountsShared`:
+    * [[invalidate]] drops it between timed runs, so the first
+    * consumer of a run pays the one build and the family then rides
+    * it — exactly what a long-lived session does. The DuckDB oracle
+    * keeps its per-query materialized `tf` CTE: result-identical by
+    * determinism of the counts.
+    */
+  private[graft] def tfIndexShared(spark: SparkSession, dir: String): DataFrame =
+    tfIndexCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_tf_index", dir),
+        docs(spark, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf")),
+      )
+    }
+
+  private val dlIndexCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized per-document length table (doc_id, dl = Σtf) — the
+    * retrieval index's companion statistic, stored next to the
+    * postings in any deployed index (Lucene's norms file). Without
+    * it, every scoring pass re-aggregated the FULL tf index just to
+    * re-derive the same |docs|-row lengths — measured as the
+    * dominant residual once [[tfIndexShared]] landed (bm25's
+    * bounded-posting probe costs ms; the corpus-wide dl aggregation
+    * cost ~0.8 s per pass at sf0.1, and RM3 paid it twice).
+    */
+  private[graft] def dlIndexShared(spark: SparkSession, dir: String): DataFrame =
+    dlIndexCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_dl_index", dir),
+        tfIndexShared(spark, dir).groupBy("doc_id").agg(sum(col("tf")).as("dl")),
+      )
+    }
+
+  /** Drop the memoized tf/dl indexes (benchmark hygiene — the
+    * key-based cleanup contract of `Dedup.invalidate`: reaches the
+    * cached storage blocks through the catalog name even when the
+    * soft memo reference was GC-cleared first).
+    */
+  def invalidate(): Unit = {
+    tfIndexCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_tf_index", dir))
+    }
+    dlIndexCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_dl_index", dir))
+    }
+  }
+
   /** Per-language token statistics. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -663,11 +732,7 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    val tf = tfIndexShared(spark, dir)
     // tf holds one row per (doc, token), so per-token row count IS df
     val n = docs(spark, dir).agg(count(lit(1)).as("n"))
     val wDf = Window.partitionBy("token")
@@ -912,11 +977,7 @@ object TextAnalysis {
     // shape; a wider query must widen the pivot AND the oracle together
     require(bm25Queries.forall(_._2.size == 2), "qlmDirichletSearch assumes 2-term queries")
     val qTokens = bm25Queries.flatMap(_._2).distinct
-    val tf = docs(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    val tf = tfIndexShared(spark, dir)
     // bounded scalar actions: |C| (1 row) and cf for the fixed query
     // tokens (≤ 6 rows), spliced back as literals
     val totTok = tf.agg(sum(col("tf"))).head.getLong(0)
@@ -947,7 +1008,7 @@ object TextAnalysis {
       s"CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
         s"($tfCol * CAST($totTok AS DECIMAL(38,0)) + $mu * (${cfSqlCase(slot)}))) div " +
         s"((dl + $mu) * CAST($totTok AS DECIMAL(38,0))) AS BIGINT)"
-    val dls = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dls = dlIndexShared(spark, dir)
     val matched = tf
       .join(broadcast(qterms), "token")
       .join(dls, "doc_id")
@@ -1564,12 +1625,8 @@ object TextAnalysis {
       hintBroadcast: Boolean,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
-    val dls = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val tf = tfIndexShared(spark, dir)
+    val dls = dlIndexShared(spark, dir)
     val totals = dls
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
     val scored = tf
@@ -1623,10 +1680,11 @@ object TextAnalysis {
     * index plus a |queries·candidate-terms| rank window; round 2
     * re-enters the scoring core with the expanded table, derived from
     * the corpus — its query join strategy is AQE's choice, never a
-    * static broadcast hint (the corpus-derived-hint discipline). The
-    * tf index is built once per pass (two corpus scans total — the
-    * honest cost of two-pass retrieval; a deployment materializes the
-    * index and pays neither).
+    * static broadcast hint (the corpus-derived-hint discipline). All
+    * three tf references (round-1 ranking, feedback mining, round-2
+    * ranking) read the ONE materialized [[tfIndexShared]] artifact —
+    * the deployment shape: the corpus is tokenized once per session,
+    * not once per pass.
     */
   def bm25Rm3Search(
       spark: SparkSession,
@@ -1638,11 +1696,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val qdf = bm25QueryDf(spark)
     val feedback = bm25Search(spark, dir, fbDocs).select(col("query_id"), col("doc_id"))
-    val fbTf = docs(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    val fbTf = tfIndexShared(spark, dir)
       .join(broadcast(feedback), "doc_id")
       .groupBy("query_id", "token")
       .agg(sum(col("tf")).as("etf"))

@@ -149,16 +149,25 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
-  test("tf-idf scans the corpus text once and shuffles only index rows") {
+  test("tf-idf scans the corpus text at most once and shuffles only index rows") {
     // df must derive from the tf table (count window), not a second
     // aggregate over the raw corpus — the latter re-expands the tf
     // lineage into a duplicate text scan + duplicate (doc, token)
-    // exchange
+    // exchange. The tf table itself is the shared materialized
+    // retrieval index (TextAnalysis.tfIndexShared): when its cache
+    // entry is live the plan reads the in-memory index and scans the
+    // corpus text ZERO times (the n-docs scalar prunes to doc_id);
+    // on a cold build exactly one text scan feeds the index. Never
+    // two — that is the regression this pin exists for.
     val df = graft.operators.TextAnalysis.tfIdfTopTerms(spark, sf)
     val plan = collectPlan(df)
     val textScans = plan.count(p =>
       p.getClass.getSimpleName.startsWith("FileSourceScan") && p.output.exists(_.name == "text"))
-    assert(textScans == 1, s"corpus text scanned $textScans times, expected once")
+    assert(textScans <= 1, s"corpus text scanned $textScans times, expected at most once")
+    if (textScans == 0) {
+      val imr = plan.count(_.getClass.getSimpleName.contains("InMemoryTableScan"))
+      assert(imr >= 1, "with zero text scans the plan must read the cached tf index")
+    }
   }
 
   test("similarity top-k shuffles only bounded top-k buffers") {
