@@ -427,6 +427,10 @@ object SparkEntry {
     // (positive) and top-3 cross-label (hard negative) neighbors
     // within its IVF cell — rank-only output, cell-blocked pairing
     "mine_hard_negatives" -> ((s, d) => Similarity.mineContrastive(s, d)),
+    // the miner's APPROXIMATE regime: the corpus deterministically
+    // replicated past the first SRP-staircase threshold, so the p>=1
+    // block keys and sign bits are oracle-gated at every driver SF
+    "mine_contrastive_scaled" -> ((s, d) => Similarity.mineContrastiveScaled(s, d)),
     // Matryoshka serving audit: full-dim top-5 overlap after 16/32-dim
     // prefix truncation (one pair pass, three metrics, rank-only)
     "similarity_matryoshka" -> ((s, d) => Similarity.dimTruncationAudit(s, d)),
@@ -1224,6 +1228,42 @@ object SparkEntry {
   // IVF round-1 assignment CTE chain (label-seeded centroids,
   // float-quantized means, deterministic argmax) shared by the
   // ivf_assign gate and the cluster-quota sampler built on it
+  // Contrastive-mining oracle fragments shared by the plain and the
+  // scaled gate. The staircase CASE is GENERATED from the same
+  // constant (Similarity.MiningBlockThreshold) the Scala
+  // miningPrefixPlanes derives from — both engines flip planes at
+  // identical corpus sizes by construction, never by parallel edits.
+  // Expects a 1-row relation in scope exposing the effective corpus
+  // size as `n`.
+  private lazy val miningStaircaseSql: String = {
+    val t = graft.operators.Similarity.MiningBlockThreshold
+    (0 until 8)
+      .map(i => s"WHEN n < ${t << i} THEN $i")
+      .mkString("CASE ", " ", " ELSE 8 END")
+  }
+
+  // the SRP sign-bit bucket under the selected prefix length `s.p`,
+  // evaluated over `e.embedding` — the lshBucket twin
+  private lazy val miningBktTermsSql: String =
+    (0 until 8)
+      .map(i => s"(CASE WHEN s.p >= ${i + 1} AND ${projSql(i)} > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  // block-pairing + per-(anchor, kind) top-3 rank chain over a `lab`
+  // CTE of (vec_id, label, embedding, blk) — the tail both mining
+  // oracles share verbatim
+  private lazy val miningPairChainSql: String =
+    s"""prs AS (
+       |  SELECT x.vec_id AS anchor_id, y.vec_id AS cand_id,
+       |         CASE WHEN x.label = y.label THEN 'pos' ELSE 'neg' END AS kind,
+       |         ${cosSql("x.embedding", "y.embedding")} AS cos
+       |  FROM lab x JOIN lab y ON x.blk = y.blk AND x.vec_id <> y.vec_id),
+       |mrk AS (SELECT anchor_id, kind, cand_id,
+       |        row_number() OVER (PARTITION BY anchor_id, kind ORDER BY cos DESC, cand_id) AS rank
+       |        FROM prs)
+       |SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank, cand_id AS neighbor_id
+       |FROM mrk WHERE rank <= 3""".stripMargin
+
   private lazy val ivfAssignCtes: String =
     s"""WITH dims AS (
        |  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
@@ -3904,34 +3944,35 @@ object SparkEntry {
     // pairs, kind by label agreement, rank-only output (cos orders
     // the window, never reaches the result)
     "mine_hard_negatives" -> {
-      // the SAME staircase as Similarity.miningPrefixPlanes: one SRP
-      // plane per corpus doubling past 5120 vectors, capped at 8 —
-      // integer CASE so both engines flip at identical sizes
-      val pSel =
-        """psel AS (SELECT CASE
-          |  WHEN n < 5120 THEN 0 WHEN n < 10240 THEN 1 WHEN n < 20480 THEN 2
-          |  WHEN n < 40960 THEN 3 WHEN n < 81920 THEN 4 WHEN n < 163840 THEN 5
-          |  WHEN n < 327680 THEN 6 WHEN n < 655360 THEN 7 ELSE 8 END AS p
-          |FROM (SELECT count(*) AS n FROM embeddings))""".stripMargin
-      val bktTerms = (0 until 8)
-        .map(i => s"(CASE WHEN s.p >= ${i + 1} AND ${projSql(i)} > 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
       s"""$ivfAssignCtes,
-         |$pSel,
+         |psel AS (SELECT $miningStaircaseSql AS p
+         |FROM (SELECT count(*) AS n FROM embeddings)),
          |lab AS MATERIALIZED (
          |  SELECT e.vec_id, e.label, e.embedding,
-         |         CAST(a.assigned_cell AS BIGINT) * 256 + ($bktTerms) AS blk
+         |         CAST(a.assigned_cell AS BIGINT) * 256 + ($miningBktTermsSql) AS blk
          |  FROM embeddings e JOIN asg a USING (vec_id), psel s),
-         |prs AS (
-         |  SELECT x.vec_id AS anchor_id, y.vec_id AS cand_id,
-         |         CASE WHEN x.label = y.label THEN 'pos' ELSE 'neg' END AS kind,
-         |         ${cosSql("x.embedding", "y.embedding")} AS cos
-         |  FROM lab x JOIN lab y ON x.blk = y.blk AND x.vec_id <> y.vec_id),
-         |mrk AS (SELECT anchor_id, kind, cand_id,
-         |        row_number() OVER (PARTITION BY anchor_id, kind ORDER BY cos DESC, cand_id) AS rank
-         |        FROM prs)
-         |SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank, cand_id AS neighbor_id
-         |FROM mrk WHERE rank <= 3""".stripMargin
+         |$miningPairChainSql""".stripMargin
+    },
+    // the scaled miner's oracle: the SAME expansion (R = ceil(T/N)
+    // replicas, labels rotated mod 10, replicas inherit their
+    // original's cell and SRP bucket — the embedding is unchanged)
+    // and the SAME staircase evaluated over N*R, so both engines run
+    // the p >= 1 approximate regime at identical sizes; the pair
+    // chain is shared verbatim with the plain miner's oracle
+    "mine_contrastive_scaled" -> {
+      val t = graft.operators.Similarity.MiningBlockThreshold
+      s"""$ivfAssignCtes,
+         |rsel AS MATERIALIZED (
+         |  SELECT n0, (${t - 1} + n0) // n0 AS r, n0 * ((${t - 1} + n0) // n0) AS n
+         |  FROM (SELECT count(*) AS n0 FROM embeddings)),
+         |psel AS (SELECT r, $miningStaircaseSql AS p FROM rsel),
+         |reps AS (SELECT unnest(generate_series(0, r - 1)) AS rep FROM rsel),
+         |lab AS MATERIALIZED (
+         |  SELECT e.vec_id * s.r + rep AS vec_id,
+         |         (CAST(e.label AS INT) + rep) % 10 AS label, e.embedding,
+         |         CAST(a.assigned_cell AS BIGINT) * 256 + ($miningBktTermsSql) AS blk
+         |  FROM embeddings e JOIN asg a USING (vec_id), psel s, reps),
+         |$miningPairChainSql""".stripMargin
     },
     "sample_cluster_quota" ->
       s"""$ivfAssignCtes,

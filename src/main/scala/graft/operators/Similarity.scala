@@ -434,13 +434,22 @@ object Similarity {
       )
   }
 
+  /** First corpus size at which [[mineContrastive]]'s SRP staircase
+    * activates (and each doubling past it adds one plane). The ONE
+    * constant the Scala staircase, the scaled gate's expansion
+    * target, and the oracle's generated CASE chain all derive from —
+    * the ServedQueryCutoff rule.
+    */
+  val MiningBlockThreshold: Long = 5120L
+
   /** SRP prefix length for [[mineContrastive]]'s block key: one plane
-    * per corpus doubling past 5120 vectors (capped at 8), holding the
-    * expected (cell × bucket) block in the 256-512 range (10 label cells × 2^p buckets). Pure integer
+    * per corpus doubling past [[MiningBlockThreshold]] vectors
+    * (capped at 8), holding the expected (cell × bucket) block in the
+    * 256-512 range (10 label cells × 2^p buckets). Pure integer
     * staircase so the oracle's CASE chain flips at identical sizes.
     */
   private[graft] def miningPrefixPlanes(n: Long): Int =
-    Seq(5120L, 10240L, 20480L, 40960L, 81920L, 163840L, 327680L, 655360L).count(n >= _)
+    (0 until 8).count(i => n >= (MiningBlockThreshold << i))
 
   /** Contrastive triplet mining — the training-data op an embedding-
     * model team runs over the corpus: for every anchor vector, the
@@ -507,6 +516,82 @@ object Similarity {
         col("blk"),
         col("vec_id").as("cand_id"),
         col("label").as("label_b"),
+        col("embedding").as("eb"),
+      )
+    val w = Window.partitionBy("anchor_id", "kind").orderBy(col("cos").desc, col("cand_id"))
+    graft.operators.Skew
+      .saltedBlockJoin(a, b, "blk", "anchor_id", targetRows)
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .select(
+        col("anchor_id"),
+        col("cand_id"),
+        when(col("label_a") === col("label_b"), lit("pos")).otherwise(lit("neg")).as("kind"),
+        cosine(col("ea"), col("eb")).as("cos"),
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perKind)
+      .select(col("anchor_id"), col("kind"), col("rank"), col("cand_id").as("neighbor_id"))
+  }
+
+  /** [[mineContrastive]] in its APPROXIMATE (p ≥ 1) regime, oracle-
+    * gated at every driver SF: the staircase only activates past
+    * [[miningPrefixPlanes]]'s first threshold (5120 vectors), and all
+    * three driver-test corpora sit below it — so the plain gate's
+    * green rows only ever check the EXACT (p = 0) semantics. This
+    * gate DETERMINISTICALLY expands the corpus past the threshold so
+    * the SRP block keys, the `lshBucket` sign bits, and the staircase
+    * CASE chain are hash-matched against DuckDB in the regime a
+    * production corpus actually runs in.
+    *
+    * Expansion: each vector is replicated R = ⌈minVectors / N⌉ times
+    * (vec_id' = vec_id·R + rep, label' = (label + rep) mod 10, the
+    * embedding itself unchanged — replicas share their original's
+    * cell and SRP bucket, so blocking is exercised without inventing
+    * cross-engine float fixtures). By construction N·R lands in
+    * [5120, 10240) whenever N < 5120 — p = 1 exactly, and the gate's
+    * pair work is CORPUS-SIZE-INDEPENDENT (≈ (N·R)·⌀block ≈ 5120·260
+    * cosines at every driver SF); at N ≥ 5120 the expansion
+    * degenerates to R = 1 and this IS the plain miner at its real
+    * size. Label rotation keeps the pos/neg kind split live across
+    * replicas; cosine ties between replicas break on cand_id — the
+    * deterministic-window rule. The `require` makes a regression
+    * into the exact regime loud rather than silently green.
+    */
+  def mineContrastiveScaled(
+      spark: SparkSession,
+      dir: String,
+      minVectors: Long = MiningBlockThreshold,
+      perKind: Int = 3,
+      targetRows: Long = 1L << 16,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    IvfIndex.assignments(spark, dir) // ensure the named artifact exists
+    val n = Tables(spark, dir, "embeddings").count()
+    val r = ((minVectors + n - 1) / n).max(1L)
+    val p = miningPrefixPlanes(n * r)
+    require(p >= 1, s"scaled corpus ${n * r} must sit past the first SRP threshold")
+    def bkt: Column =
+      graft.functions.VectorFunctions.lshBucket(col("embedding"), p).cast("long")
+    def asgRef = spark
+      .table(graft.util.NamedArtifact.viewName("graft_ivf_round1", dir))
+      .select(col("vec_id"), col("embedding"), (col("cell").cast("long") * 256L + bkt).as("blk"))
+    def reps = spark.range(r).select(col("id").as("rep"))
+    val a = asgRef
+      .join(Tables.parallel(spark, dir, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      .crossJoin(reps)
+      .select(
+        col("blk"),
+        (col("vec_id") * r + col("rep")).as("anchor_id"),
+        pmod(col("label").cast("long") + col("rep"), lit(10L)).as("label_a"),
+        col("embedding").as("ea"),
+      )
+    val b = asgRef
+      .join(Tables(spark, dir, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      .crossJoin(reps)
+      .select(
+        col("blk"),
+        (col("vec_id") * r + col("rep")).as("cand_id"),
+        pmod(col("label").cast("long") + col("rep"), lit(10L)).as("label_b"),
         col("embedding").as("eb"),
       )
     val w = Window.partitionBy("anchor_id", "kind").orderBy(col("cos").desc, col("cand_id"))

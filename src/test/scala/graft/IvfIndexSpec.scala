@@ -145,6 +145,50 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("scaled mining runs the approximate p >= 1 regime and its invariants hold") {
+    import graft.operators.Similarity
+    val n = Tables(spark, sf, "embeddings").count()
+    val r = (Similarity.MiningBlockThreshold + n - 1) / n
+    // the gate's whole point: the expanded corpus sits PAST the first
+    // staircase threshold, so the SRP prefix is live (p >= 1), while
+    // the plain gate's corpus sits below it (p = 0)
+    assert(Similarity.miningPrefixPlanes(n) == 0, "fixture must be in the exact regime")
+    assert(Similarity.miningPrefixPlanes(n * r) >= 1, "scaled corpus must be approximate")
+    val asg = IvfIndex.assignments(spark, sf).collect()
+      .map(row => row.getLong(0) -> row.getInt(1)).toMap
+    val rows = Similarity.mineContrastiveScaled(spark, sf).collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getLong(2), row.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, kind, rank, nb) =>
+      assert(a != nb, "anchor mined itself")
+      // replicas inherit their original's cell: the block key's cell
+      // half must agree (original id = replica id / r)
+      assert(asg(a / r) == asg(nb / r), s"pair ($a,$nb) crossed the cell block")
+      assert(rank >= 1 && rank <= 3)
+      assert(kind == "pos" || kind == "neg")
+    }
+    // kinds follow the ROTATED labels (label' = (label + rep) mod 10)
+    val labels = Tables(spark, sf, "embeddings").select(col("vec_id"), col("label"))
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    rows.foreach { case (a, kind, _, nb) =>
+      val same = (labels(a / r) + a % r) % 10 == (labels(nb / r) + nb % r) % 10
+      assert(if (kind == "pos") same else !same, s"kind mislabeled for ($a,$nb)")
+    }
+    // the SRP prefix demonstrably gates the blocking: every mined
+    // pair collides on the p sign bits, and at least one cell is
+    // genuinely SPLIT by them (so p >= 1 changed the candidate sets
+    // relative to the exact cell-only miner)
+    val p = Similarity.miningPrefixPlanes(n * r)
+    val bk = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), graft.functions.VectorFunctions.lshBucket(col("embedding"), p).as("bk"))
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    rows.foreach { case (a, _, _, nb) =>
+      assert(bk(a / r) == bk(nb / r), s"pair ($a,$nb) crossed the SRP bucket")
+    }
+    val splitCells = bk.keys.groupBy(asg).values.count(_.map(bk).toSet.size > 1)
+    assert(splitCells >= 1, "the SRP plane must split at least one cell's candidates")
+  }
+
   test("simhash64: identical texts collide, different texts differ") {
     import spark.implicits._
     val df = Seq(
