@@ -517,6 +517,10 @@ object SparkEntry {
     // media-level exact dedup on the EXTRACTED payload bytes: content
     // identity across container wrappers, full-payload parser check
     "multimodal_payload_dedup" -> (Multimodal.payloadDedup _),
+    // perceptual near-dup over decoded image payloads: 63-bit dHash
+    // gradient fingerprint, pigeonhole-banded pairing (never
+    // all-pairs), hamming <= 7
+    "multimodal_phash_dedup" -> (Multimodal.perceptualNearDupPairs(_, _)),
     // capstone composition: quality filter + keep-best dedup + split
     // assignment → the per (source, split) provisioning table
     "curation_pipeline" -> (graft.operators.Curation.curationSummary _),
@@ -4394,5 +4398,46 @@ object SparkEntry {
         |g AS (SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_sharers FROM m GROUP BY 1)
         |SELECT m.doc_id, m.media_type, m.n_payload, m.payload_md5, g.n_sharers
         |FROM m JOIN g USING (payload_md5)""".stripMargin,
+    // perceptual dHash near-dups over the generated image fixture
+    // (Multimodal.phashMediaTable): two variants per document base,
+    // pixel_j = first md5 byte of 'base|j' mod 200 (+8 on one
+    // downsample block for v=1), 64 area-averaged blocks,
+    // adjacent-mean gradient signs as a 63-bit fingerprint, 8-band
+    // pigeonhole candidates, hamming <= 7. Block of 0-based pixel j
+    // under boundaries floor(i*n/64) is (64*j + 63) // n (the
+    // ceil-minus-one identity). This oracle regenerates the pixel
+    // surface analytically — the engine's decode path (container
+    // synthesis, magic dispatch, payload walk) must reproduce it
+    // byte-exactly
+    "multimodal_phash_dedup" ->
+      """WITH m AS (
+        |  SELECT d.doc_id * 2 + v.v AS id, d.doc_id AS base, v.v AS v,
+        |         192 + d.doc_id % 101 AS n
+        |  FROM documents d, (SELECT unnest([0, 1]) AS v) v),
+        |px AS (
+        |  SELECT id, (64 * j + 63) // n AS i,
+        |         ((strpos('0123456789abcdef',
+        |             substr(md5(CAST(base AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef',
+        |             substr(md5(CAST(base AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 2, 1)) - 1) % 200
+        |           + CASE WHEN v = 1 AND (64 * j + 63) // n = base % 64
+        |                  THEN 8 ELSE 0 END AS p
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) s),
+        |bm AS MATERIALIZED (
+        |  SELECT id, i, sum(p) // count(*) AS m FROM px GROUP BY id, i),
+        |fp AS MATERIALIZED (
+        |  SELECT a.id,
+        |         CAST(sum(CASE WHEN b.m > a.m THEN 1::BIGINT << a.i ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bm a JOIN bm b ON b.id = a.id AND b.i = a.i + 1
+        |  WHERE a.i < 63 GROUP BY a.id),
+        |bands AS MATERIALIZED (
+        |  SELECT id, fp, j,
+        |         (fp >> (8 * j)) & (CASE WHEN j = 7 THEN 127 ELSE 255 END) AS bv
+        |  FROM fp, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) s),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, x.fp AS fa, y.fp AS fb
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin,
   )
 }

@@ -228,6 +228,17 @@ object Multimodal {
       } else Array.emptyByteArray
     }
 
+    /** Image-payload extraction for the perceptual tier: the decoded
+      * pixel surface of a PNG/JPEG container (here: the extracted
+      * payload bytes — the deterministic stand-in this container-only
+      * corpus uses for a codec's pixel output), None for non-image
+      * containers. A production deployment swaps in the real codec
+      * here; everything downstream (sampling grid, gradient hash,
+      * banded pairing) is codec-independent.
+      */
+    def imagePixels(b: Array[Byte]): Option[Array[Byte]] =
+      if (isPng(b) || isJpeg(b)) Some(payload(b)) else None
+
     def decode(r: MediaRecord): MediaFeatures = {
       val b = r.content
       val magic = b.take(4).map("%02x".format(_)).mkString
@@ -312,6 +323,156 @@ object Multimodal {
     val groups = hashed.groupBy("payload_md5").agg(count(lit(1)).as("n_sharers"))
     hashed.join(groups, "payload_md5")
       .select(col("doc_id"), col("media_type"), col("n_payload"), col("payload_md5"), col("n_sharers"))
+  }
+
+  /** 63-bit difference hash (dHash) of an image payload: the pixel
+    * stream is DOWNSAMPLED BY AREA AVERAGING into 64 equal blocks
+    * (boundaries ⌊i·n/64⌋ — the 1-D analogue of the resize step in
+    * the classic perceptual dHash; a first cut point-SAMPLED 64
+    * pixels instead and was shift-fragile: a single short insertion
+    * re-aligned every downstream sample, so only byte-exact dups
+    * collided and the gate was empty at two SFs), bit i set when
+    * block mean i+1 > block mean i. Block means are integer floor
+    * divisions — exact on both engines. 63 bits (not 64) so the
+    * fingerprint and the oracle's bit algebra stay inside
+    * non-overflowing BIGINT on both engines (1 << 63 wraps silently
+    * in the JVM and errors in DuckDB). Requires ≥ 64 pixels (every
+    * block nonempty).
+    */
+  private[graft] def dhash63(pixels: Array[Byte]): Long = {
+    val n = pixels.length
+    def blockMean(i: Int): Long = {
+      val s = (i.toLong * n / 64).toInt
+      val e = ((i + 1).toLong * n / 64).toInt
+      var sum = 0L
+      var j = s
+      while (j < e) { sum += pixels(j) & 0xff; j += 1 }
+      sum / (e - s)
+    }
+    var fp = 0L
+    var prev = blockMean(0)
+    var i = 1
+    while (i <= 63) {
+      val cur = blockMean(i)
+      if (cur > prev) fp |= 1L << (i - 1)
+      prev = cur
+      i += 1
+    }
+    fp
+  }
+
+  /** The perceptual-dedup fixture: a GENERATED image corpus with
+    * planted near-dups, one base per document and two variants per
+    * base (media id = doc_id·2 + v). Variant 0 is a deterministic
+    * pixel texture of the base (pixel_j = (base·37 + j·11) mod 200);
+    * variant 1 perturbs EXACTLY ONE downsample block (+8 on block
+    * base mod 64) — the LOCAL edit a re-encoded/re-touched image
+    * exhibits, which is what perceptual hashing detects. (The
+    * document TEXT surface was measured useless here: corpus
+    * near-dups are token insertions, i.e. SHIFTS of the byte stream,
+    * which decorrelate every downstream block mean — that is MinHash
+    * territory, and the first two cuts of this gate came back empty
+    * at two SFs. Real images don't shift under edits; this fixture
+    * models them honestly.) Pixels are wrapped in byte-valid PNG
+    * (v=0) / JPEG (v=1) containers so the gate still exercises the
+    * full decode path: magic dispatch → payload extraction → hash.
+    * Every pixel is an integer function of (doc_id, j), so the
+    * oracle regenerates the surface analytically — no bytes cross
+    * engines. Pixel values stay ≤ 215, so no 0xff byte can alias a
+    * JPEG marker in the entropy walk.
+    */
+  private[graft] def phashMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { bases =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // pseudorandom texture via md5 (an affine-in-j texture mod m
+        // is the SAME cyclic sequence phase-shifted per base — block
+        // means then correlate across bases and 21% of ALL pairs
+        // landed within hamming 7; hashing decorrelates them, so the
+        // only pairs left are the planted variants)
+        def pixel(base: Long, j: Int): Int = {
+          md.reset()
+          (md.digest(s"$base|$j".getBytes("UTF-8"))(0) & 0xff) % 200
+        }
+        bases.flatMap { base =>
+          val n = 192 + (base % 101).toInt
+          val hot = (base % 64).toInt
+          Seq(0, 1).map { v =>
+            val id = base * 2 + v
+            val px = Array.tabulate(n) { j =>
+              val blk = ((64L * j + 63) / n).toInt
+              (pixel(base, j) + (if (v == 1 && blk == hot) 8 else 0)).toByte
+            }
+            if (v == 0)
+              MediaRecord(id, "png", MediaPayload.png((id % 637).toInt + 1, (id % 479).toInt + 1, px))
+            else
+              MediaRecord(id, "jpeg", MediaPayload.jpeg((id % 641).toInt + 1, (id % 443).toInt + 1, px))
+          }
+        }
+      }
+  }
+
+  /** Perceptual near-dup pairs over decoded image payloads — the
+    * multimodal analogue of [[graft.operators.Dedup.simhashHammingPairs]]:
+    * decode (per-partition, amortized) → [[dhash63]] fingerprint →
+    * PIGEONHOLE MULTI-INDEX pairing. The 63-bit fingerprint splits
+    * into maxHamming+1 = 8 disjoint bands (7×8 + 1×7 bits); any pair
+    * within hamming ≤ 7 agrees exactly on ≥ 1 band, so blocking on
+    * (band, value) has no false negatives and the hamming filter
+    * kills the false positives — NEVER all-pairs: comparison count is
+    * Σ|band bucket|², driven by perceptual-dup density, not corpus
+    * size, and hot buckets spread over bounded sub-tasks via the
+    * salted block join (the simhash scale argument, verbatim).
+    *
+    * Runs over the [[phashMediaTable]] fixture (see there for why the
+    * text surface cannot carry this gate); each base's two variants
+    * differ in one block → ≤ 2 gradient bits, so the planted pairs
+    * MUST surface, while cross-base textures sit ~31 bits apart and
+    * only meet through the hamming filter killing band-collision
+    * false positives. Non-image containers are excluded by the
+    * decoder's magic dispatch; payloads under 64 pixels cannot fill
+    * the downsample grid and are skipped on both engines.
+    */
+  def perceptualNearDupPairs(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = 7,
+      targetRows: Long = 1L << 16,
+  ): DataFrame = {
+    val nBands = maxHamming + 1
+    def bandVal(fp: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column = {
+      val width = if (j == nBands - 1) 63 - 8 * j else 8
+      shiftrightunsigned(fp, 8 * j).bitwiseAND(lit((1L << width) - 1))
+    }
+    def banded(idCol: String, fpCol: String): DataFrame = {
+      import spark.implicits._
+      phashMediaTable(spark, dir)
+        .mapPartitions { it =>
+          // per-partition decoder setup amortizes here (codec-once)
+          it.flatMap { r =>
+            HeaderDecode.imagePixels(r.content)
+              .filter(_.length >= 64)
+              .map(px => (r.doc_id, dhash63(px)))
+          }
+        }
+        .toDF(idCol, fpCol)
+        .select(
+          col(idCol),
+          col(fpCol),
+          explode(array((0 until nBands).map(j =>
+            concat_ws("|", lit(j), bandVal(col(fpCol), j))): _*)).as("__bucket"),
+        )
+    }
+    Skew
+      .saltedBlockJoin(banded("doc_a", "fp_a"), banded("doc_b", "fp_b"), "__bucket", "doc_a", targetRows)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Frame sampling: explode each media payload into one row per

@@ -292,4 +292,33 @@ class ExtensionsSpec extends AnyFunSuite {
         s"id $id (${rec.media_type}): got ${got.length} bytes, expected ${expected.length}")
     }
   }
+
+  test("perceptual dHash: local edits stay within hamming budget, shifts and noise do not") {
+    import Multimodal.dhash63
+    val base = Array.tabulate(256)(j => (((j * 40503 + 17) >>> 3) % 200).toByte)
+    // identical pixels -> identical fingerprint
+    assert(dhash63(base) == dhash63(base.clone()))
+    // a LOCAL perturbation (one downsample block, +8) moves at most
+    // the two gradient bits that border the block
+    val local = base.clone()
+    for (j <- 64 until 68) local(j) = (local(j) + 8).toByte // block 16 of 64 (4 px blocks)
+    val hLocal = java.lang.Long.bitCount(dhash63(base) ^ dhash63(local))
+    assert(hLocal <= 2, s"local edit moved $hLocal bits")
+    // a 3-pixel SHIFT decorrelates downstream blocks — far past the
+    // pairing budget (this is why the gate runs on the generated
+    // image fixture, not the token-insertion text corpus)
+    val shifted = Array.tabulate(256)(j => base((j + 3) % 256))
+    assert(java.lang.Long.bitCount(dhash63(base) ^ dhash63(shifted)) > 7)
+  }
+
+  test("perceptual near-dup gate surfaces exactly the planted variant pairs") {
+    val rows = Multimodal.perceptualNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nBases = graft.sources.Tables(spark, sf, "documents").count()
+    assert(rows.length.toLong == nBases, "one planted pair per document base, no false positives")
+    rows.foreach { case (a, b, h) =>
+      assert(b == a + 1 && a % 2 == 0, s"pair ($a,$b) is not a planted (v0, v1) variant pair")
+      assert(h >= 0 && h <= 2, s"planted pair ($a,$b) drifted to hamming $h")
+    }
+  }
 }
