@@ -418,10 +418,18 @@ object StreamingQueries {
     * the dedup state store must survive the restart, not just the
     * offset log.
     */
-  def streamDedupChunked(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame = {
-    // the exact eventsStream read path (nanos conf + single-file/
-    // directory layout dispatch + contracts — the r10 review caught a
-    // hand-rolled copy that skipped both), plus the read limit
+  def streamDedupChunked(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame =
+    dedupLineageOver(eventsStreamChunked(spark, dir, maxFilesPerTrigger))
+
+  /** [[eventsStream]] with a `maxFilesPerTrigger` read limit so
+    * AvailableNow processes the corpus as several micro-batches —
+    * the surface the restart-under-load proof and the stateful
+    * scaling rehearsal drive (state must ACCUMULATE across batches
+    * to be worth measuring). Same read path as eventsStream (nanos
+    * conf + layout dispatch + contracts — the r10 review caught a
+    * hand-rolled copy that skipped both).
+    */
+  def eventsStreamChunked(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fallback = new StructType()
       .add("event_id", LongType)
@@ -430,14 +438,13 @@ object StreamingQueries {
       .add("event_type", StringType)
       .add("value", DoubleType)
       .add("props", StringType)
-    dedupLineageOver(
-      tableStream(
-        spark,
-        dir,
-        "events",
-        fallback,
-        Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString),
-      ))
+    tableStream(
+      spark,
+      dir,
+      "events",
+      fallback,
+      Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString),
+    )
   }
 
   def streamDedupViaSink(spark: SparkSession, dir: String, outPath: String): DataFrame =
