@@ -525,6 +525,10 @@ object SparkEntry {
     // hash to the same split by construction)
     "decontamination_fuzzy" -> ((s, d) => graft.operators.Sampling.fuzzyDecontamination(s, d)),
     "decontamination_bloom" -> ((s, d) => graft.operators.Sampling.trainTestShingleOverlapBloom(s, d)),
+    // embedding-space decontamination: train vectors that are cosine
+    // near-dups of any test vector (the paraphrase leak the n-gram
+    // legs miss), per-train-vector hit counts
+    "decontamination_semantic" -> ((s, d) => graft.operators.Sampling.semanticDecontamination(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
     // media-level exact dedup on the EXTRACTED payload bytes: content
     // identity across container wrappers, full-payload parser check
@@ -4390,6 +4394,26 @@ object SparkEntry {
     // (no false negatives; false positives die in the exact confirm
     // join) — so it gates against the same SQL
     "decontamination_bloom" -> decontaminationSql,
+    // the semantic leg: the embedding near-dup pair chain restricted
+    // to the train x test slice of the vec_id-hash split
+    "decontamination_semantic" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |sp AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|vsplit'), 1, 2) < 'cc' THEN 'train'
+         |              WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|vsplit'), 1, 2) < 'e6' THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT CASE WHEN sa.split = 'train' THEN p.va ELSE p.vb END AS train_vec_id
+         |  FROM p JOIN sp sa ON sa.vec_id = p.va JOIN sp sb ON sb.vec_id = p.vb
+         |  WHERE (sa.split = 'train' AND sb.split = 'test')
+         |     OR (sa.split = 'test' AND sb.split = 'train'))
+         |SELECT train_vec_id, CAST(count(*) AS BIGINT) AS n_test_near_dups
+         |FROM x GROUP BY train_vec_id""".stripMargin,
     "session_windows" ->
       """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),

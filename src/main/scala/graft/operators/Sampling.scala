@@ -294,6 +294,39 @@ object Sampling {
       .agg(count(lit(1)).as("n_test_near_dups"), max("jaccard").as("max_jaccard"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space leg of the
+    * contamination sweep (the n-gram legs miss paraphrases; a test
+    * item whose train-side twin was reworded shares no shingles but
+    * sits next to it in embedding space): train-split vectors that
+    * are embedding-cosine near-dups of any test-split vector, with
+    * the per-train-vector hit count. Rides the SAME bucketed pair
+    * pipeline as the embedding dedup tier
+    * ([[graft.operators.Similarity.embeddingNearDupPairs]] — cell-
+    * blocked, salted, never all-pairs) plus two id-keyed split
+    * lookups; the split is the deterministic md5 threshold over
+    * vec_id (a vector-only table has no content to hash — the id is
+    * the reproducible handle; at a deployment the doc-content split
+    * propagates to the doc's vectors, same mechanics). Output is
+    * integer-only (ids + counts); cosine orders nothing and is never
+    * emitted.
+    */
+  def semanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val splits = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), assignSplit(col("vec_id").cast("string"), "vsplit").as("split"))
+    graft.operators.Similarity
+      .embeddingNearDupPairs(spark, dir)
+      .select("vec_a", "vec_b")
+      .join(splits.select(col("vec_id").as("vec_a"), col("split").as("split_a")), Seq("vec_a"))
+      .join(splits.select(col("vec_id").as("vec_b"), col("split").as("split_b")), Seq("vec_b"))
+      .filter(
+        (col("split_a") === "train" && col("split_b") === "test") ||
+          (col("split_a") === "test" && col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("vec_a")).otherwise(col("vec_b")).as("train_vec_id"))
+      .groupBy("train_vec_id")
+      .agg(count(lit(1)).as("n_test_near_dups"))
+  }
+
   /** Benchmark decontamination: training documents that share word
     * shingles with any held-out (test-split) document, with the count
     * of distinct shared shingles — the standard n-gram-overlap

@@ -249,6 +249,34 @@ class TextPipelineSpec extends AnyFunSuite {
     } finally rows.unpersist()
   }
 
+  test("semantic decontamination: flags exactly the train x test slice of the pair graph") {
+    import org.apache.spark.sql.functions._
+    // in-memory recompute from the same pair table + the vec_id-hash
+    // split rule — the gate must equal it row-for-row
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$id|vsplit".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val pairs = graft.operators.Similarity.embeddingNearDupPairs(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .flatMap { case (a, b) =>
+        (splitOf(a), splitOf(b)) match {
+          case ("train", "test") => Some(a)
+          case ("test", "train") => Some(b)
+          case _ => None
+        }
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Sampling.semanticDecontamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"gate ${got.size} rows != recompute ${expected.size}")
+    // a val x test or train x val pair must never be flagged: the
+    // sweep is strictly about the held-out TEST boundary
+    got.keys.foreach(id => assert(splitOf(id) == "train"))
+  }
+
   test("classifier scoring: feature identity, bounds, and the trained-weight-table twin") {
     val scores = TextAnalysis.classifierScores(spark, sf).cache()
     try {
