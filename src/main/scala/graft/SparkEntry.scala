@@ -529,6 +529,9 @@ object SparkEntry {
     // near-dups of any test vector (the paraphrase leak the n-gram
     // legs miss), per-train-vector hit counts
     "decontamination_semantic" -> ((s, d) => graft.operators.Sampling.semanticDecontamination(s, d)),
+    // the ingest twin: arriving candidate vectors probe the FIXED
+    // test bank stream-static before landing (scrub-before-train)
+    "stream_decontamination" -> (StreamingQueries.decontaminationViaSink _),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
     // media-level exact dedup on the EXTRACTED payload bytes: content
     // identity across container wrappers, full-payload parser check
@@ -4414,6 +4417,26 @@ object SparkEntry {
          |     OR (sa.split = 'test' AND sb.split = 'train'))
          |SELECT train_vec_id, CAST(count(*) AS BIGINT) AS n_test_near_dups
          |FROM x GROUP BY train_vec_id""".stripMargin,
+    // the ingest guard's oracle: arriving (past-cutoff, non-test)
+    // candidates x the fixed test bank, same cell + threshold
+    "stream_decontamination" ->
+      s"""WITH cut AS (SELECT 9 * max(vec_id) // 10 AS c FROM embeddings),
+         |sp AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|vsplit'), 1, 2) < 'cc' THEN 'train'
+         |              WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|vsplit'), 1, 2) < 'e6' THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT a.vec_id AS cand_vec_id, t.vec_id AS tv
+         |  FROM embeddings a
+         |  JOIN sp sa ON sa.vec_id = a.vec_id
+         |  JOIN embeddings t ON a.label = t.label
+         |  JOIN sp st ON st.vec_id = t.vec_id, cut
+         |  WHERE a.vec_id > cut.c AND sa.split <> 'test' AND st.split = 'test'
+         |    AND ${cosSql("a.embedding", "t.embedding")} >= ${graft.operators.Sampling.IngestDecontaminationCosine})
+         |SELECT cand_vec_id, CAST(count(*) AS BIGINT) AS n_test_near_dups
+         |FROM x GROUP BY cand_vec_id""".stripMargin,
     "session_windows" ->
       """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),

@@ -310,6 +310,15 @@ object Sampling {
     * integer-only (ids + counts); cosine orders nothing and is never
     * emitted.
     */
+  /** The ingest guard's cosine threshold — deliberately LOOSER than
+    * the batch near-dup tier's 0.4: a scrub-before-train quarantine
+    * tolerates false positives (a human or a stricter second pass
+    * adjudicates the queue), while a missed leak is unrecoverable
+    * once trained on. One constant, interpolated into the stream
+    * filter and the oracle (the ServedQueryCutoff rule).
+    */
+  val IngestDecontaminationCosine: Double = 0.2
+
   def semanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
     val splits = graft.sources.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), assignSplit(col("vec_id").cast("string"), "vsplit").as("split"))

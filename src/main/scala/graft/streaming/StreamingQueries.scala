@@ -1107,6 +1107,47 @@ object StreamingQueries {
   def pqReencodeViaSink(spark: SparkSession, dir: String): DataFrame =
     runAppendToParquet(spark, pqReencodeStream(spark, dir), scratchSinkDir("pqreenc") + "/out")
 
+  /** Ingest-time semantic decontamination — the contamination guard
+    * run WHERE it matters at 100 TB: before candidate training data
+    * lands, not as a batch sweep afterwards. Arriving candidate
+    * vectors (vec_id past the 90% increment cutoff, not themselves
+    * test-split) probe the FIXED test bank (the test-split vectors —
+    * a held-out benchmark is a static asset) via a stream-static
+    * label-cell join + cosine threshold; hits land as
+    * (cand_vec_id, test_vec_id) pairs and the read-back dedups
+    * replays and aggregates per-candidate hit counts. Stateless —
+    * offset-log-only state; the bank is the state, maintained outside
+    * the stream (the stored-index probe pattern).
+    */
+  def decontaminationStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    import graft.operators.Sampling
+    val cutoff = graft.sources.Tables(spark, dir, "embeddings")
+      .agg(expr("9 * max(vec_id) DIV 10")).head.getLong(0)
+    def splitOf(c: org.apache.spark.sql.Column) =
+      Sampling.assignSplit(c.cast("string"), "vsplit")
+    val bank = graft.sources.Tables(spark, dir, "embeddings")
+      .filter(splitOf(col("vec_id")) === "test")
+      .select(col("label"), col("vec_id").as("test_vec_id"), col("embedding").as("te"))
+    val fallback = new StructType()
+      .add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType))
+      .add("label", IntegerType)
+    val arriving = tableStream(spark, dir, "embeddings", fallback)
+      .filter(col("vec_id") > cutoff && splitOf(col("vec_id")) =!= "test")
+      .select(col("label"), col("vec_id").as("cand_vec_id"), col("embedding").as("ae"))
+    arriving
+      .join(bank, Seq("label"))
+      .filter(cosine(col("ae"), col("te")) >= Sampling.IngestDecontaminationCosine)
+      .select(col("cand_vec_id"), col("test_vec_id"))
+  }
+
+  def decontaminationViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, decontaminationStream(spark, dir), scratchSinkDir("decon") + "/out")
+      .dropDuplicates("cand_vec_id", "test_vec_id")
+      .groupBy("cand_vec_id")
+      .agg(count(lit(1)).as("n_test_near_dups"))
+
   /** Ingest-time quarantine (dead-letter channel): contract-failing
     * rows divert with a typed reason BEFORE landing — per-row
     * expressions shared with the batch gate
