@@ -318,6 +318,18 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+  /** The served edit-distance cutoff: pairs at or under this
+    * levenshtein-permille survive the verify. The ONE constant the
+    * batch gate ([[editRatioPairs]] default), the ingest probe
+    * (`StreamingQueries.streamEditProbe`) and both oracle SQLs
+    * (`SparkEntry.oracleSql` `dedup_edit_ratio` /
+    * `stream_edit_probe`) interpolate — the ServedQueryCutoff rule:
+    * a data-shape constant that several engines must agree on lives
+    * in exactly one place, so a retune moves every site together
+    * instead of desyncing a gate.
+    */
+  val EditPermilleCutoff: Int = 600
+
   /** Edit-distance near-dup verification over the SAME MinHash-LSH
     * candidate pairs as [[minhashLshPairs]] — the fuzzy-dedup family
     * measured in characters instead of shingle sets (catches
@@ -345,18 +357,6 @@ object Dedup {
     * only non-ASCII↔non-ASCII substitutions collapse — the documented
     * price of the portable metric.
     */
-  /** The served edit-distance cutoff: pairs at or under this
-    * levenshtein-permille survive the verify. The ONE constant the
-    * batch gate ([[editRatioPairs]] default), the ingest probe
-    * (`StreamingQueries.streamEditProbe`) and both oracle SQLs
-    * (`SparkEntry.oracleSql` `dedup_edit_ratio` /
-    * `stream_edit_probe`) interpolate — the ServedQueryCutoff rule:
-    * a data-shape constant that several engines must agree on lives
-    * in exactly one place, so a retune moves every site together
-    * instead of desyncing a gate.
-    */
-  val EditPermilleCutoff: Int = 600
-
   def editRatioPairs(
       spark: SparkSession,
       dir: String,

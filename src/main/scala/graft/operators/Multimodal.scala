@@ -391,27 +391,8 @@ object Multimodal {
     bands
   }
 
-  /** The perceptual-dedup fixture: a GENERATED image corpus with
-    * planted near-dups, one base per document and two variants per
-    * base (media id = doc_id·2 + v). Variant 0 is a deterministic
-    * pixel texture of the base (pixel_j = (base·37 + j·11) mod 200);
-    * variant 1 perturbs EXACTLY ONE downsample block (+8 on block
-    * base mod 64) — the LOCAL edit a re-encoded/re-touched image
-    * exhibits, which is what perceptual hashing detects. (The
-    * document TEXT surface was measured useless here: corpus
-    * near-dups are token insertions, i.e. SHIFTS of the byte stream,
-    * which decorrelate every downstream block mean — that is MinHash
-    * territory, and the first two cuts of this gate came back empty
-    * at two SFs. Real images don't shift under edits; this fixture
-    * models them honestly.) Pixels are wrapped in byte-valid PNG
-    * (v=0) / JPEG (v=1) containers so the gate still exercises the
-    * full decode path: magic dispatch → payload extraction → hash.
-    * Every pixel is an integer function of (doc_id, j), so the
-    * oracle regenerates the surface analytically — no bytes cross
-    * engines. Pixel values stay ≤ 215, so no 0xff byte can alias a
-    * JPEG marker in the entropy walk.
-    */
-  /** One generated fixture variant (see [[phashMediaTable]]): the
+  /** One generated fixture variant (the [[phashMediaTable]] unit,
+    * also synthesized at ingest by the streaming probe): the
     * pseudorandom md5 pixel texture of `base` (an affine-in-j texture
     * mod m is the SAME cyclic sequence phase-shifted per base — block
     * means then correlate across bases and 21% of ALL pairs landed
@@ -438,6 +419,25 @@ object Multimodal {
       MediaRecord(id, "jpeg", MediaPayload.jpeg((id % 641).toInt + 1, (id % 443).toInt + 1, px))
   }
 
+  /** The perceptual-dedup fixture: a GENERATED image corpus with
+    * planted near-dups, one base per document and two variants per
+    * base (media id = doc_id·2 + v — see [[phashVariantRecord]] for
+    * the md5 pixel texture and the one-block v=1 perturbation, the
+    * LOCAL edit a re-encoded/re-touched image exhibits, which is what
+    * perceptual hashing detects). The document TEXT surface was
+    * measured useless here: corpus near-dups are token insertions,
+    * i.e. SHIFTS of the byte stream, which decorrelate every
+    * downstream block mean — that is MinHash territory, and the first
+    * two cuts of this gate came back empty at two SFs. Real images
+    * don't shift under edits; this fixture models them honestly.
+    * Pixels are wrapped in byte-valid PNG (v=0) / JPEG (v=1)
+    * containers so the gate still exercises the full decode path:
+    * magic dispatch → payload extraction → hash. Every pixel is an
+    * integer function of (doc_id, j), so the oracle regenerates the
+    * surface analytically — no bytes cross engines. Pixel values stay
+    * ≤ 215, so no 0xff byte can alias a JPEG marker in the entropy
+    * walk.
+    */
   private[graft] def phashMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, dir, "documents")

@@ -294,6 +294,15 @@ object Sampling {
       .agg(count(lit(1)).as("n_test_near_dups"), max("jaccard").as("max_jaccard"))
   }
 
+  /** The ingest guard's cosine threshold — deliberately LOOSER than
+    * the batch near-dup tier's 0.4: a scrub-before-train quarantine
+    * tolerates false positives (a human or a stricter second pass
+    * adjudicates the queue), while a missed leak is unrecoverable
+    * once trained on. One constant, interpolated into the stream
+    * filter and the oracle (the ServedQueryCutoff rule).
+    */
+  val IngestDecontaminationCosine: Double = 0.2
+
   /** SEMANTIC decontamination — the embedding-space leg of the
     * contamination sweep (the n-gram legs miss paraphrases; a test
     * item whose train-side twin was reworded shares no shingles but
@@ -310,15 +319,6 @@ object Sampling {
     * integer-only (ids + counts); cosine orders nothing and is never
     * emitted.
     */
-  /** The ingest guard's cosine threshold — deliberately LOOSER than
-    * the batch near-dup tier's 0.4: a scrub-before-train quarantine
-    * tolerates false positives (a human or a stricter second pass
-    * adjudicates the queue), while a missed leak is unrecoverable
-    * once trained on. One constant, interpolated into the stream
-    * filter and the oracle (the ServedQueryCutoff rule).
-    */
-  val IngestDecontaminationCosine: Double = 0.2
-
   def semanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
     val splits = graft.sources.Tables(spark, dir, "embeddings")
       .select(col("vec_id"), assignSplit(col("vec_id").cast("string"), "vsplit").as("split"))

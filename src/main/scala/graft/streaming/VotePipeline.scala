@@ -61,11 +61,11 @@ object VotePipeline {
     * starting high-cardinality stateful queries (dedup on voter_id at
     * 100 TB).
     */
+  val RocksDbProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def useRocksDbStateStore(spark: SparkSession): Unit =
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProviderClass)
 
   /** Both reference aggregations from one shared lineage. Each
     * query gets its own checkpoint + state store, as in the

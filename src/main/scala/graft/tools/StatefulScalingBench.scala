@@ -56,7 +56,7 @@ object StatefulScalingBench {
 
     val providers: Seq[(String, String)] = Seq(
       "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-      "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "rocksdb" -> graft.streaming.VotePipeline.RocksDbProviderClass,
     )
 
     def gateStreams(dir: String): Seq[(String, () => DataFrame)] = {

@@ -384,12 +384,20 @@ class DedupClustersSpec extends AnyFunSuite {
     import spark.implicits._
     val base = (1 to 30).map(i => s"w$i")
     def withTok(tok: String) = (base.take(5) :+ tok).++(base.drop(6)).mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-editproj").toString
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft-editproj")
+    val tmp = tmpPath.toString
+    // recursive cleanup at test end — planted corpora must not
+    // accumulate in the system temp dir across runs
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
     Seq((1L, withTok("caf\u00e9")), (2L, withTok("caf\u0115")), (3L, withTok("core")))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val planted = Dedup.editRatioPairs(spark, tmp).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val planted =
+      try Dedup.editRatioPairs(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      finally rmTree(tmpPath.toFile)
     assert(planted.contains((1L, 2L)), "the é↔ĕ near-dup must survive banding")
     assert(planted((1L, 2L)) == 0L,
       "non-ASCII↔non-ASCII substitution must collapse under the projection")
