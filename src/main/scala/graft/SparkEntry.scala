@@ -540,6 +540,9 @@ object SparkEntry {
     // gradient fingerprint, pigeonhole-banded pairing (never
     // all-pairs), hamming <= 7
     "multimodal_phash_dedup" -> (Multimodal.perceptualNearDupPairs(_, _)),
+    // audio corpus accounting: per (rate, channels) bucket — files,
+    // PCM sample frames, integer-exact total duration
+    "multimodal_audio_stats" -> (Multimodal.audioStats _),
     // capstone composition: quality filter + keep-best dedup + split
     // assignment → the per (source, split) provisioning table
     "curation_pipeline" -> (graft.operators.Curation.curationSummary _),
@@ -4545,6 +4548,22 @@ object SparkEntry {
         |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)
         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
         |FROM h WHERE hamming <= 7""".stripMargin,
+    // audio accounting from the synthesis contract: WAV rows are
+    // doc_id % 3 = 1, rate/channels doc_id-derived, samples = the
+    // block-aligned body length over block_align (2 * channels)
+    "multimodal_audio_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 5) * 2000 AS rate,
+        |         CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |         (len(text) - len(text) % (2 * (doc_id % 2 + 1)))
+        |           // (2 * (doc_id % 2 + 1)) AS samples
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT CAST(rate AS INT) AS sample_rate, ch AS n_channels,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(samples) AS BIGINT) AS total_samples,
+        |       CAST(sum(1000 * samples // rate) AS BIGINT) AS total_duration_ms
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // the tf-index increment: exactly the landed era's postings,
     // aggregated to (doc_id, token, tf) — the slice a refresh appends
     "stream_tf_ingest" ->

@@ -530,6 +530,28 @@ object Multimodal {
       .distinct()
   }
 
+  /** Audio corpus accounting — the "how many hours at which sample
+    * rates" table every audio dataset report leads with: per
+    * (sample_rate, n_channels) bucket, file count, total PCM sample
+    * frames, and total duration (per-file ⌊1000·samples/rate⌋ ms,
+    * integer-exact cross-engine). Rides the decoded WAV shape from
+    * [[decodeFeatures]] (fmt/data chunk walk — audio rows are the
+    * ones the magic dispatch decoded a sample_rate for, never the
+    * metadata column); one per-partition decode pass, one
+    * |rate × channels|-key combine shuffle — scan speed at 100 TB.
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(asMediaTable(spark, dir))
+      .toDF()
+      .filter(col("sample_rate") > 0)
+      .withColumn("duration_ms", expr("(1000 * n_samples) div sample_rate"))
+      .groupBy("sample_rate", "n_channels")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("duration_ms")).as("total_duration_ms"),
+      )
+
   /** Frame sampling: explode each media payload into one row per
     * sampled frame — the generator/explode shape of per-frame feature
     * extraction. The frame count is a deterministic function of the
