@@ -324,6 +324,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(total <= 63 && total > 0)
   }
 
+  test("audio stats equal a per-file recount from the decoded features") {
+    import org.apache.spark.sql.functions._
+    val feats = Multimodal.decodeFeatures(Multimodal.asMediaTable(spark, sf)).collect()
+      .filter(_.sample_rate > 0)
+    val expected = feats
+      .groupBy(f => (f.sample_rate, f.n_channels))
+      .map { case (k, fs) =>
+        k -> (fs.length.toLong, fs.map(_.n_samples).sum, fs.map(f => 1000L * f.n_samples / f.sample_rate).sum)
+      }
+    val got = Multimodal.audioStats(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected, s"audio buckets ${got.size} != recount ${expected.size}")
+    // the synthesis contract spans 5 rates x 2 channel counts; a
+    // corpus large enough to hit every (doc_id % 5, % 2, % 3) residue
+    // must fill all 10 buckets
+    assert(got.size == 10, s"expected the full 5x2 bucket grid, got ${got.size}")
+  }
+
+  test("ingest-time perceptual probe equals the stored x arriving slice of the pair space") {
+    // in-memory recompute from the same fingerprints: every (stored
+    // v0, arriving v1) pair that collides on >= 1 band AND verifies
+    // at hamming <= 7 must land, and nothing else
+    val blocks = Multimodal.phashGridBlocks(
+      2L * graft.sources.Tables(spark, sf, "documents").count())
+    val fps = Multimodal.phashMediaTable(spark, sf).collect()
+      .flatMap(Multimodal.fingerprintOf(_, blocks)).toMap
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      (0 until 8).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
+    val expected = (for {
+      (ida, fa) <- fps.iterator if ida % 2 == 0
+      (idb, fb) <- fps.iterator if idb % 2 == 1
+      if (0 until 8).exists(j => fa(j) == fb(j))
+      h = ham(fa, fb) if h <= 7
+    } yield (ida, idb) -> h).toMap
+    val got = graft.streaming.StreamingQueries.phashProbeViaSink(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expected, s"probe landed ${got.size} pairs != recompute ${expected.size}")
+    assert(got.nonEmpty, "the planted v0/v1 pairs must surface through the probe")
+  }
+
   test("perceptual near-dup gate surfaces exactly the planted variant pairs") {
     val rows = Multimodal.perceptualNearDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
