@@ -543,6 +543,9 @@ object SparkEntry {
     // audio corpus accounting: per (rate, channels) bucket — files,
     // PCM sample frames, integer-exact total duration
     "multimodal_audio_stats" -> (Multimodal.audioStats _),
+    // perceptual keep policy: phash pairs closed under CC, exactly
+    // the component-minimum media id survives per cluster
+    "multimodal_phash_keep" -> (Multimodal.perceptualKeep _),
     // capstone composition: quality filter + keep-best dedup + split
     // assignment → the per (source, split) provisioning table
     "curation_pipeline" -> (graft.operators.Curation.curationSummary _),
@@ -4534,6 +4537,29 @@ object SparkEntry {
         |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)
         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
         |FROM h WHERE hamming <= 7""".stripMargin,
+    // the keep policy: the phash pair chain closed under recursive
+    // CC (the dedup_semantic_keep pattern), singleton media implicit
+    "multimodal_phash_keep" ->
+      s"""WITH RECURSIVE $phashCtes,
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id),
+        |hh AS (
+        |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
+        |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b),
+        |pp AS MATERIALIZED (SELECT doc_a AS va, doc_b AS vb FROM hh WHERE hamming <= 7),
+        |edges AS MATERIALIZED (SELECT va AS src, vb AS dst FROM pp
+        |          UNION ALL SELECT vb, va FROM pp),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
+        |cc AS MATERIALIZED (SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+        |ids AS (SELECT d.doc_id * 2 + v.v AS id
+        |        FROM documents d, (SELECT unnest([0, 1]) AS v) v)
+        |SELECT i.id AS media_id, COALESCE(cc.cl, i.id) AS media_cluster,
+        |       CAST(CASE WHEN COALESCE(cc.cl, i.id) = i.id THEN 1 ELSE 0 END AS INT) AS is_kept
+        |FROM ids i LEFT JOIN cc ON i.id = cc.id""".stripMargin,
     // the ingest-time probe's oracle: the SAME fingerprint chain,
     // pairs restricted to stored (v=0, even id) x arriving (v=1, odd
     // id) — the stream-static join's slice

@@ -530,6 +530,30 @@ object Multimodal {
       .distinct()
   }
 
+  /** Perceptual keep policy — the image tier's SemDeDup analogue
+    * (`Similarity.semanticKeep` for pixels): perceptual near-dup
+    * pairs ([[perceptualNearDupPairs]]) close under connected
+    * components (pairs alone under-delete: a~b, b~c is ONE redundant
+    * group), every media id gets a verdict (singletons implicit:
+    * cluster = self), and exactly the component-minimum id survives
+    * per cluster. At 100 TB this is the table the curation join
+    * consumes to drop re-encoded/re-touched image copies.
+    */
+  def perceptualKeep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = perceptualNearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    Tables(spark, dir, "documents")
+      .select(explode(array(col("doc_id") * 2, col("doc_id") * 2 + 1)).as("media_id"))
+      .join(cc, col("media_id") === col("doc_id"), "left")
+      .select(
+        col("media_id"),
+        coalesce(col("cluster_id"), col("media_id")).as("media_cluster"),
+        (coalesce(col("cluster_id"), col("media_id")) === col("media_id"))
+          .cast("int")
+          .as("is_kept"),
+      )
+  }
+
   /** Audio corpus accounting — the "how many hours at which sample
     * rates" table every audio dataset report leads with: per
     * (sample_rate, n_channels) bucket, file count, total PCM sample
