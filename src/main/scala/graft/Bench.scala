@@ -31,6 +31,7 @@ object Bench {
     graft.operators.PqIndex.invalidate()
     graft.operators.RelationalQueries.invalidate()
     graft.operators.TextAnalysis.invalidate()
+    graft.operators.Multimodal.invalidate()
   }
 
   def main(args: Array[String]): Unit = {

@@ -539,7 +539,7 @@ object SparkEntry {
     // perceptual near-dup over decoded image payloads: 63-bit dHash
     // gradient fingerprint, pigeonhole-banded pairing (never
     // all-pairs), hamming <= 7
-    "multimodal_phash_dedup" -> (Multimodal.perceptualNearDupPairs(_, _)),
+    "multimodal_phash_dedup" -> (Multimodal.perceptualNearDupPairsGate _),
     // audio corpus accounting: per (rate, channels) bucket — files,
     // PCM sample frames, integer-exact total duration
     "multimodal_audio_stats" -> (Multimodal.audioStats _),

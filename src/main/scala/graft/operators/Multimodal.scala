@@ -530,17 +530,53 @@ object Multimodal {
       .distinct()
   }
 
+  private val phashPairsCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized [[perceptualNearDupPairs]] — one persisted copy of the
+    * verified pair table serves both consumers (the pair gate and the
+    * keep policy) per (session, dir), exactly the
+    * `Dedup.minhashLshPairsShared` contract: at deployment scale the
+    * pair table is a stored artifact every downstream policy reads,
+    * and [[invalidate]] drops it between timed runs so the first
+    * consumer of a run pays the one build.
+    */
+  private def phashPairsShared(spark: SparkSession, dir: String): DataFrame =
+    phashPairsCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_phash_pairs", dir),
+        perceptualNearDupPairs(spark, dir),
+      )
+    }
+
+  /** Drop the memoized pair artifact (benchmark hygiene — the
+    * key-based by-name cleanup contract of `Dedup.invalidate`).
+    */
+  def invalidate(): Unit =
+    phashPairsCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_phash_pairs", dir))
+    }
+
+  /** The pair gate's entry point: the shared artifact, so the pair
+    * table is built once per (session, dir) however many policies
+    * read it.
+    */
+  def perceptualNearDupPairsGate(spark: SparkSession, dir: String): DataFrame =
+    phashPairsShared(spark, dir)
+
   /** Perceptual keep policy — the image tier's SemDeDup analogue
     * (`Similarity.semanticKeep` for pixels): perceptual near-dup
-    * pairs ([[perceptualNearDupPairs]]) close under connected
-    * components (pairs alone under-delete: a~b, b~c is ONE redundant
-    * group), every media id gets a verdict (singletons implicit:
-    * cluster = self), and exactly the component-minimum id survives
-    * per cluster. At 100 TB this is the table the curation join
-    * consumes to drop re-encoded/re-touched image copies.
+    * pairs ([[perceptualNearDupPairs]], via the shared artifact)
+    * close under connected components (pairs alone under-delete:
+    * a~b, b~c is ONE redundant group), every media id gets a verdict
+    * (singletons implicit: cluster = self), and exactly the
+    * component-minimum id survives per cluster. At 100 TB this is
+    * the table the curation join consumes to drop re-encoded/
+    * re-touched image copies.
     */
   def perceptualKeep(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = perceptualNearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = phashPairsShared(spark, dir).select(col("doc_a"), col("doc_b"))
     val cc = Dedup.connectedComponents(pairs)
     Tables(spark, dir, "documents")
       .select(explode(array(col("doc_id") * 2, col("doc_id") * 2 + 1)).as("media_id"))

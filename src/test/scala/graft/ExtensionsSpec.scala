@@ -364,6 +364,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the planted v0/v1 pairs must surface through the probe")
   }
 
+  test("perceptual keep: pair endpoints co-clustered, one keeper per cluster, full coverage") {
+    import org.apache.spark.sql.functions._
+    val keep = Multimodal.perceptualKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val nMedia = 2 * graft.sources.Tables(spark, sf, "documents").count()
+    assert(keep.size.toLong == nMedia, "every media id must get a verdict")
+    // both endpoints of every pair share a cluster
+    val pairs = Multimodal.perceptualNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(keep(a)._1 == keep(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // exactly the component minimum is kept, once per cluster
+    keep.groupBy(_._2._1).foreach { case (cl, members) =>
+      assert(members.keys.min == cl, s"cluster id $cl is not its min member")
+      assert(members.count(_._2._2 == 1) == 1, s"cluster $cl keeper count != 1")
+      assert(members(cl)._2 == 1, s"cluster $cl keeper is not the min id")
+    }
+  }
+
   test("perceptual near-dup gate surfaces exactly the planted variant pairs") {
     val rows = Multimodal.perceptualNearDupPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
