@@ -143,8 +143,12 @@ object Bench {
     val bs = bundleResults.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // env-sourced paths are interpolated into JSON string literals —
+    // escape so a quote/backslash in a path can't corrupt the lines
+    // the snapshot parser must always parse
+    def jstr(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"bundles":$bs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"bundles":$bs,"sf":"${jstr(sfDir)}"}"""
     println(line)
     // belt and braces against any stdout capture limit: persist the
     // identical JSON where the round-end auto-commit will pick it up,
@@ -171,7 +175,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries_slowest":$slowest,"bundles":$bs,"full":"$fullPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries_slowest":$slowest,"bundles":$bs,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -4576,13 +4576,16 @@ object SparkEntry {
         |FROM h WHERE hamming <= 7""".stripMargin,
     // audio accounting from the synthesis contract: WAV rows are
     // doc_id % 3 = 1, rate/channels doc_id-derived, samples = the
-    // block-aligned body length over block_align (2 * channels)
+    // block-aligned body length over block_align (2 * channels);
+    // octet_length(encode(..)) = UTF-8 BYTES, matching the engine's
+    // payload-byte decode (the multimodal_features convention — a
+    // non-ASCII corpus would break a len()-based oracle)
     "multimodal_audio_stats" ->
       """WITH w AS (
         |  SELECT doc_id,
         |         8000 + (doc_id % 5) * 2000 AS rate,
         |         CAST(doc_id % 2 + 1 AS INT) AS ch,
-        |         (len(text) - len(text) % (2 * (doc_id % 2 + 1)))
+        |         (octet_length(encode(text)) - octet_length(encode(text)) % (2 * (doc_id % 2 + 1)))
         |           // (2 * (doc_id % 2 + 1)) AS samples
         |  FROM documents WHERE doc_id % 3 = 1)
         |SELECT CAST(rate AS INT) AS sample_rate, ch AS n_channels,

@@ -303,10 +303,29 @@ object Similarity {
       dir: String,
       threshold: Double = 0.4,
       targetRows: Long = 1L << 16,
+  ): DataFrame =
+    embeddingNearDupPairsOver(
+      emb(spark, dir).select("vec_id", "label", "embedding"),
+      embPlain(spark, dir).select("vec_id", "label", "embedding"),
+      threshold,
+      targetRows,
+    )
+
+  /** [[embeddingNearDupPairs]] over caller-supplied corpora (e.g. a
+    * replica-augmented frame — the semantic-decontamination gate).
+    * The two sides must NOT share a lineage (the ambiguous-self-join
+    * rule): build each from its own scan, the emb/embPlain
+    * discipline.
+    */
+  private[graft] def embeddingNearDupPairsOver(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      threshold: Double = 0.4,
+      targetRows: Long = 1L << 16,
   ): DataFrame = {
-    val a = emb(spark, dir)
+    val a = corpusA
       .select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = embPlain(spark, dir)
+    val b = corpusB
       .select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     // hot-cell guard: one dominant IVF cell must not serialize its
     // |cell|² pairing into a single task (Skew.saltedBlockJoin —

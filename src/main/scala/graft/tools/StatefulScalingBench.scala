@@ -121,6 +121,15 @@ object StatefulScalingBench {
               .getOrElseUpdate(s"$gate|$pname", scala.collection.mutable.Map.empty)(sf) = best
             println(
               f"[stateful] $gate%-18s $pname%-8s sf=$sf ${best.sec}%7.2f s  stateRows=${best.stateRowsMax}  stateMB=${best.stateMemMax / 1e6}%.1f  landed=${best.landedRows}  batches=${best.nBatches}")
+            // a single-batch run never accumulates state across
+            // commits — the measurement this tool exists for would be
+            // vacuous (e.g. a single-file events layout → chunk=1 →
+            // one monolithic AvailableNow batch). Flag it loudly.
+            if (best.nBatches < 2)
+              println(
+                s"[stateful] WARNING: $gate|$pname sf=$sf ran in ${best.nBatches} micro-batch(es) — " +
+                  "state never accumulated across commits; point is NOT a valid scaling measurement " +
+                  s"(events layout has ${partFiles(dir, "events")} part file(s); need >= 8 for ~8 batches)")
           }
         } finally prevProvider match {
           case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
