@@ -4404,18 +4404,30 @@ object SparkEntry {
     // join) — so it gates against the same SQL
     "decontamination_bloom" -> decontaminationSql,
     // the semantic leg: the embedding near-dup pair chain restricted
-    // to the train x test slice of the vec_id-hash split
+    // to the train x test slice of the vec_id-hash split, over the
+    // replica-AUGMENTED corpus (Sampling.SemanticPlantReplicas copies
+    // of each test vector under fresh negative ids — known cosine-1.0
+    // cross-split leaks exist by construction, so the gate is
+    // provably non-vacuous: an inverted or dropped split filter
+    // cannot hash-match)
     "decontamination_semantic" ->
-      s"""WITH p AS (
+      s"""WITH aug AS MATERIALIZED (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT -(e.vec_id * ${graft.operators.Sampling.SemanticPlantReplicas} + t.rep + 1) AS vec_id,
+         |         e.label, e.embedding
+         |  FROM embeddings e, range(${graft.operators.Sampling.SemanticPlantReplicas}) t(rep)
+         |  WHERE substr(md5(CAST(e.vec_id AS VARCHAR) || '|vsplit'), 1, 2) >= 'e6'),
+         |p AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
          |sp AS MATERIALIZED (
          |  SELECT vec_id,
          |         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|vsplit'), 1, 2) < 'cc' THEN 'train'
          |              WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|vsplit'), 1, 2) < 'e6' THEN 'val'
          |              ELSE 'test' END AS split
-         |  FROM embeddings),
+         |  FROM aug),
          |x AS (
          |  SELECT CASE WHEN sa.split = 'train' THEN p.va ELSE p.vb END AS train_vec_id
          |  FROM p JOIN sp sa ON sa.vec_id = p.va JOIN sp sb ON sb.vec_id = p.vb

