@@ -532,6 +532,12 @@ object SparkEntry {
     // the ingest twin: arriving candidate vectors probe the FIXED
     // test bank stream-static before landing (scrub-before-train)
     "stream_decontamination" -> (StreamingQueries.decontaminationViaSink _),
+    // the bank's maintenance loop: a new benchmark era FOLDS into the
+    // stored test bank (append, never a corpus rescan) and the ingest
+    // audit runs against the folded bank; the oracle computes the
+    // rebuilt form, so the hash-match is the fold == rebuild proof
+    "decontamination_bank_refresh" ->
+      ((s, d) => graft.operators.Sampling.semanticBankRefreshProbe(s, d)),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
     // media-level exact dedup on the EXTRACTED payload bytes: content
     // identity across container wrappers, full-payload parser check
@@ -4452,6 +4458,31 @@ object SparkEntry {
          |  JOIN embeddings t ON a.label = t.label
          |  JOIN sp st ON st.vec_id = t.vec_id, cut
          |  WHERE a.vec_id > cut.c AND sa.split <> 'test' AND st.split = 'test'
+         |    AND ${cosSql("a.embedding", "t.embedding")} >= ${graft.operators.Sampling.IngestDecontaminationCosine})
+         |SELECT cand_vec_id, CAST(count(*) AS BIGINT) AS n_test_near_dups
+         |FROM x GROUP BY cand_vec_id""".stripMargin,
+    // the bank refresh loop's oracle computes the REBUILT bank
+    // (test-split vectors <= the 85% cutoff) — the engine runs the
+    // stored-era ∪ increment FOLD, so the hash-match proves
+    // fold == rebuild at the gate level (the boilerplate_index_refresh
+    // convention); probe audience and threshold are the ingest
+    // guard's
+    "decontamination_bank_refresh" ->
+      s"""WITH cut AS (SELECT 7 * max(vec_id) // 10 AS c1, 85 * max(vec_id) // 100 AS c2 FROM embeddings),
+         |sp AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|vsplit'), 1, 2) < 'cc' THEN 'train'
+         |              WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|vsplit'), 1, 2) < 'e6' THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT a.vec_id AS cand_vec_id, t.vec_id AS tv
+         |  FROM embeddings a
+         |  JOIN sp sa ON sa.vec_id = a.vec_id
+         |  JOIN embeddings t ON a.label = t.label
+         |  JOIN sp st ON st.vec_id = t.vec_id, cut
+         |  WHERE a.vec_id > cut.c2 AND sa.split <> 'test'
+         |    AND st.split = 'test' AND t.vec_id <= cut.c2
          |    AND ${cosSql("a.embedding", "t.embedding")} >= ${graft.operators.Sampling.IngestDecontaminationCosine})
          |SELECT cand_vec_id, CAST(count(*) AS BIGINT) AS n_test_near_dups
          |FROM x GROUP BY cand_vec_id""".stripMargin,

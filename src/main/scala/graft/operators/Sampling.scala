@@ -391,6 +391,69 @@ object Sampling {
       .agg(count(lit(1)).as("n_test_near_dups"))
   }
 
+  /** The semantic test bank's REFRESH loop — the maintenance leg the
+    * embedding-space decontamination tier was missing (every other
+    * served family — minhash, winnow, phash, tf, PQ — already has its
+    * probe → refresh → audit loop): a newly released benchmark era
+    * folds into the stored test bank, and the ingest audit then runs
+    * against the FOLDED bank.
+    *
+    * Era layout (the boilerplateRefreshProbe cutoffs): the stored
+    * bank holds test-split vectors with vec_id ≤ 70% of max; the
+    * landed increment is the (70%, 85%] test slice; the probe
+    * audience is every non-test vector past 85% (the rows that
+    * arrived after the refresh). Fold = stored ∪ increment — a pure
+    * id-disjoint append, old bank vectors never re-read from the
+    * corpus; rebuild = the bank recomputed from scratch over ≤ 85%.
+    * The fold is pinned row-equal to the rebuild in TextPipelineSpec,
+    * and the DuckDB oracle computes the REBUILT form — so the gate's
+    * hash-match is itself the fold == rebuild proof.
+    *
+    * Probe semantics are the ingest guard's ([[IngestDecontaminationCosine]],
+    * same label-cell blocking via the salted join — never all-pairs);
+    * output is the per-candidate hit count against the folded bank.
+    * At 100 TB: the bank is benchmark-sized (thousands), the fold is
+    * an append to a stored artifact, and the probe touches only the
+    * arriving increment — nothing rescans the corpus.
+    */
+  def semanticBankRefreshProbe(
+      spark: SparkSession,
+      dir: String,
+      rebuild: Boolean = false,
+  ): DataFrame = {
+    def splitOf(c: Column): Column = assignSplit(c.cast("string"), "vsplit")
+    // bounded driver action, spliced as literals: an in-plan scalar
+    // would block pushdown below the probe join (the r10 rule)
+    val cuts = Tables(spark, dir, "embeddings")
+      .agg(
+        expr("7 * max(vec_id) DIV 10").as("c1"),
+        expr("85 * max(vec_id) DIV 100").as("c2"),
+      )
+      .head
+    val (c1, c2) = (cuts.getLong(0), cuts.getLong(1))
+    def testVecs: DataFrame = Tables(spark, dir, "embeddings")
+      .filter(splitOf(col("vec_id")) === "test")
+      .select(col("label"), col("vec_id").as("test_vec_id"), col("embedding").as("te"))
+    val bank =
+      if (rebuild) testVecs.filter(col("test_vec_id") <= c2)
+      else
+        // the fold: the stored era ∪ the landed increment — disjoint
+        // by the id boundary, so the union IS the refreshed bank
+        testVecs
+          .filter(col("test_vec_id") <= c1)
+          .unionByName(testVecs.filter(col("test_vec_id") > c1 && col("test_vec_id") <= c2))
+    val cands = Tables.parallel(spark, dir, "embeddings")
+      .filter(col("vec_id") > c2 && splitOf(col("vec_id")) =!= "test")
+      .select(col("label"), col("vec_id").as("cand_vec_id"), col("embedding").as("ae"))
+    graft.operators.Skew
+      .saltedBlockJoin(cands, bank, "label", "cand_vec_id")
+      .filter(
+        graft.functions.VectorFunctions.cosine(col("ae"), col("te")) >=
+          IngestDecontaminationCosine)
+      .groupBy("cand_vec_id")
+      .agg(count(lit(1)).as("n_test_near_dups"))
+  }
+
   /** Benchmark decontamination: training documents that share word
     * shingles with any held-out (test-split) document, with the count
     * of distinct shared shingles — the standard n-gram-overlap

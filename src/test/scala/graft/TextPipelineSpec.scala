@@ -303,6 +303,20 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("semantic bank refresh: fold equals rebuild row-for-row, probe is non-vacuous") {
+    // the maintenance-loop invariant (the boilerplate_index_refresh
+    // convention): folding the landed test-era increment into the
+    // stored bank must yield the SAME probe result as rebuilding the
+    // bank from scratch — a boundary off-by-one or a dropped/doubled
+    // era row would break equality
+    val fold = Sampling.semanticBankRefreshProbe(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = Sampling.semanticBankRefreshProbe(spark, sf, rebuild = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold == rebuilt, s"fold ${fold.size} rows != rebuild ${rebuilt.size}")
+    assert(fold.nonEmpty, "probe found no bank hits — the audit is vacuous at this fixture")
+  }
+
   test("classifier scoring: feature identity, bounds, and the trained-weight-table twin") {
     val scores = TextAnalysis.classifierScores(spark, sf).cache()
     try {
