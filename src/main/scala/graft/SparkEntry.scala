@@ -552,6 +552,10 @@ object SparkEntry {
     // perceptual keep policy: phash pairs closed under CC, exactly
     // the component-minimum media id survives per cluster
     "multimodal_phash_keep" -> (Multimodal.perceptualKeep _),
+    // perceptual AUDIO near-dup: sign-of-delta over the frame-energy
+    // envelope of decoded WAV PCM, banded like phash (pigeonhole
+    // multi-index, adaptive grid, never all-pairs)
+    "multimodal_audio_neardup" -> (Multimodal.audioNearDupPairs(_, _)),
     // capstone composition: quality filter + keep-best dedup + split
     // assignment → the per (source, split) provisioning table
     "curation_pipeline" -> (graft.operators.Curation.curationSummary _),
@@ -1282,6 +1286,48 @@ object SparkEntry {
   // the per-pair hamming expression over two fparr legs fa/fb
   private lazy val phashHamSql: String =
     (1 to 8).map(i => s"bit_count(xor(fa.bs[$i], fb.bs[$i]))").mkString(" + ")
+
+  // the audio tier's analytic fixture recompute: frame energies are
+  // the sum of the first four md5 bytes of 'base|a|frame' (+100 in
+  // the v=1 hot block), then the SAME block-mean / gradient-bit /
+  // band algebra as phashCtes — the grid derives from the same media
+  // count, so both tiers flip at identical corpus sizes
+  private lazy val audioEnergySql: String =
+    (0 until 4)
+      .map(t =>
+        s"((strpos('0123456789abcdef', substr(h, ${2 * t + 1}, 1)) - 1) * 16" +
+          s" + strpos('0123456789abcdef', substr(h, ${2 * t + 2}, 1)) - 1)")
+      .mkString(" + ")
+  private lazy val audioCtes: String =
+    s"""grid AS (
+      |  SELECT B, (B - 1) // 8 AS w FROM (
+      |    SELECT CASE WHEN 2 * (SELECT count(*) FROM documents) >= 50000
+      |                THEN 128 ELSE 64 END AS B)),
+      |m AS (
+      |  SELECT d.doc_id * 2 + v.v AS id, d.doc_id AS base, v.v AS v,
+      |         256 + d.doc_id % 101 AS n, g.B, g.w
+      |  FROM documents d, (SELECT unnest([0, 1]) AS v) v, grid g),
+      |fe AS (
+      |  SELECT id, (B * k + B - 1) // n AS i,
+      |         $audioEnergySql
+      |           + CASE WHEN v = 1 AND (64 * k + 63) // n = base % 64
+      |                  THEN 100 ELSE 0 END AS p
+      |  FROM m, LATERAL (
+      |    SELECT k, md5(CAST(base AS VARCHAR) || '|a|' || CAST(k AS VARCHAR)) AS h
+      |    FROM (SELECT unnest(generate_series(0, n - 1)) AS k)) s),
+      |bm AS MATERIALIZED (
+      |  SELECT id, i, sum(p) // count(*) AS mn FROM fe GROUP BY id, i),
+      |bits AS (
+      |  SELECT a.id, a.i AS bit, CASE WHEN b.mn > a.mn THEN 1 ELSE 0 END AS bv
+      |  FROM bm a JOIN bm b ON b.id = a.id AND b.i = a.i + 1, grid g
+      |  WHERE a.i < g.B - 1),
+      |bandv AS MATERIALIZED (
+      |  SELECT id, least(bit // g.w, 7) AS j,
+      |         CAST(sum(bv * (1::BIGINT << (bit - least(bit // g.w, 7) * g.w))) AS BIGINT) AS bv
+      |  FROM bits, grid g GROUP BY 1, 2),
+      |fparr AS MATERIALIZED (
+      |  SELECT id, list(bv ORDER BY j) AS bs FROM bandv GROUP BY id),
+      |bands AS (SELECT id, j, bv FROM bandv)""".stripMargin
 
   // ordered-fold vector math identical to graft.functions.VectorFunctions
   private def dotSql(a: String, b: String): String =
@@ -4572,6 +4618,19 @@ object SparkEntry {
     // byte-exactly
     "multimodal_phash_dedup" ->
       s"""WITH $phashCtes,
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id),
+        |h AS (
+        |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
+        |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM h WHERE hamming <= 7""".stripMargin,
+    // the audio tier: identical pairing algebra over the analytic
+    // frame-energy fixture (audioCtes) — pigeonhole candidates,
+    // hamming filter, band-layout-invariant result set
+    "multimodal_audio_neardup" ->
+      s"""WITH $audioCtes,
         |cand AS (
         |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id),

@@ -228,6 +228,26 @@ object Multimodal {
       } else Array.emptyByteArray
     }
 
+    /** Decoded 16-bit PCM samples of a WAV payload (magic-dispatched
+      * — non-WAV containers yield None, the codec-decode step the
+      * audio perceptual tier fingerprints over). Little-endian signed
+      * shorts of the data chunk; a trailing odd byte (impossible for
+      * a well-formed block-aligned chunk) is ignored.
+      */
+    private[graft] def wavPcm16(b: Array[Byte]): Option[Array[Int]] =
+      if (!isWav(b)) None
+      else {
+        val p = payload(b)
+        val out = new Array[Int](p.length / 2)
+        var j = 0
+        while (j < out.length) {
+          val raw = (p(2 * j) & 0xff) | ((p(2 * j + 1) & 0xff) << 8)
+          out(j) = if (raw >= 0x8000) raw - 0x10000 else raw
+          j += 1
+        }
+        Some(out)
+      }
+
     /** Image-payload extraction for the perceptual tier: the decoded
       * pixel surface of a PNG/JPEG container (here: the extracted
       * payload bytes — the deterministic stand-in this container-only
@@ -365,7 +385,22 @@ object Multimodal {
     * block nonempty).
     */
   private[graft] def dhashBands(pixels: Array[Byte], blocks: Int): Array[Long] = {
-    val n = pixels.length
+    val v = new Array[Long](pixels.length)
+    var j = 0
+    while (j < pixels.length) { v(j) = pixels(j) & 0xff; j += 1 }
+    signDeltaBands(v, blocks)
+  }
+
+  /** The modality-neutral core of [[dhashBands]]: area-averaged
+    * downsample of a nonnegative integer sequence into `blocks`
+    * block means (integer floor divisions — exact cross-engine),
+    * gradient sign bits, 8 pigeonhole bands. Pixels feed it bytes;
+    * the audio tier feeds it frame energies — SAME band algebra,
+    * SAME hamming representation, so the pairing machinery
+    * ([[withBandKeys]] / [[bandHamming]]) is shared verbatim.
+    */
+  private[graft] def signDeltaBands(vals: Array[Long], blocks: Int): Array[Long] = {
+    val n = vals.length
     val bits = blocks - 1
     val w = bits / 8
     def blockMean(i: Int): Long = {
@@ -373,7 +408,7 @@ object Multimodal {
       val e = ((i + 1).toLong * n / blocks).toInt
       var sum = 0L
       var j = s
-      while (j < e) { sum += pixels(j) & 0xff; j += 1 }
+      while (j < e) { sum += vals(j); j += 1 }
       sum / (e - s)
     }
     val bands = new Array[Long](8)
@@ -611,6 +646,125 @@ object Multimodal {
         sum(col("n_samples")).as("total_samples"),
         sum(col("duration_ms")).as("total_duration_ms"),
       )
+
+  /** One generated audio-fixture variant (the [[audioMediaTable]]
+    * unit): mono 16-bit PCM, m = 256 + base % 101 frames of 4
+    * samples, each frame's samples the first four md5 bytes of
+    * "base|a|frame" (the phash texture rule with an audio-tier salt
+    * so the two fixtures decorrelate), wrapped in a real WAV
+    * container. v = 1 bumps every sample of exactly the frames in
+    * ONE 64-grid downsample block (+25/sample → +100 frame energy) —
+    * the LOCAL perturbation a re-encoded/re-mastered clip exhibits,
+    * which is what perceptual audio hashing detects (a time-SHIFTED
+    * clip is fuzzy-match territory, same division of labor as the
+    * image tier's shift postmortem). Samples stay ≤ 280, so the
+    * sign bit of the LE16 encoding is never set and |s| = s on both
+    * engines.
+    */
+  private[graft] def audioVariantRecord(base: Long, v: Int): MediaRecord = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = 256 + (base % 101).toInt
+    val hot = (base % 64).toInt
+    val samples = new Array[Int](4 * m)
+    var k = 0
+    while (k < m) {
+      md.reset()
+      val dg = md.digest(s"$base|a|$k".getBytes("UTF-8"))
+      val blk = ((64L * k + 63) / m).toInt
+      val bump = if (v == 1 && blk == hot) 25 else 0
+      var t = 0
+      while (t < 4) { samples(4 * k + t) = (dg(t) & 0xff) + bump; t += 1 }
+      k += 1
+    }
+    val payload = new Array[Byte](8 * m)
+    var j = 0
+    while (j < 4 * m) {
+      payload(2 * j) = (samples(j) & 0xff).toByte
+      payload(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+      j += 1
+    }
+    MediaRecord(
+      base * 2 + v,
+      "wav",
+      MediaPayload.wav(8000 + (base % 5).toInt * 2000, 1, payload))
+  }
+
+  /** The audio perceptual-dedup fixture: one base clip per document,
+    * two variants per base (media id = doc_id·2 + v), every sample an
+    * integer function of (doc_id, frame) so the DuckDB oracle
+    * regenerates the surface analytically — no bytes cross engines.
+    * Payloads are real WAV containers, so the gate exercises the full
+    * decode path: magic dispatch → fmt/data chunk walk → PCM parse →
+    * energy envelope → fingerprint.
+    */
+  private[graft] def audioMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.flatMap(base =>
+        Seq(audioVariantRecord(base, 0), audioVariantRecord(base, 1))))
+  }
+
+  /** Decode → audio fingerprint: WAV payloads only (magic dispatch),
+    * PCM → per-frame L1 energy (Σ|s| over 4-sample frames — integer-
+    * exact; a squared envelope orders gradients identically on this
+    * fixture but costs headroom) → [[signDeltaBands]] over the energy
+    * envelope. Clips with fewer frames than the downsample grid are
+    * skipped on both engines.
+    */
+  private[graft] def audioFingerprintOf(r: MediaRecord, blocks: Int): Option[(Long, Array[Long])] =
+    HeaderDecode.wavPcm16(r.content).flatMap { s =>
+      val m = s.length / 4
+      if (m < blocks) None
+      else {
+        val e = new Array[Long](m)
+        var k = 0
+        while (k < m) {
+          e(k) = math.abs(s(4 * k)).toLong + math.abs(s(4 * k + 1)) +
+            math.abs(s(4 * k + 2)) + math.abs(s(4 * k + 3))
+          k += 1
+        }
+        Some((r.doc_id, signDeltaBands(e, blocks)))
+      }
+    }
+
+  /** Perceptual AUDIO near-dup pairs — the dHash analogue over the
+    * WAV decode path ([[audioFingerprintOf]]): sign-of-delta bits
+    * over the frame-energy envelope, banded and paired EXACTLY like
+    * the image tier ([[perceptualNearDupPairs]] — 8-band pigeonhole
+    * multi-index, corpus-adaptive grid, salted hot buckets, never
+    * all-pairs; the result set is the hamming ≤ 7 pair set, band-
+    * layout-invariant). Runs over the [[audioMediaTable]] fixture:
+    * each base's two variants differ in one energy block → ≤ 2
+    * gradient bits, so planted pairs MUST surface; cross-base md5
+    * textures decorrelate and survive only through the hamming
+    * filter killing band-collision false positives.
+    */
+  def audioNearDupPairs(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = 7,
+      targetRows: Long = 1L << 16,
+  ): DataFrame = {
+    require(maxHamming == 7, s"band split is fixed at 8 (maxHamming 7), got $maxHamming")
+    val blocks = phashGridBlocks(2L * Tables(spark, dir, "documents").count())
+    def banded(pfx: String): DataFrame = {
+      import spark.implicits._
+      withBandKeys(
+        audioMediaTable(spark, dir)
+          .mapPartitions(_.flatMap(audioFingerprintOf(_, blocks)))
+          .toDF("id", "bands"),
+        pfx)
+    }
+    Skew
+      .saltedBlockJoin(banded("a"), banded("b"), "__bucket", "doc_a", targetRows)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bandHamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
 
   /** Frame sampling: explode each media payload into one row per
     * sampled frame — the generator/explode shape of per-frame feature

@@ -324,6 +324,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(total <= 63 && total > 0)
   }
 
+  test("audio fingerprint: planted variants within budget, shifts out, pairs exact") {
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      (0 until 8).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
+    val blocks = Multimodal.phashGridBlocks(
+      2L * graft.sources.Tables(spark, sf, "documents").count())
+    // the planted v=1 perturbation is one 64-grid energy block — at
+    // the fixture grid its pair must sit within the pairing budget
+    // (and well under: <= 2 gradient bits, the local-edit contract)
+    val fps = Multimodal.audioMediaTable(spark, sf).collect()
+      .flatMap(Multimodal.audioFingerprintOf(_, blocks)).toMap
+    val bases = fps.keys.filter(_ % 2 == 0).map(_ / 2)
+    bases.foreach { b =>
+      val h = ham(fps(2 * b), fps(2 * b + 1))
+      assert(h <= 2, s"planted pair of base $b at hamming $h")
+    }
+    // a time-SHIFTED clip decorrelates downstream energy blocks —
+    // far past the budget (fuzzy-match territory, not perceptual
+    // hashing; the image tier's shift postmortem, replayed on audio)
+    val r0 = Multimodal.audioVariantRecord(7L, 0)
+    val pcm = Multimodal.HeaderDecode.wavPcm16(r0.content).get
+    val m = pcm.length / 4
+    def energiesOf(s: Array[Int]): Array[Long] =
+      Array.tabulate(s.length / 4)(k =>
+        math.abs(s(4 * k)).toLong + math.abs(s(4 * k + 1)) +
+          math.abs(s(4 * k + 2)) + math.abs(s(4 * k + 3)))
+    val shifted = Array.tabulate(pcm.length)(j => pcm((j + 12) % pcm.length))
+    val hShift = ham(
+      Multimodal.signDeltaBands(energiesOf(pcm), blocks),
+      Multimodal.signDeltaBands(energiesOf(shifted), blocks))
+    assert(hShift > 7, s"a 3-frame shift must not pair, got hamming $hShift")
+    assert(m >= 256, "fixture floor: the grid's next doubling needs >= 256 frames")
+    // gate == the in-memory hamming <= 7 pair set, exactly (the
+    // multi-index is an implementation detail: no false negatives by
+    // the pigeonhole argument, false positives die in the filter)
+    val expected = (for {
+      (ida, fa) <- fps.iterator
+      (idb, fb) <- fps.iterator if ida < idb
+      h = ham(fa, fb) if h <= 7
+    } yield (ida, idb) -> h).toMap
+    val got = Multimodal.audioNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expected, s"gate ${got.size} pairs != recompute ${expected.size}")
+    assert(got.nonEmpty, "planted audio pairs must surface")
+  }
+
   test("audio stats equal a per-file recount from the decoded features") {
     import org.apache.spark.sql.functions._
     val feats = Multimodal.decodeFeatures(Multimodal.asMediaTable(spark, sf)).collect()
