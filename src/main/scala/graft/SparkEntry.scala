@@ -538,6 +538,10 @@ object SparkEntry {
     // rebuilt form, so the hash-match is the fold == rebuild proof
     "decontamination_bank_refresh" ->
       ((s, d) => graft.operators.Sampling.semanticBankRefreshProbe(s, d)),
+    // watermark-driven state eviction, oracle-gated: era-ordered
+    // file-stream batches deliver provably-late rows; evicted windows
+    // and dropped rows shape the collapsed update-mode changelog
+    "stream_late_eviction" -> (StreamingQueries.lateEvictionViaSink _),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
     // media-level exact dedup on the EXTRACTED payload bytes: content
     // identity across container wrappers, full-payload parser check
@@ -4532,6 +4536,37 @@ object SparkEntry {
          |    AND ${cosSql("a.embedding", "t.embedding")} >= ${graft.operators.Sampling.IngestDecontaminationCosine})
          |SELECT cand_vec_id, CAST(count(*) AS BIGINT) AS n_test_near_dups
          |FROM x GROUP BY cand_vec_id""".stripMargin,
+    // the eviction gate's oracle replicates Spark's watermark rule in
+    // SQL: per-era max event time (ALL rows — the stats node runs
+    // before the late filter), ms-floored minus the 15-day delay,
+    // running-max monotone. Spark ≥ 3.4 runs DUAL watermarks: the
+    // LATE-EVENT filter of micro-batch k uses the PREVIOUS batch's
+    // watermark — i.e. stats through batch k−2 (measured here:
+    // batch 1 accepted every era-1 row under the era-0 watermark;
+    // batch 2 dropped by it) — while eviction uses batch k−1's, and
+    // the two thresholds align so an accepted row can never target
+    // an already-evicted window. Hence the era − 2 join. 1296000000
+    // ms = 15 days.
+    "stream_late_eviction" ->
+      """WITH e AS (SELECT event_id % 3 AS era, epoch_us(ts) AS us, value FROM events),
+        |em AS (SELECT era, max(us) AS mx FROM e GROUP BY era),
+        |wm AS (
+        |  SELECT era,
+        |         max((mx // 1000) - 1296000000) OVER (ORDER BY era ROWS UNBOUNDED PRECEDING) AS wm_ms
+        |  FROM em),
+        |win AS (
+        |  SELECT era, value,
+        |         3600000000 * (us // 3600000000) AS ws,
+        |         3600000000 * (us // 3600000000) + 3600000000 AS we
+        |  FROM e),
+        |kept AS (
+        |  SELECT a.era, a.value, a.ws, a.we
+        |  FROM win a LEFT JOIN wm w ON w.era = a.era - 2
+        |  WHERE a.era <= 1 OR a.we > w.wm_ms * 1000)
+        |SELECT ws AS window_start_us, we AS window_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM kept GROUP BY 1, 2""".stripMargin,
     "session_windows" ->
       """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),

@@ -463,6 +463,125 @@ object StreamingQueries {
     tableStream(spark, dir, "documents", fallback)
   }
 
+  /** Watermark-driven state EVICTION, exercised for real (ST3+ST6 at
+    * the ORACLE level — the specs pin late-drop semantics, but until
+    * this gate no hash-matched query delivered out-of-order event
+    * times ACROSS micro-batches so that evicted windows and dropped
+    * late rows shape the final changelog):
+    *
+    *  1. the events corpus is STAGED as three era files
+    *     (era = event_id % 3, strictly increasing mtimes) and
+    *     re-read as a file stream with maxFilesPerTrigger = 1 —
+    *     batch k is exactly era k, so batch boundaries are
+    *     deterministic and each era re-delivers the FULL event-time
+    *     range: every era past the first carries rows far older than
+    *     the watermark left by its predecessor (provably-late input
+    *     by construction);
+    *  2. a 15-day watermark over a 1-hour tumbling window aggregate:
+    *     after era 0 the watermark stands at max(ts) − 15 d, so
+    *     roughly the older half of each later era's rows land in
+    *     already-EVICTED windows and are dropped, while the newer
+    *     half updates still-live windows — the changelog shows both
+    *     fates;
+    *  3. update-mode changelog to explicit-batch-id subdirectories
+    *     (the ChangelogCapture file contract: an at-least-once retry
+    *     overwrites its own delivery), collapsed to the final value
+    *     per window by max batch id.
+    *
+    * The DuckDB oracle replicates the WATERMARK RULE itself: per-era
+    * max event time (over ALL rows of the era — the stats node sees
+    * rows the aggregation later drops), ms-floored minus the delay,
+    * running-max monotone; a row is accepted iff its WINDOW END
+    * exceeds the late-event watermark standing when its era arrives.
+    * Spark ≥ 3.4 runs DUAL watermarks (SPARK-40925): micro-batch k
+    * filters late events with the PREVIOUS batch's watermark — stats
+    * through batch k − 2 — while eviction uses batch k − 1's, the
+    * two aligning so an accepted row can never target an
+    * already-evicted window. Measured here before being encoded in
+    * the oracle: batch 1 accepted all 3333 era-1 rows under the
+    * era-0 watermark; batch 2 dropped to 361 live windows by it. The
+    * hash-match therefore proves eviction + late-drop semantics, not
+    * just windowed arithmetic. Window ends are hour-aligned while
+    * the watermark inherits its era-max's sub-second micros, so the
+    * boundary comparison can never tie (the determinism rule).
+    */
+  def lateEvictionViaSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = scratchSinkDir("latewin")
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+    val ev = Tables(spark, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    (0 until 3).foreach { k =>
+      val stage = s"$root/stage$k"
+      ev.filter(pmod(col("event_id"), lit(3)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Option(new java.io.File(stage).listFiles())
+        .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no staged part file for era $k"))
+      val dst = new java.io.File(s"$inDir/era$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // the file source serves oldest-mtime first: era order IS the
+      // batch order (minutes apart — far beyond fs mtime granularity)
+      dst.setLastModified((k + 1) * 60000L)
+      ()
+    }
+    val agg = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .withWatermark("ts", "15 days")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"),
+      )
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        unix_micros(col("window.end")).as("window_end_us"),
+        col("n_events"),
+        round(col("sv"), 2).cast("double").as("total_value"),
+      )
+    val outDir = s"$root/out"
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    try {
+      // a trailing no-data batch would only evict state (update mode
+      // emits nothing for evictions) — keep batch k == era k
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      withShufflePartitions(spark, 8) {
+        agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+            batch.withColumn("__bid", lit(batchId))
+              .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+            ()
+          }
+          .option("checkpointLocation", StreamGate.scratchDir("graft-ckpt-latewin"))
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+    } finally {
+      prevNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+    val outSchema = new StructType()
+      .add("window_start_us", LongType).add("window_end_us", LongType)
+      .add("n_events", LongType).add("total_value", DoubleType)
+      .add("__bid", LongType)
+    val batchDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .map(_.getPath)
+    require(batchDirs.nonEmpty, "eviction gate landed no changelog batches")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("window_start_us").orderBy(col("__bid").desc)
+    spark.read.schema(outSchema).parquet(batchDirs.toIndexedSeq: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("window_start_us", "window_end_us", "n_events", "total_value")
+  }
+
   /** Streaming quality ROUTER — one stream, two sinks, one pass: each
     * micro-batch of documents is scored with the map-side Gopher keep
     * rule and split into a keep sink and a reject sink inside a single

@@ -39,6 +39,33 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(viaSink.nonEmpty)
   }
 
+  test("watermark eviction gate: late rows provably exist and are provably dropped") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingQueries.lateEvictionViaSink(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ev = graft.sources.Tables(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the dual-watermark rule recomputed in memory: the late filter
+    // of batch k uses stats through batch k − 2 (SPARK-40925 — the
+    // previous batch's watermark), ms-floored minus 15 days
+    val delayMs = 15L * 24 * 3600 * 1000
+    val eraMaxUs = ev.groupBy(_._1 % 3).view.mapValues(_.map(_._2).max).toMap
+    val wmAfter0Us = (eraMaxUs(0L) / 1000 - delayMs) * 1000
+    def winEnd(us: Long): Long = 3600000000L * (us / 3600000000L) + 3600000000L
+    val accepted = ev.filter { case (id, us) => id % 3 <= 1 || winEnd(us) > wmAfter0Us }
+    val dropped = ev.length - accepted.length
+    // the input genuinely contains late rows AND the watermark
+    // genuinely drops them — the semantics no prior gate hash-matched
+    assert(dropped > 0, "fixture produced no late rows — the gate is vacuous")
+    assert(ev.count { case (id, us) => id % 3 == 2 && winEnd(us) <= wmAfter0Us } == dropped)
+    val expected = accepted.groupBy { case (_, us) => 3600000000L * (us / 3600000000L) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == expected, s"changelog ${got.size} windows != recompute ${expected.size}")
+    assert(got.values.sum == accepted.length.toLong, "accepted-row total mismatch")
+  }
+
   test("checkpoint restart resumes from offsets without double counting") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-in").toString
