@@ -1255,14 +1255,22 @@ object SparkEntry {
   // the batch pairing gate and the ingest-time probe; ends with
   // per-band rows in `bands` and the ordered band-value list in
   // `fparr` (hamming = sum of per-band XOR popcounts)
+  // the corpus-adaptive grid staircase, one doubling per 256x media
+  // growth (Multimodal.phashGridBlocks — both engines derive it from
+  // the same count); the fixture surface grows WITH the grid
+  // (2B + 64 + jitter px), so every tier is rehearsable and the
+  // 64-block driver tier reproduces the historical 192-px floor
+  private val phashGridCaseSql: String =
+    """CASE WHEN 2 * (SELECT count(*) FROM documents) >= 12800000 THEN 256
+      |     WHEN 2 * (SELECT count(*) FROM documents) >= 50000 THEN 128
+      |     ELSE 64 END""".stripMargin
   private lazy val phashCtes: String =
     s"""grid AS (
       |  SELECT B, (B - 1) // 8 AS w FROM (
-      |    SELECT CASE WHEN 2 * (SELECT count(*) FROM documents) >= 50000
-      |                THEN 128 ELSE 64 END AS B)),
+      |    SELECT $phashGridCaseSql AS B)),
       |m AS (
       |  SELECT d.doc_id * 2 + v.v AS id, d.doc_id AS base, v.v AS v,
-      |         192 + d.doc_id % 101 AS n, g.B, g.w
+      |         2 * g.B + 64 + d.doc_id % 101 AS n, g.B, g.w
       |  FROM documents d, (SELECT unnest([0, 1]) AS v) v, grid g),
       |px AS (
       |  SELECT id, (B * j + B - 1) // n AS i,
@@ -1305,8 +1313,7 @@ object SparkEntry {
   private lazy val audioCtes: String =
     s"""grid AS (
       |  SELECT B, (B - 1) // 8 AS w FROM (
-      |    SELECT CASE WHEN 2 * (SELECT count(*) FROM documents) >= 50000
-      |                THEN 128 ELSE 64 END AS B)),
+      |    SELECT $phashGridCaseSql AS B)),
       |m AS (
       |  SELECT d.doc_id * 2 + v.v AS id, d.doc_id AS base, v.v AS v,
       |         256 + d.doc_id % 101 AS n, g.B, g.w

@@ -355,15 +355,21 @@ object Multimodal {
     * width ≈ log₂ N) fixes it: the grid DOUBLES once the media count
     * passes 50k, which widens each band by 8 bits = 256× more
     * buckets per band — one grid doubling per 256× corpus growth
-    * holds bucket occupancy roughly constant. Capped at 128 blocks
-    * (good to ~12.8M media) because the generated fixture's pixel
-    * surface floors at 192 px — the NEXT doubling (256 blocks) needs
-    * a ≥256-px surface, i.e. the fixture generator must grow with
-    * it. Both engines derive the grid from the same count, so they
-    * flip at identical sizes (the mining-staircase pattern).
+    * holds bucket occupancy roughly constant: 64 blocks to 50k
+    * media, 128 to 12.8M, 256 past it (good to ~3.3G media; the
+    * tail band carries 38 bits at 256, still a non-overflowing
+    * BIGINT — the band split's headroom was sized for this tier).
+    * The generated fixture's pixel surface grows WITH the grid
+    * ([[phashVariantRecord]]: 2·blocks + 64 px minimum — at the
+    * 64-block driver tier that is exactly the historical 192-px
+    * floor, so driver-SF gates are bit-identical), which is what
+    * makes every tier REHEARSABLE — the r11 cap at 128 existed only
+    * because the fixture floor couldn't fill a 256-block grid. Both
+    * engines derive the grid from the same count, so they flip at
+    * identical sizes (the mining-staircase pattern).
     */
   private[graft] def phashGridBlocks(nMedia: Long): Int =
-    if (nMedia >= 50000L) 128 else 64
+    if (nMedia >= 12800000L) 256 else if (nMedia >= 50000L) 128 else 64
 
   /** Difference hash (dHash) of an image payload at a given grid
     * size, as 8 PIGEONHOLE BAND integers: the pixel stream is
@@ -434,14 +440,24 @@ object Multimodal {
     * within hamming 7; hashing decorrelates them, so the only
     * surviving pairs are the planted variants), with v = 1 perturbing
     * exactly one downsample block, wrapped PNG (v=0) / JPEG (v=1).
+    *
+    * The pixel surface is GRID-ADAPTIVE: n = 2·blocks + 64 + jitter,
+    * so every [[phashGridBlocks]] tier gets ≥ 2 px per block and the
+    * next doubling is always rehearsable (the r11 192-px floor IS
+    * this formula at the 64-block tier — driver-SF surfaces are
+    * bit-identical). `blocks` is explicit, no default: a caller
+    * passing a stale grid would synthesize a surface the operative
+    * grid silently skips (n < blocks → no fingerprint), which is
+    * exactly the vacuous-green failure mode the gates exist to rule
+    * out.
     */
-  private[graft] def phashVariantRecord(base: Long, v: Int): MediaRecord = {
+  private[graft] def phashVariantRecord(base: Long, v: Int, blocks: Int): MediaRecord = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def pixel(j: Int): Int = {
       md.reset()
       (md.digest(s"$base|$j".getBytes("UTF-8"))(0) & 0xff) % 200
     }
-    val n = 192 + (base % 101).toInt
+    val n = 2 * blocks + 64 + (base % 101).toInt
     val hot = (base % 64).toInt
     val id = base * 2 + v
     val px = Array.tabulate(n) { j =>
@@ -473,13 +489,17 @@ object Multimodal {
     * ≤ 215, so no 0xff byte can alias a JPEG marker in the entropy
     * walk.
     */
-  private[graft] def phashMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  private[graft] def phashMediaTable(
+      spark: SparkSession,
+      dir: String,
+      blocks: Int,
+  ): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions(_.flatMap(base =>
-        Seq(phashVariantRecord(base, 0), phashVariantRecord(base, 1))))
+        Seq(phashVariantRecord(base, 0, blocks), phashVariantRecord(base, 1, blocks))))
   }
 
   /** Decode → fingerprint, the map step both the batch pairing and
@@ -551,7 +571,7 @@ object Multimodal {
     def banded(pfx: String): DataFrame = {
       import spark.implicits._
       withBandKeys(
-        phashMediaTable(spark, dir)
+        phashMediaTable(spark, dir, blocks)
           .mapPartitions(_.flatMap(fingerprintOf(_, blocks))) // decoder amortizes per partition
           .toDF("id", "bands"),
         pfx)

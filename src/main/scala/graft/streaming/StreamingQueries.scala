@@ -1077,7 +1077,7 @@ object StreamingQueries {
       2L * graft.sources.Tables(spark, dir, "documents").count())
     val storedIdx = Multimodal.withBandKeys(
       Multimodal
-        .phashMediaTable(spark, dir)
+        .phashMediaTable(spark, dir, blocks)
         .filter(_.doc_id % 2 == 0)
         .mapPartitions(_.flatMap(Multimodal.fingerprintOf(_, blocks)))
         .toDF("id", "bands"),
@@ -1087,7 +1087,7 @@ object StreamingQueries {
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.flatMap(base =>
-          Multimodal.fingerprintOf(Multimodal.phashVariantRecord(base, 1), blocks)))
+          Multimodal.fingerprintOf(Multimodal.phashVariantRecord(base, 1, blocks), blocks)))
         .toDF("id", "bands"),
       "b")
     arriving

@@ -297,22 +297,24 @@ class ExtensionsSpec extends AnyFunSuite {
     import Multimodal.dhashBands
     def ham(a: Array[Long], b: Array[Long]): Int =
       (0 until 8).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
-    val base = Array.tabulate(256)(j => (((j * 40503 + 17) >>> 3) % 200).toByte)
-    for (blocks <- Seq(64, 128)) {
-      // identical pixels -> identical fingerprint, at both grid sizes
+    // 640 px fills every grid tier incl. 256 (the fixture formula
+    // gives 2·256 + 64 = 576 px minimum at that tier)
+    val base = Array.tabulate(640)(j => (((j * 40503 + 17) >>> 3) % 200).toByte)
+    for (blocks <- Seq(64, 128, 256)) {
+      // identical pixels -> identical fingerprint, at every grid size
       assert(ham(dhashBands(base, blocks), dhashBands(base.clone(), blocks)) == 0)
       // a LOCAL perturbation (one 64-grid block, +8) moves only the
       // gradient bits bordering the perturbed region — within the
-      // pairing budget at BOTH grid sizes (the adaptive-grid
+      // pairing budget at EVERY grid size (the adaptive-grid
       // requirement: doubling the grid must not evict planted pairs)
       val local = base.clone()
-      for (j <- 64 until 68) local(j) = (local(j) + 8).toByte // block 16 of 64 (4 px blocks)
+      for (j <- 70 until 80) local(j) = (local(j) + 8).toByte // block 7 of 64 (10 px blocks)
       val hLocal = ham(dhashBands(base, blocks), dhashBands(local, blocks))
       assert(hLocal <= 7, s"local edit moved $hLocal bits at $blocks blocks")
       // a 3-pixel SHIFT decorrelates downstream blocks — far past the
       // pairing budget (this is why the gate runs on the generated
       // image fixture, not the token-insertion text corpus)
-      val shifted = Array.tabulate(256)(j => base((j + 3) % 256))
+      val shifted = Array.tabulate(640)(j => base((j + 3) % 640))
       assert(ham(dhashBands(base, blocks), dhashBands(shifted, blocks)) > 7)
     }
     // the band layout carries every gradient bit exactly once: an
@@ -393,7 +395,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // at hamming <= 7 must land, and nothing else
     val blocks = Multimodal.phashGridBlocks(
       2L * graft.sources.Tables(spark, sf, "documents").count())
-    val fps = Multimodal.phashMediaTable(spark, sf).collect()
+    val fps = Multimodal.phashMediaTable(spark, sf, blocks).collect()
       .flatMap(Multimodal.fingerprintOf(_, blocks)).toMap
     def ham(a: Array[Long], b: Array[Long]): Int =
       (0 until 8).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
