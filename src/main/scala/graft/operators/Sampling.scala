@@ -312,7 +312,7 @@ object Sampling {
     * weak mark). Each test vector is replicated with fresh ids whose
     * md5 split lands ~80% train, so exact-duplicate (cosine 1.0)
     * train×test leaks exist BY CONSTRUCTION and the gate proves the
-    * cross-split filter end-to-end (100 / 100 / 497 output rows at
+    * cross-split filter end-to-end (101 / 100 / 497 output rows at
     * the three driver SFs). One constant, interpolated into the
     * Scala plan and the DuckDB oracle (the ServedQueryCutoff rule).
     */
