@@ -559,7 +559,13 @@ object SparkEntry {
     // perceptual AUDIO near-dup: sign-of-delta over the frame-energy
     // envelope of decoded WAV PCM, banded like phash (pigeonhole
     // multi-index, adaptive grid, never all-pairs)
-    "multimodal_audio_neardup" -> (Multimodal.audioNearDupPairs(_, _)),
+    "multimodal_audio_neardup" -> (Multimodal.audioNearDupPairsGate _),
+    // the audio tier's keep policy: pair artifact closed under CC,
+    // component-minimum clip survives, singletons implicit
+    "multimodal_audio_keep" -> (Multimodal.audioKeep _),
+    // the audio tier's ingest loop: arriving clips fingerprint
+    // map-side and probe the stored band index stream-static
+    "stream_audio_probe" -> (StreamingQueries.audioProbeViaSink _),
     // capstone composition: quality filter + keep-best dedup + split
     // assignment → the per (source, split) provisioning table
     "curation_pipeline" -> (graft.operators.Curation.curationSummary _),
@@ -4676,6 +4682,44 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id),
+        |h AS (
+        |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
+        |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM h WHERE hamming <= 7""".stripMargin,
+    // the audio keep policy: the audio pair chain closed under
+    // recursive CC, component-minimum survives (the phash_keep
+    // oracle over audioCtes)
+    "multimodal_audio_keep" ->
+      s"""WITH RECURSIVE $audioCtes,
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id),
+        |hh AS (
+        |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
+        |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b),
+        |pp AS MATERIALIZED (SELECT doc_a AS va, doc_b AS vb FROM hh WHERE hamming <= 7),
+        |edges AS MATERIALIZED (SELECT va AS src, vb AS dst FROM pp
+        |          UNION ALL SELECT vb, va FROM pp),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src),
+        |cc AS MATERIALIZED (SELECT id, min(lbl) AS cl FROM reach GROUP BY id),
+        |ids AS (SELECT d.doc_id * 2 + v.v AS id
+        |        FROM documents d, (SELECT unnest([0, 1]) AS v) v)
+        |SELECT i.id AS media_id, COALESCE(cc.cl, i.id) AS media_cluster,
+        |       CAST(CASE WHEN COALESCE(cc.cl, i.id) = i.id THEN 1 ELSE 0 END AS INT) AS is_kept
+        |FROM ids i LEFT JOIN cc ON i.id = cc.id""".stripMargin,
+    // the audio ingest probe's oracle: the SAME fingerprint chain,
+    // pairs restricted to stored (v=0, even id) x arriving (v=1,
+    // odd id) — the stream-static join's slice
+    "stream_audio_probe" ->
+      s"""WITH $audioCtes,
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv
+        |  WHERE x.id % 2 = 0 AND y.id % 2 = 1),
         |h AS (
         |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
         |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)

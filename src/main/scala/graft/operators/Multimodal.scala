@@ -607,11 +607,16 @@ object Multimodal {
   /** Drop the memoized pair artifact (benchmark hygiene — the
     * key-based by-name cleanup contract of `Dedup.invalidate`).
     */
-  def invalidate(): Unit =
+  def invalidate(): Unit = {
     phashPairsCache.invalidateKeys { (spark, dir) =>
       graft.util.NamedArtifact.drop(
         spark, graft.util.NamedArtifact.viewName("graft_phash_pairs", dir))
     }
+    audioPairsCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_audio_pairs", dir))
+    }
+  }
 
   /** The pair gate's entry point: the shared artifact, so the pair
     * table is built once per (session, dir) however many policies
@@ -784,6 +789,49 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
+  }
+
+  private val audioPairsCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized [[audioNearDupPairs]] — the [[phashPairsShared]]
+    * contract for the audio tier: one persisted verified pair table
+    * serves the pair gate and the keep policy per (session, dir);
+    * [[invalidate]] drops it between timed runs.
+    */
+  private def audioPairsShared(spark: SparkSession, dir: String): DataFrame =
+    audioPairsCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_audio_pairs", dir),
+        audioNearDupPairs(spark, dir),
+      )
+    }
+
+  def audioNearDupPairsGate(spark: SparkSession, dir: String): DataFrame =
+    audioPairsShared(spark, dir)
+
+  /** Perceptual keep policy for the AUDIO tier — [[perceptualKeep]]
+    * over the audio pair artifact: near-dup pairs close under
+    * connected components (pairs alone under-delete), every clip
+    * gets a verdict (singletons implicit: cluster = self), exactly
+    * the component-minimum media id survives. The table the curation
+    * join consumes to drop re-mastered / re-encoded audio copies —
+    * same 100-TB shape as the image tier (graph is dup-density-
+    * sized, CC touches only the graph, the corpus never shuffles).
+    */
+  def audioKeep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = audioPairsShared(spark, dir).select(col("doc_a"), col("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    Tables(spark, dir, "documents")
+      .select(explode(array(col("doc_id") * 2, col("doc_id") * 2 + 1)).as("media_id"))
+      .join(cc, col("media_id") === col("doc_id"), "left")
+      .select(
+        col("media_id"),
+        coalesce(col("cluster_id"), col("media_id")).as("media_cluster"),
+        (coalesce(col("cluster_id"), col("media_id")) === col("media_id"))
+          .cast("int")
+          .as("is_kept"),
+      )
   }
 
   /** Frame sampling: explode each media payload into one row per

@@ -1101,6 +1101,48 @@ object StreamingQueries {
     runAppendToParquet(spark, phashProbeStream(spark, dir), scratchSinkDir("phashprobe") + "/out")
       .dropDuplicates("doc_a", "doc_b")
 
+  /** Ingest-time AUDIO perceptual probe — [[phashProbeStream]] for
+    * the audio tier: every arriving clip (the v=1 re-mastered
+    * variants, synthesized at ingest from the document stream) is
+    * decoded, energy-fingerprinted MAP-SIDE
+    * (`Multimodal.audioFingerprintOf` — the full WAV decode path),
+    * banded, and probes the STORED band index (the v=0 fingerprints)
+    * via a stream-static equi-join on the band key; colliding
+    * candidates verify by hamming ≤ 7 and land. Stateless — the
+    * stored index is the state, maintained outside the stream; the
+    * read-back dedups multi-band collisions distributedly.
+    */
+  def audioProbeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val blocks = Multimodal.phashGridBlocks(
+      2L * graft.sources.Tables(spark, dir, "documents").count())
+    val storedIdx = Multimodal.withBandKeys(
+      Multimodal
+        .audioMediaTable(spark, dir)
+        .filter(_.doc_id % 2 == 0)
+        .mapPartitions(_.flatMap(Multimodal.audioFingerprintOf(_, blocks)))
+        .toDF("id", "bands"),
+      "a")
+    val arriving = Multimodal.withBandKeys(
+      documentsStream(spark, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.flatMap(base =>
+          Multimodal.audioFingerprintOf(Multimodal.audioVariantRecord(base, 1), blocks)))
+        .toDF("id", "bands"),
+      "b")
+    arriving
+      .join(storedIdx, Seq("__bucket"))
+      .withColumn("hamming", Multimodal.bandHamming)
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  def audioProbeViaSink(spark: SparkSession, dir: String): DataFrame =
+    runAppendToParquet(spark, audioProbeStream(spark, dir), scratchSinkDir("audioprobe") + "/out")
+      .dropDuplicates("doc_a", "doc_b")
+
   /** Streaming ingest-time LM scoring — the deployment shape of the
     * CCNet perplexity filter ([[graft.operators.TextAnalysis
     * .lmPplSplit]] cuts the STORED corpus; this scores every ARRIVING

@@ -411,6 +411,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the planted v0/v1 pairs must surface through the probe")
   }
 
+  test("audio keep + ingest probe: the image tier's truth twins, replayed on audio") {
+    // keep: endpoints co-clustered, one keeper (the min id) per
+    // cluster, every clip covered — the perceptualKeep contract over
+    // the audio pair artifact
+    val keep = Multimodal.audioKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val nMedia = 2 * graft.sources.Tables(spark, sf, "documents").count()
+    assert(keep.size.toLong == nMedia, "every clip must get a verdict")
+    val pairs = Multimodal.audioNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(keep(a)._1 == keep(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    keep.groupBy(_._2._1).foreach { case (cl, members) =>
+      assert(members.keys.min == cl, s"cluster id $cl is not its min member")
+      assert(members.count(_._2._2 == 1) == 1, s"cluster $cl keeper count != 1")
+    }
+    // probe: landed set == the stored (v0) x arriving (v1) slice of
+    // the band-collision pair space, hamming-verified — recomputed
+    // in memory from the same fingerprints
+    val blocks = Multimodal.phashGridBlocks(nMedia)
+    val fps = Multimodal.audioMediaTable(spark, sf).collect()
+      .flatMap(Multimodal.audioFingerprintOf(_, blocks)).toMap
+    def ham(a: Array[Long], b: Array[Long]): Int =
+      (0 until 8).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
+    val expected = (for {
+      (ida, fa) <- fps.iterator if ida % 2 == 0
+      (idb, fb) <- fps.iterator if idb % 2 == 1
+      if (0 until 8).exists(j => fa(j) == fb(j))
+      h = ham(fa, fb) if h <= 7
+    } yield (ida, idb) -> h).toMap
+    val got = graft.streaming.StreamingQueries.audioProbeViaSink(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expected, s"probe landed ${got.size} pairs != recompute ${expected.size}")
+    assert(got.nonEmpty, "the planted v0/v1 audio pairs must surface through the probe")
+  }
+
   test("perceptual keep: pair endpoints co-clustered, one keeper per cluster, full coverage") {
     import org.apache.spark.sql.functions._
     val keep = Multimodal.perceptualKeep(spark, sf).collect()
