@@ -542,6 +542,10 @@ object SparkEntry {
     // file-stream batches deliver provably-late rows; evicted windows
     // and dropped rows shape the collapsed update-mode changelog
     "stream_late_eviction" -> (StreamingQueries.lateEvictionViaSink _),
+    // the APPEND-mode twin: a window emits exactly once, at eviction,
+    // with whatever content merged by then — the sink holds exactly
+    // the closed windows
+    "stream_eviction_append" -> (StreamingQueries.evictionAppendViaSink _),
     "multimodal_features" -> (Multimodal.mediaFeatures _),
     // media-level exact dedup on the EXTRACTED payload bytes: content
     // identity across container wrappers, full-payload parser check
@@ -4580,6 +4584,34 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         |FROM kept GROUP BY 1, 2""".stripMargin,
+    // append-mode twin: a window emits at the END of the first batch
+    // whose EVICTION watermark (batch k evicts with W(k−1), after
+    // merging batch k's data) passes its end — content is every era
+    // ≤ that batch (rows of those eras into a not-yet-evicted window
+    // always pass the lagged late filter); windows the run's
+    // watermarks never pass stay in state and are correctly absent
+    "stream_eviction_append" ->
+      """WITH e AS (SELECT event_id % 3 AS era, epoch_us(ts) AS us, value FROM events),
+        |em AS (SELECT era, max(us) AS mx FROM e GROUP BY era),
+        |wm AS (
+        |  SELECT
+        |    (SELECT mx // 1000 - 1296000000 FROM em WHERE era = 0) AS w0,
+        |    greatest((SELECT mx // 1000 - 1296000000 FROM em WHERE era = 0),
+        |             (SELECT mx // 1000 - 1296000000 FROM em WHERE era = 1)) AS w1),
+        |win AS (
+        |  SELECT era, value,
+        |         3600000000 * (us // 3600000000) AS ws,
+        |         3600000000 * (us // 3600000000) + 3600000000 AS we
+        |  FROM e),
+        |x AS (
+        |  SELECT a.*, CASE WHEN a.we <= w.w0 * 1000 THEN 1
+        |                   WHEN a.we <= w.w1 * 1000 THEN 2 END AS elim
+        |  FROM win a, wm w)
+        |SELECT ws AS window_start_us, we AS window_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM x WHERE elim IS NOT NULL AND era <= elim
+        |GROUP BY 1, 2""".stripMargin,
     "session_windows" ->
       """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),

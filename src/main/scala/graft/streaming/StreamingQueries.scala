@@ -505,8 +505,13 @@ object StreamingQueries {
     * the watermark inherits its era-max's sub-second micros, so the
     * boundary comparison can never tie (the determinism rule).
     */
-  def lateEvictionViaSink(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  /** Stage the events corpus as three mtime-ordered era files and
+    * return the watermarked hour-window aggregate over their
+    * maxFilesPerTrigger = 1 file stream — the shared front half of
+    * both eviction gates ([[lateEvictionViaSink]] update mode,
+    * [[evictionAppendViaSink]] append mode). Returns (agg, root).
+    */
+  private def lateEvictionStagedAgg(spark: SparkSession, dir: String): (DataFrame, String) = {
     val root = scratchSinkDir("latewin")
     val inDir = s"$root/in"
     new java.io.File(inDir).mkdirs()
@@ -541,6 +546,12 @@ object StreamingQueries {
         col("n_events"),
         round(col("sv"), 2).cast("double").as("total_value"),
       )
+    (agg, root)
+  }
+
+  def lateEvictionViaSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (agg, root) = lateEvictionStagedAgg(spark, dir)
     val outDir = s"$root/out"
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     try {
@@ -580,6 +591,30 @@ object StreamingQueries {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select("window_start_us", "window_end_us", "n_events", "total_value")
+  }
+
+  /** APPEND-MODE twin of [[lateEvictionViaSink]] — the other half of
+    * ST3's watermark semantics at the oracle level: in append mode a
+    * window is emitted EXACTLY ONCE, when eviction passes its end,
+    * with whatever content had merged by then. Same staged era
+    * stream, same aggregate, production parquet append sink.
+    *
+    * What the emitted set proves (all measured batch-by-batch before
+    * being encoded in the oracle): batch 0 emits nothing (watermark
+    * epoch); batch 1 merges EVERY era-1 row (the dual-watermark late
+    * filter still holds the previous batch's watermark) and then
+    * evicts-and-emits exactly the windows ending ≤ the era-0
+    * watermark W0, carrying era-0 + era-1 content; the running-max
+    * watermark never advances past W0 on this corpus (later era
+    * maxima are smaller), so nothing emits after batch 1, era-2 rows
+    * into emitted windows are dropped as late, and era-2 rows into
+    * LIVE windows merge into state that never closes — correctly
+    * absent from the sink. Oracle: windows with end ≤ W0 aggregated
+    * over era-0 ∪ era-1 rows only.
+    */
+  def evictionAppendViaSink(spark: SparkSession, dir: String): DataFrame = {
+    val (agg, root) = lateEvictionStagedAgg(spark, dir)
+    runAppendToParquet(spark, agg, s"$root/outappend")
   }
 
   /** Streaming quality ROUTER — one stream, two sinks, one pass: each

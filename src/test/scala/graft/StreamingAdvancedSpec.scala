@@ -64,6 +64,23 @@ class StreamingAdvancedSpec extends AnyFunSuite {
       .view.mapValues(_.length.toLong).toMap
     assert(got == expected, s"changelog ${got.size} windows != recompute ${expected.size}")
     assert(got.values.sum == accepted.length.toLong, "accepted-row total mismatch")
+
+    // the APPEND twin: a window emits exactly once, at the end of the
+    // first batch whose eviction watermark passes its end, with every
+    // era <= that batch merged — and windows the watermarks never
+    // pass are correctly ABSENT (still live in state at stream end)
+    val wmAfter1Us = math.max(wmAfter0Us, (eraMaxUs(1L) / 1000 - delayMs) * 1000)
+    val appended = graft.streaming.StreamingQueries.evictionAppendViaSink(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expApp = ev
+      .map { case (id, us) => (id % 3, 3600000000L * (us / 3600000000L), winEnd(us)) }
+      .filter { case (era, _, we) =>
+        if (we <= wmAfter0Us) era <= 1 else if (we <= wmAfter1Us) era <= 2 else false
+      }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(appended == expApp, s"append ${appended.size} windows != recompute ${expApp.size}")
+    assert(appended.size < got.size, "append must hold only the CLOSED window subset")
+    assert(appended.nonEmpty)
   }
 
   test("checkpoint restart resumes from offsets without double counting") {
