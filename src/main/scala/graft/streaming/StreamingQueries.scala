@@ -526,9 +526,13 @@ object StreamingQueries {
       val dst = new java.io.File(s"$inDir/era$k.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       // the file source serves oldest-mtime first: era order IS the
-      // batch order (minutes apart — far beyond fs mtime granularity)
-      dst.setLastModified((k + 1) * 60000L)
-      ()
+      // batch order (minutes apart — far beyond fs mtime granularity).
+      // Fail LOUDLY if the fs refuses the mtime: a silent refusal
+      // would fall back to listing order — nondeterministic batches
+      // and a wrong (but plausible-looking) changelog
+      require(
+        dst.setLastModified((k + 1) * 60000L),
+        s"could not order era file $dst by mtime — batch determinism lost")
     }
     val agg = spark.readStream
       .schema(ev.schema)
