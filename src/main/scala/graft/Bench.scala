@@ -144,11 +144,31 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // env-sourced paths are interpolated into JSON string literals —
-    // escape so a quote/backslash in a path can't corrupt the lines
-    // the snapshot parser must always parse
-    def jstr(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // escape quote/backslash AND all control chars (a newline or tab
+    // in SPARK_GRAFT_BENCH_FULL or the sf dir would break the
+    // one-line contract the snapshot parser depends on; the
+    // Verify.scala escape rule)
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"bundles":$bs,"sf":"${jstr(sfDir)}"}"""
+    // Tear the engine down BEFORE printing: the eviction gates leave
+    // state-store maintenance daemons whose shutdown stacktraces
+    // (`RpcEnv already stopped`) trailed the final stdout line in the
+    // r12 driver snapshot and ate the metrics tail. StateStore.stop()
+    // quiesces the maintenance threads, spark.stop() the rest; both
+    // lines then print with nothing left running to write after them.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] StateStore.stop: ${e.getMessage}") }
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop: ${e.getMessage}") }
     println(line)
     // belt and braces against any stdout capture limit: persist the
     // identical JSON where the round-end auto-commit will pick it up,
@@ -176,6 +196,5 @@ object Bench {
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries_slowest":$slowest,"bundles":$bs,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}""")
-    spark.stop()
   }
 }

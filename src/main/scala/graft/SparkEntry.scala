@@ -1326,7 +1326,7 @@ object SparkEntry {
       |    SELECT $phashGridCaseSql AS B)),
       |m AS (
       |  SELECT d.doc_id * 2 + v.v AS id, d.doc_id AS base, v.v AS v,
-      |         256 + d.doc_id % 101 AS n, g.B, g.w
+      |         greatest(256, 2 * g.B + 64) + d.doc_id % 101 AS n, g.B, g.w
       |  FROM documents d, (SELECT unnest([0, 1]) AS v) v, grid g),
       |fe AS (
       |  SELECT id, (B * k + B - 1) // n AS i,

@@ -673,22 +673,37 @@ object Multimodal {
       )
 
   /** One generated audio-fixture variant (the [[audioMediaTable]]
-    * unit): mono 16-bit PCM, m = 256 + base % 101 frames of 4
-    * samples, each frame's samples the first four md5 bytes of
-    * "base|a|frame" (the phash texture rule with an audio-tier salt
-    * so the two fixtures decorrelate), wrapped in a real WAV
-    * container. v = 1 bumps every sample of exactly the frames in
-    * ONE 64-grid downsample block (+25/sample → +100 frame energy) —
-    * the LOCAL perturbation a re-encoded/re-mastered clip exhibits,
-    * which is what perceptual audio hashing detects (a time-SHIFTED
-    * clip is fuzzy-match territory, same division of labor as the
-    * image tier's shift postmortem). Samples stay ≤ 280, so the
-    * sign bit of the LE16 encoding is never set and |s| = s on both
-    * engines.
+    * unit): mono 16-bit PCM, m = max(256, 2·blocks + 64) + base % 101
+    * frames of 4 samples, each frame's samples the first four md5
+    * bytes of "base|a|frame" (the phash texture rule with an
+    * audio-tier salt so the two fixtures decorrelate), wrapped in a
+    * real WAV container. v = 1 bumps every sample of exactly the
+    * frames in ONE 64-grid downsample block (+25/sample → +100 frame
+    * energy) — the LOCAL perturbation a re-encoded/re-mastered clip
+    * exhibits, which is what perceptual audio hashing detects (a
+    * time-SHIFTED clip is fuzzy-match territory, same division of
+    * labor as the image tier's shift postmortem). Samples stay ≤ 280,
+    * so the sign bit of the LE16 encoding is never set and |s| = s on
+    * both engines.
+    *
+    * The frame count is GRID-ADAPTIVE (the [[phashVariantRecord]]
+    * rule, applied here after the r12 advice): the historical fixed
+    * 256-frame floor exactly equaled the 256-block grid cap, so
+    * [[audioFingerprintOf]]'s m < blocks skip guard was unreachable
+    * only by coincidence — a 512 grid tier (or a smaller floor) would
+    * have silently diverged from the oracle, which has no matching
+    * skip clause. max(256, 2·blocks + 64) keeps every driver-SF tier
+    * (64/128 blocks) BIT-IDENTICAL to the historical surface while
+    * guaranteeing ≥ 2 frames per block at any future tier, so the
+    * skip guard stays unreachable on the fixture BY CONSTRUCTION and
+    * both engines agree without an oracle-side skip. `blocks` is
+    * explicit, no default — a caller passing a stale grid would
+    * synthesize a surface the operative grid silently skips, the
+    * vacuous-green failure mode.
     */
-  private[graft] def audioVariantRecord(base: Long, v: Int): MediaRecord = {
+  private[graft] def audioVariantRecord(base: Long, v: Int, blocks: Int): MediaRecord = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val m = 256 + (base % 101).toInt
+    val m = math.max(256, 2 * blocks + 64) + (base % 101).toInt
     val hot = (base % 64).toInt
     val samples = new Array[Int](4 * m)
     var k = 0
@@ -722,13 +737,17 @@ object Multimodal {
     * decode path: magic dispatch → fmt/data chunk walk → PCM parse →
     * energy envelope → fingerprint.
     */
-  private[graft] def audioMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  private[graft] def audioMediaTable(
+      spark: SparkSession,
+      dir: String,
+      blocks: Int,
+  ): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions(_.flatMap(base =>
-        Seq(audioVariantRecord(base, 0), audioVariantRecord(base, 1))))
+        Seq(audioVariantRecord(base, 0, blocks), audioVariantRecord(base, 1, blocks))))
   }
 
   /** Decode → audio fingerprint: WAV payloads only (magic dispatch),
@@ -736,7 +755,12 @@ object Multimodal {
     * exact; a squared envelope orders gradients identically on this
     * fixture but costs headroom) → [[signDeltaBands]] over the energy
     * envelope. Clips with fewer frames than the downsample grid are
-    * skipped on both engines.
+    * skipped (a real short clip cannot fill the grid); the DuckDB
+    * oracle has NO matching skip clause, which is safe because the
+    * fixture's grid-adaptive frame floor ([[audioVariantRecord]]:
+    * max(256, 2·blocks + 64)) keeps the guard unreachable on fixture
+    * input at every grid tier BY CONSTRUCTION — both engines agree
+    * without modeling the skip.
     */
   private[graft] def audioFingerprintOf(r: MediaRecord, blocks: Int): Option[(Long, Array[Long])] =
     HeaderDecode.wavPcm16(r.content).flatMap { s =>
@@ -777,7 +801,7 @@ object Multimodal {
     def banded(pfx: String): DataFrame = {
       import spark.implicits._
       withBandKeys(
-        audioMediaTable(spark, dir)
+        audioMediaTable(spark, dir, blocks)
           .mapPartitions(_.flatMap(audioFingerprintOf(_, blocks)))
           .toDF("id", "bands"),
         pfx)

@@ -346,7 +346,11 @@ object StreamingQueries {
       // append gates emit on data (inner joins on match, projections
       // per row) — the trailing no-data micro-batch would be a pure
       // state-commit round with no output (same reasoning as the
-      // StreamGate bundle)
+      // StreamGate bundle). ORACLE CONTRACT: evictionAppendViaSink's
+      // DuckDB oracle models evictions at batches 1 and 2 ONLY (W0/W1)
+      // — a trailing no-data batch would evict with W2 and emit extra
+      // windows, so this `false` is load-bearing for that gate's
+      // hash-match; a refactor that drops it must update the oracle.
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       withShufflePartitions(spark, statePartitions) {
         startAppendToParquet(stream, outPath).awaitTermination()
@@ -615,6 +619,14 @@ object StreamingQueries {
     * LIVE windows merge into state that never closes — correctly
     * absent from the sink. Oracle: windows with end ≤ W0 aggregated
     * over era-0 ∪ era-1 rows only.
+    *
+    * HARD DEPENDENCIES the oracle encodes (a change to either flips
+    * this gate): (1) [[runAppendToParquet]] keeps
+    * `noDataMicroBatches.enabled = false` — a trailing no-data batch
+    * would evict with W2 and emit extra windows the oracle does not
+    * model; (2) the Spark ≥ 3.4 dual-watermark lag (SPARK-40925,
+    * measured r12) — a Spark upgrade that collapses the late filter
+    * onto the eviction watermark changes which rows merge.
     */
   def evictionAppendViaSink(spark: SparkSession, dir: String): DataFrame = {
     val (agg, root) = lateEvictionStagedAgg(spark, dir)
@@ -1158,7 +1170,7 @@ object StreamingQueries {
       2L * graft.sources.Tables(spark, dir, "documents").count())
     val storedIdx = Multimodal.withBandKeys(
       Multimodal
-        .audioMediaTable(spark, dir)
+        .audioMediaTable(spark, dir, blocks)
         .filter(_.doc_id % 2 == 0)
         .mapPartitions(_.flatMap(Multimodal.audioFingerprintOf(_, blocks)))
         .toDF("id", "bands"),
@@ -1168,7 +1180,7 @@ object StreamingQueries {
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.flatMap(base =>
-          Multimodal.audioFingerprintOf(Multimodal.audioVariantRecord(base, 1), blocks)))
+          Multimodal.audioFingerprintOf(Multimodal.audioVariantRecord(base, 1, blocks), blocks)))
         .toDF("id", "bands"),
       "b")
     arriving

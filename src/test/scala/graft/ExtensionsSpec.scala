@@ -334,7 +334,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // the planted v=1 perturbation is one 64-grid energy block — at
     // the fixture grid its pair must sit within the pairing budget
     // (and well under: <= 2 gradient bits, the local-edit contract)
-    val fps = Multimodal.audioMediaTable(spark, sf).collect()
+    val fps = Multimodal.audioMediaTable(spark, sf, blocks).collect()
       .flatMap(Multimodal.audioFingerprintOf(_, blocks)).toMap
     val bases = fps.keys.filter(_ % 2 == 0).map(_ / 2)
     bases.foreach { b =>
@@ -344,7 +344,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // a time-SHIFTED clip decorrelates downstream energy blocks —
     // far past the budget (fuzzy-match territory, not perceptual
     // hashing; the image tier's shift postmortem, replayed on audio)
-    val r0 = Multimodal.audioVariantRecord(7L, 0)
+    val r0 = Multimodal.audioVariantRecord(7L, 0, blocks)
     val pcm = Multimodal.HeaderDecode.wavPcm16(r0.content).get
     val m = pcm.length / 4
     def energiesOf(s: Array[Int]): Array[Long] =
@@ -433,7 +433,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // the band-collision pair space, hamming-verified — recomputed
     // in memory from the same fingerprints
     val blocks = Multimodal.phashGridBlocks(nMedia)
-    val fps = Multimodal.audioMediaTable(spark, sf).collect()
+    val fps = Multimodal.audioMediaTable(spark, sf, blocks).collect()
       .flatMap(Multimodal.audioFingerprintOf(_, blocks)).toMap
     def ham(a: Array[Long], b: Array[Long]): Int =
       (0 until 8).map(j => java.lang.Long.bitCount(a(j) ^ b(j))).sum
