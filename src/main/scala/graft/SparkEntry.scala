@@ -567,6 +567,12 @@ object SparkEntry {
     // the audio tier's keep policy: pair artifact closed under CC,
     // component-minimum clip survives, singletons implicit
     "multimodal_audio_keep" -> (Multimodal.audioKeep _),
+    // the perceptual tier's maintenance loop: a new media era FOLDS
+    // into the stored band index (append-only — old corpus never
+    // re-fingerprinted); the next era probes the refreshed index.
+    // Oracle computes the REBUILT index, so the hash-match is the
+    // fold == rebuild proof (the bank-refresh convention)
+    "phash_index_refresh" -> (Multimodal.phashRefreshFoldedProbe _),
     // the audio tier's ingest loop: arriving clips fingerprint
     // map-side and probe the stored band index stream-static
     "stream_audio_probe" -> (StreamingQueries.audioProbeViaSink _),
@@ -4701,6 +4707,26 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id),
+        |h AS (
+        |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
+        |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM h WHERE hamming <= 7""".stripMargin,
+    // the band-index refresh probe's oracle: the REBUILT index form —
+    // the full pigeonhole pair chain restricted to pairs whose larger
+    // id sits in the probe era (base > the 85% cutoff); the engine
+    // runs the stored ∪ increment FOLD, so the hash-match proves
+    // fold == rebuild at the gate level. The smaller id is index-side
+    // (base <= c2) or probe-side (increment x increment) — both
+    // slices of the same restriction, since probe ids exceed every
+    // index id
+    "phash_index_refresh" ->
+      s"""WITH $phashCtes,
+        |cut AS (SELECT 85 * max(doc_id) // 100 AS c2 FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id, cut
+        |  WHERE y.id // 2 > cut.c2),
         |h AS (
         |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
         |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)

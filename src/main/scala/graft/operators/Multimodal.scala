@@ -650,6 +650,106 @@ object Multimodal {
       )
   }
 
+  /** The perceptual tier's band-index REFRESH loop — the maintenance
+    * leg every other served family already has (minhash
+    * `dedup_index_refresh`, tf `boilerplate_index_refresh`, PQ
+    * `pq_codebook_refresh`, semantic `decontamination_bank_refresh`):
+    * a new media era folds into the stored (band, value) index
+    * WITHOUT re-fingerprinting the old corpus, and the next era's
+    * arrivals probe the refreshed index.
+    *
+    * Era layout (the [[graft.operators.Dedup.minhashRefreshFoldedProbe]]
+    * cutoffs, applied to media BASE ids): the stored index covers
+    * bases ≤ 70% of max doc_id, the landed increment the (70%, 85%]
+    * slice, and the probe audience every base past 85%. The refresh
+    * is the fold: a fingerprint is a PER-MEDIA deterministic map-side
+    * computation, so folding an increment in is appending its
+    * (id, band, value) rows — an append-only partition write against
+    * the index table at 100 TB, the stored slice never rescanned.
+    * Because fingerprinting is order-independent, the folded index is
+    * value-equal to a from-scratch rebuild ([[phashRefreshRebuiltProbe]],
+    * the executable spec twin — row-equality pinned in ExtensionsSpec),
+    * and the DuckDB oracle computes the REBUILT form, so the gate's
+    * tri-SF hash-match IS the fold == rebuild proof (the bank-refresh
+    * convention).
+    *
+    * Probe semantics are the batch pairing's ([[perceptualNearDupPairs]]):
+    * arriving media fingerprint map-side, collide with the index on
+    * the 8-band pigeonhole multi-index (salted — never all-pairs),
+    * verify by hamming ≤ 7; increment × increment pairs go through
+    * the same banded join on a second fresh lineage. Output is the
+    * verified pair set touching the probe era.
+    */
+  def phashRefreshFoldedProbe(spark: SparkSession, dir: String): DataFrame =
+    phashRefreshProbe(spark, dir, rebuild = false)
+
+  /** The from-scratch-rebuild twin of [[phashRefreshFoldedProbe]] —
+    * one fingerprint pass over every stored media item (the policy a
+    * deployment falls back to when the index table needs compaction,
+    * e.g. after a [[phashGridBlocks]] tier transition, which
+    * invalidates stored fingerprints wholesale).
+    */
+  def phashRefreshRebuiltProbe(spark: SparkSession, dir: String): DataFrame =
+    phashRefreshProbe(spark, dir, rebuild = true)
+
+  private def phashRefreshProbe(
+      spark: SparkSession,
+      dir: String,
+      rebuild: Boolean,
+      targetRows: Long = 1L << 16,
+  ): DataFrame = {
+    // grid + both era cutoffs in ONE bounded driver action, spliced
+    // as literals so the base-id slice predicates reach the documents
+    // scan (the r10 data-dependent-scalar rule)
+    val cuts = Tables(spark, dir, "documents")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("7 * max(doc_id) DIV 10").as("c1"),
+        expr("85 * max(doc_id) DIV 100").as("c2"),
+      )
+      .head
+    val (c1, c2) = (cuts.getLong(1), cuts.getLong(2))
+    val blocks = phashGridBlocks(2L * cuts.getLong(0))
+    // fresh lineage per call (the emb/embPlain discipline); the base
+    // slice filters BEFORE synthesis, so only the era's documents are
+    // read and fingerprinted
+    def banded(pfx: String, pred: org.apache.spark.sql.Column): DataFrame = {
+      import spark.implicits._
+      withBandKeys(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"))
+          .filter(pred)
+          .as[Long]
+          .mapPartitions(_.flatMap(base =>
+            Seq(phashVariantRecord(base, 0, blocks), phashVariantRecord(base, 1, blocks))
+              .flatMap(fingerprintOf(_, blocks))))
+          .toDF("id", "bands"),
+        pfx)
+    }
+    val idx =
+      if (rebuild) banded("a", col("doc_id") <= c2)
+      else
+        // the fold: stored index rows ∪ the landed increment's rows —
+        // each media item fingerprinted exactly once, old never rescanned
+        banded("a", col("doc_id") <= c1)
+          .unionByName(banded("a", col("doc_id") > c1 && col("doc_id") <= c2))
+    val incoming = banded("b", col("doc_id") > c2)
+    // index ids are < every probe id (base ≤ c2 < base'), so the
+    // a < b pair convention holds for free on the new × old leg
+    val newOld = Skew
+      .saltedBlockJoin(idx, incoming, "__bucket", "doc_a", targetRows)
+      .withColumn("hamming", bandHamming)
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val newNew = Skew
+      .saltedBlockJoin(banded("a", col("doc_id") > c2), incoming, "__bucket", "doc_a", targetRows)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bandHamming)
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    newOld.unionByName(newNew).distinct()
+  }
+
   /** Audio corpus accounting — the "how many hours at which sample
     * rates" table every audio dataset report leads with: per
     * (sample_rate, n_channels) bucket, file count, total PCM sample

@@ -479,4 +479,33 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(h >= 0 && h <= 2, s"planted pair ($a,$b) drifted to hamming $h")
     }
   }
+
+  test("phash index refresh: fold == rebuild row-equal, probe slice exact, non-vacuous") {
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val folded = asSet(Multimodal.phashRefreshFoldedProbe(spark, sf))
+    val rebuilt = asSet(Multimodal.phashRefreshRebuiltProbe(spark, sf))
+    // the fold (stored band rows ∪ increment band rows) must be
+    // indistinguishable from a from-scratch rebuild — the maintenance
+    // policy's whole contract
+    assert(folded == rebuilt, "folded index diverged from the from-scratch rebuild")
+    // non-vacuous: the probe era carries its documents' planted
+    // (v0, v1) variant pairs, so the landed set cannot be empty and
+    // every probe-era base must surface its pair
+    val c2 = graft.sources.Tables(spark, sf, "documents")
+      .agg(expr("85 * max(doc_id) DIV 100")).head.getLong(0)
+    val probeBases = graft.sources.Tables(spark, sf, "documents")
+      .filter(col("doc_id") > c2).collect().map(_.getLong(0)).toSet
+    assert(probeBases.nonEmpty && folded.nonEmpty, "refresh probe era is empty — vacuous gate")
+    probeBases.foreach { base =>
+      assert(
+        folded.exists { case (a, b, _) => a == 2 * base && b == 2 * base + 1 },
+        s"probe-era base $base lost its planted variant pair")
+    }
+    // the landed set touches ONLY the probe era (index-internal pairs
+    // must not re-emit on a refresh)
+    folded.foreach { case (a, b, _) =>
+      assert(b / 2 > c2, s"pair ($a,$b) does not touch the probe era")
+    }
+  }
 }
