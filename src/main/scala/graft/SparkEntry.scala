@@ -529,6 +529,12 @@ object SparkEntry {
     // near-dups of any test vector (the paraphrase leak the n-gram
     // legs miss), per-train-vector hit counts
     "decontamination_semantic" -> ((s, d) => graft.operators.Sampling.semanticDecontamination(s, d)),
+    // the deployment cell shape: the same sweep blocked by (IVF cell
+    // x SRP prefix bucket) with the prefix growing one plane per
+    // corpus doubling — block count grows with N, pair work linear
+    // (the measured replacement for the fixed-label-cell quadratic)
+    "decontamination_semantic_ivf" ->
+      ((s, d) => graft.operators.Sampling.semanticDecontaminationIvf(s, d)),
     // the ingest twin: arriving candidate vectors probe the FIXED
     // test bank stream-static before landing (scrub-before-train)
     "stream_decontamination" -> (StreamingQueries.decontaminationViaSink _),
@@ -542,6 +548,11 @@ object SparkEntry {
     // file-stream batches deliver provably-late rows; evicted windows
     // and dropped rows shape the collapsed update-mode changelog
     "stream_late_eviction" -> (StreamingQueries.lateEvictionViaSink _),
+    // MERGING-window eviction: session windows driven through
+    // watermark-close over the same staged era stream, append mode —
+    // late rows that would have extended an already-closed session
+    // drop (or start a NEW session when they survive the late filter)
+    "stream_session_eviction" -> (StreamingQueries.sessionEvictionViaSink _),
     // the APPEND-mode twin: a window emits exactly once, at eviction,
     // with whatever content merged by then — the sink holds exactly
     // the closed windows
@@ -4514,6 +4525,48 @@ object SparkEntry {
          |     OR (sa.split = 'test' AND sb.split = 'train'))
          |SELECT train_vec_id, CAST(count(*) AS BIGINT) AS n_test_near_dups
          |FROM x GROUP BY train_vec_id""".stripMargin,
+    // the IVF-blocked variant's oracle: the SAME augmentation and
+    // split algebra, but pairs meet on (assigned_cell * 256 + SRP
+    // prefix bucket) with the prefix length from the mining staircase
+    // over the BASE corpus count — both engines flip planes at
+    // identical sizes, and replicas inherit their original's blk
+    // (embedding unchanged), so the planted cosine-1.0 cross-split
+    // pairs collide at every p
+    "decontamination_semantic_ivf" -> {
+      val r = graft.operators.Sampling.SemanticPlantReplicas
+      s"""$ivfAssignCtes,
+         |psel AS (SELECT $miningStaircaseSql AS p
+         |FROM (SELECT count(*) AS n FROM embeddings)),
+         |aug0 AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(a.assigned_cell AS BIGINT) * 256 + ($miningBktTermsSql) AS blk
+         |  FROM embeddings e JOIN asg a USING (vec_id), psel s),
+         |aug AS MATERIALIZED (
+         |  SELECT vec_id, embedding, blk FROM aug0
+         |  UNION ALL
+         |  SELECT -(a.vec_id * $r + t.rep + 1) AS vec_id, a.embedding, a.blk
+         |  FROM aug0 a, range($r) t(rep)
+         |  WHERE substr(md5(CAST(a.vec_id AS VARCHAR) || '|vsplit'), 1, 2) >= 'e6'),
+         |prs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM aug a JOIN aug b ON a.blk = b.blk AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |sx AS (
+         |  SELECT va, vb,
+         |    CASE WHEN substr(md5(CAST(va AS VARCHAR) || '|vsplit'), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substr(md5(CAST(va AS VARCHAR) || '|vsplit'), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS sa,
+         |    CASE WHEN substr(md5(CAST(vb AS VARCHAR) || '|vsplit'), 1, 2) < 'cc' THEN 'train'
+         |         WHEN substr(md5(CAST(vb AS VARCHAR) || '|vsplit'), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS sb
+         |  FROM prs),
+         |x AS (
+         |  SELECT CASE WHEN sa = 'train' THEN va ELSE vb END AS train_vec_id
+         |  FROM sx
+         |  WHERE (sa = 'train' AND sb = 'test') OR (sa = 'test' AND sb = 'train'))
+         |SELECT train_vec_id, CAST(count(*) AS BIGINT) AS n_test_near_dups
+         |FROM x GROUP BY train_vec_id""".stripMargin
+    },
     // the ingest guard's oracle: arriving (past-cutoff, non-test)
     // candidates x the fixed test bank, same cell + threshold
     "stream_decontamination" ->
@@ -4618,6 +4671,77 @@ object SparkEntry {
         |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         |FROM x WHERE elim IS NOT NULL AND era <= elim
         |GROUP BY 1, 2""".stripMargin,
+    // the merging-window eviction oracle: a batch-by-batch replay of
+    // the dual-watermark session semantics (scaladoc at
+    // StreamingQueries.sessionEvictionViaSink). Era = id-interleave
+    // with time-staggered maxima (top day -> era 2, next day -> era
+    // 1) so the running-max watermark ADVANCES between batches while
+    // all eras still span the range — the measured prerequisites for
+    // batch-2 eviction to be non-empty, for wrong models to diverge,
+    // AND for late rows to land next to closed sessions.
+    // sessionize(era 0 ∪ 1) → emit sessions ending <= W0; carry the
+    // ROWS of live sessions, union era-2 rows passing the W0 late
+    // filter (on ts + gap — the row's initial session-window end),
+    // re-sessionize, emit <= W1. Emitted sessions' rows leave the
+    // store, so a late survivor near a closed session starts a NEW
+    // session — the re-sessionize over live rows reproduces Spark's
+    // merge store exactly (sessions are per-user disjoint; removing
+    // whole sessions cannot bridge survivors)
+    "stream_session_eviction" -> {
+      val g = StreamingQueries.SessionEvictionGapHours * 3600000000L
+      val day = 86400000000L
+      s"""WITH raw AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+         |bounds AS (SELECT min(us) AS mn, max(us) AS mx FROM raw),
+         |e AS (SELECT user_id, event_id, us, value,
+         |        CASE WHEN us > b.mx - $day THEN 2
+         |             WHEN us > b.mx - ${2 * day} THEN 1
+         |             ELSE event_id % 3 END AS era FROM raw, bounds b),
+         |em AS (SELECT era, max(us) AS mx FROM e GROUP BY era),
+         |wm AS (
+         |  SELECT (SELECT mx // 1000 - 1296000000 FROM em WHERE era = 0) AS w0,
+         |         greatest((SELECT mx // 1000 - 1296000000 FROM em WHERE era = 0),
+         |                  (SELECT mx // 1000 - 1296000000 FROM em WHERE era = 1)) AS w1),
+         |g1 AS MATERIALIZED (
+         |  SELECT user_id, event_id, us, value,
+         |         sum(CASE WHEN prev IS NULL OR us - prev >= $g THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+         |        FROM e WHERE era <= 1)),
+         |s1 AS MATERIALIZED (
+         |  SELECT user_id, sid, min(us) AS sstart, max(us) + $g AS send,
+         |         count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sv
+         |  FROM g1 GROUP BY 1, 2),
+         |e1 AS (SELECT s.user_id, s.sstart, s.send, s.n, s.sv FROM s1 s, wm w
+         |       WHERE s.send <= w.w0 * 1000),
+         |live AS (
+         |  SELECT g.user_id, g.event_id, g.us, g.value
+         |  FROM g1 g JOIN s1 s ON s.user_id = g.user_id AND s.sid = g.sid, wm w
+         |  WHERE s.send > w.w0 * 1000),
+         |r2 AS (
+         |  SELECT user_id, event_id, us, value FROM live
+         |  UNION ALL
+         |  SELECT user_id, event_id, us, value FROM e, wm w
+         |  WHERE era = 2 AND us + $g > w.w0 * 1000),
+         |g2 AS (
+         |  SELECT user_id, us, value,
+         |         sum(CASE WHEN prev IS NULL OR us - prev >= $g THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+         |        FROM r2)),
+         |s2 AS (
+         |  SELECT user_id, min(us) AS sstart, max(us) + $g AS send,
+         |         count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sv
+         |  FROM g2 GROUP BY user_id, sid),
+         |e2 AS (SELECT s.user_id, s.sstart, s.send, s.n, s.sv FROM s2 s, wm w
+         |       WHERE s.send <= w.w1 * 1000),
+         |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+         |SELECT user_id, sstart AS session_start_us, send AS session_end_us,
+         |       CAST(n AS BIGINT) AS n_events,
+         |       CAST(round(sv, 2) AS DOUBLE) AS total_value
+         |FROM u""".stripMargin
+    },
     "session_windows" ->
       """WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),

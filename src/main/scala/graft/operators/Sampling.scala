@@ -391,6 +391,89 @@ object Sampling {
       .agg(count(lit(1)).as("n_test_near_dups"))
   }
 
+  /** [[semanticDecontamination]] blocked by the DEPLOYMENT cell shape
+    * — the variant that retires the fixed-label-cell quadratic with a
+    * measurable linear pipeline: the block key is (IVF round-1 cell ×
+    * SRP prefix bucket), where the cell comes from the trained coarse
+    * quantizer ([[IvfIndex.assignments]] — the memoized round-1
+    * artifact, so the corpus parquet is scanned once across the IVF
+    * gate family) and the SRP prefix grows ONE PLANE PER CORPUS
+    * DOUBLING past [[Similarity.MiningBlockThreshold]] vectors (the
+    * [[Similarity.mineContrastive]] staircase, derived from the same
+    * constant on both engines). Block count = |cells| · 2^p therefore
+    * grows with N, holding the expected block bounded — total pair
+    * work ≈ N · ⌀block, LINEAR in the corpus, where the label-blocked
+    * gate's fixed 10 cells make it quadratic by the fixture's own
+    * semantics (the standing r8 adjudication this gate replaces with
+    * a measurement; rehearsed at sf1e/4e/10e in BENCH_SCALING.md).
+    *
+    * The staircase input is the BASE corpus count: the blocking
+    * resolution is a property of the stored index, while the replica
+    * planting ([[embAugmented]]'s algebra, applied to the artifact
+    * frame) exists only to de-vacuate the fixture gate — a replica
+    * inherits its original's embedding, hence its cell AND its SRP
+    * bucket, so the planted cosine-1.0 cross-split pairs collide at
+    * EVERY p and the gate stays provably non-vacuous in the
+    * approximate regime (the ANN trade only prunes natural near-dups
+    * that differ in a sign bit — the standard recall cost, identical
+    * in the oracle). Splits are the md5-threshold rule computed
+    * map-side from the pair ids — no split join, unlike the label
+    * gate: the id IS the split handle.
+    *
+    * At the driver SFs (≤ 2000 vectors) p = 0 and the block is the
+    * IVF cell alone; the rehearsal corpora run p ≥ 1. Output contract
+    * is [[semanticDecontamination]]'s: (train_vec_id,
+    * n_test_near_dups), integer-only.
+    */
+  def semanticDecontaminationIvf(
+      spark: SparkSession,
+      dir: String,
+      plantReplicas: Int = SemanticPlantReplicas,
+      threshold: Double = 0.4,
+      targetRows: Long = 1L << 16,
+  ): DataFrame = {
+    IvfIndex.assignments(spark, dir) // ensure the named artifact exists
+    val p = Similarity.miningPrefixPlanes(Tables(spark, dir, "embeddings").count())
+    def bkt: Column =
+      if (p == 0) lit(0L)
+      else graft.functions.VectorFunctions.lshBucket(col("embedding"), p).cast("long")
+    // fresh catalog reference per side (the mineContrastive lineage
+    // discipline); replicas inherit cell + bucket through the
+    // unchanged embedding — blk is computed once on the base row and
+    // carried into the replica
+    def corpus: DataFrame = {
+      val base = spark
+        .table(graft.util.NamedArtifact.viewName("graft_ivf_round1", dir))
+        .select(col("vec_id"), col("embedding"), (col("cell").cast("long") * 256L + bkt).as("blk"))
+      if (plantReplicas <= 0) base
+      else {
+        val planted = base
+          .filter(assignSplit(col("vec_id").cast("string"), "vsplit") === "test")
+          .crossJoin(broadcast(spark.range(plantReplicas).select(col("id").as("rep"))))
+          .select(
+            (-(col("vec_id") * plantReplicas + col("rep") + 1)).as("vec_id"),
+            col("embedding"),
+            col("blk"),
+          )
+        base.unionByName(planted)
+      }
+    }
+    val a = corpus.select(col("blk"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("blk"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    def splitOf(c: Column): Column = assignSplit(c.cast("string"), "vsplit")
+    graft.operators.Skew
+      .saltedBlockJoin(a, b, "blk", "vec_a", targetRows)
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(graft.functions.VectorFunctions.cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("vec_a"), col("vec_b"), splitOf(col("vec_a")).as("sa"), splitOf(col("vec_b")).as("sb"))
+      .filter(
+        (col("sa") === "train" && col("sb") === "test") ||
+          (col("sa") === "test" && col("sb") === "train"))
+      .select(when(col("sa") === "train", col("vec_a")).otherwise(col("vec_b")).as("train_vec_id"))
+      .groupBy("train_vec_id")
+      .agg(count(lit(1)).as("n_test_near_dups"))
+  }
+
   /** The semantic test bank's REFRESH loop — the maintenance leg the
     * embedding-space decontamination tier was missing (every other
     * served family — minhash, winnow, phash, tf, PQ — already has its

@@ -515,14 +515,25 @@ object StreamingQueries {
     * both eviction gates ([[lateEvictionViaSink]] update mode,
     * [[evictionAppendViaSink]] append mode). Returns (agg, root).
     */
-  private def lateEvictionStagedAgg(spark: SparkSession, dir: String): (DataFrame, String) = {
-    val root = scratchSinkDir("latewin")
+  /** Stage `ev` as three mtime-ordered era files under `root/in` —
+    * era of a row = `eraCol` (must be 0/1/2) — and return the
+    * maxFilesPerTrigger = 1 file stream over them: batch k is exactly
+    * era k. Shared by the tumbling eviction gates (era =
+    * event_id % 3) and the session-eviction gate (interleaved time
+    * tiles — see [[sessionEvictionViaSink]] for why that gate needs
+    * advancing watermarks).
+    */
+  private def stagedEraStream(
+      spark: SparkSession,
+      root: String,
+      ev: DataFrame,
+      eraCol: org.apache.spark.sql.Column,
+  ): DataFrame = {
     val inDir = s"$root/in"
     new java.io.File(inDir).mkdirs()
-    val ev = Tables(spark, dir, "events").select(col("event_id"), col("ts"), col("value"))
     (0 until 3).foreach { k =>
       val stage = s"$root/stage$k"
-      ev.filter(pmod(col("event_id"), lit(3)) === k)
+      ev.filter(eraCol === k)
         .coalesce(1).write.mode("overwrite").parquet(stage)
       val part = Option(new java.io.File(stage).listFiles())
         .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
@@ -538,10 +549,16 @@ object StreamingQueries {
         dst.setLastModified((k + 1) * 60000L),
         s"could not order era file $dst by mtime — batch determinism lost")
     }
-    val agg = spark.readStream
+    spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
+  }
+
+  private def lateEvictionStagedAgg(spark: SparkSession, dir: String): (DataFrame, String) = {
+    val root = scratchSinkDir("latewin")
+    val ev = Tables(spark, dir, "events").select(col("event_id"), col("ts"), col("value"))
+    val agg = stagedEraStream(spark, root, ev, pmod(col("event_id"), lit(3)))
       .withWatermark("ts", "15 days")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(
@@ -631,6 +648,120 @@ object StreamingQueries {
   def evictionAppendViaSink(spark: SparkSession, dir: String): DataFrame = {
     val (agg, root) = lateEvictionStagedAgg(spark, dir)
     runAppendToParquet(spark, agg, s"$root/outappend")
+  }
+
+  /** Session-eviction gap (hours) — interpolated into the Spark plan
+    * and the DuckDB oracle (the ServedQueryCutoff rule). 6 hours sits
+    * against the corpus's ~11 h mean per-user inter-event gap, so
+    * ~43% of events MERGE into multi-event sessions at sf0.01 —
+    * enough merging to make session (not tumbling) semantics
+    * load-bearing.
+    */
+  val SessionEvictionGapHours: Int = 6
+
+  /** Watermark eviction for MERGING windows — the session-window
+    * counterpart of [[evictionAppendViaSink]], closing the last
+    * spec-only streaming semantic (ST2's session windows never had an
+    * oracle-gated eviction path): a staged era stream drives
+    * `session_window` through watermark-driven session close in
+    * append mode, with provably-late rows that would have EXTENDED
+    * already-closed sessions.
+    *
+    * Era rule — id-interleave with TIME-STAGGERED maxima, measured
+    * into shape in two steps: (1) the tumbling gates' pure
+    * event_id % 3 leaves every era's max ts within ms of the global
+    * max, so the running-max watermark NEVER ADVANCES past W0 on
+    * this corpus — the batch-2 eviction set is EMPTY (a live
+    * session's end only grows) and three wrong oracle models (late
+    * filter on ts instead of ts + gap; single watermark at batch 2;
+    * no lag at batch 1) all coincide with the right one — a
+    * vacuously-green gate; (2) pure time-tiling (era = tile % 3)
+    * advances the watermark but makes eras TIME-DISJOINT near W0, so
+    * no era-0/1 session can sit within a gap of a kept era-2 row and
+    * the reopen hazard is structurally impossible (measured 0
+    * overlaps at every SF). The hybrid keeps both properties: rows
+    * in the top day of the range are era 2, the next day down era 1,
+    * everything below id-interleaves — era maxima climb ~1 day per
+    * batch (W1 − W0 ≈ 1 day) while all three eras still span the
+    * full range below the stagger band. Re-measured: all three wrong
+    * models DIVERGE at every SF, dropped-late rows that would have
+    * extended a closed session exist at every SF, and batch-2
+    * sessions overlapping a closed one exist at sf0.01+ (pinned in
+    * StreamingAdvancedSpec).
+    *
+    * Semantics the oracle unrolls batch-by-batch (measured before
+    * encoded — the dual-watermark discipline):
+    *
+    *  - batch 0 (era 0): all rows accepted (watermark epoch), merged
+    *    into per-user sessions; nothing evicts (eviction watermark
+    *    still epoch);
+    *  - batch 1 (era 1): the late filter still holds the PREVIOUS
+    *    batch's watermark (stats through batch −1 = epoch —
+    *    SPARK-40925), so EVERY era-1 row merges, possibly bridging
+    *    era-0 sessions; eviction then closes-and-emits exactly the
+    *    merged sessions whose END (last event + gap) ≤ W0 =
+    *    ms(max era-0 ts) − 15 d;
+    *  - batch 2 (era 2): the late filter now holds W0 — rows whose
+    *    initial session window ends ≤ W0 (ts + gap ≤ W0) are
+    *    DROPPED, including rows that would have extended a session
+    *    emitted in batch 1; a late row that SURVIVES the filter next
+    *    to a closed session starts a NEW session rather than
+    *    reopening it (its rows left the store at emission) — exactly
+    *    the merging-window eviction hazard this gate pins, and those
+    *    new sessions are VISIBLE because they emit at batch 2 when
+    *    their end ≤ W1 = max(W0, ms(max era-1 ts) − 15 d). Accepted
+    *    rows merge with the LIVE (un-emitted) sessions; sessions the
+    *    run's watermarks never pass stay in state — correctly absent
+    *    from the sink.
+    *
+    * The DuckDB oracle replays this exactly: sessionize(era-0 ∪
+    * era-1) → emit ≤ W0; carry the ROWS of live sessions (emitted
+    * sessions' rows removed), union the W0-filtered era-2 rows,
+    * re-sessionize, emit ≤ W1. Re-sessionizing live rows is sound
+    * because sessions are disjoint per user and removal of whole
+    * emitted sessions cannot bridge the survivors. Same hard
+    * dependencies as [[evictionAppendViaSink]]: runAppendToParquet's
+    * noDataMicroBatches = false (a trailing no-data batch would evict
+    * with W2) and the Spark ≥ 3.4 dual-watermark lag.
+    *
+    * Scale shape: the production plan is the stock streaming
+    * session aggregation — state per (user, live session), bounded by
+    * the watermark horizon; the staging write is one coalesce(1) pass
+    * per era outside the timed stream (the tumbling gates' harness);
+    * the tile bounds are one bounded driver action spliced as
+    * literals (the r10 rule).
+    */
+  def sessionEvictionViaSink(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchSinkDir("sesswin")
+    val evBase = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val bounds = evBase
+      .agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+      .head
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val day = 86400000000L
+    // the stagger band needs room below it for all three eras to
+    // interleave — a corpus under 4 days would degenerate silently
+    require(mx - mn > 4 * day, s"events range ${mx - mn} us too short for the era stagger")
+    val hybridEra = expr(
+      s"CASE WHEN unix_micros(ts) > ${mx - day}L THEN 2 " +
+        s"WHEN unix_micros(ts) > ${mx - 2 * day}L THEN 1 " +
+        "ELSE pmod(event_id, 3) END")
+    val agg = stagedEraStream(spark, root, evBase, hybridEra)
+      .withWatermark("ts", "15 days")
+      .groupBy(session_window(col("ts"), s"$SessionEvictionGapHours hours"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"),
+      )
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"),
+        round(col("sv"), 2).cast("double").as("total_value"),
+      )
+    runAppendToParquet(spark, agg, s"$root/out")
   }
 
   /** Streaming quality ROUTER — one stream, two sinks, one pass: each

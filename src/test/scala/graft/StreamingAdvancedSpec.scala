@@ -83,6 +83,79 @@ class StreamingAdvancedSpec extends AnyFunSuite {
     assert(appended.nonEmpty)
   }
 
+  test("session eviction: merged sessions close at the watermark; late rows near closed sessions start NEW ones") {
+    // sf0.01, not sf0.001: the reopen-visibility configuration (a
+    // surviving late row next to a closed session whose NEW session
+    // closes by W1) is measured present from sf0.01 up
+    val dir = "/root/testdata/sf0.01"
+    val g = graft.streaming.StreamingQueries.SessionEvictionGapHours * 3600000000L
+    val rows = graft.sources.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mx = rows.map(_._3).max
+    val day = 86400000000L
+    def era(r: (Long, Long, Long)): Long =
+      if (r._3 > mx - day) 2L else if (r._3 > mx - 2 * day) 1L else r._2 % 3
+    // (user, sessions as (start, lastUs, n)) from a row set — the
+    // gaps-and-islands recompute of Spark's merge store
+    def sessionize(rs: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] =
+      rs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._3, e._2)).sortBy(identity)
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+        var start = -1L; var last = -1L; var n = 0L
+        sorted.foreach { case (us, _) =>
+          if (start < 0 || us - last >= g) {
+            if (start >= 0) out += ((u, start, last + g, n))
+            start = us; last = us; n = 1
+          } else { last = us; n += 1 }
+        }
+        if (start >= 0) out += ((u, start, last + g, n))
+        out.toSeq
+      }
+    val delayMs = 15L * 24 * 3600 * 1000
+    def eraMaxUs(k: Long): Long = rows.filter(r => era(r) == k).map(_._3).max
+    val w0us = (eraMaxUs(0) / 1000 - delayMs) * 1000
+    val w1us = math.max(w0us, (eraMaxUs(1) / 1000 - delayMs) * 1000)
+    val r01 = rows.filter(r => era(r) <= 1).toSeq
+    val s1 = sessionize(r01)
+    val e1 = s1.filter(_._3 <= w0us)
+    // live rows = rows of un-emitted sessions (emitted sessions' rows
+    // leave the store)
+    val liveSpans = s1.filter(_._3 > w0us).groupBy(_._1).view
+      .mapValues(_.map(s => (s._2, s._3))).toMap
+    val liveRows = r01.filter { case (u, _, us) =>
+      liveSpans.getOrElse(u, Nil).exists { case (st, en) => us >= st && us < en }
+    }
+    val droppedLate = rows.filter(r => era(r) == 2 && r._3 + g <= w0us)
+    val a2 = rows.filter(r => era(r) == 2 && r._3 + g > w0us).toSeq
+    val s2 = sessionize(liveRows ++ a2)
+    val e2 = s2.filter(_._3 <= w1us)
+    val expected = (e1 ++ e2).groupBy(identity).view.mapValues(_.size).toMap
+
+    val got = graft.streaming.StreamingQueries.sessionEvictionViaSink(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == expected, s"appended ${got.size} sessions != dual-watermark recompute ${expected.size}")
+
+    // the hazards this gate exists to pin, each provably present:
+    // 1. late rows that WOULD have extended an already-emitted session
+    //    are dropped (their initial window overlaps the closed span)
+    val extendsClosed = droppedLate.exists { case (u, _, us) =>
+      e1.exists { case (eu, st, en, _) => eu == u && us + g > st && us < en }
+    }
+    assert(droppedLate.nonEmpty, "no late rows — vacuous")
+    assert(extendsClosed, "no dropped row would have extended a closed session")
+    // 2. a late SURVIVOR near a closed session starts a NEW session
+    //    (visible: emitted at batch 2, overlapping the closed span)
+    val reopenVisible = e2.exists { case (u, st, en, _) =>
+      e1.exists { case (eu, st1, en1, _) => eu == u && st < en1 && st1 < en }
+    }
+    assert(reopenVisible, "no batch-2 session overlaps a closed one — reopen hazard untested")
+    // 3. both batches emit, and some sessions never close (live at end)
+    assert(e1.nonEmpty && e2.nonEmpty, "an eviction batch is vacuous")
+    assert(s2.exists(_._3 > w1us), "no session survives to stream end")
+  }
+
   test("checkpoint restart resumes from offsets without double counting") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-in").toString
