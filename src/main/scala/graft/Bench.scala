@@ -123,8 +123,42 @@ object Bench {
         val w = b(k)
         k -> (if (v < 0 || w < 0) -1.0 else math.min(v, w))
       }
-    val results = minMerge(run1, run2)
-    val bundleResults = minMerge(bundles1, bundles2)
+    // Matched-pair provenance (the r12 advice): a pair built from
+    // several same-session invocations used to be spliced by hand
+    // into a re-serialized artifact that no longer round-tripped
+    // through this emitter. SPARK_GRAFT_BENCH_MIN_WITH=<path> instead
+    // min-merges a PRIOR emission of this same binary into the
+    // current results before emission — the committed artifact is
+    // then a verbatim Bench output whose provenance is the
+    // "min_with" field. Keys only in the prior artifact are ignored
+    // (a removed gate must not haunt the pair); keys only in the
+    // current run stay as measured (a new gate has no prior floor).
+    val minWithPath = sys.env.get("SPARK_GRAFT_BENCH_MIN_WITH")
+    def priorMap(field: String): Map[String, Double] = minWithPath match {
+      case None => Map.empty
+      case Some(p) =>
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val root = JsonMethods.parse(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+        root \ field match {
+          case JObject(fields) =>
+            fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+          case _ => Map.empty
+        }
+    }
+    def minWithPrior(cur: Map[String, Double], prior: Map[String, Double]): Map[String, Double] =
+      cur.map { case (k, v) =>
+        k -> (prior.get(k) match {
+          case Some(w) if v >= 0 && w >= 0 => math.min(v, w)
+          case _ => v // failed-now stays -1; failed-before keeps now
+        })
+      }
+    val results = minWithPrior(minMerge(run1, run2), priorMap("queries"))
+    val bundleResults = minWithPrior(minMerge(bundles1, bundles2), priorMap("bundles"))
     // millisecond-rounded timings: a full-precision double is ~18
     // chars and 158 of them pushed the stdout JSON line past the
     // driver's capture truncation in round 6 (only 60 timings
@@ -157,8 +191,10 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    val minWithField =
+      minWithPath.map(p => s""","min_with":"${jstr(p)}"""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"bundles":$bs,"sf":"${jstr(sfDir)}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"bundles":$bs,"sf":"${jstr(sfDir)}"$minWithField}"""
     // Tear the engine down BEFORE printing: the eviction gates leave
     // state-store maintenance daemons whose shutdown stacktraces
     // (`RpcEnv already stopped`) trailed the final stdout line in the

@@ -509,19 +509,13 @@ object StreamingQueries {
     * the watermark inherits its era-max's sub-second micros, so the
     * boundary comparison can never tie (the determinism rule).
     */
-  /** Stage the events corpus as three mtime-ordered era files and
-    * return the watermarked hour-window aggregate over their
-    * maxFilesPerTrigger = 1 file stream — the shared front half of
-    * both eviction gates ([[lateEvictionViaSink]] update mode,
-    * [[evictionAppendViaSink]] append mode). Returns (agg, root).
-    */
   /** Stage `ev` as three mtime-ordered era files under `root/in` —
     * era of a row = `eraCol` (must be 0/1/2) — and return the
     * maxFilesPerTrigger = 1 file stream over them: batch k is exactly
     * era k. Shared by the tumbling eviction gates (era =
-    * event_id % 3) and the session-eviction gate (interleaved time
-    * tiles — see [[sessionEvictionViaSink]] for why that gate needs
-    * advancing watermarks).
+    * event_id % 3) and the session-eviction gate (id-interleave with
+    * time-staggered maxima — see [[sessionEvictionViaSink]] for why
+    * that gate needs advancing watermarks).
     */
   private def stagedEraStream(
       spark: SparkSession,
@@ -555,6 +549,11 @@ object StreamingQueries {
       .parquet(inDir)
   }
 
+  /** The watermarked hour-window aggregate over the id-interleaved
+    * staged era stream — the shared front half of both tumbling
+    * eviction gates ([[lateEvictionViaSink]] update mode,
+    * [[evictionAppendViaSink]] append mode). Returns (agg, root).
+    */
   private def lateEvictionStagedAgg(spark: SparkSession, dir: String): (DataFrame, String) = {
     val root = scratchSinkDir("latewin")
     val ev = Tables(spark, dir, "events").select(col("event_id"), col("ts"), col("value"))
