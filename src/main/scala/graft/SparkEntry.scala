@@ -584,6 +584,9 @@ object SparkEntry {
     // Oracle computes the REBUILT index, so the hash-match is the
     // fold == rebuild proof (the bank-refresh convention)
     "phash_index_refresh" -> (Multimodal.phashRefreshFoldedProbe _),
+    // the audio tier's refresh twin — both perceptual tiers now run
+    // the full probe -> refresh -> audit maintenance loop
+    "audio_index_refresh" -> (Multimodal.audioRefreshFoldedProbe _),
     // the audio tier's ingest loop: arriving clips fingerprint
     // map-side and probe the stored band index stream-static
     "stream_audio_probe" -> (StreamingQueries.audioProbeViaSink _),
@@ -4846,6 +4849,21 @@ object SparkEntry {
     // index id
     "phash_index_refresh" ->
       s"""WITH $phashCtes,
+        |cut AS (SELECT 85 * max(doc_id) // 100 AS c2 FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+        |  FROM bands x JOIN bands y ON x.j = y.j AND x.bv = y.bv AND x.id < y.id, cut
+        |  WHERE y.id // 2 > cut.c2),
+        |h AS (
+        |  SELECT c.doc_a, c.doc_b, $phashHamSql AS hamming
+        |  FROM cand c JOIN fparr fa ON fa.id = c.doc_a JOIN fparr fb ON fb.id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM h WHERE hamming <= 7""".stripMargin,
+    // the audio refresh probe's oracle: the phash_index_refresh
+    // restriction over the frame-energy fixture chain — rebuilt-index
+    // form, pairs whose larger id sits past the 85% base cutoff
+    "audio_index_refresh" ->
+      s"""WITH $audioCtes,
         |cut AS (SELECT 85 * max(doc_id) // 100 AS c2 FROM documents),
         |cand AS (
         |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b

@@ -958,6 +958,75 @@ object Multimodal {
       )
   }
 
+  /** The AUDIO tier's band-index refresh loop —
+    * [[phashRefreshFoldedProbe]] replayed over the WAV decode path,
+    * completing the perceptual family's maintenance symmetry (both
+    * tiers now have pairs + keep + ingest probe + refresh): a new
+    * clip era folds into the stored (band, value) index as a pure
+    * append (energy fingerprints are per-clip map-side; the stored
+    * corpus is never re-decoded), and the next era's arrivals probe
+    * the refreshed index through the same salted 8-band pigeonhole
+    * pairing. Oracle computes the REBUILT index, so the hash-match is
+    * the fold == rebuild proof; [[audioRefreshRebuiltProbe]] is the
+    * executable twin (row-equality pinned in ExtensionsSpec).
+    */
+  def audioRefreshFoldedProbe(spark: SparkSession, dir: String): DataFrame =
+    audioRefreshProbe(spark, dir, rebuild = false)
+
+  /** The from-scratch-rebuild twin of [[audioRefreshFoldedProbe]]
+    * (the compaction / grid-transition fallback policy).
+    */
+  def audioRefreshRebuiltProbe(spark: SparkSession, dir: String): DataFrame =
+    audioRefreshProbe(spark, dir, rebuild = true)
+
+  private def audioRefreshProbe(
+      spark: SparkSession,
+      dir: String,
+      rebuild: Boolean,
+      targetRows: Long = 1L << 16,
+  ): DataFrame = {
+    val cuts = Tables(spark, dir, "documents")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("7 * max(doc_id) DIV 10").as("c1"),
+        expr("85 * max(doc_id) DIV 100").as("c2"),
+      )
+      .head
+    val (c1, c2) = (cuts.getLong(1), cuts.getLong(2))
+    val blocks = phashGridBlocks(2L * cuts.getLong(0))
+    def banded(pfx: String, pred: org.apache.spark.sql.Column): DataFrame = {
+      import spark.implicits._
+      withBandKeys(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"))
+          .filter(pred)
+          .as[Long]
+          .mapPartitions(_.flatMap(base =>
+            Seq(audioVariantRecord(base, 0, blocks), audioVariantRecord(base, 1, blocks))
+              .flatMap(audioFingerprintOf(_, blocks))))
+          .toDF("id", "bands"),
+        pfx)
+    }
+    val idx =
+      if (rebuild) banded("a", col("doc_id") <= c2)
+      else
+        banded("a", col("doc_id") <= c1)
+          .unionByName(banded("a", col("doc_id") > c1 && col("doc_id") <= c2))
+    val incoming = banded("b", col("doc_id") > c2)
+    val newOld = Skew
+      .saltedBlockJoin(idx, incoming, "__bucket", "doc_a", targetRows)
+      .withColumn("hamming", bandHamming)
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val newNew = Skew
+      .saltedBlockJoin(banded("a", col("doc_id") > c2), incoming, "__bucket", "doc_a", targetRows)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bandHamming)
+      .filter(col("hamming") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    newOld.unionByName(newNew).distinct()
+  }
+
   /** Frame sampling: explode each media payload into one row per
     * sampled frame — the generator/explode shape of per-frame feature
     * extraction. The frame count is a deterministic function of the

@@ -480,6 +480,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio index refresh: fold == rebuild row-equal, probe-era slice only, non-vacuous") {
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val folded = asSet(Multimodal.audioRefreshFoldedProbe(spark, sf))
+    val rebuilt = asSet(Multimodal.audioRefreshRebuiltProbe(spark, sf))
+    assert(folded == rebuilt, "folded audio index diverged from the from-scratch rebuild")
+    val c2 = graft.sources.Tables(spark, sf, "documents")
+      .agg(expr("85 * max(doc_id) DIV 100")).head.getLong(0)
+    assert(folded.nonEmpty, "audio refresh probe landed nothing — vacuous gate")
+    folded.foreach { case (a, b, _) =>
+      assert(b / 2 > c2, s"pair ($a,$b) does not touch the probe era")
+    }
+  }
+
   test("phash index refresh: fold == rebuild row-equal, probe slice exact, non-vacuous") {
     def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
