@@ -321,34 +321,38 @@ object TextAnalysis {
     * rank window is the thing that dies at 100 TB (the
     * [[quantileHistogram]] rule).
     *
-    * Scale shape (r10 rewrite — the r9-bench decomposition showed the
-    * old two-pipeline-plus-join form paid each leg's full corpus scan
-    * twice plus a |docs| equi-join): ONE corpus scan and ONE explode.
-    * Unigram and bigram features leave the scan as flagged rows of a
-    * single generator, classifier weights are per-row codegen over
-    * those rows ([[clfWeight]]'s one-md5 LUT form), the novelty
-    * multiplicity is the usual feature-keyed count window (flag
-    * homogeneity: a unigram never contains a space, so no window
-    * partition mixes flags), and BOTH per-doc signals come out of the
-    * same doc_id aggregation — the inter-leg join is gone. Shuffles:
-    * feature window exchange, doc_id aggregation, |buckets| tail.
-    * Docs with < 2 tokens have no bigrams and are filtered up front —
-    * stated, and identical in the oracle (which keeps the two-CTE
-    * join form; same algebra, bucket sums equal).
+    * Scale shape (r13 rewrite — the r10 single-scan-plus-window form
+    * pushed EVERY exploded (doc, feature) row through the
+    * feature-keyed count window: a corpus-wide exchange with NO
+    * partial aggregation, the dominant cost of the gate and the
+    * residual its own r10 note attributed to "exchange
+    * serialization"): two branches over fresh scans, every shuffle
+    * partially aggregated. The score/bigram branch combines map-side
+    * into |docs| partials; the novelty branch aggregates by feature —
+    * map-side combine into |distinct features| partials — and a
+    * corpus-count-1 feature group IS its one containing row, so
+    * min(doc_id) identifies the owning doc without ever shuffling raw
+    * rows (flag homogeneity: a unigram never contains a space, so no
+    * feature group mixes flags and max(is_bi) dispatches the bigram
+    * filter). The branches meet by UNION-TAG + re-aggregation on
+    * doc_id (the minhashRecallVsExact rule — no same-lineage join, no
+    * detector risk), then the |buckets| tail. The price is a second
+    * scan + explode (map-only, codegen'd; the weight LUT runs on one
+    * branch only); the win is that no exchange anywhere carries
+    * unaggregated exploded rows. Measured honestly (NOTES_r13): at
+    * sf0.1 the two forms are a WASH (~1.0-1.1 s — the saved exchange
+    * roughly equals the doubled map pass at this size); the rewrite
+    * is kept for the 100-TB shape, where shuffle volume is the
+    * currency and a no-combine corpus-wide exchange is the one thing
+    * that cannot be provisioned around. Docs with < 2 tokens have no
+    * bigrams and are filtered up front — stated, and identical in
+    * the oracle (which keeps the two-CTE join form; same algebra,
+    * bucket sums equal).
     * [[classifierScores]]/[[docNovelty]] keep their own gate shapes.
-    * Isolated timing (r10, sf0.1 warm minima): fused 1.27 s vs
-    * novelty-leg-alone 0.74 s + classifier-leg-alone 0.77 s — the
-    * increment over the novelty subset plan buys the 2.3×-larger
-    * window exchange (unigrams ride it) and the weight sums; the
-    * residual vs the DuckDB twin (0.34 s) is exchange serialization
-    * plus the per-job floor, not plan shape.
     */
   def qualityCalibration(spark: SparkSession, dir: String, bucketWidth: Int = 2000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // one explode of (feature, is_bigram) rows: the non-empty unigrams
-    // flagged 0, the positional bigrams flagged 1 — unigrams never
-    // contain a space, so a feature-keyed window partition is always
-    // flag-homogeneous and the bigram multiplicity count is exact
+    // flagged 0, the positional bigrams flagged 1
     val feats = graft.functions.Let.bindArray(tokens(col("text"))) { toks =>
       concat(
         transform(filter(toks, t => t =!= ""), t => struct(t.as("f"), lit(0L).as("is_bi"))),
@@ -362,17 +366,30 @@ object TextAnalysis {
         ),
       )
     }
-    val cnt = count(lit(1)).over(Window.partitionBy("f"))
-    docs(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 2)
-      .select(col("doc_id"), explode(feats).as("x"))
-      .select(col("doc_id"), col("x.f").as("f"), col("x.is_bi").as("is_bi"))
-      .withColumn("cnt", cnt)
+    // fresh lineage per branch (the minhashIncrementalPairs rule)
+    def featRows: DataFrame =
+      docs(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), explode(feats).as("x"))
+        .select(col("doc_id"), col("x.f").as("f"), col("x.is_bi").as("is_bi"))
+    val perDoc = featRows
+      .groupBy("doc_id")
+      .agg(sum(clfWeight(col("f"))).as("score"), sum(col("is_bi")).as("n_bigrams"))
+      .select(col("doc_id"), col("score"), col("n_bigrams"), lit(0L).as("n_unique"))
+    val uniq = featRows
+      .groupBy("f")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("doc_id"), max("is_bi").as("is_bi"))
+      .filter(col("n") === 1 && col("is_bi") === 1L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_unique"))
+      .select(col("doc_id"), lit(0L).as("score"), lit(0L).as("n_bigrams"), col("n_unique"))
+    perDoc
+      .unionByName(uniq)
       .groupBy("doc_id")
       .agg(
-        sum(clfWeight(col("f"))).as("score"),
-        sum(col("is_bi")).as("n_bigrams"),
-        sum(when(col("is_bi") === 1L && col("cnt") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(col("score")).as("score"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("n_unique")).as("n_unique"),
       )
       .select(
         expr(s"score div $bucketWidth").as("score_bucket"),
