@@ -598,17 +598,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(kinds.count(_.startsWith("Window")) >= 2)
   }
 
-  test("quality calibration is single-scan and join-free") {
-    // the r10 fused form: both signal legs (classifier score, bigram
-    // novelty) leave ONE corpus scan through ONE generator — a join
-    // or a second text scan means the legs split apart again
+  test("quality calibration: join-free, and no exchange carries unaggregated exploded rows") {
+    // the r13 union-tag form: the r10 single-scan pin is deliberately
+    // RETIRED — that form bought its one scan with a feature-keyed
+    // count WINDOW over every exploded (doc, feature) row, i.e. a
+    // corpus-wide exchange with no partial aggregation. The new
+    // contract: exactly two text scans (one per branch), zero joins
+    // (union-tag, the minhashRecallVsExact rule), zero WindowExec,
+    // and every aggregation partial (no exchange anywhere sees raw
+    // exploded rows — the 100-TB invariant the rewrite exists for)
     val df = graft.operators.TextAnalysis.qualityCalibration(spark, sf)
     val plan = collectPlan(df)
     val kinds = plan.map(_.getClass.getSimpleName)
     assert(!kinds.exists(_.contains("Join")), kinds.mkString(","))
+    assert(
+      !plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "the no-combine feature window is back")
     val textScans = plan.count(p =>
       p.getClass.getSimpleName.startsWith("FileSourceScan") && p.output.exists(_.name == "text"))
-    assert(textScans == 1, s"corpus text scanned $textScans times, expected once")
+    assert(textScans == 2, s"corpus text scanned $textScans times, expected the two branch scans")
   }
 
   test("classifier scoring is one doc_id exchange, no joins") {
