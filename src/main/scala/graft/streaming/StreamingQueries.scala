@@ -742,6 +742,21 @@ object StreamingQueries {
     // the stagger band needs room below it for all three eras to
     // interleave — a corpus under 4 days would degenerate silently
     require(mx - mn > 4 * day, s"events range ${mx - mn} us too short for the era stagger")
+    // fail LOUDLY if either stagger band is empty: an empty era-1
+    // band would leave W1 governed by era 0 alone (batch-2 eviction
+    // silently vacuous — the exact failure mode this gate's era rule
+    // was measured into shape to avoid), and DuckDB's NULL handling
+    // in greatest() would diverge from a no-stats Spark batch
+    val bands = evBase.agg(
+      sum(when(unix_micros(col("ts")) > mx - day, 1L).otherwise(0L)).as("b2"),
+      sum(when(
+        unix_micros(col("ts")) > mx - 2 * day && unix_micros(col("ts")) <= mx - day, 1L)
+        .otherwise(0L)).as("b1"),
+    ).head
+    require(
+      bands.getLong(0) > 0 && bands.getLong(1) > 0,
+      s"era stagger bands empty (top-day=${bands.getLong(0)}, next-day=${bands.getLong(1)}) — " +
+        "watermark advance lost")
     val hybridEra = expr(
       s"CASE WHEN unix_micros(ts) > ${mx - day}L THEN 2 " +
         s"WHEN unix_micros(ts) > ${mx - 2 * day}L THEN 1 " +
