@@ -792,11 +792,16 @@ object Multimodal {
     * [[audioFingerprintOf]]'s m < blocks skip guard was unreachable
     * only by coincidence — a 512 grid tier (or a smaller floor) would
     * have silently diverged from the oracle, which has no matching
-    * skip clause. max(256, 2·blocks + 64) keeps every driver-SF tier
-    * (64/128 blocks) BIT-IDENTICAL to the historical surface while
-    * guaranteeing ≥ 2 frames per block at any future tier, so the
-    * skip guard stays unreachable on the fixture BY CONSTRUCTION and
-    * both engines agree without an oracle-side skip. `blocks` is
+    * skip clause. max(256, 2·blocks + 64) keeps the 64-block tier —
+    * every driver SF (≤ 5000 docs) — BIT-IDENTICAL to the historical
+    * surface (floor 256); at 128 blocks the floor becomes 320 ≠ 256,
+    * so ≥ 25k-doc rehearsal corpora regenerate DIFFERENT fingerprints
+    * than pre-r13 rounds (consistently on both engines — the oracle
+    * synthesizes the same frames, so cross-engine agreement is
+    * unaffected; only cross-ROUND fixture comparability at the 128
+    * tier is lost). In exchange every tier gets ≥ 2 frames per
+    * block, so the skip guard stays unreachable on the fixture BY
+    * CONSTRUCTION and both engines agree without an oracle-side skip. `blocks` is
     * explicit, no default — a caller passing a stale grid would
     * synthesize a surface the operative grid silently skips, the
     * vacuous-green failure mode.
