@@ -37,6 +37,39 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Matched-pair provenance input (the r12 advice): resolve and
+    // VALIDATE the prior artifact BEFORE the timed runs — an
+    // unreadable file or a cross-SF artifact discovered only at
+    // emission time would discard both completed timed passes (the
+    // r13 advice). Unreadable/unparseable → stderr + run unmerged
+    // (the artifact then carries no min_with field, so provenance
+    // never overstates). An sf MISMATCH is not recoverable by
+    // skipping the merge — the caller asked for a pair floor that
+    // does not exist at this scale, and a silently unmerged emission
+    // would masquerade as a converged pair — so it fails loudly
+    // before any work is done.
+    val minWithPath = sys.env.get("SPARK_GRAFT_BENCH_MIN_WITH")
+    val priorRoot: Option[org.json4s.JValue] = minWithPath.flatMap { p =>
+      try Some(org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_MIN_WITH unreadable ($p): ${e.getMessage}; running unmerged")
+          None
+      }
+    }
+    priorRoot.foreach { root =>
+      root \ "sf" match {
+        case org.json4s.JString(priorSf) if priorSf != sfDir =>
+          sys.error(
+            s"SPARK_GRAFT_BENCH_MIN_WITH sf mismatch: prior artifact measured '$priorSf' " +
+              s"but this run targets '$sfDir' — min-merging across scale factors would " +
+              "commit bogus per-query minima")
+        case _ => () // matching sf, or a pre-r13 artifact without the field
+      }
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -133,13 +166,12 @@ object Bench {
     // "min_with" field. Keys only in the prior artifact are ignored
     // (a removed gate must not haunt the pair); keys only in the
     // current run stay as measured (a new gate has no prior floor).
-    val minWithPath = sys.env.get("SPARK_GRAFT_BENCH_MIN_WITH")
-    def priorMap(field: String): Map[String, Double] = minWithPath match {
+    // The artifact itself was read + sf-validated BEFORE the timed
+    // runs (priorRoot, top of main).
+    def priorMap(field: String): Map[String, Double] = priorRoot match {
       case None => Map.empty
-      case Some(p) =>
+      case Some(root) =>
         import org.json4s._
-        import org.json4s.jackson.JsonMethods
-        val root = JsonMethods.parse(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
         root \ field match {
           case JObject(fields) =>
             fields.collect {
@@ -191,8 +223,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val minWithField =
-      minWithPath.map(p => s""","min_with":"${jstr(p)}"""").getOrElse("")
+    // provenance only when the merge actually APPLIED — a requested
+    // but unreadable prior (priorRoot None) must not be recorded as
+    // a pair input it never was
+    val minWithField = minWithPath
+      .filter(_ => priorRoot.isDefined)
+      .map(p => s""","min_with":"${jstr(p)}"""")
+      .getOrElse("")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"bundles":$bs,"sf":"${jstr(sfDir)}"$minWithField}"""
     // Tear the engine down BEFORE printing: the eviction gates leave
@@ -230,7 +267,21 @@ object Bench {
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries_slowest":$slowest,"bundles":$bs,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}""")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries_slowest":$slowest,"bundles":$bs,"full":"${jstr(fullPath)}","sf":"${jstr(sfDir)}"}"""
+    println(compact)
+    // This forked JVM can never out-print sbt: the parent prints its
+    // `[success]` banner AFTER we exit, so the snapshot's literal
+    // last line was never the metrics object (BENCH_r13 "parsed":
+    // null). The compact line therefore also goes to a sidecar that
+    // build.sbt's shutdown hook (sbt's OWN JVM, which exits after the
+    // banner) re-prints as the true final stdout line. Failure to
+    // write only costs that re-print, never the run.
+    val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAST", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(lastPath).toAbsolutePath, compact + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LAST sidecar write to $lastPath failed: ${e.getMessage}")
+    }
   }
 }
