@@ -35,17 +35,25 @@ class DedupClustersSpec extends AnyFunSuite {
     // 1-2-3-4-5 is a diameter-4 chain: label 1 must hop four times,
     // so convergence (not single-round propagation) is what's tested.
     // {10,11} is a separate component; doc 99 never appears (no pair
-    // → no row, singletons are implicit).
+    // → no row, singletons are implicit). smallGraphCap = 0 forces
+    // the DISTRIBUTED fixpoint — the r14 size dispatch would
+    // otherwise solve this on the driver and the convergence loop
+    // would go untested.
     val pairs = Seq(
       (2L, 3L), (1L, 2L), (4L, 5L), (3L, 4L),
       (10L, 11L),
     ).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L)
     val got = Dedup
-      .connectedComponents(pairs)
+      .connectedComponents(pairs, smallGraphCap = 0)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(got == expected)
+    // the small-graph fast path must give the identical labeling
+    val viaDriver = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == expected)
   }
 
   test("large-star/small-star components equal min-label propagation on hard graphs") {
@@ -60,11 +68,16 @@ class DedupClustersSpec extends AnyFunSuite {
       .filter { case (a, b) => a != b }
     val pairs = (chain ++ star ++ pair ++ random).toDF("doc_a", "doc_b")
 
-    val viaProp = Dedup.connectedComponents(pairs).collect()
+    val viaProp = Dedup.connectedComponents(pairs, smallGraphCap = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaStar = Dedup.connectedComponentsStar(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStar == viaProp, s"star CC disagrees with propagation CC")
+    // three-way: the driver union-find fast path must agree with both
+    // distributed variants on the same hard graphs
+    val viaUf = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf == viaProp, s"driver union-find disagrees with propagation CC")
     // sanity on the known components
     assert((100L to 109L).forall(viaStar(_) == 100L))
     assert((200L to 204L).forall(viaStar(_) == 200L))
@@ -78,16 +91,18 @@ class DedupClustersSpec extends AnyFunSuite {
     // (the pre-escalation implementation failed loudly at its
     // 64-round cap). The hybrid must collapse it: 8 propagation
     // rounds, then the contracted graph goes through star CC.
+    // smallGraphCap = 0 throughout: escalation is a distributed-path
+    // behavior; the default dispatch would solve these on the driver
     val chain = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain).collect()
+    val got = Dedup.connectedComponents(chain, smallGraphCap = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 121 && got.values.forall(_ == 0L),
       "chain must collapse to a single component labeled by its minimum")
     // forcing escalation on a NORMAL graph must not change the answer
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (4L, 1L)).toDF("doc_a", "doc_b")
-    val eager = Dedup.connectedComponents(pairs, escalateAfter = 1).collect()
+    val eager = Dedup.connectedComponents(pairs, escalateAfter = 1, smallGraphCap = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val lazy_ = Dedup.connectedComponents(pairs).collect()
+    val lazy_ = Dedup.connectedComponents(pairs, smallGraphCap = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(eager == lazy_ && eager == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
