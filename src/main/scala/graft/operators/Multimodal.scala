@@ -568,16 +568,25 @@ object Multimodal {
     // width grows with log N so buckets stay bounded — see
     // phashGridBlocks for the measured quadratic this kills
     val blocks = phashGridBlocks(2L * Tables(spark, dir, "documents").count())
-    def banded(pfx: String): DataFrame = {
+    // Fingerprint ONCE and materialize the tiny (id, bands) proxy
+    // (≈ 70 B/row), then derive BOTH join sides from it (round 14,
+    // guide §8: decide on a lightweight proxy, never re-derive it).
+    // The unmaterialized form synthesized + decoded the full media
+    // fixture THREE times per build — once per join side plus once
+    // for the salted join's block-size pass — because nothing told
+    // Spark the three subtrees were the same corpus-scale decode.
+    // localCheckpoint also makes the a/b self-join unambiguous
+    // (LogicalRDD is a MultiInstanceRelation), which is why the two
+    // sides no longer need fresh synthesis lineages.
+    val fps = {
       import spark.implicits._
-      withBandKeys(
-        phashMediaTable(spark, dir, blocks)
-          .mapPartitions(_.flatMap(fingerprintOf(_, blocks))) // decoder amortizes per partition
-          .toDF("id", "bands"),
-        pfx)
+      phashMediaTable(spark, dir, blocks)
+        .mapPartitions(_.flatMap(fingerprintOf(_, blocks))) // decoder amortizes per partition
+        .toDF("id", "bands")
+        .localCheckpoint()
     }
     Skew
-      .saltedBlockJoin(banded("a"), banded("b"), "__bucket", "doc_a", targetRows)
+      .saltedBlockJoin(withBandKeys(fps, "a"), withBandKeys(fps, "b"), "__bucket", "doc_a", targetRows)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= maxHamming)
@@ -713,36 +722,45 @@ object Multimodal {
     // fresh lineage per call (the emb/embPlain discipline); the base
     // slice filters BEFORE synthesis, so only the era's documents are
     // read and fingerprinted
-    def banded(pfx: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    def fpSlice(pred: org.apache.spark.sql.Column): DataFrame = {
       import spark.implicits._
-      withBandKeys(
-        Tables(spark, dir, "documents")
-          .select(col("doc_id"))
-          .filter(pred)
-          .as[Long]
-          .mapPartitions(_.flatMap(base =>
-            Seq(phashVariantRecord(base, 0, blocks), phashVariantRecord(base, 1, blocks))
-              .flatMap(fingerprintOf(_, blocks))))
-          .toDF("id", "bands"),
-        pfx)
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pred)
+        .as[Long]
+        .mapPartitions(_.flatMap(base =>
+          Seq(phashVariantRecord(base, 0, blocks), phashVariantRecord(base, 1, blocks))
+            .flatMap(fingerprintOf(_, blocks))))
+        .toDF("id", "bands")
     }
-    val idx =
-      if (rebuild) banded("a", col("doc_id") <= c2)
-      else
-        // the fold: stored index rows ∪ the landed increment's rows —
-        // each media item fingerprinted exactly once, old never rescanned
-        banded("a", col("doc_id") <= c1)
-          .unionByName(banded("a", col("doc_id") > c1 && col("doc_id") <= c2))
-    val incoming = banded("b", col("doc_id") > c2)
+    // Materialize each era's tiny (id, bands) fingerprint table ONCE
+    // (round 14, guide §8): the probe joins below consume every slice
+    // 2–4 times (the salted join's block-size pass re-reads its `a`
+    // side, and `incoming` feeds both the new×old and new×new legs),
+    // and an unmaterialized lineage re-synthesized + re-decoded the
+    // era's media per consumer — 22 parquet scans / 22 synthesis
+    // passes in the committed r13 plan, now exactly one synthesis
+    // per era. The fold semantics are unchanged and now PHYSICAL:
+    // the folded index is literally the stored slice's rows with the
+    // increment's rows appended, each media item fingerprinted once.
+    val idxFp =
+      (if (rebuild) fpSlice(col("doc_id") <= c2)
+       else
+         // the fold: stored index rows ∪ the landed increment's rows —
+         // each media item fingerprinted exactly once, old never rescanned
+         fpSlice(col("doc_id") <= c1)
+           .unionByName(fpSlice(col("doc_id") > c1 && col("doc_id") <= c2))).localCheckpoint()
+    val incomingFp = fpSlice(col("doc_id") > c2).localCheckpoint()
+    val incoming = withBandKeys(incomingFp, "b")
     // index ids are < every probe id (base ≤ c2 < base'), so the
     // a < b pair convention holds for free on the new × old leg
     val newOld = Skew
-      .saltedBlockJoin(idx, incoming, "__bucket", "doc_a", targetRows)
+      .saltedBlockJoin(withBandKeys(idxFp, "a"), incoming, "__bucket", "doc_a", targetRows)
       .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= 7)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     val newNew = Skew
-      .saltedBlockJoin(banded("a", col("doc_id") > c2), incoming, "__bucket", "doc_a", targetRows)
+      .saltedBlockJoin(withBandKeys(incomingFp, "a"), incoming, "__bucket", "doc_a", targetRows)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= 7)
@@ -903,16 +921,19 @@ object Multimodal {
   ): DataFrame = {
     require(maxHamming == 7, s"band split is fixed at 8 (maxHamming 7), got $maxHamming")
     val blocks = phashGridBlocks(2L * Tables(spark, dir, "documents").count())
-    def banded(pfx: String): DataFrame = {
+    // fingerprint ONCE, materialize the tiny (id, bands) proxy, and
+    // derive both join sides from it — see [[perceptualNearDupPairs]]
+    // for the §8 rationale (the unmaterialized form paid THREE full
+    // WAV synthesis + decode passes per build)
+    val fps = {
       import spark.implicits._
-      withBandKeys(
-        audioMediaTable(spark, dir, blocks)
-          .mapPartitions(_.flatMap(audioFingerprintOf(_, blocks)))
-          .toDF("id", "bands"),
-        pfx)
+      audioMediaTable(spark, dir, blocks)
+        .mapPartitions(_.flatMap(audioFingerprintOf(_, blocks)))
+        .toDF("id", "bands")
+        .localCheckpoint()
     }
     Skew
-      .saltedBlockJoin(banded("a"), banded("b"), "__bucket", "doc_a", targetRows)
+      .saltedBlockJoin(withBandKeys(fps, "a"), withBandKeys(fps, "b"), "__bucket", "doc_a", targetRows)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= maxHamming)
@@ -999,32 +1020,34 @@ object Multimodal {
       .head
     val (c1, c2) = (cuts.getLong(1), cuts.getLong(2))
     val blocks = phashGridBlocks(2L * cuts.getLong(0))
-    def banded(pfx: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    def fpSlice(pred: org.apache.spark.sql.Column): DataFrame = {
       import spark.implicits._
-      withBandKeys(
-        Tables(spark, dir, "documents")
-          .select(col("doc_id"))
-          .filter(pred)
-          .as[Long]
-          .mapPartitions(_.flatMap(base =>
-            Seq(audioVariantRecord(base, 0, blocks), audioVariantRecord(base, 1, blocks))
-              .flatMap(audioFingerprintOf(_, blocks))))
-          .toDF("id", "bands"),
-        pfx)
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"))
+        .filter(pred)
+        .as[Long]
+        .mapPartitions(_.flatMap(base =>
+          Seq(audioVariantRecord(base, 0, blocks), audioVariantRecord(base, 1, blocks))
+            .flatMap(audioFingerprintOf(_, blocks))))
+        .toDF("id", "bands")
     }
-    val idx =
-      if (rebuild) banded("a", col("doc_id") <= c2)
-      else
-        banded("a", col("doc_id") <= c1)
-          .unionByName(banded("a", col("doc_id") > c1 && col("doc_id") <= c2))
-    val incoming = banded("b", col("doc_id") > c2)
+    // materialize each era's fingerprint slice once — see
+    // [[phashRefreshProbe]] for the §8 rationale (22 synthesis passes
+    // in the committed r13 plan, now one per era)
+    val idxFp =
+      (if (rebuild) fpSlice(col("doc_id") <= c2)
+       else
+         fpSlice(col("doc_id") <= c1)
+           .unionByName(fpSlice(col("doc_id") > c1 && col("doc_id") <= c2))).localCheckpoint()
+    val incomingFp = fpSlice(col("doc_id") > c2).localCheckpoint()
+    val incoming = withBandKeys(incomingFp, "b")
     val newOld = Skew
-      .saltedBlockJoin(idx, incoming, "__bucket", "doc_a", targetRows)
+      .saltedBlockJoin(withBandKeys(idxFp, "a"), incoming, "__bucket", "doc_a", targetRows)
       .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= 7)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
     val newNew = Skew
-      .saltedBlockJoin(banded("a", col("doc_id") > c2), incoming, "__bucket", "doc_a", targetRows)
+      .saltedBlockJoin(withBandKeys(incomingFp, "a"), incoming, "__bucket", "doc_a", targetRows)
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bandHamming)
       .filter(col("hamming") <= 7)

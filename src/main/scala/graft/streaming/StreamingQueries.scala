@@ -1271,11 +1271,16 @@ object StreamingQueries {
     // grid is a property of the stored index, exactly as here)
     val blocks = Multimodal.phashGridBlocks(
       2L * graft.sources.Tables(spark, dir, "documents").count())
+    // synthesize ONLY the stored (v=0) variants — the previous form
+    // generated both variants and filtered half away afterwards,
+    // doubling the per-batch synthesis+decode cost of the static side
+    // (round 14, guide §2.3: don't compute what you throw away)
     val storedIdx = Multimodal.withBandKeys(
-      Multimodal
-        .phashMediaTable(spark, dir, blocks)
-        .filter(_.doc_id % 2 == 0)
-        .mapPartitions(_.flatMap(Multimodal.fingerprintOf(_, blocks)))
+      graft.sources.Tables(spark, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.flatMap(base =>
+          Multimodal.fingerprintOf(Multimodal.phashVariantRecord(base, 0, blocks), blocks)))
         .toDF("id", "bands"),
       "a")
     val arriving = Multimodal.withBandKeys(
@@ -1313,11 +1318,15 @@ object StreamingQueries {
     import graft.operators.Multimodal
     val blocks = Multimodal.phashGridBlocks(
       2L * graft.sources.Tables(spark, dir, "documents").count())
+    // v=0-only synthesis for the static side — the phashProbeStream
+    // rationale (the both-variants-then-filter form paid 2× the WAV
+    // synthesis + decode per batch)
     val storedIdx = Multimodal.withBandKeys(
-      Multimodal
-        .audioMediaTable(spark, dir, blocks)
-        .filter(_.doc_id % 2 == 0)
-        .mapPartitions(_.flatMap(Multimodal.audioFingerprintOf(_, blocks)))
+      graft.sources.Tables(spark, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.flatMap(base =>
+          Multimodal.audioFingerprintOf(Multimodal.audioVariantRecord(base, 0, blocks), blocks)))
         .toDF("id", "bands"),
       "a")
     val arriving = Multimodal.withBandKeys(
