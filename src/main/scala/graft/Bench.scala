@@ -29,6 +29,7 @@ object Bench {
     graft.operators.Dedup.invalidate()
     graft.operators.IvfIndex.invalidate()
     graft.operators.PqIndex.invalidate()
+    graft.operators.Similarity.invalidate()
     graft.operators.RelationalQueries.invalidate()
     graft.operators.TextAnalysis.invalidate()
     graft.operators.Multimodal.invalidate()

@@ -21,6 +21,7 @@ object BenchSome {
     graft.operators.Dedup.invalidate()
     graft.operators.IvfIndex.invalidate()
     graft.operators.PqIndex.invalidate()
+    graft.operators.Similarity.invalidate()
     graft.operators.RelationalQueries.invalidate()
     graft.operators.TextAnalysis.invalidate()
     graft.operators.Multimodal.invalidate()

@@ -223,6 +223,12 @@ object PqIndex {
     v1CodesCache.invalidateKeys { (spark, dir) =>
       graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_codes_v1", dir))
     }
+    lutsCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_luts", dir))
+    }
+    shortlistCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_short", dir))
+    }
     // the memoized refresh-tier driver scalars: a timed run must pay
     // its own bounded actions like it pays its own artifact builds
     cutoffCache.invalidate()
@@ -241,7 +247,42 @@ object PqIndex {
     * never misalign the table.
     */
   private def queryLuts(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
-    queryLutsAgainst(spark, dir, nQueries, codebook(spark, dir))
+    if (nQueries == ServedQueryCutoff)
+      // memoized for the served query set: six ADC consumers (adc,
+      // rerank, recall, ndcg, ivf+pq, hybrid fusion) broadcast the
+      // IDENTICAL |queries|·numSub-row table; without the artifact
+      // each gate re-ran the scan + double aggregation that builds it
+      // (round-14 measurement: ~0.3 s per consumer at sf0.1)
+      lutsCache.getOrElseUpdate(spark, dir) {
+        graft.util.NamedArtifact.cache(
+          spark,
+          graft.util.NamedArtifact.viewName("graft_pq_luts", dir),
+          queryLutsAgainst(spark, dir, nQueries, codebook(spark, dir)),
+        )
+      }
+    else queryLutsAgainst(spark, dir, nQueries, codebook(spark, dir))
+
+  private val lutsCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** The memoized ADC shortlist (top-50 by ADC score for the served
+    * query set): the codes-table scoring pass whose ≤-k prefixes ARE
+    * the pure-ADC rankings (topKPerQuery's order is a deterministic
+    * total order, so `rank ≤ k` of the depth-50 list equals the
+    * depth-k list) and whose rows are the re-rank tier's candidate
+    * fetch. Four gates (adc, rerank, recall, ndcg) consumed the same
+    * scoring pass; the artifact makes them read it instead of
+    * re-scoring (the bruteForceTopK convention).
+    */
+  private val ShortlistDepth = 50
+  private val shortlistCache = new graft.util.SessionCache[String, DataFrame]
+  private def adcShortlist(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
+    shortlistCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_pq_short", dir),
+        Similarity.topKPerQuery(adcScored(spark, dir, nQueries), ShortlistDepth, scoreCol = "score"),
+      )
+    }
 
   /** [[queryLuts]] against an arbitrary codebook frame — the refresh
     * tier serves versioned LUTs (one per live codebook) from here.
@@ -318,7 +359,9 @@ object PqIndex {
     * (shuffle ≤ k·partitions rows per query).
     */
   def adcTopK(spark: SparkSession, dir: String, nQueries: Int = ServedQueryCutoff, k: Int = 5): DataFrame =
-    Similarity.topKPerQuery(adcScored(spark, dir, nQueries), k, scoreCol = "score")
+    if (nQueries == ServedQueryCutoff && k <= ShortlistDepth)
+      adcShortlist(spark, dir, nQueries).filter(col("rank") <= k)
+    else Similarity.topKPerQuery(adcScored(spark, dir, nQueries), k, scoreCol = "score")
 
   /** The fully composed IVF+PQ search (the FAISS `IVFx,PQy` shape):
     * each query probes its `nProbe` nearest coarse cells (by cosine
@@ -395,8 +438,9 @@ object PqIndex {
     rerankShortlist(
       spark,
       dir,
-      Similarity
-        .topKPerQuery(adcScored(spark, dir, nQueries), shortlist, scoreCol = "score")
+      (if (nQueries == ServedQueryCutoff && shortlist == ShortlistDepth)
+         adcShortlist(spark, dir, nQueries)
+       else Similarity.topKPerQuery(adcScored(spark, dir, nQueries), shortlist, scoreCol = "score"))
         .select(col("query_id"), col("neighbor_id")),
       nQueries,
       k,
@@ -452,8 +496,7 @@ object PqIndex {
     // top-k is the rank ≤ k prefix of the shortlist (same score,
     // same tie order — topKPerQuery's ranking is deterministic), and
     // the re-rank tier consumes the same shortlist rows
-    val short = Similarity
-      .topKPerQuery(adcScored(spark, dir, nQueries), 50, scoreCol = "score")
+    val short = adcShortlist(spark, dir, nQueries)
     val adc = short
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_adc"))
@@ -489,7 +532,7 @@ object PqIndex {
     val bf = Similarity
       .bruteForceTopK(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("bf_rank"))
-    val short = Similarity.topKPerQuery(adcScored(spark, dir, nQueries), 50, scoreCol = "score")
+    val short = adcShortlist(spark, dir, nQueries)
     val adc = short
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("ann_rank"))

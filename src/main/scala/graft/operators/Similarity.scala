@@ -70,8 +70,34 @@ object Similarity {
   /** Exact brute-force top-k cosine neighbors for a small query set
     * (vec_id < nQueries). Query side broadcast; corpus side never
     * shuffled until the tiny per-query top-k.
+    *
+    * The served-query-set baseline (nQueries = ServedQueryCutoff,
+    * k ≤ NdcgK) is memoized as a named session artifact at depth
+    * NdcgK — five audit gates (ann recall/ndcg, PQ recall/ndcg, the
+    * brute-force gate itself) consume the SAME exact ranking, and a
+    * deterministic top-k is its own ≤-k prefix, so each consumer
+    * reads `rank ≤ k` off the one artifact instead of re-scoring the
+    * corpus (round-14 measurement: the baseline chain cost ~0.5 s
+    * per consumer; the artifact build lands once per session on the
+    * first consumer — the minhashLshPairsShared accounting
+    * convention). Other (nQueries, k) shapes compute directly.
     */
-  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
+    if (nQueries == PqIndex.ServedQueryCutoff && k <= NdcgK)
+      bfCache
+        .getOrElseUpdate(spark, dir) {
+          graft.util.NamedArtifact.cache(
+            spark,
+            graft.util.NamedArtifact.viewName("graft_bf_top", dir),
+            bruteForcePlan(spark, dir, nQueries, NdcgK),
+          )
+        }
+        .filter(col("rank") <= k)
+    else bruteForcePlan(spark, dir, nQueries, k)
+
+  private val bfCache = new graft.util.SessionCache[String, DataFrame]
+
+  private def bruteForcePlan(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val queries = embPlain(spark, dir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -81,6 +107,15 @@ object Similarity {
       .withColumn("cos", cosine(col("qe"), col("ce")))
     topKPerQuery(scored, k)
   }
+
+  /** Drop the memoized brute-force baseline artifact (benchmark
+    * hygiene; by-name, value-liveness-independent — the PqIndex
+    * invalidation pattern).
+    */
+  def invalidate(): Unit =
+    bfCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_bf_top", dir))
+    }
 
   /** ANN via sign-random-projection LSH: 6 deterministic md5-derived
     * hyperplanes → 64 buckets; neighbors searched only within the
