@@ -183,6 +183,10 @@ object TextAnalysis {
       graft.util.NamedArtifact.drop(
         spark, graft.util.NamedArtifact.viewName("graft_dl_index", dir))
     }
+    bm25RankCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_bm25_top", dir))
+    }
   }
 
   /** Per-language token statistics. */
@@ -1615,7 +1619,27 @@ object TextAnalysis {
     * candidates per query before the rank exchange.
     */
   def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    bm25ScoreAgainst(spark, dir, bm25QueryDf(spark), k, hintBroadcast = true)
+    // the literal-query ranking is memoized at depth 10 and served
+    // as its own <= k prefix (rk is a deterministic total order):
+    // three consumers — the search gate, RM3's top-3 feedback set,
+    // the era-drift audit's folded leg — previously each re-ran the
+    // whole scoring chain over the shared tf/dl artifacts (round-14
+    // measurement: ~0.5 s per pass at sf0.1; the bruteForceTopK
+    // artifact convention applied to the text tower)
+    if (k <= Bm25RankDepth)
+      bm25RankCache
+        .getOrElseUpdate(spark, dir) {
+          graft.util.NamedArtifact.cache(
+            spark,
+            graft.util.NamedArtifact.viewName("graft_bm25_top", dir),
+            bm25ScoreAgainst(spark, dir, bm25QueryDf(spark), Bm25RankDepth, hintBroadcast = true),
+          )
+        }
+        .filter(col("rk") <= k)
+    else bm25ScoreAgainst(spark, dir, bm25QueryDf(spark), k, hintBroadcast = true)
+
+  private val Bm25RankDepth = 10
+  private val bm25RankCache = new graft.util.SessionCache[String, DataFrame]
 
   /** The literal bm25 query table (query_id, token, wgt = 1). */
   private def bm25QueryDf(spark: SparkSession): DataFrame = {
@@ -1768,8 +1792,9 @@ object TextAnalysis {
   def bm25EraDrift(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val cutoff = graft.operators.Dedup.incrementCutoff(spark, dir)
     val qdf = bm25QueryDf(spark)
-    val folded = bm25ScoreOver(
-      tfIndexShared(spark, dir), dlIndexShared(spark, dir), qdf, k, hintBroadcast = true)
+    // the folded leg IS bm25Search's full-index ranking — read the
+    // shared depth-10 artifact instead of re-scoring (round 14)
+    val folded = bm25Search(spark, dir, k)
       .select(col("query_id"), col("doc_id"), lit(1L).as("in_folded"), lit(0L).as("in_stored"))
     val stored = bm25ScoreOver(
       tfIndexShared(spark, dir).filter(col("doc_id") <= cutoff),

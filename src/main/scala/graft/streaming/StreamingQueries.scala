@@ -43,7 +43,12 @@ object StreamingQueries {
     * all reclaimed by the exit hook.
     */
   def scratchSinkDir(gate: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft-sink-$gate").toString
+    // same storage preference as StreamGate.scratchDir: scratch sink
+    // output and staged era inputs ride tmpfs when available — the
+    // checkpoint dirs already did, and round-14 profiling showed the
+    // sink gates spending driver-gap time in disk-backed /tmp writes
+    // the checkpoints had already stopped paying
+    val d = graft.streaming.StreamGate.scratchDir(s"graft-sink-$gate")
     sinkDirsToCleanup.add(d)
     d
   }
@@ -1086,8 +1091,18 @@ object StreamingQueries {
         }).as("z"),
       )
       .select(col("doc_a"), col("z.fp").as("fp"), col("z.n_a").as("n_a"))
-    val fpDf = existingFps.groupBy("fp").agg(count(lit(1)).as("df"))
-    val idx = existingFps.join(fpDf.filter(col("df") <= 50).select("fp"), "fp")
+    // the stop-fingerprint cut (existing-df <= 50) rides a count
+    // window over the ONE fingerprint pass instead of a second
+    // corpus-wide winnowing explode + aggregate + self-lineage join
+    // (round 14: winnowedFingerprints is the md5-heavy step — the
+    // index build paid it twice)
+    val idx = {
+      import org.apache.spark.sql.expressions.Window
+      existingFps
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("df") <= 50)
+        .select(col("doc_a"), col("fp"), col("n_a"))
+    }
     val probe = documentsStream(spark, dir)
       .filter(col("doc_id") > cutoff)
       .select(
@@ -1372,8 +1387,14 @@ object StreamingQueries {
     val gramsOld = old
       .select(col("lang"), explode(TextAnalysis.positionalBigrams(col("text"))).as("g"))
       .select(col("lang"), col("g.l").as("l"), col("g.r").as("r"))
+    // ONE stored-corpus pass builds the whole LM (round 14): the
+    // (lang, l) marginal is the sum of the (lang, l, r) counts, so it
+    // derives from the tiny count table via a re-aggregation instead
+    // of a second corpus-wide explode + aggregation. The join pair
+    // stays two plain aggregate sides (a windowed single table loses
+    // the broadcast size estimate and measured SLOWER)
     val cntLr = gramsOld.groupBy("lang", "l", "r").agg(count(lit(1)).as("cnt_lr"))
-    val cntL = gramsOld.groupBy("lang", "l").agg(count(lit(1)).as("cnt_l"))
+    val cntL = cntLr.groupBy("lang", "l").agg(sum(col("cnt_lr")).as("cnt_l"))
     documentsStream(spark, dir)
       .filter(col("doc_id") > cutoff && size(split(col("text"), " ")) >= 2)
       .select(
