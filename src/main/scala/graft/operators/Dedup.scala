@@ -235,7 +235,17 @@ object Dedup {
     * (measured 2× at sf4e; see [[minhashIncrementalPairs]]).
     */
   def incrementCutoff(spark: SparkSession, dir: String): Long =
-    docs(spark, dir).agg(expr("9 * max(doc_id) DIV 10")).head.getLong(0)
+    // memoized per (session, dir) like PqIndex.refreshCutoff: nine
+    // gate lineages consume the same scalar, and each un-memoized
+    // call paid its own max-scan job (round 14). Dropped in
+    // [[invalidate]] — a timed run pays its own bounded actions.
+    cutoffCache
+      .getOrElseUpdate(spark, dir) {
+        docs(spark, dir).agg(expr("9 * max(doc_id) DIV 10")).head.getLong(0): java.lang.Long
+      }
+      .longValue()
+
+  private val cutoffCache = new graft.util.SessionCache[String, java.lang.Long]
 
   /** LSH band-occupancy histogram: per band, how many buckets exist
     * at each occupancy. THE operational audit of a banding config
@@ -1139,6 +1149,7 @@ object Dedup {
     */
   def invalidate(): Unit = {
     ccCache.invalidate()
+    cutoffCache.invalidate()
     pairsCache.invalidateKeys { (spark, dir) =>
       graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_minhash_pairs", dir))
     }

@@ -60,7 +60,12 @@ object StreamGate {
   // re-run never yanks files out from under a prior result
   private val cache = new graft.util.SessionCache[(String, String), DataFrame]
 
-  def invalidate(): Unit = cache.invalidate()
+  def invalidate(): Unit = {
+    cache.invalidate()
+    // the shared staged-era input dirs of the eviction gates live in
+    // StreamingQueries; a timed run must pay its own staging
+    StreamingQueries.stagedInputCache.invalidate()
+  }
 
   /** Streaming twin of RelationalQueries.votesPerCandidate. */
   def votesPerCandidate(spark: SparkSession, dir: String): DataFrame =

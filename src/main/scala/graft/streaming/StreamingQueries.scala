@@ -527,32 +527,49 @@ object StreamingQueries {
       root: String,
       ev: DataFrame,
       eraCol: org.apache.spark.sql.Column,
+      shareKey: Option[String] = None,
   ): DataFrame = {
-    val inDir = s"$root/in"
-    new java.io.File(inDir).mkdirs()
-    (0 until 3).foreach { k =>
-      val stage = s"$root/stage$k"
-      ev.filter(eraCol === k)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = Option(new java.io.File(stage).listFiles())
-        .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no staged part file for era $k"))
-      val dst = new java.io.File(s"$inDir/era$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // the file source serves oldest-mtime first: era order IS the
-      // batch order (minutes apart — far beyond fs mtime granularity).
-      // Fail LOUDLY if the fs refuses the mtime: a silent refusal
-      // would fall back to listing order — nondeterministic batches
-      // and a wrong (but plausible-looking) changelog
-      require(
-        dst.setLastModified((k + 1) * 60000L),
-        s"could not order era file $dst by mtime — batch determinism lost")
+    // the staged input is an immutable 3-file directory derived only
+    // from (corpus, era rule): gates sharing a rule share the staging
+    // work through the memo (round 14 — the update-mode and
+    // append-mode tumbling eviction gates each re-ran the 3 era
+    // writes; checkpoints and sink outputs stay strictly per-gate).
+    // Dropped in StreamGate.invalidate, so a timed run still pays
+    // its own staging once.
+    def stage(): String = {
+      val inDir = s"$root/in"
+      new java.io.File(inDir).mkdirs()
+      (0 until 3).foreach { k =>
+        val stage = s"$root/stage$k"
+        ev.filter(eraCol === k)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Option(new java.io.File(stage).listFiles())
+          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no staged part file for era $k"))
+        val dst = new java.io.File(s"$inDir/era$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // the file source serves oldest-mtime first: era order IS the
+        // batch order (minutes apart — far beyond fs mtime granularity).
+        // Fail LOUDLY if the fs refuses the mtime: a silent refusal
+        // would fall back to listing order — nondeterministic batches
+        // and a wrong (but plausible-looking) changelog
+        require(
+          dst.setLastModified((k + 1) * 60000L),
+          s"could not order era file $dst by mtime — batch determinism lost")
+      }
+      inDir
+    }
+    val inDir = shareKey match {
+      case Some(k) => stagedInputCache.getOrElseUpdate(spark, k)(stage())
+      case None => stage()
     }
     spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
   }
+
+  private[streaming] val stagedInputCache = new graft.util.SessionCache[String, String]
 
   /** The watermarked hour-window aggregate over the id-interleaved
     * staged era stream — the shared front half of both tumbling
@@ -562,7 +579,7 @@ object StreamingQueries {
   private def lateEvictionStagedAgg(spark: SparkSession, dir: String): (DataFrame, String) = {
     val root = scratchSinkDir("latewin")
     val ev = Tables(spark, dir, "events").select(col("event_id"), col("ts"), col("value"))
-    val agg = stagedEraStream(spark, root, ev, pmod(col("event_id"), lit(3)))
+    val agg = stagedEraStream(spark, root, ev, pmod(col("event_id"), lit(3)), Some(s"latewin|$dir"))
       .withWatermark("ts", "15 days")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(
