@@ -44,20 +44,82 @@ object GraphOps {
     * degree ≥ 1 in both directions, so the contribution sum covers
     * all nodes each round.
     */
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val e = edges(spark, dir)
-    val deg = e.groupBy("doc_a").agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "doc_a")
-    var pr = deg.select(col("doc_a").as("node"), lit(1000000L).as("pr"))
-    (1 to iters).foreach { _ =>
-      pr = withDeg
-        .join(pr, col("doc_a") === col("node"))
-        .select(col("doc_b").as("node"), expr("pr div deg").as("c"))
-        .groupBy("node")
-        .agg(sum(col("c")).as("s"))
-        .select(col("node"), (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+  def pagerank(
+      spark: SparkSession,
+      dir: String,
+      iters: Int = 3,
+      smallGraphCap: Int = 1 << 17,
+  ): DataFrame = {
+    // size dispatch (round 14): the Dedup.connectedComponents pattern
+    // applied to the bounded-round rank loop — a pair graph under the
+    // cap collects off the memoized artifact in one incremental
+    // limit(cap+1) job and iterates in exact driver integer math
+    // (same div/mod algebra, order-independent integer sums, so the
+    // labels are bit-identical — GraphOpsSpec pins fast ==
+    // distributed through the cap switch). The distributed loop below
+    // is untouched as the scale path; smallGraphCap = 0 disables the
+    // dispatch.
+    smallEdgeSample(spark, dir, smallGraphCap) match {
+      case Some(sample) =>
+        import spark.implicits._
+        driverPagerank(sample, iters).toDF("doc_id", "pr_scaled")
+      case None =>
+        val e = edges(spark, dir)
+        val deg = e.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+        val withDeg = e.join(deg, "doc_a")
+        var pr = deg.select(col("doc_a").as("node"), lit(1000000L).as("pr"))
+        (1 to iters).foreach { _ =>
+          pr = withDeg
+            .join(pr, col("doc_a") === col("node"))
+            .select(col("doc_b").as("node"), expr("pr div deg").as("c"))
+            .groupBy("node")
+            .agg(sum(col("c")).as("s"))
+            .select(col("node"), (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+        }
+        pr.select(col("node").as("doc_id"), col("pr").as("pr_scaled"))
     }
-    pr.select(col("node").as("doc_id"), col("pr").as("pr_scaled"))
+  }
+
+  /** The undirected pair list collected when the graph fits under
+    * `cap` edges, else None — one incremental `limit(cap+1)` job over
+    * the memoized pair artifact (the connectedComponents probe).
+    */
+  private def smallEdgeSample(
+      spark: SparkSession,
+      dir: String,
+      cap: Int,
+  ): Option[Array[(Long, Long)]] =
+    if (cap <= 0) None
+    else {
+      val sample = Dedup
+        .minhashLshPairsShared(spark, dir)
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .limit(cap + 1)
+        .collect()
+      if (sample.length <= cap) Some(sample.map(r => (r.getLong(0), r.getLong(1)))) else None
+    }
+
+  /** Exact driver twin of the distributed PR loop: symmetrized
+    * directed edges, deg = out-degree, pr₀ = 10⁶, per round
+    * s(b) = Σ pr(a) div deg(a) over in-edges and
+    * pr'(v) = 150000 + (85·s) div 100 — all non-negative Long ops,
+    * so `/` here IS Spark's `div`.
+    */
+  private[graft] def driverPagerank(
+      pairs: Array[(Long, Long)],
+      iters: Int,
+  ): Seq[(Long, Long)] = {
+    val e = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = e.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var pr: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }
+    (1 to iters).foreach { _ =>
+      val s = scala.collection.mutable.HashMap.empty[Long, Long]
+      e.foreach { case (a, b) =>
+        pr.get(a).foreach(p => s.update(b, s.getOrElse(b, 0L) + p / deg(a)))
+      }
+      pr = s.iterator.map { case (n, sum) => n -> (150000L + (85L * sum) / 100L) }.toMap
+    }
+    pr.toSeq.sortBy(_._1)
   }
 
   /** One-row census of the near-dup graph: nodes, undirected edges,
@@ -138,31 +200,78 @@ object GraphOps {
     * scan. The per-round localCheckpoint (the [[kCorePeeling]] /
     * [[Dedup.connectedComponents]] rule) keeps it linear.
     */
-  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  def labelPropagation(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int = 3,
+      smallGraphCap: Int = 1 << 17,
+  ): DataFrame = {
     val e = edges(spark, dir)
     val docs = graft.sources.Tables(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text"))
-    var lbl = e
+    val seeds = e
       .select(col("doc_a").as("id"))
       .distinct()
       .join(docs, "id")
       .filter(substring(md5(concat(col("text"), lit("|lpseed"))), 1, 1).isin("0", "1", "2", "3"))
       .select(col("id"), col("id").as("enc"))
-      .localCheckpoint()
-    (1 to rounds).foreach { _ =>
-      lbl = e
-        .join(lbl, col("doc_a") === col("id"))
-        .select(col("doc_b").as("id"), (col("enc") + 1000000000000L).as("enc"))
-        .union(lbl)
-        .groupBy("id")
-        .agg(min(col("enc")).as("enc"))
-        .localCheckpoint()
+    // size dispatch (round 14, the pagerank/connectedComponents
+    // pattern): under the cap the seed table (≤ graph nodes) and the
+    // pair list collect in two bounded jobs and the min-label rounds
+    // run in exact driver integer math — bit-identical labels (the
+    // packed (dist, seed) min is order-independent), pinned fast ==
+    // distributed in GraphOpsSpec. The distributed per-round
+    // localCheckpoint loop stays as the scale path.
+    smallEdgeSample(spark, dir, smallGraphCap) match {
+      case Some(sample) =>
+        import spark.implicits._
+        val seedRows = seeds.collect().map(r => (r.getLong(0), r.getLong(1)))
+        driverLabelProp(sample, seedRows, rounds).toDF("doc_id", "dist", "seed_id")
+      case None =>
+        var lbl = seeds.localCheckpoint()
+        (1 to rounds).foreach { _ =>
+          lbl = e
+            .join(lbl, col("doc_a") === col("id"))
+            .select(col("doc_b").as("id"), (col("enc") + 1000000000000L).as("enc"))
+            .union(lbl)
+            .groupBy("id")
+            .agg(min(col("enc")).as("enc"))
+            .localCheckpoint()
+        }
+        lbl.select(
+          col("id").as("doc_id"),
+          expr("enc div 1000000000000").as("dist"),
+          pmod(col("enc"), lit(1000000000000L)).as("seed_id"),
+        )
     }
-    lbl.select(
-      col("id").as("doc_id"),
-      expr("enc div 1000000000000").as("dist"),
-      pmod(col("enc"), lit(1000000000000L)).as("seed_id"),
-    )
+  }
+
+  /** Exact driver twin of the distributed label-prop rounds: per
+    * round every edge (a → b) with a labeled proposes enc(a) + 10¹²
+    * to b, the proposals union the current labels, and each node
+    * keeps the minimum — non-negative Long mins, order-independent.
+    */
+  private[graft] def driverLabelProp(
+      pairs: Array[(Long, Long)],
+      seeds: Array[(Long, Long)],
+      rounds: Int,
+  ): Seq[(Long, Long, Long)] = {
+    val e = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var lbl: Map[Long, Long] = seeds.toMap
+    (1 to rounds).foreach { _ =>
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      e.foreach { case (a, b) =>
+        lbl.get(a).foreach { enc =>
+          val v = enc + 1000000000000L
+          m.update(b, math.min(m.getOrElse(b, Long.MaxValue), v))
+        }
+      }
+      lbl.foreach { case (id, enc) => m.update(id, math.min(m.getOrElse(id, Long.MaxValue), enc)) }
+      lbl = m.toMap
+    }
+    lbl.toSeq.sorted.map { case (id, enc) =>
+      (id, enc / 1000000000000L, enc % 1000000000000L)
+    }
   }
 
   /** Fixed-round k-core peeling census (k=2): per round, the nodes
@@ -190,8 +299,20 @@ object GraphOps {
     * branch and the edge branch — quadratic recomputation that
     * round 7 measured as 15 s of a 1 s job at sf0.1.
     */
-  def kCorePeeling(spark: SparkSession, dir: String, k: Int = 2, rounds: Int = 3): DataFrame =
-    kCorePeelingOf(spark, Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b"), k, rounds)
+  def kCorePeeling(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 2,
+      rounds: Int = 3,
+      smallGraphCap: Int = 1 << 17,
+  ): DataFrame =
+    kCorePeelingOf(
+      spark,
+      Dedup.minhashLshPairsShared(spark, dir).select("doc_a", "doc_b"),
+      k,
+      rounds,
+      smallGraphCap,
+    )
 
   /** [[kCorePeeling]] over an arbitrary edge set — the injectable
     * form the early-exit spec pins (GraphOpsSpec: a path graph that
@@ -204,8 +325,23 @@ object GraphOps {
       edges: DataFrame,
       k: Int,
       rounds: Int,
+      smallGraphCap: Int = 1 << 17,
   ): DataFrame = {
     import spark.implicits._
+    // size dispatch (round 14, the pagerank pattern): an under-cap
+    // edge set peels in exact driver integer math — identical census
+    // (degree counts and monotone set filters are order-independent);
+    // fast == distributed pinned in GraphOpsSpec through this cap.
+    // The per-round localCheckpoint loop below stays the scale path.
+    if (smallGraphCap > 0) {
+      val sample = edges
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .limit(smallGraphCap + 1)
+        .collect()
+      if (sample.length <= smallGraphCap)
+        return driverKCore(sample.map(r => (r.getLong(0), r.getLong(1))), k, rounds)
+          .toDF("round", "n_nodes", "n_edges")
+    }
     var e = edges
     // Early-exit on fixpoint: peeling is monotone (keep sets and edge
     // sets only shrink), and every node in the symmetrized edge list
@@ -246,6 +382,42 @@ object GraphOps {
       r += 1
     }
     census.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
+  /** Exact driver twin of the distributed peel: per round degrees
+    * over the symmetrized list, keep = nodes meeting the bar, edges
+    * filtered to kept endpoints, census row (round, kept, edges);
+    * early-exit copies on edge-count stability, exactly as above.
+    */
+  private[graft] def driverKCore(
+      pairs: Array[(Long, Long)],
+      k: Int,
+      rounds: Int,
+  ): Seq[(Int, Long, Long)] = {
+    var e = pairs
+    var prevEdges = e.length.toLong
+    val census = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      e.foreach { case (a, b) =>
+        deg.update(a, deg.getOrElse(a, 0L) + 1L)
+        deg.update(b, deg.getOrElse(b, 0L) + 1L)
+      }
+      val keep = deg.iterator.collect { case (n, d) if d >= k => n }.toSet
+      e = e.filter { case (a, b) => keep(a) && keep(b) }
+      val nEdges = e.length.toLong
+      census += ((r, keep.size.toLong, nEdges))
+      converged = nEdges == prevEdges
+      prevEdges = nEdges
+      r += 1
+    }
+    while (r <= rounds) {
+      census += ((r, census.last._2, census.last._3))
+      r += 1
+    }
+    census.toSeq
   }
 
   /** Newman modularity of the SOURCE partition over the near-dup pair

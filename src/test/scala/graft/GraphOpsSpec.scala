@@ -38,13 +38,46 @@ class GraphOpsSpec extends AnyFunSuite {
   }
 
   private def check(pairs: Seq[(Long, Long)], k: Int = 2, rounds: Int = 3): Unit = {
-    val got = GraphOps
-      .kCorePeelingOf(spark, edgesDf(pairs), k, rounds)
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-      .toSeq
-    assert(got == referenceCensus(pairs, k, rounds), s"pairs=$pairs k=$k")
+    // both execution paths must match the reference: the round-14
+    // driver size-dispatch (default cap) and the distributed
+    // localCheckpoint loop (cap = 0 disables the dispatch)
+    Seq(1 << 17, 0).foreach { cap =>
+      val got = GraphOps
+        .kCorePeelingOf(spark, edgesDf(pairs), k, rounds, smallGraphCap = cap)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+        .toSeq
+      assert(got == referenceCensus(pairs, k, rounds), s"pairs=$pairs k=$k cap=$cap")
+    }
+  }
+
+  test("pagerank fast (driver) == distributed on the corpus pair graph") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(cap: Int): Seq[(Long, Long)] =
+      GraphOps
+        .pagerank(spark, sf, smallGraphCap = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+        .toSeq
+    val fast = rows(1 << 17)
+    val dist = rows(0)
+    assert(fast.nonEmpty && fast == dist)
+  }
+
+  test("label propagation fast (driver) == distributed on the corpus pair graph") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(cap: Int): Seq[(Long, Long, Long)] =
+      GraphOps
+        .labelPropagation(spark, sf, smallGraphCap = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+        .toSeq
+    val fast = rows(1 << 17)
+    val dist = rows(0)
+    assert(fast.nonEmpty && fast == dist)
   }
 
   test("path graph peels a fresh layer every round — the full loop runs") {
