@@ -30,6 +30,7 @@ object Bench {
     graft.operators.IvfIndex.invalidate()
     graft.operators.PqIndex.invalidate()
     graft.operators.Similarity.invalidate()
+    graft.operators.Sampling.invalidate()
     graft.operators.RelationalQueries.invalidate()
     graft.operators.TextAnalysis.invalidate()
     graft.operators.Multimodal.invalidate()

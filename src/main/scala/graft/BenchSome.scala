@@ -22,6 +22,7 @@ object BenchSome {
     graft.operators.IvfIndex.invalidate()
     graft.operators.PqIndex.invalidate()
     graft.operators.Similarity.invalidate()
+    graft.operators.Sampling.invalidate()
     graft.operators.RelationalQueries.invalidate()
     graft.operators.TextAnalysis.invalidate()
     graft.operators.Multimodal.invalidate()

@@ -187,6 +187,11 @@ object TextAnalysis {
       graft.util.NamedArtifact.drop(
         spark, graft.util.NamedArtifact.viewName("graft_bm25_top", dir))
     }
+    vocabFreqCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_vocab_freq", dir))
+    }
+    mergesCache.invalidate()
   }
 
   /** Per-language token statistics. */
@@ -648,13 +653,37 @@ object TextAnalysis {
     * rows, never a global sort (pinned in PlanShapeSpec).
     */
   def vocabTopTokens(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
-    docs(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("token")
-      .agg(count(lit(1)).as("n"))
+    vocabFreqShared(spark, dir)
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Memoized corpus vocabulary-frequency table (token, n) — the
+    * |vocab|-row artifact a tokenizer-training / corpus-statistics
+    * pipeline materializes once and every consumer reads (round 14):
+    * [[vocabTopTokens]] (and [[zipfFit]] through it),
+    * [[freqOfFreqs]], [[countMinEstimates]], and the whole BPE family
+    * ([[bpePairStats]] / [[bpeMergeRound2]] / [[trainMerges]]) each
+    * re-ran the identical corpus tokenize + explode + combine; the
+    * artifact pays it once per (session, dir) and is dropped in
+    * [[invalidate]] (the tfIndexShared accounting convention).
+    */
+  private[graft] def vocabFreqShared(spark: SparkSession, dir: String): DataFrame =
+    vocabFreqCache.getOrElseUpdate(spark, dir) {
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_vocab_freq", dir),
+        docs(spark, dir)
+          .select(explode(tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token")
+          .agg(count(lit(1)).as("n")),
+      )
+    }
+
+  private val vocabFreqCache = new graft.util.SessionCache[String, DataFrame]
+
+  private val mergesCache =
+    new graft.util.SessionCache[String, Seq[(Int, String, String, Long, Long)]]
 
   /** Positional word bigrams as an array of (l, r) structs — the one
     * definition of the index arithmetic (0-based sequence over
@@ -1083,11 +1112,7 @@ object TextAnalysis {
     * text is scanned exactly once.
     */
   def bpePairStats(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val wf = docs(spark, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w")
-      .agg(count(lit(1)).as("wf"))
+    val wf = vocabFreqShared(spark, dir).select(col("token").as("w"), col("n").as("wf"))
     wf.filter(length(col("w")) >= 2)
       .select(
         col("wf"),
@@ -1118,11 +1143,7 @@ object TextAnalysis {
     * aggregations.
     */
   def bpeMergeRound2(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val wf = docs(spark, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w")
-      .agg(count(lit(1)).as("wf"))
+    val wf = vocabFreqShared(spark, dir).select(col("token").as("w"), col("n").as("wf"))
     def pairCounts(words: DataFrame, wcol: String): DataFrame =
       words
         .filter(length(col(wcol)) >= 2)
@@ -1183,12 +1204,12 @@ object TextAnalysis {
       spark: SparkSession,
       dir: String,
       rounds: Int,
-  ): Seq[(Int, String, String, Long, Long)] = {
-    val wf = docs(spark, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w")
-      .agg(count(lit(1)).as("wf"))
+  ): Seq[(Int, String, String, Long, Long)] = mergesCache.getOrElseUpdate(spark, s"$dir|$rounds") {
+    // memoized merge table (round 14): the ordered merge list IS the
+    // artifact a trained tokenizer ships; the trainer gate and the
+    // encode gate both consume it, and each previously re-ran the
+    // whole per-round census + top-1 loop. Dropped in [[invalidate]].
+    val wf = vocabFreqShared(spark, dir).select(col("token").as("w"), col("n").as("wf"))
     def pairCensus(words: DataFrame): DataFrame =
       words
         .filter(length(col("w")) >= 2)
@@ -1290,11 +1311,7 @@ object TextAnalysis {
     */
   def countMinEstimates(spark: SparkSession, dir: String, d: Int = 4, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("token")
-      .agg(count(lit(1)).as("n"))
+    val counts = vocabFreqShared(spark, dir)
     val seedBuckets = array(
       (0 until d).map(s =>
         struct(
@@ -1904,11 +1921,8 @@ object TextAnalysis {
     */
   def freqOfFreqs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("token")
-      .agg(count(lit(1)).as("freq"))
+    vocabFreqShared(spark, dir)
+      .select(col("n").as("freq"))
       .groupBy("freq")
       .agg(count(lit(1)).as("n_types"))
       .withColumn("next_n", lead(col("n_types"), 1).over(Window.orderBy(col("freq"))))

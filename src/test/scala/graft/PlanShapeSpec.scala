@@ -365,9 +365,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sourceScans(graft.operators.RelationalQueries.hourlyGapFill(spark, sf), "event_id") <= 2)
     assert(sourceScans(graft.operators.RelationalQueries.retentionCohorts(spark, sf), "user_id") == 1)
     assert(sourceScans(graft.operators.TextAnalysis.chi2Contingency(spark, sf), "lang") == 1)
-    assert(sourceScans(graft.operators.TextAnalysis.bpePairStats(spark, sf), "text") == 1)
+    // bpe/count-min ride the memoized vocab-frequency artifact (round
+    // 14): zero text scans when its cache entry is live (they read the
+    // in-memory vocab table — the tf-idf pin's convention), one on a
+    // cold build; never two
+    assert(sourceScans(graft.operators.TextAnalysis.bpePairStats(spark, sf), "text") <= 1)
     assert(sourceScans(graft.operators.TextAnalysis.cdcChunkStats(spark, sf), "text") == 1)
-    assert(sourceScans(graft.operators.TextAnalysis.countMinEstimates(spark, sf), "text") == 1)
+    assert(sourceScans(graft.operators.TextAnalysis.countMinEstimates(spark, sf), "text") <= 1)
     // continuation-pass gates: same single-lineage discipline
     assert(sourceScans(graft.operators.TextAnalysis.langMixDrift(spark, sf), "source") == 1)
     assert(sourceScans(graft.operators.Similarity.centroidDrift(spark, sf), "label") == 1)
