@@ -229,6 +229,9 @@ object PqIndex {
     shortlistCache.invalidateKeys { (spark, dir) =>
       graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_pq_short", dir))
     }
+    ivfPqCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_ivfpq_top", dir))
+    }
     // the memoized refresh-tier driver scalars: a timed run must pay
     // its own bounded actions like it pays its own artifact builds
     cutoffCache.invalidate()
@@ -384,6 +387,35 @@ object PqIndex {
       nQueries: Int = ServedQueryCutoff,
       k: Int = 5,
       nProbe: Int = 3,
+  ): DataFrame =
+    // the served shape is memoized at depth [[IvfPqDepth]] and every
+    // ≤-k request reads its own prefix (topKPerQuery's order is a
+    // deterministic total order — the adcShortlist convention): the
+    // two registered consumers (similarity_ivf_pq at k = 5,
+    // hybrid_rrf_ivfpq at k = 10) each re-ran the full probe + ADC
+    // scan per call (round-14 measurement: ~0.9 s each at sf0.1).
+    // Dropped in [[invalidate]]; other shapes compute directly.
+    if (nQueries == ServedQueryCutoff && nProbe == 3 && k <= IvfPqDepth)
+      ivfPqCache
+        .getOrElseUpdate(spark, dir) {
+          graft.util.NamedArtifact.cache(
+            spark,
+            graft.util.NamedArtifact.viewName("graft_ivfpq_top", dir),
+            ivfPqPlan(spark, dir, nQueries, IvfPqDepth, nProbe),
+          )
+        }
+        .filter(col("rank") <= k)
+    else ivfPqPlan(spark, dir, nQueries, k, nProbe)
+
+  private val IvfPqDepth = 10
+  private val ivfPqCache = new graft.util.SessionCache[String, DataFrame]
+
+  private def ivfPqPlan(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int,
+      k: Int,
+      nProbe: Int,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(spark, dir, "embeddings")

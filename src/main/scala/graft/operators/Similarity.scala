@@ -948,14 +948,15 @@ object Similarity {
     */
   def hybridRrfTopK(spark: SparkSession, dir: String, k: Int = 10, k0: Int = 60): DataFrame = {
     val qids = TextAnalysis.bm25Queries.map(_._1.toLong)
-    val queries = embPlain(spark, dir)
-      .filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val cands = emb(spark, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val scored = cands
-      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
-    val vec = topKPerQuery(scored, k)
+    // the bm25 query ids are a subset of the served-query set
+    // (ServedQueryCutoff = max(8, bm25 max id + 1) by construction),
+    // and a per-query top-k is independent of which OTHER queries
+    // were computed — so the vector leg is the qids slice of the
+    // memoized brute-force baseline artifact instead of a fresh
+    // corpus-wide cosine scan (round-14 measurement: the scan cost
+    // ~0.9 s per call at sf0.1; the artifact read is ~ms)
+    val vec = bruteForceTopK(spark, dir, nQueries = PqIndex.ServedQueryCutoff, k = k)
+      .filter(col("query_id").isin(qids: _*))
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rk_vec"))
     rrfFuse(spark, dir, vec, k, k0)
   }

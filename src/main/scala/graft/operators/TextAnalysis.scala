@@ -191,8 +191,51 @@ object TextAnalysis {
       graft.util.NamedArtifact.drop(
         spark, graft.util.NamedArtifact.viewName("graft_vocab_freq", dir))
     }
+    lmBigramCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_lm_bigram", dir))
+    }
     mergesCache.invalidate()
   }
+
+  private val lmBigramCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized per-language bigram LM count table
+    * (lang, l, r, cnt_lr, cnt_l) — the TRAINED bigram language model
+    * every LM consumer reads (round 14): [[bigramLm]],
+    * [[lmDocScores]], [[lmPplSplit]], and [[docNovelty]] each re-ran
+    * the identical corpus-wide bigram explode and derived the counts
+    * with corpus-row count WINDOWS (an exchange of every exploded
+    * gram row with NO partial aggregation — the exact shape the
+    * quality_calibration r13 rewrite exists to avoid). The artifact
+    * pays ONE corpus pass into a map-side-combined (lang, l, r)
+    * aggregation whose output is vocab²·|langs|-bounded, plus a
+    * window over that bounded table for the left marginal; every
+    * consumer then joins the BROADCAST model to its own map-side
+    * gram explode and aggregates per doc with partial aggregation —
+    * no exchange anywhere sees raw exploded rows. Lang-free
+    * marginals (cnt over all langs) re-aggregate the bounded table,
+    * never the corpus. At 100 TB this is the deployment shape: a
+    * quality-filter LM is a trained, pruned, servable dictionary
+    * (CCNet ships one per language), not a per-query corpus window.
+    * Dropped in [[invalidate]] (the tfIndexShared accounting
+    * convention: the first consumer of a timed run pays the build).
+    */
+  private[graft] def lmBigramShared(spark: SparkSession, dir: String): DataFrame =
+    lmBigramCache.getOrElseUpdate(spark, dir) {
+      import org.apache.spark.sql.expressions.Window
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_lm_bigram", dir), {
+          docs(spark, dir)
+            .filter(size(split(col("text"), " ")) >= 2)
+            .select(col("lang"), explode(positionalBigrams(col("text"))).as("g"))
+            .groupBy(col("lang"), col("g.l").as("l"), col("g.r").as("r"))
+            .agg(count(lit(1)).as("cnt_lr"))
+            .withColumn("cnt_l", sum(col("cnt_lr")).over(Window.partitionBy("lang", "l")))
+        },
+      )
+    }
 
   /** Per-language token statistics. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -718,14 +761,13 @@ object TextAnalysis {
     * the corpus itself is never re-shuffled.
     */
   def bigramLm(spark: SparkSession, dir: String, minCount: Long = 1L): DataFrame = {
-    val grams = docs(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 2)
-      .select(explode(positionalBigrams(col("text"))).as("g"))
-      .select(col("g.l").as("left_token"), col("g.r").as("right_token"))
+    // lang-free counts re-aggregate the bounded LM artifact (sum over
+    // langs of a partition count IS the corpus count), zero corpus
+    // scans here — the artifact's builder pays the one pass
     val w = org.apache.spark.sql.expressions.Window.partitionBy("left_token")
-    grams
-      .groupBy("left_token", "right_token")
-      .agg(count(lit(1)).as("n"))
+    lmBigramShared(spark, dir)
+      .groupBy(col("l").as("left_token"), col("r").as("right_token"))
+      .agg(sum(col("cnt_lr")).as("n"))
       .withColumn("n_left", sum(col("n")).over(w))
       .withColumn("p", col("n").cast("double") / col("n_left"))
       .filter(col("n") >= minCount)
@@ -833,25 +875,32 @@ object TextAnalysis {
     * perplexity-style LM scoring (whose float log-sums are
     * order-dependent and not oracle-able bit-exactly).
     *
-    * Scale shape (100 TB): ONE corpus scan — the per-bigram corpus
-    * count comes from a count window over the exploded bigram rows
-    * (partitioned by the bigram, the same single-scan trick as
-    * [[tfIdfTopTerms]]), then a per-doc aggregation. Two index-row
-    * shuffles, no joins, text never moves.
+    * Scale shape (100 TB): the unique-bigram set is the cnt = 1
+    * slice of the memoized [[lmBigramShared]] LM artifact (bounded
+    * by vocab²); a doc's grams explode map-side, left-join that
+    * broadcast set, and aggregate per doc with partial aggregation —
+    * no exchange sees raw exploded rows, text never moves.
     */
   def docNovelty(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs(spark, dir)
+    // corpus-unique bigrams are the cnt = 1 slice of the memoized LM
+    // artifact (lang-free count = sum over langs); a doc's grams
+    // left-join that BROADCAST set map-side and aggregate per doc
+    // with partial aggregation — the corpus-row count window (an
+    // exchange of every exploded gram) is gone
+    val uniq = lmBigramShared(spark, dir)
+      .groupBy("l", "r")
+      .agg(sum(col("cnt_lr")).as("cnt"))
+      .filter(col("cnt") === 1)
+      .select(col("l"), col("r"), lit(1L).as("u1"))
+    docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), explode(positionalBigrams(col("text"))).as("g"))
-      .select(col("doc_id"), concat_ws(" ", col("g.l"), col("g.r")).as("bigram"))
-    val w = Window.partitionBy("bigram")
-    grams
-      .withColumn("cnt", count(lit(1)).over(w))
+      .select(col("doc_id"), col("g.l").as("l"), col("g.r").as("r"))
+      .join(broadcast(uniq), Seq("l", "r"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(coalesce(col("u1"), lit(0L))).as("n_unique"),
       )
       .withColumn("novelty", col("n_unique").cast("double") / col("n_bigrams"))
   }
@@ -865,29 +914,44 @@ object TextAnalysis {
     * text, wrong-language fragments) exactly as a perplexity filter
     * would, without the log table.
     *
-    * Scale shape: ONE corpus scan/explode and ONE index exchange —
-    * the bigram count rides a (l, r) window and the left-marginal a
-    * (l) window, ordered so the coarser hash(l) exchange satisfies
-    * BOTH windows' clustering (partition exprs ⊆ clustering keys, the
-    * quality_label_noise rule), then one doc_id aggregation. A
-    * count-table join-back would re-scan or trip the self-join
-    * detector; the windows sidestep both. The 10⁶·cnt product runs in
+    * Scale shape: ONE corpus scan/explode joined map-side to the
+    * BROADCAST per-(l, r) probability table derived from the
+    * memoized [[lmBigramShared]] LM artifact (the r14 rewrite: the
+    * former count-window form exchanged every exploded gram row with
+    * no partial aggregation; the join-back re-scan hazard that
+    * motivated it disappears once the count table is a named
+    * artifact rather than a same-lineage subtree), then one per-doc
+    * aggregation with map-side combine. The 10⁶·cnt product runs in
     * DECIMAL(38,0) (BIGINT wraps once a bigram passes ~9·10¹²
     * occurrences — the 100-TB regime).
     */
   def lmDocScores(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs(spark, dir)
+    // lang-free per-(l, r) conditional probability off the memoized
+    // LM artifact: both marginals re-aggregate the bounded count
+    // table (sum over langs), never the corpus; the same integers
+    // the corpus-row count windows produced, by determinism of the
+    // counts
+    // two plain aggregate sides over the bounded artifact (the
+    // stream_lm_score convention — a windowed single-table form
+    // loses the broadcast size estimate)
+    val lr = lmBigramShared(spark, dir)
+      .groupBy("l", "r")
+      .agg(sum(col("cnt_lr")).as("cnt_lr"))
+    val lTot = lmBigramShared(spark, dir)
+      .groupBy("l")
+      .agg(sum(col("cnt_lr")).as("cnt_l"))
+    val q = lr
+      .join(lTot, Seq("l"))
+      .select(
+        col("l"),
+        col("r"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt_lr) div cnt_l AS BIGINT)").as("q"),
+      )
+    docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), explode(positionalBigrams(col("text"))).as("g"))
       .select(col("doc_id"), col("g.l").as("l"), col("g.r").as("r"))
-    grams
-      .withColumn("cnt_l", count(lit(1)).over(Window.partitionBy("l")))
-      .withColumn("cnt_lr", count(lit(1)).over(Window.partitionBy("l", "r")))
-      .select(
-        col("doc_id"),
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt_lr) div cnt_l AS BIGINT)").as("q"),
-      )
+      .join(broadcast(q), Seq("l", "r"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
       .select(
@@ -900,8 +964,9 @@ object TextAnalysis {
   /** CCNet-style head/middle/tail corpus split: per LANGUAGE (the
     * per-lang LM is the whole point of CCNet's split), score every
     * document with the exact-integer mean bigram conditional
-    * probability (the [[lmDocScores]] metric, count windows
-    * partitioned by lang) and cut the language's documents into
+    * probability (the [[lmDocScores]] metric, served per lang off
+    * the broadcast [[lmBigramShared]] model) and cut the language's
+    * documents into
     * thirds by score — head = most-predictable third (lowest
     * perplexity), the slice a pretraining mix up-weights.
     *
@@ -922,18 +987,23 @@ object TextAnalysis {
     */
   def lmPplSplit(spark: SparkSession, dir: String, binWidth: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs(spark, dir)
+    // per-(lang, l, r) conditional probability straight off the
+    // memoized LM artifact (its rows ARE the per-lang counts); the
+    // gram explode joins the BROADCAST model map-side and aggregates
+    // per (doc, lang) with partial aggregation — the two corpus-row
+    // count windows are gone
+    val q = lmBigramShared(spark, dir)
+      .select(
+        col("lang"),
+        col("l"),
+        col("r"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt_lr) div cnt_l AS BIGINT)").as("q"),
+      )
+    val scored = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), col("lang"), explode(positionalBigrams(col("text"))).as("g"))
       .select(col("doc_id"), col("lang"), col("g.l").as("l"), col("g.r").as("r"))
-    val scored = grams
-      .withColumn("cnt_l", count(lit(1)).over(Window.partitionBy("lang", "l")))
-      .withColumn("cnt_lr", count(lit(1)).over(Window.partitionBy("lang", "l", "r")))
-      .select(
-        col("doc_id"),
-        col("lang"),
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt_lr) div cnt_l AS BIGINT)").as("q"),
-      )
+      .join(broadcast(q), Seq("lang", "l", "r"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
       .select(
