@@ -458,18 +458,26 @@ object Sampling {
         base.unionByName(planted)
       }
     }
-    val a = corpus.select(col("blk"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = corpus.select(col("blk"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     def splitOf(c: Column): Column = assignSplit(c.cast("string"), "vsplit")
+    // Only train×test pairs survive the sweep, so restrict the join
+    // SIDES by split before pairing (guide §3: reduce the big side
+    // before the exchange): the all-pairs form scored |block|²
+    // cosines and discarded ~90% of them at the split filter; the
+    // split-sided form scores |train|·|test| per block — the same
+    // surviving pairs exactly once each (a vector is never in both
+    // splits, so the unordered-pair dedup the vec_a < vec_b filter
+    // provided is structural here), ~10× fewer cosines at the
+    // driver split ratio and strictly fewer shuffled bytes.
+    val a = corpus
+      .filter(splitOf(col("vec_id")) === "train")
+      .select(col("blk"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus
+      .filter(splitOf(col("vec_id")) === "test")
+      .select(col("blk"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     graft.operators.Skew
       .saltedBlockJoin(a, b, "blk", "vec_a", targetRows)
-      .filter(col("vec_a") < col("vec_b"))
       .filter(graft.functions.VectorFunctions.cosine(col("ea"), col("eb")) >= threshold)
-      .select(col("vec_a"), col("vec_b"), splitOf(col("vec_a")).as("sa"), splitOf(col("vec_b")).as("sb"))
-      .filter(
-        (col("sa") === "train" && col("sb") === "test") ||
-          (col("sa") === "test" && col("sb") === "train"))
-      .select(when(col("sa") === "train", col("vec_a")).otherwise(col("vec_b")).as("train_vec_id"))
+      .select(col("vec_a").as("train_vec_id"))
       .groupBy("train_vec_id")
       .agg(count(lit(1)).as("n_test_near_dups"))
   }

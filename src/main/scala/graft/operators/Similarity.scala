@@ -629,34 +629,53 @@ object Similarity {
     def asgRef = spark
       .table(graft.util.NamedArtifact.viewName("graft_ivf_round1", dir))
       .select(col("vec_id"), col("embedding"), (col("cell").cast("long") * 256L + bkt).as("blk"))
-    def reps = spark.range(r).select(col("id").as("rep"))
-    val a = asgRef
+    // Replicas share their original's embedding, so cosine depends
+    // only on the BASE pair: score base pairs once through the
+    // salted block join (R² fewer cosines, R fewer join-side rows)
+    // and expand each scored pair by the broadcast (rep_a, rep_b)
+    // grid afterwards — ids, rotated labels, and the kind split are
+    // replica arithmetic over the shared cos, so the expanded rows
+    // are bit-identical to pairing the replicated sides directly
+    // (same block key by inheritance; a base self-pair (v, v) yields
+    // exactly the cross-replica pairs the anchor≠cand filter keeps).
+    // At deployment scale the staircase makes R = 1 and the grid is
+    // one row — the expansion degenerates to the plain miner.
+    val aBase = asgRef
       .join(Tables.parallel(spark, dir, "embeddings").select(col("vec_id"), col("label")), "vec_id")
-      .crossJoin(reps)
       .select(
         col("blk"),
-        (col("vec_id") * r + col("rep")).as("anchor_id"),
-        pmod(col("label").cast("long") + col("rep"), lit(10L)).as("label_a"),
+        col("vec_id").as("va"),
+        col("label").cast("long").as("la"),
         col("embedding").as("ea"),
       )
-    val b = asgRef
+    val bBase = asgRef
       .join(Tables(spark, dir, "embeddings").select(col("vec_id"), col("label")), "vec_id")
-      .crossJoin(reps)
       .select(
         col("blk"),
-        (col("vec_id") * r + col("rep")).as("cand_id"),
-        pmod(col("label").cast("long") + col("rep"), lit(10L)).as("label_b"),
+        col("vec_id").as("vb"),
+        col("label").cast("long").as("lb"),
         col("embedding").as("eb"),
       )
+    def reps = spark.range(r).select(col("id").as("rep"))
+    val repGrid = reps.select(col("rep").as("rep_a")).crossJoin(reps.select(col("rep").as("rep_b")))
     val w = Window.partitionBy("anchor_id", "kind").orderBy(col("cos").desc, col("cand_id"))
     graft.operators.Skew
-      .saltedBlockJoin(a, b, "blk", "anchor_id", targetRows)
+      .saltedBlockJoin(aBase, bBase, "blk", "va", targetRows)
+      .select(col("va"), col("la"), col("vb"), col("lb"), cosine(col("ea"), col("eb")).as("cos"))
+      .crossJoin(broadcast(repGrid))
+      .select(
+        (col("va") * r + col("rep_a")).as("anchor_id"),
+        (col("vb") * r + col("rep_b")).as("cand_id"),
+        pmod(col("la") + col("rep_a"), lit(10L)).as("label_a"),
+        pmod(col("lb") + col("rep_b"), lit(10L)).as("label_b"),
+        col("cos"),
+      )
       .filter(col("anchor_id") =!= col("cand_id"))
       .select(
         col("anchor_id"),
         col("cand_id"),
         when(col("label_a") === col("label_b"), lit("pos")).otherwise(lit("neg")).as("kind"),
-        cosine(col("ea"), col("eb")).as("cos"),
+        col("cos"),
       )
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= perKind)

@@ -35,13 +35,32 @@ object NamedArtifact {
     * cache entry ever exists per name, so drop-by-name always frees
     * every block this helper pinned.
     */
-  def cache(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
-    Try(spark.catalog.uncacheTable(name))
-    df.createOrReplaceTempView(name)
-    if (!spark.catalog.isCached(name)) {
-      spark.catalog.cacheTable(name, StorageLevel.MEMORY_AND_DISK)
+  def cache(spark: SparkSession, name: String, df: => DataFrame): DataFrame = {
+    // Reuse path (round 14): if the SAME-NAME view is already
+    // registered AND catalog-cached, hand back the live entry instead
+    // of uncache-and-recompute. Artifact names encode their full build
+    // key (dir, or dir|params) by the viewName convention, so within a
+    // session a name hit IS the same definition — and the memoizing
+    // SessionCache holds values only SOFTLY, so under heap pressure
+    // the in-JVM reference dies while the catalog cache (MEMORY_AND_
+    // DISK — it spills, it does not vanish) stays materialized. The
+    // pre-fix behavior recomputed the whole artifact on every such
+    // GC-cleared rebuild: the full r14 bench measured several
+    // artifact-family gates paying their shared build a SECOND time
+    // mid-run (hybrid_rrf_ivfpq, bm25_era_drift, the lm family) on an
+    // 8 GiB heap. The uncache-then-replace below remains for genuine
+    // (re)builds — first build, or rebuild after drop — keeping at
+    // most one cache entry per name.
+    if (Try(spark.catalog.isCached(name)).getOrElse(false)) {
+      spark.table(name)
+    } else {
+      Try(spark.catalog.uncacheTable(name))
+      df.createOrReplaceTempView(name)
+      if (!spark.catalog.isCached(name)) {
+        spark.catalog.cacheTable(name, StorageLevel.MEMORY_AND_DISK)
+      }
+      spark.table(name)
     }
-    spark.table(name)
   }
 
   /** Uncache and drop the view; safe when it never existed (the
