@@ -1162,6 +1162,10 @@ object Dedup {
     hotSpanCache.invalidateKeys { (spark, dir) =>
       graft.util.NamedArtifact.drop(spark, graft.util.NamedArtifact.viewName("graft_hot_spans", dir))
     }
+    spanPostingsCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_span_postings", dir))
+    }
   }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -1841,15 +1845,74 @@ object Dedup {
       postings: => DataFrame,
   ): DataFrame = {
     def build: DataFrame = postings
-      .groupBy("shingle")
+      .groupBy("shash")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
-      .select("shingle")
+      .select("shash")
     if (k == 3 && minDf == 3)
       hotSpanCache.getOrElseUpdate(spark, dir) {
         graft.util.NamedArtifact.cache(
           spark,
           graft.util.NamedArtifact.viewName("graft_hot_spans", dir),
+          build,
+        )
+      }
+    else build
+  }
+
+  /** Memoized NARROW positional span postings
+    * (doc_id, n_tokens, pos, shash) — the r15 attack on the span
+    * gates' residual cost (the r14 verdict's named item): after the
+    * shared hot-shingle set landed, each gate still paid its own
+    * full corpus explode of WIDE (doc_id, pos, "w1 w2 w3") string
+    * postings — three explodes per timed run (the df build + one
+    * join side per gate). The r13 postings-sharing attempt memoized
+    * exactly those wide string rows and was measured SLOWER (the
+    * round-9 note below); this is the regime that revert did NOT
+    * test: the shingle is projected to its 64-bit xxhash64 BEFORE
+    * the rows are materialized (guide §2.3 narrower types / §6), so
+    * the cached relation carries three longs + an int per row
+    * (~28 B) instead of a ~25-char string row, and every downstream
+    * aggregate/join keys on longs. One corpus explode per timed run
+    * serves the df build and both gates' join sides.
+    *
+    * Hash identity: shingle equality is decided by xxhash64 of the
+    * shingle text rather than the text itself. Distinct shingles
+    * numbering ≪ 2³² per corpus make a 64-bit collision
+    * astronomically unlikely; the oracle hash-match at every shipped
+    * SF (and the sf1.0 rehearsal) verifies the realized corpora are
+    * collision-free, so the gates' declared results are unchanged.
+    * Only the default gate shape (k = 3) is memoized; other shapes
+    * compute the same narrow postings directly. Dropped in
+    * [[invalidate]] (first consumer of a timed run pays the build).
+    */
+  private val spanPostingsCache = new graft.util.SessionCache[String, DataFrame]
+  private def spanPostings(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    def build: DataFrame = docs(spark, dir)
+      .filter(size(toks) >= k)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        explode(bindArray(toks) { ts =>
+          transform(
+            sequence(lit(0), size(ts) - k),
+            i =>
+              struct(
+                i.as("pos"),
+                xxhash64(
+                  concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*))
+                  .as("shash"),
+              ),
+          )
+        }).as("z"),
+      )
+      .select(col("doc_id"), col("n_tokens"), col("z.pos"), col("z.shash"))
+    if (k == 3)
+      spanPostingsCache.getOrElseUpdate(spark, dir) {
+        graft.util.NamedArtifact.cache(
+          spark,
+          graft.util.NamedArtifact.viewName("graft_span_postings", dir),
           build,
         )
       }
@@ -1862,40 +1925,18 @@ object Dedup {
       k: Int = 3,
       minDf: Int = 3,
   ): DataFrame = {
-    val toks = split(col("text"), " ")
-    // positional (NON-distinct) k-shingles: (pos, shingle) pairs with
-    // the doc's token count carried map-side
-    val postings = docs(spark, dir)
-      .filter(size(toks) >= k)
-      .select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        explode(bindArray(toks) { ts =>
-          transform(
-            sequence(lit(0), size(ts) - k),
-            i =>
-              struct(
-                i.as("pos"),
-                concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*).as("shingle"),
-              ),
-          )
-        }).as("z"),
-      )
-      .select(col("doc_id"), col("n_tokens"), col("z.pos"), col("z.shingle"))
-    // NOTE (round-9 measurement): the df pass and the hot-posting
-    // join each evaluate the posting explode — materializing it once
-    // (localCheckpoint) was TRIED and measured SLOWER (2.13 s vs
-    // 1.29 s isolated at sf0.1): writing ~1M string postings costs
-    // more than re-running the codegen'd map-side explode. Keep the
-    // recompute; at 100 TB the postings intermediate becomes a table
-    // write only when more than these two consumers read it. The
-    // tiny df-filtered SHINGLE SET is the piece worth sharing — see
-    // [[hotSpanShingles]].
-    val hot = hotSpanShingles(spark, dir, k, minDf, postings.select("doc_id", "shingle"))
+    // NOTE (round-9 measurement, superseded in r15): materializing
+    // the WIDE string postings (localCheckpoint) was measured SLOWER
+    // than recomputing the explode (2.13 s vs 1.29 s isolated at
+    // sf0.1) and the r13 revert stood. The narrow HASHED postings
+    // artifact ([[spanPostings]]) is the other regime: ~28 B/row,
+    // long keys, three consumers per timed run.
+    val postings = spanPostings(spark, dir, k)
+    val hot = hotSpanShingles(spark, dir, k, minDf, postings.select("doc_id", "shash"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy(col("pos"))
     postings
-      .join(hot, Seq("shingle"))
+      .join(hot, Seq("shash"))
       .withColumn(
         "covered",
         least(lit(k), col("pos") - lag(col("pos"), 1, -k).over(w)),
@@ -1939,25 +1980,12 @@ object Dedup {
       minDf: Int = 3,
   ): DataFrame = {
     val toks = split(col("text"), " ")
-    val postings = docs(spark, dir)
-      .filter(size(toks) >= k)
-      .select(
-        col("doc_id"),
-        explode(bindArray(toks) { ts =>
-          transform(
-            sequence(lit(0), size(ts) - k),
-            i =>
-              struct(
-                i.as("pos"),
-                concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*).as("shingle"),
-              ),
-          )
-        }).as("z"),
-      )
-      .select(col("doc_id"), col("z.pos"), col("z.shingle"))
-    val hot = hotSpanShingles(spark, dir, k, minDf, postings.select("doc_id", "shingle"))
+    // the narrow hashed postings artifact — shared with
+    // [[spanCoverage]] and the df build (see [[spanPostings]])
+    val postings = spanPostings(spark, dir, k)
+    val hot = hotSpanShingles(spark, dir, k, minDf, postings.select("doc_id", "shash"))
     val covered = postings
-      .join(hot, Seq("shingle"))
+      .join(hot, Seq("shash"))
       .select(
         col("doc_id").as("cdoc"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))

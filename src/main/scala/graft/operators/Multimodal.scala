@@ -470,6 +470,41 @@ object Multimodal {
       MediaRecord(id, "jpeg", MediaPayload.jpeg((id % 641).toInt + 1, (id % 443).toInt + 1, px))
   }
 
+  /** BOTH variants of a base in one texture pass (round 15): the md5
+    * pixel texture is a function of (base, j) alone — v only adds the
+    * hot-block bump — yet every both-variant call site paid the
+    * ~(2·blocks + 64)-digest texture TWICE per base through two
+    * [[phashVariantRecord]] calls. One digest pass fills both pixel
+    * surfaces; containers wrap exactly as before, so the records are
+    * BIT-IDENTICAL to `Seq(phashVariantRecord(base, 0, blocks),
+    * phashVariantRecord(base, 1, blocks))` (pinned in ExtensionsSpec).
+    * Halves the dominant synthesis cost of the image-tier batch gates
+    * (guide §1.2 step 2 — per-task work; the md5-per-pixel texture IS
+    * the hot loop once the r14 fingerprint-once fix landed).
+    */
+  private[graft] def phashVariantPair(base: Long, blocks: Int): Seq[MediaRecord] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = 2 * blocks + 64 + (base % 101).toInt
+    val hot = (base % 64).toInt
+    val px0 = new Array[Byte](n)
+    val px1 = new Array[Byte](n)
+    var j = 0
+    while (j < n) {
+      md.reset()
+      val p = (md.digest(s"$base|$j".getBytes("UTF-8"))(0) & 0xff) % 200
+      val blk = ((64L * j + 63) / n).toInt
+      px0(j) = p.toByte
+      px1(j) = (p + (if (blk == hot) 8 else 0)).toByte
+      j += 1
+    }
+    val id0 = base * 2
+    val id1 = base * 2 + 1
+    Seq(
+      MediaRecord(id0, "png", MediaPayload.png((id0 % 637).toInt + 1, (id0 % 479).toInt + 1, px0)),
+      MediaRecord(id1, "jpeg", MediaPayload.jpeg((id1 % 641).toInt + 1, (id1 % 443).toInt + 1, px1)),
+    )
+  }
+
   /** The perceptual-dedup fixture: a GENERATED image corpus with
     * planted near-dups, one base per document and two variants per
     * base (media id = doc_id·2 + v — see [[phashVariantRecord]] for
@@ -498,8 +533,7 @@ object Multimodal {
     Tables(spark, dir, "documents")
       .select(col("doc_id"))
       .as[Long]
-      .mapPartitions(_.flatMap(base =>
-        Seq(phashVariantRecord(base, 0, blocks), phashVariantRecord(base, 1, blocks))))
+      .mapPartitions(_.flatMap(base => phashVariantPair(base, blocks)))
   }
 
   /** Decode → fingerprint, the map step both the batch pairing and
@@ -729,8 +763,7 @@ object Multimodal {
         .filter(pred)
         .as[Long]
         .mapPartitions(_.flatMap(base =>
-          Seq(phashVariantRecord(base, 0, blocks), phashVariantRecord(base, 1, blocks))
-            .flatMap(fingerprintOf(_, blocks))))
+          phashVariantPair(base, blocks).flatMap(fingerprintOf(_, blocks))))
         .toDF("id", "bands")
     }
     // Materialize each era's tiny (id, bands) fingerprint table ONCE
@@ -852,6 +885,46 @@ object Multimodal {
       MediaPayload.wav(8000 + (base % 5).toInt * 2000, 1, payload))
   }
 
+  /** BOTH variants of a base clip in one texture pass — the
+    * [[phashVariantPair]] rule for the audio tier: the md5 frame
+    * texture depends on (base, k) alone (v only bumps the hot
+    * block's samples), so one ~(max(256, 2·blocks+64))-digest pass
+    * fills both PCM surfaces. Records are BIT-IDENTICAL to
+    * `Seq(audioVariantRecord(base, 0, blocks),
+    * audioVariantRecord(base, 1, blocks))` (pinned in ExtensionsSpec).
+    */
+  private[graft] def audioVariantPair(base: Long, blocks: Int): Seq[MediaRecord] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = math.max(256, 2 * blocks + 64) + (base % 101).toInt
+    val hot = (base % 64).toInt
+    val payload0 = new Array[Byte](8 * m)
+    val payload1 = new Array[Byte](8 * m)
+    var k = 0
+    while (k < m) {
+      md.reset()
+      val dg = md.digest(s"$base|a|$k".getBytes("UTF-8"))
+      val blk = ((64L * k + 63) / m).toInt
+      val bump = if (blk == hot) 25 else 0
+      var t = 0
+      while (t < 4) {
+        val s0 = dg(t) & 0xff
+        val s1 = s0 + bump
+        val j = 4 * k + t
+        payload0(2 * j) = (s0 & 0xff).toByte
+        payload0(2 * j + 1) = ((s0 >> 8) & 0xff).toByte
+        payload1(2 * j) = (s1 & 0xff).toByte
+        payload1(2 * j + 1) = ((s1 >> 8) & 0xff).toByte
+        t += 1
+      }
+      k += 1
+    }
+    val rate = 8000 + (base % 5).toInt * 2000
+    Seq(
+      MediaRecord(base * 2, "wav", MediaPayload.wav(rate, 1, payload0)),
+      MediaRecord(base * 2 + 1, "wav", MediaPayload.wav(rate, 1, payload1)),
+    )
+  }
+
   /** The audio perceptual-dedup fixture: one base clip per document,
     * two variants per base (media id = doc_id·2 + v), every sample an
     * integer function of (doc_id, frame) so the DuckDB oracle
@@ -869,8 +942,7 @@ object Multimodal {
     Tables(spark, dir, "documents")
       .select(col("doc_id"))
       .as[Long]
-      .mapPartitions(_.flatMap(base =>
-        Seq(audioVariantRecord(base, 0, blocks), audioVariantRecord(base, 1, blocks))))
+      .mapPartitions(_.flatMap(base => audioVariantPair(base, blocks)))
   }
 
   /** Decode → audio fingerprint: WAV payloads only (magic dispatch),
@@ -1027,8 +1099,7 @@ object Multimodal {
         .filter(pred)
         .as[Long]
         .mapPartitions(_.flatMap(base =>
-          Seq(audioVariantRecord(base, 0, blocks), audioVariantRecord(base, 1, blocks))
-            .flatMap(audioFingerprintOf(_, blocks))))
+          audioVariantPair(base, blocks).flatMap(audioFingerprintOf(_, blocks))))
         .toDF("id", "bands")
     }
     // materialize each era's fingerprint slice once — see

@@ -278,14 +278,24 @@ object PqIndex {
     */
   private val ShortlistDepth = 50
   private val shortlistCache = new graft.util.SessionCache[String, DataFrame]
-  private def adcShortlist(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
-    shortlistCache.getOrElseUpdate(spark, dir) {
-      graft.util.NamedArtifact.cache(
-        spark,
-        graft.util.NamedArtifact.viewName("graft_pq_short", dir),
-        Similarity.topKPerQuery(adcScored(spark, dir, nQueries), ShortlistDepth, scoreCol = "score"),
-      )
-    }
+  private def adcShortlist(spark: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    // Memoize ONLY the served shape (r14 advice): the cache key and
+    // view name do not encode nQueries, so a non-served caller would
+    // otherwise pin a shortlist for the wrong query set that every
+    // later served consumer silently reads — the same guard
+    // convention adcTopK/adcRerankTopK and queryLuts already follow.
+    def build: DataFrame =
+      Similarity.topKPerQuery(adcScored(spark, dir, nQueries), ShortlistDepth, scoreCol = "score")
+    if (nQueries == ServedQueryCutoff)
+      shortlistCache.getOrElseUpdate(spark, dir) {
+        graft.util.NamedArtifact.cache(
+          spark,
+          graft.util.NamedArtifact.viewName("graft_pq_short", dir),
+          build,
+        )
+      }
+    else build
+  }
 
   /** [[queryLuts]] against an arbitrary codebook frame — the refresh
     * tier serves versioned LUTs (one per live codebook) from here.

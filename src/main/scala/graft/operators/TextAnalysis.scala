@@ -195,6 +195,10 @@ object TextAnalysis {
       graft.util.NamedArtifact.drop(
         spark, graft.util.NamedArtifact.viewName("graft_lm_bigram", dir))
     }
+    lmFlatCache.invalidateKeys { (spark, dir) =>
+      graft.util.NamedArtifact.drop(
+        spark, graft.util.NamedArtifact.viewName("graft_lm_flat", dir))
+    }
     mergesCache.invalidate()
   }
 
@@ -233,6 +237,43 @@ object TextAnalysis {
             .groupBy(col("lang"), col("g.l").as("l"), col("g.r").as("r"))
             .agg(count(lit(1)).as("cnt_lr"))
             .withColumn("cnt_l", sum(col("cnt_lr")).over(Window.partitionBy("lang", "l")))
+        },
+      )
+    }
+
+  private val lmFlatCache = new graft.util.SessionCache[String, DataFrame]
+
+  /** Memoized LANG-FREE bigram count table (l, r, cnt_lr, cnt_l) —
+    * the LM artifact's third tier (round 15). [[bigramLm]],
+    * [[lmDocScores]], and [[docNovelty]] each re-derived the
+    * identical lang-free marginals from [[lmBigramShared]] per gate:
+    * two bounded aggregations plus a join (or a window), whose
+    * per-gate broadcast-model build latency was measured to exceed
+    * the exchange the r14 rewrite saved at sf0.1 (lm_doc_novelty
+    * 0.65 → 1.38 s in the r14 committed pair — the r14 verdict's
+    * named regression). The marginals are DERIVED STATISTICS of the
+    * trained model — a deployment stores them next to the
+    * lang-tiered counts, it does not re-reduce the model per scoring
+    * job — so they are one more named artifact: one re-aggregation
+    * of the vocab²·|langs|-bounded lang tier (never the corpus) with
+    * the left marginal attached by a window over the bounded table
+    * (safe inside the artifact: consumers read the MATERIALIZED
+    * relation, so broadcast size estimates come from cache stats —
+    * the stream_lm_score estimate hazard only bites unmaterialized
+    * single-table window forms). Same integers as each consumer's
+    * private re-derivation, by determinism of the counts. Dropped in
+    * [[invalidate]] (first consumer of a timed run pays the build).
+    */
+  private[graft] def lmBigramFlatShared(spark: SparkSession, dir: String): DataFrame =
+    lmFlatCache.getOrElseUpdate(spark, dir) {
+      import org.apache.spark.sql.expressions.Window
+      graft.util.NamedArtifact.cache(
+        spark,
+        graft.util.NamedArtifact.viewName("graft_lm_flat", dir), {
+          lmBigramShared(spark, dir)
+            .groupBy("l", "r")
+            .agg(sum(col("cnt_lr")).as("cnt_lr"))
+            .withColumn("cnt_l", sum(col("cnt_lr")).over(Window.partitionBy("l")))
         },
       )
     }
@@ -760,18 +801,20 @@ object TextAnalysis {
     * the denominator is a window over the |vocab|-key count table —
     * the corpus itself is never re-shuffled.
     */
-  def bigramLm(spark: SparkSession, dir: String, minCount: Long = 1L): DataFrame = {
-    // lang-free counts re-aggregate the bounded LM artifact (sum over
-    // langs of a partition count IS the corpus count), zero corpus
-    // scans here — the artifact's builder pays the one pass
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("left_token")
-    lmBigramShared(spark, dir)
-      .groupBy(col("l").as("left_token"), col("r").as("right_token"))
-      .agg(sum(col("cnt_lr")).as("n"))
-      .withColumn("n_left", sum(col("n")).over(w))
+  def bigramLm(spark: SparkSession, dir: String, minCount: Long = 1L): DataFrame =
+    // lang-free counts and the left marginal read straight off the
+    // flat LM tier (round 15 — the private re-aggregation + window
+    // this gate ran over the lang tier is now the shared artifact);
+    // zero corpus scans here, the artifact's builder pays the pass
+    lmBigramFlatShared(spark, dir)
+      .select(
+        col("l").as("left_token"),
+        col("r").as("right_token"),
+        col("cnt_lr").as("n"),
+        col("cnt_l").as("n_left"),
+      )
       .withColumn("p", col("n").cast("double") / col("n_left"))
       .filter(col("n") >= minCount)
-  }
 
   /** Exact token-length percentiles per language (p50/p90/p99,
     * `percentile_disc` semantics: the value at rank
@@ -882,15 +925,14 @@ object TextAnalysis {
     * no exchange sees raw exploded rows, text never moves.
     */
   def docNovelty(spark: SparkSession, dir: String): DataFrame = {
-    // corpus-unique bigrams are the cnt = 1 slice of the memoized LM
-    // artifact (lang-free count = sum over langs); a doc's grams
-    // left-join that BROADCAST set map-side and aggregate per doc
-    // with partial aggregation — the corpus-row count window (an
-    // exchange of every exploded gram) is gone
-    val uniq = lmBigramShared(spark, dir)
-      .groupBy("l", "r")
-      .agg(sum(col("cnt_lr")).as("cnt"))
-      .filter(col("cnt") === 1)
+    // corpus-unique bigrams are the cnt_lr = 1 slice of the FLAT LM
+    // tier (round 15 — the per-gate lang-marginal re-aggregation this
+    // gate ran over the lang tier is now the shared artifact); a
+    // doc's grams left-join that BROADCAST set map-side and aggregate
+    // per doc with partial aggregation — the corpus-row count window
+    // (an exchange of every exploded gram) is gone
+    val uniq = lmBigramFlatShared(spark, dir)
+      .filter(col("cnt_lr") === 1)
       .select(col("l"), col("r"), lit(1L).as("u1"))
     docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 2)
@@ -926,22 +968,12 @@ object TextAnalysis {
     * occurrences — the 100-TB regime).
     */
   def lmDocScores(spark: SparkSession, dir: String): DataFrame = {
-    // lang-free per-(l, r) conditional probability off the memoized
-    // LM artifact: both marginals re-aggregate the bounded count
-    // table (sum over langs), never the corpus; the same integers
-    // the corpus-row count windows produced, by determinism of the
-    // counts
-    // two plain aggregate sides over the bounded artifact (the
-    // stream_lm_score convention — a windowed single-table form
-    // loses the broadcast size estimate)
-    val lr = lmBigramShared(spark, dir)
-      .groupBy("l", "r")
-      .agg(sum(col("cnt_lr")).as("cnt_lr"))
-    val lTot = lmBigramShared(spark, dir)
-      .groupBy("l")
-      .agg(sum(col("cnt_lr")).as("cnt_l"))
-    val q = lr
-      .join(lTot, Seq("l"))
+    // lang-free per-(l, r) conditional probability straight off the
+    // FLAT LM tier (round 15): both marginals are columns of the
+    // shared artifact — the per-gate two-aggregate + join build this
+    // gate paid over the lang tier is gone; the same integers the
+    // corpus-row count windows produced, by determinism of the counts
+    val q = lmBigramFlatShared(spark, dir)
       .select(
         col("l"),
         col("r"),
@@ -999,11 +1031,22 @@ object TextAnalysis {
         col("r"),
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt_lr) div cnt_l AS BIGINT)").as("q"),
       )
+    // NULL-SAFE on lang (r14 advice): a plain equi-join silently
+    // drops null-lang docs, where the pre-r14 count-window form
+    // grouped them into a partition and scored them. No corpus ships
+    // nulls today (oracle-green either way); <=> keeps the window
+    // semantics without betting on that. l/r are split() tokens —
+    // non-null by construction — so plain equality stands for them,
+    // and the join stays a BHJ (EqualNullSafe is a supported hash key).
+    val qj = q.select(
+      col("lang").as("__q_lang"), col("l").as("__q_l"), col("r").as("__q_r"), col("q"))
     val scored = docs(spark, dir)
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), col("lang"), explode(positionalBigrams(col("text"))).as("g"))
       .select(col("doc_id"), col("lang"), col("g.l").as("l"), col("g.r").as("r"))
-      .join(broadcast(q), Seq("lang", "l", "r"))
+      .join(
+        broadcast(qj),
+        col("lang") <=> col("__q_lang") && col("l") === col("__q_l") && col("r") === col("__q_r"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
       .select(

@@ -74,9 +74,24 @@ object NamedArtifact {
 
   /** A collision-free session-unique view name for a directory-keyed
     * artifact (temp view names cannot contain '/').
+    *
+    * The name must encode the FULL build key (r14 advice): since the
+    * reuse path in [[cache]] returns the live entry on a name hit, a
+    * name that failed to distinguish two definitions would silently
+    * serve one definition's data to the other's consumers. The
+    * sanitized key is embedded verbatim alongside a 32-bit hash of
+    * the raw key, so two distinct keys collide only if they sanitize
+    * identically (differ only in non-alphanumerics) AND hash-collide
+    * — against the pre-r15 bare 32-bit hash, where any 1-in-2³²
+    * cross-key collision sufficed. Callers with parameterized builds
+    * must fold every parameter into `dir` (the `dir|param` key
+    * convention) or guard the memo on served defaults (the
+    * adcShortlist rule).
     */
-  def viewName(prefix: String, dir: String): String =
-    prefix + "_" + java.lang.Long.toHexString(
+  def viewName(prefix: String, dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    prefix + "_" + sanitized + "_" + java.lang.Long.toHexString(
       org.apache.spark.unsafe.types.UTF8String.fromString(dir).hashCode().toLong & 0xffffffffL
     )
+  }
 }

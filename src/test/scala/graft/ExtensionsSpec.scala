@@ -371,6 +371,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted audio pairs must surface")
   }
 
+  test("variant pair generators are bit-identical to the per-variant records") {
+    // the r15 one-texture-pass generators must reproduce the exact
+    // records the per-variant generators synthesize (same ids, types,
+    // and container BYTES) — the oracle regenerates every surface
+    // analytically, so a single drifted byte fails a gate
+    val blocks = 64
+    Seq(0L, 1L, 7L, 100L, 4999L).foreach { base =>
+      val pPair = Multimodal.phashVariantPair(base, blocks)
+      val pRef = Seq(
+        Multimodal.phashVariantRecord(base, 0, blocks),
+        Multimodal.phashVariantRecord(base, 1, blocks))
+      pPair.zip(pRef).foreach { case (a, b) =>
+        assert(a.doc_id == b.doc_id && a.media_type == b.media_type)
+        assert(java.util.Arrays.equals(a.content, b.content), s"phash bytes drift at base $base")
+      }
+      val aPair = Multimodal.audioVariantPair(base, blocks)
+      val aRef = Seq(
+        Multimodal.audioVariantRecord(base, 0, blocks),
+        Multimodal.audioVariantRecord(base, 1, blocks))
+      aPair.zip(aRef).foreach { case (a, b) =>
+        assert(a.doc_id == b.doc_id && a.media_type == b.media_type)
+        assert(java.util.Arrays.equals(a.content, b.content), s"audio bytes drift at base $base")
+      }
+    }
+  }
+
   test("audio stats equal a per-file recount from the decoded features") {
     import org.apache.spark.sql.functions._
     val feats = Multimodal.decodeFeatures(Multimodal.asMediaTable(spark, sf)).collect()
