@@ -21,13 +21,33 @@ class PlanShapeSpec extends AnyFunSuite {
     .builder(master = "local[4]", shufflePartitions = 4)
     .getOrCreate()
 
-  private def collectPlan(df: DataFrame): Seq[SparkPlan] = {
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    walk(df.queryExecution.executedPlan)
+  private def walkPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => walkPlan(a.executedPlan)
+    case other => other +: other.children.flatMap(walkPlan)
   }
+
+  private def collectPlan(df: DataFrame): Seq[SparkPlan] =
+    walkPlan(df.queryExecution.executedPlan)
+
+  /** FileSourceScans of `colName` INSIDE the cached artifact builds a
+    * plan reads (each DISTINCT cached relation counted once) — the
+    * cold-path budget of a memoized-artifact consumer: the consumer's
+    * own plan must scan the corpus zero times (the warm pin), and the
+    * artifact definition it reads must scan it exactly the documented
+    * once (this pin), so a cache-key regression that silently falls
+    * back to corpus re-scoring fails one side or the other (r14
+    * advice: pin BOTH states, not `<= 1`).
+    */
+  private def cachedBuildScans(df: DataFrame, colName: String): Int =
+    collectPlan(df)
+      .collect { case imr: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => imr }
+      .groupBy(_.relation.cacheBuilder.tableName)
+      .values
+      .map(g =>
+        walkPlan(g.head.relation.cachedPlan).count(p =>
+          p.getClass.getSimpleName.startsWith("FileSourceScan") &&
+            p.output.exists(_.name == colName)))
+      .sum
 
   private def shuffles(df: DataFrame): Int =
     collectPlan(df).count(_.isInstanceOf[ShuffleExchangeLike])
@@ -163,11 +183,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = collectPlan(df)
     val textScans = plan.count(p =>
       p.getClass.getSimpleName.startsWith("FileSourceScan") && p.output.exists(_.name == "text"))
-    assert(textScans <= 1, s"corpus text scanned $textScans times, expected at most once")
-    if (textScans == 0) {
-      val imr = plan.count(_.getClass.getSimpleName.contains("InMemoryTableScan"))
-      assert(imr >= 1, "with zero text scans the plan must read the cached tf index")
-    }
+    // BOTH states pinned (r14 advice, replacing the `<= 1` relaxation):
+    // the consumer reads the registered tf-index view — zero direct
+    // text scans, at least one InMemoryTableScan — and the artifact
+    // DEFINITION scans the corpus exactly once, so a memo regression
+    // that falls back to re-scoring fails one side or the other
+    assert(textScans == 0, s"corpus text scanned $textScans times outside the tf index")
+    val imr = plan.count(_.getClass.getSimpleName.contains("InMemoryTableScan"))
+    assert(imr >= 1, "the plan must read the cached tf index")
+    assert(cachedBuildScans(df, "text") == 1, "the tf-index build must scan text exactly once")
   }
 
   test("similarity top-k shuffles only bounded top-k buffers") {
@@ -176,7 +200,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // rescoring of the corpus
     val df = graft.operators.Similarity.bruteForceTopK(spark, sf)
     val imr = collectPlan(df).count(_.getClass.getSimpleName.contains("InMemoryTableScan"))
-    if (imr == 0) assert(broadcasts(df) >= 1, "cold served call must broadcast the query side")
+    // strict (r14 advice): the served call ALWAYS reads the memoized
+    // baseline artifact — a zero-IMR plan means the memo stopped
+    // engaging and the corpus is being rescored per consumer
+    assert(imr >= 1, "served call must read the cached exact-baseline artifact")
     assert(sortMergeJoins(df) == 0)
     assert(shuffles(df) <= 2, s"got ${shuffles(df)} shuffles")
     // the scoring shape itself stays pinned through the non-served
@@ -366,12 +393,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sourceScans(graft.operators.RelationalQueries.retentionCohorts(spark, sf), "user_id") == 1)
     assert(sourceScans(graft.operators.TextAnalysis.chi2Contingency(spark, sf), "lang") == 1)
     // bpe/count-min ride the memoized vocab-frequency artifact (round
-    // 14): zero text scans when its cache entry is live (they read the
-    // in-memory vocab table — the tf-idf pin's convention), one on a
-    // cold build; never two
-    assert(sourceScans(graft.operators.TextAnalysis.bpePairStats(spark, sf), "text") <= 1)
+    // 14): BOTH states pinned strictly (r14 advice) — the consumer
+    // scans text zero times (it reads the registered vocab view) and
+    // the artifact definition scans it exactly once
+    assert(sourceScans(graft.operators.TextAnalysis.bpePairStats(spark, sf), "text") == 0)
+    assert(cachedBuildScans(graft.operators.TextAnalysis.bpePairStats(spark, sf), "text") == 1)
     assert(sourceScans(graft.operators.TextAnalysis.cdcChunkStats(spark, sf), "text") == 1)
-    assert(sourceScans(graft.operators.TextAnalysis.countMinEstimates(spark, sf), "text") <= 1)
+    assert(sourceScans(graft.operators.TextAnalysis.countMinEstimates(spark, sf), "text") == 0)
+    assert(cachedBuildScans(graft.operators.TextAnalysis.countMinEstimates(spark, sf), "text") == 1)
     // continuation-pass gates: same single-lineage discipline
     assert(sourceScans(graft.operators.TextAnalysis.langMixDrift(spark, sf), "source") == 1)
     assert(sourceScans(graft.operators.Similarity.centroidDrift(spark, sf), "label") == 1)
